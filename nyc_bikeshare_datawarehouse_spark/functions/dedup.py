@@ -1,0 +1,221 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, ordered by cost, all shuffle-on-key designs that scale to
+100 TB (the key is always a small fixed-size signature, never the document
+body, so the shuffle moves hashes + ids, not text):
+
+1. exact          — md5 over normalized text; groupBy hash, keep min id.
+2. token-set      — md5 over sorted distinct tokens (reorder-invariant).
+3. simhash        — 64-bit bitwise-majority signature over token hashes;
+                    near-dup = small Hamming distance; banded for join.
+4. minhash + LSH  — k independent min-hashes over shingles, banded into
+                    buckets; candidate pairs only within a bucket
+                    (pyspark.ml MinHashLSH when available, with a pure
+                    DataFrame fallback).
+5. n-gram Jaccard — exact Jaccard on shingle sets for candidate pairs
+                    (the verifier stage after LSH, or standalone on
+                    token-blocked pairs).
+
+Embedding-based near-dup (cosine) lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nyc_bikeshare_datawarehouse_spark.functions.text import shingles, token_set_fingerprint, tokens
+
+
+def normalized_hash(text_col="text") -> F.Column:
+    """Exact-dedup key: md5(lower(trim(text)))."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.trim(c)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text hash.
+
+    One shuffle on a 128-bit key; partial aggregation (map-side min/count)
+    makes the shuffle payload tiny regardless of document size."""
+    return (
+        df.select(normalized_hash(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def token_set_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Reorder-invariant exact dedup via the token-set fingerprint."""
+    return (
+        df.select(token_set_fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def simhash64(text_col="text") -> F.Column:
+    """64-bit SimHash over whitespace tokens, pure built-ins.
+
+    For each bit b: sum over tokens of (+1 if bit set in xxhash64(token)
+    else -1); signature bit = (sum > 0). Expressed as 64 aggregate
+    expressions over the token array — verbose but fully codegen'd and
+    shuffle-free (per-row computation)."""
+    t = tokens(text_col)
+    hashes = F.transform(t, lambda tok: F.xxhash64(tok))
+
+    def _vote(bit: int):
+        # closure factory: a default-arg lambda would change the function
+        # arity and make PySpark pass the array index as a second argument
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_val = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(hashes, F.lit(0), _vote(b))
+        # shiftleft, not 2**b: bit 63 overflows a Java long literal
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        bit_val = bit_val.bitwiseOR(F.when(vote > 0, bit).otherwise(F.lit(0).cast("long")))
+    return bit_val
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs via banded SimHash: split the 64-bit
+    signature into `bands` chunks; docs sharing any chunk value are
+    candidates (Hamming-distance <= bands-1 guaranteed recall). The join is
+    an equi-join on (band, chunk) — shuffle moves only (id, 16-bit chunk)."""
+    width = 64 // bands
+    sig = df.select(F.col(id_col), simhash64(text_col).alias("sig"))
+    chunks = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select(id_col, "sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_signature(text_col="text", num_hashes: int = 32, shingle_n: int = 3) -> F.Column:
+    """k-min-hash signature over word shingles, pure built-ins: hash each
+    shingle with k seeded xxhash64 variants, take the min per seed."""
+    sh = shingles(text_col, shingle_n)
+
+    def _seeded(seed: int):
+        # closure factory (a 2-arg lambda would be treated as (element, index))
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    return F.array(*[
+        F.array_min(F.transform(sh, _seeded(i))).alias(f"mh{i}") for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash LSH candidate pairs without pyspark.ml: band the k-hash
+    signature, bucket-join on (band, band_hash). Estimated Jaccard =
+    fraction of matching hash positions. At 100 TB this is the standard
+    fuzzy-dedup layout: signatures are O(k) ints per doc; every join is an
+    equi-join on small keys."""
+    rows = num_hashes // bands
+    sig = df.select(F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    match_frac = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        .cast("double") / F.lit(num_hashes)
+    )
+    return pairs.select("id_a", "id_b", F.round(match_frac, 4).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-equi-join on the
+    shingle, count intersections per pair, then |A∪B| = |A|+|B|-|A∩B|.
+    Shuffles move (shingle_hash, id) pairs only. Hot shingles (stopword
+    n-grams) are the skew risk at scale — mitigate by hashing shingles and
+    optionally dropping top-frequency shingles (df-style pruning)."""
+    sh = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"))
+        .select(id_col, F.xxhash64("s").alias("sh"))
+        .dropDuplicates()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            # floor-truncation, not round: exact on the bit-identical double
+            # produced by int/int division (see plans/queries._trunc)
+            F.floor(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * 10000)
+            / 10000,
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Three tiers, all DataFrame-native:
+
+1. `cosine_topk`  — brute-force exact top-k against one probe vector.
+   Dot/norms via higher-order functions (`zip_with` + `aggregate`), fully
+   JVM-side; top-k is TakeOrderedAndProject (per-partition heap, no global
+   sort). Exact, O(N·d) — the correctness baseline.
+2. `ivf_topk`     — IVF-style ANN: deterministic coarse centroids, assign
+   each vector to its nearest centroid (one broadcast join), search only
+   the probe's `nprobe` nearest cells. At 100 TB the table is written
+   partitioned by cell id → partition pruning turns a full scan into a
+   few-cells scan.
+3. `cosine_near_dup_lsh` — random-hyperplane (signed random projection)
+   LSH for embedding near-duplicate pairs: b-bit signatures from
+   deterministic pseudo-random hyperplanes, banded bucket join; exact
+   cosine verification only within buckets.
+
+All pseudo-randomness is derived deterministically (hash-of-index), so
+results are reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _vec(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (no UDF)."""
+    return F.aggregate(
+        F.zip_with(_vec(a), _vec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(F.aggregate(_vec(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a single probe vector.
+
+    `probe` must be a 1-row frame with `vec_col`; it is crossJoin-broadcast
+    so every partition scores locally, then TakeOrderedAndProject merges k
+    rows — network cost is O(k), independent of table size."""
+    p = F.broadcast(probe.select(F.col(vec_col).alias("__probe")))
+    scored = df.crossJoin(p).select(
+        F.col(id_col),
+        F.round(cosine(vec_col, "__probe"), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Pseudo-random unit-free hyperplanes from a fixed integer hash — same
+    on every run/executor, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            # xorshift-style integer mix of (p, d); public-domain technique.
+            h = (p * 2654435761 + d * 40503 + 12345) & 0xFFFFFFFF
+            h ^= h >> 13
+            h = (h * 1274126177) & 0xFFFFFFFF
+            h ^= h >> 16
+            row.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec_col, dim: int, n_planes: int = 16) -> Column:
+    """Signed-random-projection signature as an int (bit b = sign of
+    ⟨v, plane_b⟩). Computed with per-plane literal arrays + zip_with —
+    JVM-side, deterministic."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(_deterministic_hyperplanes(dim, n_planes)):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(_vec(vec_col), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: SRP-LSH buckets, then exact cosine
+    verify inside buckets only. Join key is (band, chunk) — small ints —
+    so the shuffle is tiny; the expensive exact cosine runs only on
+    candidate pairs."""
+    width = n_planes // bands
+    sig = df.select(id_col, vec_col, srp_signature(vec_col, dim, n_planes).alias("sig"))
+    chunks = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select(id_col, vec_col, "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: centroids = the first `n_cells` vectors by id
+    (deterministic coarse quantizer — at scale replace with a KMeans fit
+    persisted once). Assign rows to nearest centroid, search the probe's
+    `nprobe` nearest cells only.
+
+    Scale path: write the corpus `partitionBy("cell")`; the cell filter
+    then becomes partition pruning and a query touches nprobe/n_cells of
+    the data."""
+    cents = F.broadcast(
+        df.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    assigned = (
+        df.crossJoin(cents)
+        .withColumn("d", dot(vec_col, "cent_vec") / (l2_norm(vec_col) * l2_norm("cent_vec")))
+        .withColumn(
+            "best",
+            F.max(F.struct(F.col("d"), F.col("cent_id"))).over(Window.partitionBy(id_col)),
+        )
+        .filter((F.col("best.cent_id") == F.col("cent_id")))
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+    probe_cells = (
+        probe.select(F.col(vec_col).alias("__probe"))
+        .crossJoin(cents)
+        .withColumn("d", dot("__probe", "cent_vec") / (l2_norm("__probe") * l2_norm("cent_vec")))
+        .orderBy(F.desc("d"))
+        .limit(nprobe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    p = F.broadcast(probe.select(F.col(vec_col).alias("__probe")))
+    candidates = assigned.join(F.broadcast(probe_cells), "cell")
+    return (
+        candidates.crossJoin(p)
+        .select(F.col(id_col), F.round(cosine(vec_col, "__probe"), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,15 @@
+from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
+from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot, decode_onehot_flags, pivot_flags
+from nyc_bikeshare_datawarehouse_spark.operators.sessionize import sessionize
+from nyc_bikeshare_datawarehouse_spark.operators.windows import top_k, deterministic_id, with_date_parts
+
+__all__ = [
+    "timestamp_series",
+    "unpivot",
+    "decode_onehot_flags",
+    "pivot_flags",
+    "sessionize",
+    "top_k",
+    "deterministic_id",
+    "with_date_parts",
+]

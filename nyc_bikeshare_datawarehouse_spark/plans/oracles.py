@@ -1,0 +1,296 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per oracle-checkable query.
+
+Parity pins (SURVEY §7.4):
+- dayofweek: Spark 1=Sunday..7=Saturday; DuckDB 0=Sunday..6 → `+ 1`.
+- weekofyear: both ISO — no adjustment.
+- CAST(double AS INT): Spark truncates, DuckDB rounds → always FLOOR first.
+- SUM(int) in DuckDB is HUGEINT → CAST to BIGINT where Spark yields long.
+- float aggregates rounded on both sides (summation-order drift).
+- `range(ts, ts, interval)` is stop-exclusive (generate_series is NOT).
+- session gaps in exact microseconds (epoch_us) on both sides.
+
+Queries with no entry here (minhash/simhash/SRP LSH, IVF ANN, multimodal)
+are non-SQL-expressible → driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {
+    "q_project_cast_alias": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               l_returnflag AS rflag,
+               l_extendedprice * (1 - l_discount) AS net_price
+        FROM lineitem
+    """,
+    "q_filter_conj": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM lineitem
+        WHERE l_discount < l_tax AND l_quantity < 10 AND l_returnflag = 'R'
+    """,
+    "q_filter_notnull": """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    """,
+    "q_subtract": """
+        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        EXCEPT
+        SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_quantity < 25
+    """,
+    "q_union_dedup": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_intersect": """
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+    "q_distinct_dim": """
+        SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+    """,
+    "q_date_parts": """
+        SELECT o_orderkey,
+               year(o_orderdate)       AS y,
+               month(o_orderdate)      AS m,
+               day(o_orderdate)        AS d,
+               weekofyear(o_orderdate) AS wk,
+               dayofweek(o_orderdate) + 1 AS dow,
+               quarter(o_orderdate)    AS q
+        FROM orders
+    """,
+    "q_generate_series": """
+        SELECT range                AS ts,
+               hour(range)          AS hour,
+               day(range)           AS day,
+               weekofyear(range)    AS week,
+               month(range)         AS month,
+               dayofweek(range) + 1 AS weekday,
+               year(range)          AS year,
+               quarter(range)       AS quarter
+        FROM range(TIMESTAMP '2020-01-01', TIMESTAMP '2020-12-31', INTERVAL 1 HOUR)
+    """,
+    "q_unpivot": """
+        SELECT l_orderkey, l_linenumber, measure, val
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+        UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+    "q_star_join": """
+        SELECT r_name,
+               year(o_orderdate)  AS o_year,
+               month(o_orderdate) AS o_month,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, year(o_orderdate), month(o_orderdate)
+    """,
+    "q_left_join_multikey": """
+        SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+        FROM orders
+        LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_quantity > 45
+    """,
+    "q_anti_orphans": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_semi_active": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_self_role_join": """
+        SELECT n1.n_name AS cust_nation,
+               n2.n_name AS supp_nation,
+               COUNT(*)  AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY n1.n_name, n2.n_name
+    """,
+    "q_agg_monthly": """
+        SELECT year(l_shipdate)  AS ship_year,
+               month(l_shipdate) AS ship_month,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               MIN(l_discount) AS min_disc,
+               MAX(l_discount) AS max_disc,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY year(l_shipdate), month(l_shipdate)
+    """,
+    "q_rollup": """
+        SELECT year(o_orderdate)  AS o_year,
+               month(o_orderdate) AS o_month,
+               CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+    "q_count_quality": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey,
+               COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS n_null_date,
+               COUNT(DISTINCT o_orderkey) AS n_distinct_pk
+        FROM orders
+    """,
+    "q_topk": """
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY total_spent DESC, o_custkey
+        LIMIT 10
+    """,
+    "q_pivot_flags": """
+        SELECT l_returnflag,
+               COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS status_o,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS status_f
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q_window_rank": """
+        SELECT o_orderkey, o_custkey, rn, price_rank FROM (
+            SELECT o_orderkey, o_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey) AS rn,
+                   RANK() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+            FROM orders
+        ) WHERE rn <= 5
+    """,
+    "q_window_running": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events
+    """,
+    "q_json_extract": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+               FLOOR(AVG(CAST(props ->> '$.k' AS INTEGER)) * 100) / 100 AS avg_k
+        FROM events
+        GROUP BY event_type
+    """,
+    "q_tumbling_hour": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    "q_sessionize": """
+        WITH lagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM lagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    "q_dedup_exact": """
+        SELECT md5(lower(trim(text))) AS text_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_fingerprint_dedup": """
+        SELECT md5(array_to_string(
+                   list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))),
+                   ' ')) AS fp,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_text_tokens": """
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 50
+    """,
+    "q_text_stats": """
+        WITH toks AS (
+            SELECT doc_id, lang, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               FLOOR(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                     / GREATEST(len(t), 1) * 100) / 100 AS avg_token_len,
+               FLOOR(CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1) * 10000) / 10000
+                   AS distinct_token_ratio
+        FROM toks
+    """,
+    "q_lang_stats": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               FLOOR(AVG(n_chars) * 100) / 100 AS avg_chars,
+               CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+                   AS total_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    "q_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM toks
+            WHERE len(t) >= 2
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
+    """,
+    "q_cosine_topk": """
+        WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(p.embedding AS DOUBLE[])), 6) AS cosine_sim
+        FROM embeddings e, p
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+}

@@ -1,0 +1,551 @@
+"""Declared query inventory (SURVEY §2.11) — one entry per operator family.
+
+Every function takes (spark, sf_dir) and returns a lazy DataFrame. Rules
+(driver contract): deterministic results (total orders before limits, no
+monotonically_increasing_id), every computed column aliased identically to
+the DuckDB oracle in plans/oracles.py, float aggregates rounded.
+
+Scale notes appear per query: what shuffles, what broadcasts, what the plan
+should look like at 100 TB. Dims (region/nation/supplier) are broadcast
+explicitly; customer/orders/lineitem joins are left to Catalyst+AQE, which
+at real scale become sort-merge joins co-partitioned on the join key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.functions import dedup, similarity, text
+from nyc_bikeshare_datawarehouse_spark.functions.multimodal import extract_features
+from nyc_bikeshare_datawarehouse_spark.operators.sessionize import session_stats, sessionize
+from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
+from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot
+from nyc_bikeshare_datawarehouse_spark.operators.windows import with_date_parts
+from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _trunc(col, decimals: int):
+    """floor(x·10^d)/10^d — decimal truncation that is EXACT on bit-identical
+    doubles, unlike round(): Spark's round goes through the shortest decimal
+    string (HALF_UP on "4.725") while DuckDB rounds the binary value
+    (4.72499999... -> 4.72), so round() diverges on .xx5-looking ratios.
+    Used for every integer-derived ratio; oracles apply the same formula."""
+    scale = 10 ** decimals
+    return F.floor(col * scale) / scale
+
+
+# ---------------------------------------------------------------- projections
+
+def q_project_cast_alias(spark, sf_dir):
+    """Project + rename + cast (reference etl.py:94-97). Column-pruned scan:
+    only 5 of 11 lineitem columns read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.col("l_returnflag").alias("rflag"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+def q_filter_conj(spark, sf_dir):
+    """Col-vs-col + literal comparisons, conjunction (etl.py:58). All three
+    predicates push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_discount") < F.col("l_tax"))
+        .filter(F.col("l_quantity") < 10)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    )
+
+
+def q_filter_notnull(spark, sf_dir):
+    """isNotNull predicate (etl.py:64-65,72-73)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+def q_subtract(spark, sf_dir):
+    """EXCEPT-distinct semantics of df.subtract (etl.py:58; also dedups the
+    left side — SURVEY §8.1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    left = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    right = li.filter(F.col("l_quantity") < 25).select("l_orderkey", "l_linenumber", "l_returnflag")
+    return left.subtract(right)
+
+
+def q_union_dedup(spark, sf_dir):
+    """Union + dropDuplicates == SQL UNION (etl.py:76,103)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).dropDuplicates()
+
+
+def q_intersect(spark, sf_dir):
+    """INTERSECT (SURVEY §2.5 completeness)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+def q_distinct_dim(spark, sf_dir):
+    """SELECT DISTINCT dim-extraction pattern (sql_queries.py:22-26)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderpriority").distinct()
+
+
+# ------------------------------------------------------------ dates & series
+
+def q_date_parts(spark, sf_dir):
+    """Seven date parts (etl.py:186-192). dayofweek is Spark semantics
+    (1=Sunday); the oracle compensates DuckDB's 0=Sunday explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.weekofyear(d).alias("wk"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("q"),
+    )
+
+
+def q_generate_series(spark, sf_dir):
+    """Distributed timestamp series, stop-EXCLUSIVE (etl.py:8-24,184 —
+    reference's dim_datetime: 8,760 hourly rows for 2020 ending 12-30 23:00)
+    plus the 7 date parts (etl.py:186-192)."""
+    series = timestamp_series(spark, "2020-01-01", "2020-12-31", 3600, col_name="ts")
+    return with_date_parts(series, "ts")
+
+
+# --------------------------------------------------------------------- joins
+
+def q_star_join(spark, sf_dir):
+    """4-dim star join chain + monthly rollup of revenue — the flagship
+    (README.md:50-63 analytical questions; sql_queries.py:16-19 join shape).
+
+    Plan at scale: nation/region broadcast (tiny lookups); lineitem⋈orders
+    and ⋈customer are shuffle joins on their keys — co-partitioned if the
+    tables are bucketed by key at write time; AQE coalesces the final
+    aggregate exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name"),
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_left_join_multikey(spark, sf_dir):
+    """Left outer join with composite condition (key + qty predicate —
+    sql_queries.py:16-19 shape). The extra predicate stays in the join
+    condition (not a post-filter), preserving left rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_quantity > 45)
+    return o.join(li, cond, "left").select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+def q_anti_orphans(spark, sf_dir):
+    """Referential-integrity anti-join (relational form of
+    data_quality.py:34-41): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_semi_active(spark, sf_dir):
+    """Semi-join: customers that have orders (README.md:56-63 'active
+    entities' questions)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_self_role_join(spark, sf_dir):
+    """Same dim joined twice under different roles (start/end station
+    pattern, etl.py:83-84): nation as customer-nation and supplier-nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+# -------------------------------------------------------------- aggregations
+
+def q_agg_monthly(spark, sf_dir):
+    """Monthly multi-aggregate (README.md:59-62): count/sum/avg/min/max +
+    distinct. Partial (map-side) aggregation makes the shuffle carry one row
+    per (year,month) per task. countDistinct adds an expand — at 100 TB
+    switch to approx_count_distinct (documented tradeoff)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("ship_year"), F.month("l_shipdate").alias("ship_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_discount").alias("max_disc"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP(year, month) with grouping id (README.md:59 'monthly and
+    yearly' = two grouping levels in one pass)."""
+    o = _t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate")).withColumn(
+        "o_month", F.month("o_orderdate")
+    )
+    return o.rollup("o_year", "o_month").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_count_quality(spark, sf_dir):
+    """Quality-gate aggregates as one row (data_quality.py:25-41): row
+    count, null-PK count, distinct-PK count. All COUNT-shaped so types are
+    BIGINT on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null_custkey"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_date"),
+        F.countDistinct("o_orderkey").alias("n_distinct_pk"),
+    )
+
+
+def q_topk(spark, sf_dir):
+    """Deterministic top-k (README.md:62): executes as
+    TakeOrderedAndProject — per-partition heaps, O(k) driver merge, no
+    global sort at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+def q_pivot_flags(spark, sf_dir):
+    """Pivot long->wide with pinned values (inverse of the weather-flag
+    unpivot, SURVEY §2.9; pinning values avoids the discovery scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+        .na.fill(0)
+        .select(
+            "l_returnflag",
+            F.col("O").alias("status_o"),
+            F.col("F").alias("status_f"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- windows
+
+def q_window_rank(spark, sf_dir):
+    """row_number (deterministic id — the fix for etl.py:91) + rank per
+    group; one shuffle on o_custkey feeds both windows (same partitioning/
+    ordering family)."""
+    o = _t(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.col("o_orderkey"))
+    w_rk = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("price_rank", F.rank().over(w_rk))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderkey", "o_custkey", "rn", "price_rank")
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """Running sum over an explicit row frame + lag (README.md:59
+    month-over-month shape, on the events surface)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(frame), 2).alias("running_value"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+# ------------------------------------------------------------------ reshaping
+
+def q_unpivot(spark, sf_dir):
+    """Wide->long melt as one distributed stack expression (replaces the
+    reference's driver-side per-column collect loop, etl.py:107-118)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return unpivot(
+        li,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="val",
+    )
+
+
+# ------------------------------------------------------------- events / time
+
+def q_json_extract(spark, sf_dir):
+    """JSON extraction from string props (events surface; SURVEY §2.8)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            _trunc(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
+def q_tumbling_hour(spark, sf_dir):
+    """Tumbling 1-hour window aggregate ≡ group-by-date_trunc (SURVEY §2.9;
+    the same `window()` expression is the streaming form in
+    streaming/events.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization, 30-minute gap (batch twin of
+    session_window; SURVEY §2.9). Exact µs gap arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    sessions = sessionize(e, "user_id", "ts", 1800, order_tiebreak="event_id")
+    return session_stats(sessions, "user_id", "ts")
+
+
+# ------------------------------------------- LLM-pipeline: text & dedup
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text hash (SURVEY §2.10): one shuffle on a
+    128-bit key; payload is (hash, id), never the document body."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Order-invariant token-set fingerprint groups (catches shuffled
+    near-copies that raw-text hashing misses)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.token_set_dedup(d, "text", "doc_id")
+
+
+def q_text_tokens(spark, sf_dir):
+    """Token frequency top-50 (explode + count; SURVEY §2.10). Partial
+    aggregation collapses the exploded rows map-side; top-k is a heap."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("token"))
+        .limit(50)
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    """Per-document quality stats: chars, tokens, avg token length,
+    distinct-token ratio (standard pre-training quality filters)."""
+    d = _t(spark, sf_dir, "documents")
+    t = text.tokens("text")
+    n_tok = F.size(t).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        _trunc(
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.greatest(n_tok, F.lit(1)),
+            2,
+        ).alias("avg_token_len"),
+        _trunc(
+            F.size(F.array_distinct(t)).cast("double") / F.greatest(n_tok, F.lit(1)), 4
+        ).alias("distinct_token_ratio"),
+    )
+
+
+def q_lang_stats(spark, sf_dir):
+    """Corpus composition by language tag (the groupBy a lang-ID pipeline
+    feeds; the classifier itself is functions.text.language_id)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _trunc(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(F.size(text.tokens("text")).cast("long")).alias("total_tokens"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact bigram-Jaccard similar pairs via inverted-index join
+    (SURVEY §2.10 near-dup verifier stage)."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    return dedup.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5)
+
+
+def q_near_dup_minhash(spark, sf_dir):
+    """MinHash-LSH near-duplicate candidates (banded signatures; rows-only
+    check — not SQL-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash banded candidates with Hamming distance (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(d, "text", "doc_id", bands=4).filter(F.col("hamming") <= 16)
+
+
+# ------------------------------------------- LLM-pipeline: embeddings
+
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k vs probe vec_id=0 (SURVEY §2.10):
+    higher-order-function dot product, TakeOrderedAndProject top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk(e, probe, k=10)
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs via SRP-LSH buckets + exact verify
+    (rows-only check)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_lsh(e, dim=64, n_planes=16, bands=4, min_cosine=0.55)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN top-k (cell-pruned scan; rows-only check)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    return similarity.ivf_topk(e, probe, k=10, n_cells=16, nprobe=4)
+
+
+# ------------------------------------------- LLM-pipeline: multimodal
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary content column (synthesized
+    deterministically from documents.text), Arrow-batched mapInPandas
+    feature extraction (rows-only check; the decode step is a deterministic
+    fake — real codecs are injected in deployment)."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return extract_features(assets).select("asset_id", "modality", "n_bytes", "sha")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_project_cast_alias": q_project_cast_alias,
+    "q_filter_conj": q_filter_conj,
+    "q_filter_notnull": q_filter_notnull,
+    "q_subtract": q_subtract,
+    "q_union_dedup": q_union_dedup,
+    "q_intersect": q_intersect,
+    "q_distinct_dim": q_distinct_dim,
+    "q_date_parts": q_date_parts,
+    "q_generate_series": q_generate_series,
+    "q_unpivot": q_unpivot,
+    "q_star_join": q_star_join,
+    "q_left_join_multikey": q_left_join_multikey,
+    "q_anti_orphans": q_anti_orphans,
+    "q_semi_active": q_semi_active,
+    "q_self_role_join": q_self_role_join,
+    "q_agg_monthly": q_agg_monthly,
+    "q_rollup": q_rollup,
+    "q_count_quality": q_count_quality,
+    "q_topk": q_topk,
+    "q_pivot_flags": q_pivot_flags,
+    "q_window_rank": q_window_rank,
+    "q_window_running": q_window_running,
+    "q_json_extract": q_json_extract,
+    "q_tumbling_hour": q_tumbling_hour,
+    "q_sessionize": q_sessionize,
+    "q_dedup_exact": q_dedup_exact,
+    "q_fingerprint_dedup": q_fingerprint_dedup,
+    "q_text_tokens": q_text_tokens,
+    "q_text_stats": q_text_stats,
+    "q_lang_stats": q_lang_stats,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_near_dup_minhash": q_near_dup_minhash,
+    "q_simhash_near_dup": q_simhash_near_dup,
+    "q_cosine_topk": q_cosine_topk,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_ann_ivf": q_ann_ivf,
+    "q_multimodal_features": q_multimodal_features,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The end-to-end M0 slice: star join + monthly revenue (SURVEY §7.1)."""
+    return q_star_join(spark, sf_dir)

@@ -1,0 +1,115 @@
+"""Sources: parquet/CSV scans, literal frames, empty frames.
+
+Covers the reference's source surface (SURVEY §2.1):
+- CSV scan with inferred schema  (reference etl.py:54-56)  -> `read_csv`
+  with an *explicit* schema preferred; inference is opt-in because it costs
+  an extra full pass over the data and produces run-dependent types.
+- CSV scan string-typed          (reference etl.py:122-124) -> `read_csv`
+  with header only.
+- Glob/pattern scan              (reference etl.py:53-54)   -> native glob in
+  the path; one scan instead of a Python per-month loop, so Catalyst sees a
+  single plan and can prune partitions.
+- Literal in-memory source       (reference etl.py:42,164)  -> `literal_frame`.
+- Empty-frame source             (reference etl.py:108-109 used an empty RDD;
+  idiomatic Spark is `createDataFrame([], schema)`)         -> `empty_frame`.
+
+At 100 TB the only interesting source is columnar parquet: explicit schemas
+(schema-on-read, no inference pass), predicate pushdown and column pruning
+reach the scan, and file listing parallelizes on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Canonical table names of the driver corpus (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Parquet scan. Schema-on-read by default; pass `schema` to assert a
+    contract (mismatches fail at analysis, not mid-job)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+    sep: str = ",",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV scan. Explicit schema >> inference (inference = extra full pass,
+    reference etl.py:56 did this per month)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-corpus table: `{sf_dir}/{name}.parquet`.
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs (legacy
+    conf, set only around the footer read) and truncate to a µs timestamp —
+    the same ns→µs floor DuckDB applies, so both engines see identical
+    values."""
+    # Date-part semantics (hour/day/dow) must not depend on whatever zone
+    # the *caller's* session was built with — pin UTC (runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The conf must stay set for the lifetime of the (lazy) plan — the
+    # parquet reader consults it at execution time, not just at schema
+    # resolution. It only affects ns-typed columns, so leaving it on is
+    # safe for every other table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] | None = None) -> dict[str, DataFrame]:
+    """Load several corpus tables as a dict keyed by table name."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def literal_frame(spark: SparkSession, rows: Sequence, schema: T.StructType) -> DataFrame:
+    """In-memory literal table (reference etl.py:42,164: station schema,
+    weather-type lookup). Small static dims — always broadcast-joinable."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def empty_frame(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Empty typed frame as a union seed (reference etl.py:108-109 built this
+    from an empty RDD; this is the DataFrame-native form)."""
+    return spark.createDataFrame([], schema)

@@ -1,0 +1,62 @@
+"""Sinks (SURVEY §2.2): partitioned parquet writes + table DDL analogs.
+
+The reference wrote CSV per month in append mode then overwrote dims
+(etl.py:101-105, 178-180, 193) and bulk-loaded a warehouse via
+truncate-and-COPY (stage_redshift.py:34-48). The Spark-native equivalents:
+
+- one partitioned parquet write (`partitionBy`) instead of a per-month
+  append loop — readers get partition pruning for free;
+- `overwrite` / `append` as an explicit single mode (the reference chained
+  `.mode("append").mode("overwrite")` — last one wins, etl.py:105);
+- truncate-and-load == `INSERT OVERWRITE` / `saveAsTable(mode="overwrite")`;
+- dynamic partition overwrite for incremental month refresh, which is the
+  scale-correct replacement for "reprocess one month": only the touched
+  partitions rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partition-aware parquet sink. ~100-200 MB target files at scale:
+    set `max_records_per_file` or rely on AQE coalescing upstream."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: Sequence[str]) -> None:
+    """Incremental refresh: overwrite only the partitions present in `df`
+    (dynamic partition overwrite). This is the 100 TB-safe version of the
+    reference's per-month append (etl.py:101-102): re-running one month
+    touches one partition, not the whole table."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def create_table(spark: SparkSession, name: str, df: DataFrame, mode: str = "overwrite") -> None:
+    """DDL analog of create_tables.sql: materialize as a catalog table."""
+    df.write.mode(mode).format("parquet").saveAsTable(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """DDL analog of drop_tables.sql (idempotent)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

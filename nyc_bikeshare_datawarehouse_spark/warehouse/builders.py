@@ -1,0 +1,176 @@
+"""Star-schema builders — the reference ETL's *intended* semantics,
+re-expressed as lazy DataFrame pipelines.
+
+Reference: etl.py (dags/bikeshare_nyc/etl_script/etl.py). Differences are
+deliberate and documented (SURVEY §8):
+- No `.collect()`/`createDataFrame` round-trips (etl.py:65,73,97-99,112,
+  129-131,173-177 severed the plan 6x): every builder returns a lazy frame.
+- dim_station accumulation bug fixed: the reference discarded the union
+  result (etl.py:103) and wrote an empty dim (etl.py:105); we return the
+  accumulated, deduplicated dim.
+- trip_id is deterministic (md5 of natural key or row_number over a total
+  order) instead of `monotonically_increasing_id` (etl.py:91 —
+  run-dependent).
+- One glob scan + `partitionBy(year, month)` write replaces the 12-pass
+  per-month Python loop (etl.py:53-103).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
+from nyc_bikeshare_datawarehouse_spark.operators.unpivot import decode_onehot_flags
+from nyc_bikeshare_datawarehouse_spark.operators.windows import with_date_parts
+
+TRIP_FACT_SCHEMA = T.StructType([
+    T.StructField("trip_id", T.LongType(), False),
+    T.StructField("duration", T.IntegerType(), True),
+    T.StructField("start_time", T.TimestampType(), True),
+    T.StructField("end_time", T.TimestampType(), True),
+    T.StructField("start_station_id", T.IntegerType(), True),
+    T.StructField("end_station_id", T.IntegerType(), True),
+    T.StructField("bikeid", T.IntegerType(), True),
+    T.StructField("usertype", T.StringType(), True),
+    T.StructField("gender", T.IntegerType(), True),
+    T.StructField("birth_year", T.IntegerType(), True),
+])
+
+DIM_STATION_SCHEMA = T.StructType([
+    T.StructField("station_id", T.IntegerType(), True),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("longitude", T.DoubleType(), True),
+    T.StructField("latitude", T.DoubleType(), True),
+])
+
+#: NOAA weather-type lookup (etl.py:142-163) — public GHCN-Daily WT codes.
+WEATHER_TYPES = [
+    (1, "Fog, ice fog, or freezing fog (may include heavy fog)"),
+    (2, "Heavy fog or heaving freezing fog (not always distinguished from fog)"),
+    (3, "Thunder"),
+    (4, "Ice pellets, sleet, snow pellets, or small hail"),
+    (5, "Hail (may include small hail)"),
+    (6, "Glaze or rime"),
+    (7, "Dust, volcanic ash, blowing dust, blowing sand, or blowing obstruction"),
+    (8, "Smoke or haze"),
+    (9, "Blowing or drifting snow"),
+    (10, "Tornado, waterspout, or funnel cloud"),
+    (11, "High or damaging winds"),
+    (12, "Blowing spray"),
+    (13, "Mist"),
+    (14, "Drizzle"),
+    (15, "Freezing drizzle"),
+    (16, "Rain (may include freezing rain, drizzle, and freezing drizzle)"),
+    (17, "Freezing rain"),
+    (18, "Snow, snow pellets, snow grains, or ice crystals"),
+    (19, "Unknown source of precipitation"),
+    (21, "Ground fog"),
+    (22, "Ice fog or freezing fog"),
+]
+
+WT_FLAG_COLS = ["WT01", "WT02", "WT03", "WT04", "WT05", "WT06", "WT08", "WT09", "WT11"]
+
+_BAD_TRIP_MIN_SECONDS = 300  # reference filter: same-station trips < 300 s (etl.py:58)
+
+
+def clean_trips(raw: DataFrame) -> DataFrame:
+    """Remove bad trips — same start/end station AND duration < 300 s
+    (etl.py:58). The reference used `subtract`, which as EXCEPT DISTINCT
+    also deduplicates the keep-side; we preserve that exact semantic."""
+    bad = raw.filter(
+        (F.col("`start station id`") == F.col("`end station id`"))
+        & (F.col("tripduration") < _BAD_TRIP_MIN_SECONDS)
+    )
+    return raw.subtract(bad)
+
+
+def build_dim_station(trips: DataFrame) -> DataFrame:
+    """Stations = union of start-role and end-role projections, dedup'd
+    (etl.py:61-76 *intended* semantics; the reference dropped the result,
+    etl.py:103, writing an empty dim — fixed here)."""
+    start = trips.select(
+        F.col("`start station id`").cast("int").alias("station_id"),
+        F.col("`start station name`").alias("name"),
+        F.col("`start station longitude`").cast("double").alias("longitude"),
+        F.col("`start station latitude`").cast("double").alias("latitude"),
+    ).where(F.col("station_id").isNotNull())
+    end = trips.select(
+        F.col("`end station id`").cast("int").alias("station_id"),
+        F.col("`end station name`").alias("name"),
+        F.col("`end station longitude`").cast("double").alias("longitude"),
+        F.col("`end station latitude`").cast("double").alias("latitude"),
+    ).where(F.col("station_id").isNotNull())
+    return start.unionByName(end).dropDuplicates()
+
+
+def build_trip_fact(trips: DataFrame) -> DataFrame:
+    """Trip fact with a deterministic trip_id (md5-derived 64-bit key over
+    the natural key — shuffle-free and stable at any scale, unlike
+    etl.py:91's monotonically_increasing_id)."""
+    parsed = (
+        trips.withColumn("start_time", F.to_timestamp("starttime"))
+        .withColumn("end_time", F.to_timestamp("stoptime"))
+    )
+    natural = F.concat_ws(
+        "|", F.col("starttime"), F.col("stoptime"), F.col("bikeid"), F.col("`start station id`")
+    )
+    return parsed.select(
+        F.conv(F.substring(F.md5(natural), 1, 15), 16, 10).cast("long").alias("trip_id"),
+        F.col("tripduration").cast("int").alias("duration"),
+        "start_time",
+        "end_time",
+        F.col("`start station id`").cast("int").alias("start_station_id"),
+        F.col("`end station id`").cast("int").alias("end_station_id"),
+        F.col("bikeid").cast("int").alias("bikeid"),
+        F.col("usertype"),
+        F.col("gender").cast("int").alias("gender"),
+        F.col("`birth year`").cast("int").alias("birth_year"),
+    ).where(F.col("bikeid").isNotNull())
+
+
+def build_dim_datetime(spark: SparkSession, start: str = "2020-01-01", stop: str = "2020-12-31") -> DataFrame:
+    """Hourly datetime dim (etl.py:183-193): stop-EXCLUSIVE series (8,760
+    rows for the reference's 2020 window — SURVEY §8.2) + 7 date parts."""
+    series = timestamp_series(spark, start, stop, 3600, col_name="Date")
+    return with_date_parts(series, "Date")
+
+
+def build_weather_type(spark: SparkSession) -> DataFrame:
+    """Static 22-row weather-type lookup (etl.py:137-163)."""
+    schema = T.StructType([
+        T.StructField("weather_type_id", T.IntegerType(), False),
+        T.StructField("description", T.StringType(), False),
+    ])
+    return spark.createDataFrame(WEATHER_TYPES, schema)
+
+
+def build_weather_fact(raw_weather: DataFrame) -> DataFrame:
+    """Daily weather fact (etl.py:126-131, 173-177): project, cast the six
+    numeric measures string->double, parse date, dedup (multiple stations
+    report the same DATE)."""
+    return (
+        raw_weather.select(
+            F.to_timestamp(F.col("DATE")).alias("date_time"),
+            F.col("PRCP").cast("double").alias("prcp"),
+            F.col("SNOW").cast("double").alias("snow"),
+            F.col("SNWD").cast("double").alias("snwd"),
+            F.col("TAVG").cast("double").alias("tavg"),
+            F.col("TMAX").cast("double").alias("tmax"),
+            F.col("TMIN").cast("double").alias("tmin"),
+        )
+        .dropDuplicates()
+    )
+
+
+def build_date_weather_bridge(raw_weather: DataFrame) -> DataFrame:
+    """(date, weather_type_id) bridge from one-hot WT flags — the
+    reference's driver-side unpivot loop (etl.py:107-118) as one
+    distributed stack expression. Flag semantics preserved: trim == "1",
+    id = int(last 2 chars of column name)."""
+    present = [c for c in WT_FLAG_COLS if c in raw_weather.columns]
+    wide = raw_weather.select(
+        F.to_timestamp(F.col("DATE")).alias("date_time"), *[F.col(c) for c in present]
+    ).dropDuplicates()
+    return decode_onehot_flags(wide, "date_time", present).dropDuplicates()

@@ -1,0 +1,83 @@
+"""Data-quality gates — the reference's post-load checks as engine
+assertions, with its latent bugs fixed.
+
+Reference (data_quality.py:25-41): (a) non-empty table; (b) null-PK count —
+but the null gate passed when exactly ONE null existed (`> 1`,
+data_quality.py:39), and a build variant inverted the predicate entirely
+(SURVEY §8.5). Here: zero nulls means zero; plus two gates the reference's
+schema *declares* but never checks (create_tables.sql PRIMARY KEYs are
+unenforced in Redshift): PK uniqueness and FK referential integrity.
+
+Each gate computes a single aggregate (one job, no driver materialization
+beyond one row) and returns a QualityResult; `check_all` runs a standard
+gate battery for a fact/dim pair.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class QualityResult:
+    gate: str
+    table: str
+    passed: bool
+    detail: str
+
+
+def expect_non_empty(df: DataFrame, table: str) -> QualityResult:
+    """Gate (a): table has >= 1 row (data_quality.py:25-32)."""
+    n = df.limit(1).count()  # limit(1) => scan short-circuits; no full count
+    return QualityResult("non_empty", table, n > 0, f"probe_rows={n}")
+
+
+def expect_no_null_pk(df: DataFrame, table: str, pk: str) -> QualityResult:
+    """Gate (b), fixed: ZERO null PKs (reference tolerated one —
+    data_quality.py:39 `> 1`)."""
+    n = df.filter(F.col(pk).isNull()).count()
+    return QualityResult("no_null_pk", table, n == 0, f"null_pk_rows={n}")
+
+
+def expect_unique_pk(df: DataFrame, table: str, *pk: str) -> QualityResult:
+    """PK uniqueness: count == count distinct over the PK column(s).
+    Single aggregate pass; at 100 TB prefer this over a groupBy-having
+    scan because it short-circuits to two longs."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in pk]).alias("nd"),
+    ).first()
+    return QualityResult("unique_pk", table, row["n"] == row["nd"], f"rows={row['n']} distinct={row['nd']}")
+
+
+def expect_fk_integrity(fact: DataFrame, dim: DataFrame, table: str, fk: str, pk: str) -> QualityResult:
+    """FK referential integrity as a left-anti join (the relational form of
+    data_quality.py's count checks): orphan rows must be zero. Broadcast
+    the dim when small; Catalyst/AQE decides otherwise."""
+    orphans = (
+        fact.filter(F.col(fk).isNotNull())
+        .join(dim.select(F.col(pk).alias(fk)).dropDuplicates(), on=fk, how="left_anti")
+        .limit(1)
+        .count()
+    )
+    return QualityResult("fk_integrity", table, orphans == 0, f"orphan_probe={orphans}")
+
+
+def check_all(
+    fact: DataFrame,
+    table: str,
+    pk: str,
+    dims: list[tuple[DataFrame, str, str]] | None = None,
+) -> list[QualityResult]:
+    """Standard battery: non-empty, no-null PK, unique PK, plus FK gates
+    for each (dim_df, fk_col, dim_pk_col) triple."""
+    results = [
+        expect_non_empty(fact, table),
+        expect_no_null_pk(fact, table, pk),
+        expect_unique_pk(fact, table, pk),
+    ]
+    for dim_df, fk, dim_pk in dims or []:
+        results.append(expect_fk_integrity(fact, dim_df, table, fk, dim_pk))
+    return results
