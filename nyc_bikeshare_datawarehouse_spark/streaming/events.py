@@ -1,0 +1,111 @@
+"""Structured Streaming surface for the events stream (SURVEY §2.9, M5).
+
+The batch queries q_tumbling_hour / q_sessionize have exact streaming
+twins here: the SAME `window()` / `session_window()` expressions run
+incrementally with watermark-bounded state. Batch/stream equivalence is
+asserted in tests (the Kappa-style guarantee: one logic, two runtimes).
+
+Scale posture:
+- Watermarks bound state: an aggregation over `window(ts, '1 hour')` with
+  a 2-hour watermark keeps at most ~3 hours of open windows per key
+  regardless of input volume.
+- File source streams a directory incrementally (`maxFilesPerTrigger`);
+  in production this is the landing zone written by `sinks.write_parquet`
+  partitioned by arrival time.
+- `availableNow` trigger = batch-sized catch-up with streaming semantics
+  (used by the tests; also the right backfill mode in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema as stored (ts is ns in parquet -> read as long, converted
+#: below; streaming readers require an explicit schema).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.LongType(), True),  # ns since epoch (nanosAsLong)
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over the events parquet with the same ns->µs
+    normalization as the batch reader (sources/readers.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q_tumbling_hour — identical window expression,
+    plus a watermark to bound state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via the built-in session_window — the
+    incremental twin of operators.sessionize (same 30-min gap semantics;
+    state per open session, closed by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = "complete") -> None:
+    """Drain the stream with the availableNow trigger into an in-memory
+    table (tests / backfills), blocking until done."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

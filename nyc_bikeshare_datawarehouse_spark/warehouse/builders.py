@@ -45,7 +45,8 @@ DIM_STATION_SCHEMA = T.StructType([
     T.StructField("latitude", T.DoubleType(), True),
 ])
 
-#: NOAA weather-type lookup (etl.py:142-163) — public GHCN-Daily WT codes.
+#: NOAA weather-type lookup (etl.py:142-163) — the 21 public GHCN-Daily WT
+#: codes the reference ships (1-19, 21, 22; WT20 does not exist).
 WEATHER_TYPES = [
     (1, "Fog, ice fog, or freezing fog (may include heavy fog)"),
     (2, "Heavy fog or heaving freezing fog (not always distinguished from fog)"),
@@ -116,17 +117,19 @@ def build_trip_fact(trips: DataFrame) -> DataFrame:
     natural = F.concat_ws(
         "|", F.col("starttime"), F.col("stoptime"), F.col("bikeid"), F.col("`start station id`")
     )
+    # try_cast throughout: malformed numerics become NULL (Spark 2.4
+    # non-ANSI semantics the reference assumed), never a job failure
     return parsed.select(
         F.conv(F.substring(F.md5(natural), 1, 15), 16, 10).cast("long").alias("trip_id"),
-        F.col("tripduration").cast("int").alias("duration"),
+        F.col("tripduration").try_cast("int").alias("duration"),
         "start_time",
         "end_time",
-        F.col("`start station id`").cast("int").alias("start_station_id"),
-        F.col("`end station id`").cast("int").alias("end_station_id"),
-        F.col("bikeid").cast("int").alias("bikeid"),
+        F.col("`start station id`").try_cast("int").alias("start_station_id"),
+        F.col("`end station id`").try_cast("int").alias("end_station_id"),
+        F.col("bikeid").try_cast("int").alias("bikeid"),
         F.col("usertype"),
-        F.col("gender").cast("int").alias("gender"),
-        F.col("`birth year`").cast("int").alias("birth_year"),
+        F.col("gender").try_cast("int").alias("gender"),
+        F.col("`birth year`").try_cast("int").alias("birth_year"),
     ).where(F.col("bikeid").isNotNull())
 
 
@@ -138,7 +141,7 @@ def build_dim_datetime(spark: SparkSession, start: str = "2020-01-01", stop: str
 
 
 def build_weather_type(spark: SparkSession) -> DataFrame:
-    """Static 22-row weather-type lookup (etl.py:137-163)."""
+    """Static 21-row weather-type lookup (etl.py:137-163)."""
     schema = T.StructType([
         T.StructField("weather_type_id", T.IntegerType(), False),
         T.StructField("description", T.StringType(), False),
@@ -150,15 +153,17 @@ def build_weather_fact(raw_weather: DataFrame) -> DataFrame:
     """Daily weather fact (etl.py:126-131, 173-177): project, cast the six
     numeric measures string->double, parse date, dedup (multiple stations
     report the same DATE)."""
+    # try_cast, not cast: empty strings must become NULL (the Spark 2.4
+    # non-ANSI behavior the reference relied on); ANSI cast would throw
     return (
         raw_weather.select(
             F.to_timestamp(F.col("DATE")).alias("date_time"),
-            F.col("PRCP").cast("double").alias("prcp"),
-            F.col("SNOW").cast("double").alias("snow"),
-            F.col("SNWD").cast("double").alias("snwd"),
-            F.col("TAVG").cast("double").alias("tavg"),
-            F.col("TMAX").cast("double").alias("tmax"),
-            F.col("TMIN").cast("double").alias("tmin"),
+            F.col("PRCP").try_cast("double").alias("prcp"),
+            F.col("SNOW").try_cast("double").alias("snow"),
+            F.col("SNWD").try_cast("double").alias("snwd"),
+            F.col("TAVG").try_cast("double").alias("tavg"),
+            F.col("TMAX").try_cast("double").alias("tmax"),
+            F.col("TMIN").try_cast("double").alias("tmin"),
         )
         .dropDuplicates()
     )

@@ -1,0 +1,170 @@
+"""Tests for text / dedup / similarity / multimodal function families."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.functions import dedup, multimodal, similarity, text
+
+from conftest import rows_set
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+            (3, "dog lazy the over jumps fox brown quick the"),   # reordered dup of 1
+            (4, "completely different content about spark engines"),
+            (5, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestText:
+    def test_tokens_and_count(self, spark):
+        df = spark.createDataFrame([("a  b c",)], "text string")
+        out = df.select(text.token_count("text").alias("n")).first()
+        assert out["n"] == 3  # double space must not create an empty token
+
+    def test_bpe_ish_tokens(self, spark):
+        df = spark.createDataFrame([("ab12 c-d!",)], "text string")
+        toks = df.select(text.bpe_ish_tokens("text").alias("t")).first()["t"]
+        assert toks == ["ab", "12", "c", "-", "d", "!"]
+
+    def test_quality_stats(self, spark):
+        df = spark.createDataFrame([(1, "the the the xyz")], "doc_id long, text string")
+        row = text.with_quality_stats(df).first()
+        assert row["n_tokens"] == 4
+        assert row["distinct_token_ratio"] == 0.5
+        assert row["stopword_ratio"] == 0.75
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat is in the house"), (2, "el gato que es de la casa"),
+             (3, "der hund ist mit der katze"), (4, "zzz qqq www")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.language_id("text").alias("lang")).collect()}
+        assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        sh = df.select(text.shingles("text", 3).alias("s")).first()["s"]
+        assert sh == ["a b c", "b c d"]
+        short = spark.createDataFrame([("a b",)], "text string")
+        assert short.select(text.shingles("text", 3).alias("s")).first()["s"] == ["a b"]
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        out = dedup.exact_dedup(docs)
+        by_keep = {r["keep_id"]: r["n_copies"] for r in out.collect()}
+        assert by_keep[1] == 2  # docs 1+2 collapse
+        assert by_keep[3] == 1  # reorder not caught by exact hash
+
+    def test_token_set_dedup_catches_reorder(self, spark, docs):
+        out = dedup.token_set_dedup(docs)
+        by_keep = {r["keep_id"]: r["n_docs"] for r in out.collect()}
+        assert by_keep[1] == 3  # 1, 2 and reordered 3 share the token set
+
+    def test_simhash_identical_and_near(self, spark, docs):
+        sigs = {
+            r["doc_id"]: r["sig"]
+            for r in docs.select("doc_id", dedup.simhash64("text").alias("sig")).collect()
+        }
+        assert sigs[1] == sigs[2]
+        ham_near = bin(sigs[1] ^ sigs[5]).count("1")
+        ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+        assert ham_near < ham_far
+
+    def test_minhash_est_jaccard(self, spark, docs):
+        pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+        got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+        assert got[(1, 2)] == 1.0  # identical docs always bucket together
+        # determinism across runs
+        again = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8).collect()
+        }
+        assert got == again
+
+    def test_ngram_jaccard_exact_values(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=2, min_jaccard=0.1)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert got[(1, 2)] == 1.0
+        # doc5 differs in last token: 7 of 8 bigrams shared -> 7/9
+        assert got[(1, 5)] == math.floor(7 / 9 * 10000) / 10000
+
+
+class TestSimilarity:
+    def test_cosine_matches_numpy(self, spark):
+        import numpy as np
+
+        a = [1.0, 2.0, 3.0, 4.0]
+        b = [4.0, 3.0, 2.0, 1.0]
+        df = spark.createDataFrame([(a, b)], "va array<float>, vb array<float>")
+        got = df.select(similarity.cosine("va", "vb").alias("c")).first()["c"]
+        want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(got - want) < 1e-9
+
+    def test_cosine_topk_self_first(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probe = emb.filter(F.col("vec_id") == 0)
+        top = similarity.cosine_topk(emb, probe, k=5).collect()
+        assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] == 1.0
+
+    def test_srp_signature_deterministic(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(20)
+        s1 = rows_set(emb.select("vec_id", similarity.srp_signature("embedding", 64, 16).alias("s")))
+        s2 = rows_set(
+            emb.repartition(3).select("vec_id", similarity.srp_signature("embedding", 64, 16).alias("s"))
+        )
+        assert s1 == s2
+
+    def test_ivf_topk_contains_probe(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probe = emb.filter(F.col("vec_id") == 0)
+        top = similarity.ivf_topk(emb, probe, k=5, n_cells=8, nprobe=2).collect()
+        assert top[0]["vec_id"] == 0  # probe's own cell is always searched
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def assets(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "image", bytearray(b"img-bytes"), None, ("image/png", 4, 4, None, None)),
+                (2, "video", None, "s3://bucket/v.mp4", ("video/mp4", None, None, None, 3500)),
+            ],
+            multimodal.ASSET_SCHEMA,
+        )
+
+    def test_extract_features_deterministic_fake(self, spark, assets):
+        out = extract = multimodal.extract_features(assets).collect()
+        row = {r["asset_id"]: r for r in out}
+        assert row[1]["n_bytes"] == 9
+        assert len(row[1]["feature"]) == 8
+        again = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+        assert row[1]["feature"] == again[1]["feature"]
+
+    def test_sample_frames_plan(self, spark, assets):
+        frames = multimodal.sample_frames(assets, every_ms=1000).collect()
+        # 3500 ms at 1000 ms cadence -> frames 0,1,2 at 0/1000/2000 ms
+        assert [(r["frame_idx"], r["frame_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000)]
+
+    def test_resize_stub_raises_at_execution(self, spark, assets):
+        df = multimodal.resize_images(assets, 64, 64)  # plan construction OK
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            df.collect()

@@ -1,0 +1,115 @@
+"""Unit tests: series / unpivot / sessionize / window helpers.
+
+Covers the reference's semantic edge cases (SURVEY §5.2, §8): stop-
+exclusive series, whitespace-tolerant flag decode, positional-union-free
+reshaping, deterministic ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
+from nyc_bikeshare_datawarehouse_spark.operators.sessionize import session_stats, sessionize
+from nyc_bikeshare_datawarehouse_spark.operators.unpivot import (
+    decode_onehot_flags,
+    pivot_flags,
+    unpivot,
+)
+from nyc_bikeshare_datawarehouse_spark.operators.windows import deterministic_id, top_k
+
+from conftest import rows_set
+
+
+class TestSeries:
+    def test_stop_exclusive_reference_2020(self, spark):
+        # etl.py:184 semantics: 2020-01-01 .. 2020-12-31 EXCLUSIVE = 8,760
+        # hourly rows; 2020-12-31 00:00 itself must be absent (SURVEY §8.2)
+        s = timestamp_series(spark, "2020-01-01", "2020-12-31", 3600)
+        assert s.count() == 8760
+        last = s.agg(F.max("ts")).first()[0]
+        assert str(last) == "2020-12-30 23:00:00"
+
+    def test_step_seconds(self, spark):
+        s = timestamp_series(spark, "2020-01-01 00:00:00", "2020-01-01 01:00:00", 900)
+        assert [str(r["ts"]) for r in s.orderBy("ts").collect()] == [
+            "2020-01-01 00:00:00",
+            "2020-01-01 00:15:00",
+            "2020-01-01 00:30:00",
+            "2020-01-01 00:45:00",
+        ]
+
+
+class TestUnpivot:
+    def test_wide_to_long(self, spark):
+        df = spark.createDataFrame([(1, 10.0, 20.0)], "id int, a double, b double")
+        long = unpivot(df, ["id"], ["a", "b"], "name", "value")
+        assert rows_set(long) == [(1, "a", 10.0), (1, "b", 20.0)]
+
+    def test_flag_decode_whitespace_and_id(self, spark):
+        # etl.py:114-115: flags count only when trim(v)=="1"; id = last 2
+        # chars of the column name as int
+        df = spark.createDataFrame(
+            [("d1", " 1 ", None, "1"), ("d2", "0", "1", "")],
+            "dt string, WT01 string, WT08 string, WT11 string",
+        )
+        out = decode_onehot_flags(df, "dt", ["WT01", "WT08", "WT11"], "dt", "wt")
+        assert rows_set(out) == [("d1", 1), ("d1", 11), ("d2", 8)]
+
+    def test_pivot_unpivot_roundtrip(self, spark):
+        # pivot ∘ unpivot = identity on one-hot flags (SURVEY §5.2)
+        bridge = spark.createDataFrame(
+            [("d1", 1), ("d1", 8), ("d2", 8)], "dt string, wt int"
+        )
+        wide = pivot_flags(bridge, "dt", "wt", [1, 8])
+        back = (
+            unpivot(wide, ["dt"], ["1", "8"], "wt", "flag")
+            .filter(F.col("flag") == 1)
+            .select("dt", F.col("wt").cast("int").alias("wt"))
+        )
+        assert rows_set(back) == rows_set(bridge)
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:10:00", 2),
+             (1, "2024-01-01 01:10:00", 3), (2, "2024-01-01 00:00:00", 4)],
+            "user_id int, ts string, event_id int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        s = sessionize(df, "user_id", "ts", 1800, order_tiebreak="event_id")
+        got = {(r["user_id"], r["event_id"]): r["session_id"] for r in s.collect()}
+        assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+    def test_exact_boundary_is_same_session(self, spark):
+        # gap == threshold does NOT open a session (strict >)
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:30:00", 2)],
+            "user_id int, ts string, event_id int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        s = sessionize(df, "user_id", "ts", 1800, order_tiebreak="event_id")
+        assert {r["session_id"] for r in s.collect()} == {1}
+
+    def test_session_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 02:00:00", 2)],
+            "user_id int, ts string, event_id int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        stats = session_stats(sessionize(df, "user_id", "ts", 1800, order_tiebreak="event_id"))
+        assert stats.count() == 2
+        assert all(r["n_events"] == 1 for r in stats.collect())
+
+
+class TestWindows:
+    def test_top_k_deterministic(self, spark):
+        df = spark.createDataFrame([(i % 3, i) for i in range(30)], "k int, v int")
+        out = top_k(df, [F.desc("k"), F.col("v")], 4)
+        assert [tuple(r) for r in out.collect()] == [(2, 2), (2, 5), (2, 8), (2, 11)]
+
+    def test_deterministic_id_stable(self, spark):
+        df = spark.createDataFrame([("b",), ("a",), ("c",)], "x string")
+        a = rows_set(deterministic_id(df, ["x"], "id"))
+        b = rows_set(deterministic_id(df.repartition(3), ["x"], "id"))
+        # same ids regardless of physical partitioning (unlike
+        # monotonically_increasing_id, etl.py:91)
+        assert a == b == [("a", 1), ("b", 2), ("c", 3)]

@@ -1,0 +1,60 @@
+"""Quality-gate tests on violation fixtures (FIXTURES.md §A4).
+
+Each fixture violates exactly one gate; the reference's buggy tolerances
+(one null PK allowed, inverted predicate — SURVEY §8.5) must NOT pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_bikeshare_datawarehouse_spark.warehouse import quality
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+
+
+def test_non_empty_pass_and_fail(spark, dim):
+    assert quality.expect_non_empty(dim, "dim").passed
+    empty = spark.createDataFrame([], "id int, name string")
+    assert not quality.expect_non_empty(empty, "empty").passed
+
+
+def test_null_pk_zero_tolerance(spark):
+    # the reference passed with exactly ONE null (data_quality.py:39 `> 1`);
+    # our gate fails on any null
+    one_null = spark.createDataFrame([(1,), (None,)], "id int")
+    many_null = spark.createDataFrame([(None,), (None,)], "id int")
+    clean = spark.createDataFrame([(1,), (2,)], "id int")
+    assert not quality.expect_no_null_pk(one_null, "t", "id").passed
+    assert not quality.expect_no_null_pk(many_null, "t", "id").passed
+    assert quality.expect_no_null_pk(clean, "t", "id").passed
+
+
+def test_unique_pk(spark):
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "id int")
+    uniq = spark.createDataFrame([(1,), (2,)], "id int")
+    assert not quality.expect_unique_pk(dup, "t", "id").passed
+    assert quality.expect_unique_pk(uniq, "t", "id").passed
+
+
+def test_composite_unique_pk(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], "a int, b int")
+    assert quality.expect_unique_pk(df, "t", "a", "b").passed
+    assert not quality.expect_unique_pk(df, "t", "a").passed
+
+
+def test_fk_integrity(spark, dim):
+    ok_fact = spark.createDataFrame([(10, 1), (11, 2)], "fid int, id int")
+    orphan_fact = spark.createDataFrame([(10, 1), (11, 99)], "fid int, id int")
+    assert quality.expect_fk_integrity(ok_fact, dim, "fact", "id", "id").passed
+    assert not quality.expect_fk_integrity(orphan_fact, dim, "fact", "id", "id").passed
+
+
+def test_check_all_battery(spark, dim):
+    fact = spark.createDataFrame([(10, 1), (11, 2)], "fid int, id int")
+    results = quality.check_all(fact, "fact", "fid", dims=[(dim, "id", "id")])
+    assert [r.gate for r in results] == ["non_empty", "no_null_pk", "unique_pk", "fk_integrity"]
+    assert all(r.passed for r in results)
