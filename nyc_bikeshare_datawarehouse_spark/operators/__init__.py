@@ -2,6 +2,7 @@ from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
 from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot, decode_onehot_flags, pivot_flags
 from nyc_bikeshare_datawarehouse_spark.operators.sessionize import sessionize
 from nyc_bikeshare_datawarehouse_spark.operators.windows import top_k, deterministic_id, with_date_parts
+from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join, two_phase_agg
 
 __all__ = [
     "timestamp_series",
@@ -12,4 +13,6 @@ __all__ = [
     "top_k",
     "deterministic_id",
     "with_date_parts",
+    "salted_join",
+    "two_phase_agg",
 ]

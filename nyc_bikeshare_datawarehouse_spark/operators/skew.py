@@ -1,0 +1,94 @@
+"""Skew-handling join helpers for hot keys at scale.
+
+At 100 TB, a handful of hot keys (a mega-station in the trip fact, a bot
+user_id in events, a stopword shingle in the dedup index) can put one
+shuffle partition orders of magnitude above the rest. Two mitigations,
+in preference order:
+
+1. **AQE skew-join** (`spark.sql.adaptive.skewJoin.enabled`, on by default
+   in session.get_spark): runtime splitting of oversized partitions.
+   Zero code — always the first choice.
+2. **Salted join** (this module): when AQE can't help — e.g. skewed
+   *aggregations*, or joins where the runtime stats arrive too late —
+   explicitly shard hot keys by a salt, replicate the small side per
+   salt, and join on (key, salt).
+
+`salted_join` implements the classic replicate-broadcast pattern as pure
+DataFrame ops; `two_phase_agg` does salted partial aggregation (shard,
+partially aggregate, merge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot keys in `big`: big rows get a random-ish
+    (deterministic: hash of the full row won't work for joins, so we use a
+    uniform spread via monotonic partition id folded with the key) salt in
+    [0, num_salts); `small` is replicated once per salt value. The join key
+    becomes (on, salt), so a hot key's rows spread over `num_salts`
+    partitions.
+
+    Cost: small side is materialized num_salts times — only use when
+    `small` is broadcast-sized and `big` is skewed on `on`."""
+    salted_big = big.withColumn(
+        SALT_COL, (F.abs(F.xxhash64(F.col(on), F.spark_partition_id())) % num_salts).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias(SALT_COL)
+    replicated_small = small.select("*", salts)
+    out = salted_big.join(replicated_small, on=[on, SALT_COL], how=how)
+    return out.drop(SALT_COL)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: group by (keys + salt) first (spreads a hot
+    key over `num_salts` reducers), then merge the partials by `keys`.
+
+    `aggs`: {column: fn} with fn in {sum, count, min, max} (mergeable
+    aggregates only — avg must be expressed as sum+count by the caller).
+
+    Note: Spark's hash aggregate already does map-side partials, which
+    handles *input* skew; this helper exists for the reduce-side case
+    where one grouping key dominates the shuffle (partial rows from every
+    map task still land on one reducer)."""
+    salted = df.withColumn(SALT_COL, (F.abs(F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id())) % num_salts).cast("int"))
+
+    phase1_exprs = []
+    merge_exprs = []
+    for col, fn in aggs.items():
+        partial = f"__p_{fn}_{col}"
+        if fn == "count":
+            phase1_exprs.append(F.count(F.lit(1)).alias(partial))
+            merge_exprs.append(F.sum(partial).alias(f"count_{col}"))
+        elif fn == "sum":
+            phase1_exprs.append(F.sum(col).alias(partial))
+            merge_exprs.append(F.sum(partial).alias(f"sum_{col}"))
+        elif fn == "min":
+            phase1_exprs.append(F.min(col).alias(partial))
+            merge_exprs.append(F.min(partial).alias(f"min_{col}"))
+        elif fn == "max":
+            phase1_exprs.append(F.max(col).alias(partial))
+            merge_exprs.append(F.max(partial).alias(f"max_{col}"))
+        else:
+            raise ValueError(f"non-mergeable aggregate: {fn}")
+
+    phase1 = salted.groupBy(*keys, SALT_COL).agg(*phase1_exprs)
+    return phase1.groupBy(*keys).agg(*merge_exprs)
