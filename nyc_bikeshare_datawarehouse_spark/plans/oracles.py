@@ -191,6 +191,29 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1
     """,
+    "q_asof_join": """
+        SELECT e.event_id, e.user_id, p.value AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "q_range_bucket_join": """
+        SELECT b.bucket_ts, COUNT(e.event_id) AS n_events
+        FROM (SELECT range AS bucket_ts
+              FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', INTERVAL 1 HOUR)) b
+        LEFT JOIN events e ON date_trunc('hour', e.ts) = b.bucket_ts
+        GROUP BY b.bucket_ts
+    """,
+    "q_sql_surrogate_keys": """
+        SELECT md5(concat(CAST(user_id AS VARCHAR), ':', event_type)) AS user_type_key,
+               user_id,
+               event_type,
+               COUNT(*) AS n,
+               MIN(ts) AS first_ts
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY user_id, event_type
+    """,
     "q_sessionize": """
         WITH lagged AS (
             SELECT user_id, ts,

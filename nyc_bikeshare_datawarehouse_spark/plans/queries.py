@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_bikeshare_datawarehouse_spark.functions import dedup, similarity, text
+from nyc_bikeshare_datawarehouse_spark.operators.asof import asof_join
 from nyc_bikeshare_datawarehouse_spark.functions.multimodal import extract_features
 from nyc_bikeshare_datawarehouse_spark.operators.sessionize import session_stats, sessionize
 from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
@@ -374,6 +375,50 @@ def q_tumbling_hour(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join (SURVEY §2.4 range/as-of): each error
+    event picks up the value of the user's most recent purchase at or
+    before it. Union-sort formulation — one shuffle on user_id, no
+    nested-loop blowup (operators/asof.py)."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(errors, purchases, key="user_id", value_cols=["value"])
+    return joined.select("event_id", "user_id", F.col("value_right").alias("purchase_value"))
+
+
+def q_range_bucket_join(spark, sf_dir):
+    """Range join turned equi-join (SURVEY §2.4): hourly buckets from the
+    distributed series generator, left-joined to events on
+    date_trunc('hour') — empty buckets kept with zero counts. At scale
+    this equi-join form shuffles on the bucket key instead of exploding a
+    theta join."""
+    buckets = timestamp_series(spark, "2024-01-01", "2024-02-01", 3600, col_name="bucket_ts")
+    e = _t(spark, sf_dir, "events").withColumn("bucket_ts", F.date_trunc("hour", F.col("ts")))
+    return (
+        buckets.join(e, "bucket_ts", "left")
+        .groupBy("bucket_ts")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+def q_sql_surrogate_keys(spark, sf_dir):
+    """SQL entry point (SURVEY §3.3; shape of sql_queries.py:2-41): temp
+    view + spark.sql with md5 surrogate keys over a composite natural key
+    and a WHERE/GROUP BY — same Catalyst plan as the DataFrame form."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT md5(concat(cast(user_id AS string), ':', event_type)) AS user_type_key,
+               user_id,
+               event_type,
+               count(*) AS n,
+               min(ts) AS first_ts
+        FROM events_v
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY user_id, event_type
+    """)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization, 30-minute gap (batch twin of
     session_window; SURVEY §2.9). Exact µs gap arithmetic."""
@@ -530,6 +575,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_running": q_window_running,
     "q_json_extract": q_json_extract,
     "q_tumbling_hour": q_tumbling_hour,
+    "q_asof_join": q_asof_join,
+    "q_range_bucket_join": q_range_bucket_join,
+    "q_sql_surrogate_keys": q_sql_surrogate_keys,
     "q_sessionize": q_sessionize,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint_dedup": q_fingerprint_dedup,
