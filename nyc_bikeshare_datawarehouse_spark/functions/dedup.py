@@ -26,6 +26,17 @@ from pyspark.sql import DataFrame, functions as F
 from nyc_bikeshare_datawarehouse_spark.functions.text import shingles, token_set_fingerprint, tokens
 
 
+def _materialized(df: DataFrame, expr, name: str, keep: list[str]) -> DataFrame:
+    """Project `expr` as `name` behind an explode(array(...)) barrier.
+
+    CollapseProject would otherwise inline an expensive expression into
+    every downstream reference (e.g. a 32-hash minhash signature inlined
+    into each of 8 band hashes = 8x recomputation per row); a Generate
+    node is a projection-collapse boundary, so the expression evaluates
+    exactly once per row."""
+    return df.select(*keep, F.explode(F.array(expr)).alias(name))
+
+
 def normalized_hash(text_col="text") -> F.Column:
     """Exact-dedup key: md5(lower(trim(text)))."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -60,23 +71,29 @@ def simhash64(text_col="text") -> F.Column:
     else -1); signature bit = (sum > 0). Expressed as 64 aggregate
     expressions over the token array — verbose but fully codegen'd and
     shuffle-free (per-row computation)."""
+    from nyc_bikeshare_datawarehouse_spark.functions.similarity import _bit_mask
+
     t = tokens(text_col)
     hashes = F.transform(t, lambda tok: F.xxhash64(tok))
-
-    def _vote(bit: int):
-        # closure factory: a default-arg lambda would change the function
-        # arity and make PySpark pass the array index as a second argument
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_val = F.lit(0).cast("long")
-    for b in range(64):
-        vote = F.aggregate(hashes, F.lit(0), _vote(b))
-        # shiftleft, not 2**b: bit 63 overflows a Java long literal
-        bit = F.shiftleft(F.lit(1).cast("long"), b)
-        bit_val = bit_val.bitwiseOR(F.when(vote > 0, bit).otherwise(F.lit(0).cast("long")))
-    return bit_val
+    # ONE nested expression (transform over a literal mask array, inner
+    # aggregate vote), not 64 separate aggregates — keeps codegen
+    # compilation O(1) in signature width. Masks are literals because the
+    # shift functions take Python ints, not lambda variables; the bit-63
+    # mask is min-long (sign bit).
+    masks = F.array(*[F.lit(_bit_mask(b)).cast("long") for b in range(64)])
+    bits = F.transform(
+        masks,
+        lambda mask: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            mask,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
 
 
 def simhash_candidates(
@@ -87,7 +104,7 @@ def simhash_candidates(
     candidates (Hamming-distance <= bands-1 guaranteed recall). The join is
     an equi-join on (band, chunk) — shuffle moves only (id, 16-bit chunk)."""
     width = 64 // bands
-    sig = df.select(F.col(id_col), simhash64(text_col).alias("sig"))
+    sig = _materialized(df, simhash64(text_col), "sig", [id_col])
     chunks = sig.select(
         id_col,
         "sig",
@@ -116,10 +133,15 @@ def simhash_candidates(
     )
 
 
-def minhash_signature(text_col="text", num_hashes: int = 32, shingle_n: int = 3) -> F.Column:
-    """k-min-hash signature over word shingles, pure built-ins: hash each
-    shingle with k seeded xxhash64 variants, take the min per seed."""
-    sh = shingles(text_col, shingle_n)
+def minhash_signature(shingle_col, num_hashes: int = 32) -> F.Column:
+    """k-min-hash signature over a shingle-array column, pure built-ins:
+    hash each shingle with k seeded xxhash64 variants, take the min per
+    seed.
+
+    Takes a *column of shingle arrays* (not raw text) so callers can
+    materialize the shingle expression once — passing `shingles(text)`
+    directly would get inlined k times by CollapseProject."""
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
     def _seeded(seed: int):
         # closure factory (a 2-arg lambda would be treated as (element, index))
@@ -144,7 +166,10 @@ def minhash_lsh_candidates(
     fuzzy-dedup layout: signatures are O(k) ints per doc; every join is an
     equi-join on small keys."""
     rows = num_hashes // bands
-    sig = df.select(F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+    # two materialization barriers: shingle array once per row, then the
+    # 32-hash signature once per row (each is multiply-referenced downstream)
+    sh_df = _materialized(df, shingles(text_col, shingle_n), "__sh", [id_col])
+    sig = _materialized(sh_df, minhash_signature("__sh", num_hashes), "sig", [id_col])
     banded = sig.select(
         id_col,
         "sig",

@@ -67,6 +67,11 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def _bit_mask(b: int) -> int:
+    """Signed-64-bit mask for bit b (bit 63 is the sign bit = min long)."""
+    return -(1 << 63) if b == 63 else (1 << b)
+
+
 def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Pseudo-random unit-free hyperplanes from a fixed integer hash — same
     on every run/executor, no RNG state."""
@@ -86,18 +91,29 @@ def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 def srp_signature(vec_col, dim: int, n_planes: int = 16) -> Column:
     """Signed-random-projection signature as an int (bit b = sign of
-    ⟨v, plane_b⟩). Computed with per-plane literal arrays + zip_with —
-    JVM-side, deterministic."""
-    sig = F.lit(0).cast("long")
-    for b, plane in enumerate(_deterministic_hyperplanes(dim, n_planes)):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(_vec(vec_col), lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    ⟨v, plane_b⟩), deterministic.
+
+    Built as ONE nested higher-order expression over a 2-D plane literal
+    (transform-with-index + inner zip_with/aggregate), not n_planes
+    separate aggregates — keeps the codegen tree small and compilation
+    O(1) in n_planes."""
+    planes = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in _deterministic_hyperplanes(dim, n_planes)
+    ])
+    # bit masks as literals (shift functions take Python ints, not lambda
+    # variables); bit 63 would need min-long, but n_planes <= 62 in practice
+    masks = F.array(*[F.lit(_bit_mask(b)).cast("long") for b in range(n_planes)])
+    v = _vec(vec_col)
+    bits = F.zip_with(
+        planes,
+        masks,
+        lambda p, mask: F.when(
+            F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+            > 0,
+            mask,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
 
 
 def cosine_near_dup_lsh(
@@ -114,7 +130,11 @@ def cosine_near_dup_lsh(
     so the shuffle is tiny; the expensive exact cosine runs only on
     candidate pairs."""
     width = n_planes // bands
-    sig = df.select(id_col, vec_col, srp_signature(vec_col, dim, n_planes).alias("sig"))
+    # explode(array(...)) barrier: stops CollapseProject from inlining the
+    # signature expression into every band chunk (see dedup._materialized)
+    sig = df.select(
+        id_col, vec_col, F.explode(F.array(srp_signature(vec_col, dim, n_planes))).alias("sig")
+    )
     chunks = sig.select(
         id_col,
         vec_col,
