@@ -53,23 +53,23 @@ ORACLES: dict[str, str] = {
     """,
     "q_date_parts": """
         SELECT o_orderkey,
-               year(o_orderdate)       AS y,
-               month(o_orderdate)      AS m,
-               day(o_orderdate)        AS d,
-               weekofyear(o_orderdate) AS wk,
-               dayofweek(o_orderdate) + 1 AS dow,
-               quarter(o_orderdate)    AS q
+               CAST(year(o_orderdate) AS INTEGER)       AS y,
+               CAST(month(o_orderdate) AS INTEGER)      AS m,
+               CAST(day(o_orderdate) AS INTEGER)        AS d,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(quarter(o_orderdate) AS INTEGER)    AS q
         FROM orders
     """,
     "q_generate_series": """
         SELECT range                AS ts,
-               hour(range)          AS hour,
-               day(range)           AS day,
-               weekofyear(range)    AS week,
-               month(range)         AS month,
-               dayofweek(range) + 1 AS weekday,
-               year(range)          AS year,
-               quarter(range)       AS quarter
+               CAST(hour(range) AS INTEGER)          AS hour,
+               CAST(day(range) AS INTEGER)           AS day,
+               CAST(weekofyear(range) AS INTEGER)    AS week,
+               CAST(month(range) AS INTEGER)         AS month,
+               CAST(dayofweek(range) + 1 AS INTEGER) AS weekday,
+               CAST(year(range) AS INTEGER)          AS year,
+               CAST(quarter(range) AS INTEGER)       AS quarter
         FROM range(TIMESTAMP '2020-01-01', TIMESTAMP '2020-12-31', INTERVAL 1 HOUR)
     """,
     "q_unpivot": """
@@ -79,8 +79,8 @@ ORACLES: dict[str, str] = {
     """,
     "q_star_join": """
         SELECT r_name,
-               year(o_orderdate)  AS o_year,
-               month(o_orderdate) AS o_month,
+               CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
@@ -117,8 +117,8 @@ ORACLES: dict[str, str] = {
         GROUP BY n1.n_name, n2.n_name
     """,
     "q_agg_monthly": """
-        SELECT year(l_shipdate)  AS ship_year,
-               month(l_shipdate) AS ship_month,
+        SELECT CAST(year(l_shipdate) AS INTEGER)  AS ship_year,
+               CAST(month(l_shipdate) AS INTEGER) AS ship_month,
                COUNT(*) AS n_items,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
                ROUND(AVG(l_extendedprice), 2) AS avg_price,
@@ -129,8 +129,8 @@ ORACLES: dict[str, str] = {
         GROUP BY year(l_shipdate), month(l_shipdate)
     """,
     "q_rollup": """
-        SELECT year(o_orderdate)  AS o_year,
-               month(o_orderdate) AS o_month,
+        SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
                CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS BIGINT) AS gid,
                COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS total_price
@@ -159,7 +159,10 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag
     """,
     "q_window_rank": """
-        SELECT o_orderkey, o_custkey, rn, price_rank FROM (
+        SELECT o_orderkey, o_custkey,
+               CAST(rn AS INTEGER) AS rn,
+               CAST(price_rank AS INTEGER) AS price_rank
+        FROM (
             SELECT o_orderkey, o_custkey,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
                                       ORDER BY o_orderdate DESC, o_orderkey) AS rn,

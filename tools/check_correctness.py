@@ -87,10 +87,26 @@ def main():
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_types = dict(
+                (r[0], r[1]) for r in con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            )
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+        # advisory type comparison (driver strictness unknown): map both
+        # engines to families and warn on mismatch
+        _duck2fam = {"INTEGER": "int", "BIGINT": "bigint", "DOUBLE": "double",
+                     "FLOAT": "float", "VARCHAR": "string", "TIMESTAMP": "timestamp",
+                     "TIMESTAMP_NS": "timestamp", "BOOLEAN": "bool", "HUGEINT": "hugeint"}
+        _spark2fam = {"int": "int", "bigint": "bigint", "double": "double",
+                      "string": "string", "timestamp": "timestamp",
+                      "timestamp_ntz": "timestamp", "float": "float", "boolean": "bool"}
+        s_types = dict(sdf.dtypes)
+        for c in d_cols:
+            st, dt = s_types.get(c, "?"), str(d_types.get(c, "?"))
+            if _spark2fam.get(st, st) != _duck2fam.get(dt, dt):
+                print(f"  TYPEWARN {name}.{c}: spark={st} duckdb={dt}")
         problems = []
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
