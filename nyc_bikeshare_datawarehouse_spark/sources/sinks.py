@@ -60,3 +60,16 @@ def create_table(spark: SparkSession, name: str, df: DataFrame, mode: str = "ove
 def drop_table(spark: SparkSession, name: str) -> None:
     """DDL analog of drop_tables.sql (idempotent)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def insert_overwrite(df: DataFrame, table: str) -> None:
+    """Truncate-and-load (the reference's DELETE + COPY / DELETE + INSERT
+    SELECT patterns — stage_redshift.py:38-48, load_fact.py:21-29) as one
+    atomic INSERT OVERWRITE into an existing catalog table. Position-based
+    like SQL INSERT; the table's schema is the contract."""
+    df.write.insertInto(table, overwrite=True)
+
+
+def insert_append(df: DataFrame, table: str) -> None:
+    """Append-load variant (load_fact.py's non-truncating mode)."""
+    df.write.insertInto(table, overwrite=False)

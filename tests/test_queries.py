@@ -59,3 +59,17 @@ def test_sessionize_session_count_sane(spark, sf_dir):
 def test_cosine_topk_probe_first(spark, sf_dir):
     rows = QUERIES["q_cosine_topk"](spark, sf_dir).collect()
     assert rows[0]["vec_id"] == 0 and rows[0]["cosine_sim"] == 1.0
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    # the 100 TB substitution documented in q_agg_monthly: HLL sketch must
+    # stay within a few % of exact at default rsd
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+    ).first()
+    # rsd is a relative STANDARD DEVIATION, not a bound — allow ~4 sigma
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.04
