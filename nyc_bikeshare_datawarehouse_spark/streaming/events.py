@@ -98,6 +98,43 @@ def session_window_stats(
     )
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Append-mode parquet sink with checkpointed exactly-once progress —
+    the production landing path for streamed aggregates (watermarked
+    append emits each window once, when it closes)."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """foreachBatch sink: each micro-batch arrives as a normal DataFrame,
+    so arbitrary batch logic (merge-into, multi-table writes, quality
+    gates) runs with streaming progress tracking. `batch_fn(df, batch_id)`."""
+    writer = stream_df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = "complete") -> None:
     """Drain the stream with the availableNow trigger into an in-memory
     table (tests / backfills), blocking until done."""

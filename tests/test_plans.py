@@ -1,0 +1,74 @@
+"""Plan-regression tests: lock in the optimization properties the engine
+promises (pushdown, pruning, broadcast choice, shuffle counts).
+
+A future refactor that silently adds a shuffle, drops a pushed filter, or
+un-broadcasts a dim should fail HERE, not in a 100 TB deployment.
+"""
+
+from __future__ import annotations
+
+import re
+
+from nyc_bikeshare_datawarehouse_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    # plan metadata (PushedFilters/ReadSchema lists) truncates at 100 chars
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def n_exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange hashpartitioning", plan))
+
+
+def test_star_join_broadcasts_and_single_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_star_join")
+    assert plan.count("BroadcastHashJoin") >= 2  # dims never shuffle
+    assert "SortMergeJoin" not in plan or n_exchanges(plan) <= 3
+    assert n_exchanges(plan) == 1  # only the final aggregation exchanges
+
+
+def test_star_join_scan_pruned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_star_join")
+    m = re.search(r"lineitem\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    cols = m.group(1).split(",") if m else []
+    # 3 of 11 lineitem columns: orderkey + the two revenue inputs
+    assert len(cols) == 3
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_filter_conj")
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity,10.0)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_unpivot_no_shuffle(spark, sf_dir):
+    assert n_exchanges(plan_of(spark, sf_dir, "q_unpivot")) == 0
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan  # heap top-k, not a global sort
+
+
+def test_window_queries_single_shuffle(spark, sf_dir):
+    # both windows share the o_custkey partitioning -> exactly one exchange
+    assert n_exchanges(plan_of(spark, sf_dir, "q_window_rank")) == 1
+    assert n_exchanges(plan_of(spark, sf_dir, "q_window_running")) == 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # lag + running sum + stats all reuse the user_id partitioning
+    assert n_exchanges(plan_of(spark, sf_dir, "q_sessionize")) <= 2
+
+
+def test_semi_anti_broadcast(spark, sf_dir):
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "q_semi_active")
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "q_anti_orphans")
+
+
+def test_agg_partial_before_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_agg_monthly")
+    assert "partial_" in plan  # map-side combine present
