@@ -38,6 +38,8 @@ HEADLINE = [
     "q_window_running",
     "q_tumbling_hour",
     "q_sessionize",
+    "q_asof_join",
+    "q_range_bucket_join",
     "q_json_extract",
     "q_dedup_exact",
     "q_text_tokens",
