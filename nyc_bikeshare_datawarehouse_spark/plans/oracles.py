@@ -137,6 +137,30 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
     """,
+    "q_cube": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               o_orderstatus,
+               CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+    """,
+    "q_full_outer_join": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer FULL JOIN orders ON c_custkey = o_custkey
+    """,
+    "q_cross_join": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    "q_percentiles": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     "q_count_quality": """
         SELECT COUNT(*) AS n_rows,
                COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey,

@@ -257,6 +257,48 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    """CUBE over (year, status): all four grouping levels in one pass
+    (completes the multi-way grouping family next to q_rollup)."""
+    o = _t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    return o.cube("o_year", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_full_outer_join(spark, sf_dir):
+    """Full outer join (set-complete join family): every customer and
+    every order, matched where possible."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_cross_join(spark, sf_dir):
+    """Cartesian product of two small dims (the explicit cross-join form;
+    anything larger belongs behind broadcast or an equi-condition)."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name"))
+    return r.crossJoin(n)
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per order priority (Spark
+    `percentile` ≡ DuckDB `quantile_cont` — both linear interpolation on
+    the sorted set, so values hash-match; at 100 TB swap for
+    approx_percentile and a rows-only check)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+    )
+
+
 def q_count_quality(spark, sf_dir):
     """Quality-gate aggregates as one row (data_quality.py:25-41): row
     count, null-PK count, distinct-PK count. All COUNT-shaped so types are
@@ -570,6 +612,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_self_role_join": q_self_role_join,
     "q_agg_monthly": q_agg_monthly,
     "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_full_outer_join": q_full_outer_join,
+    "q_cross_join": q_cross_join,
+    "q_percentiles": q_percentiles,
     "q_count_quality": q_count_quality,
     "q_topk": q_topk,
     "q_pivot_flags": q_pivot_flags,
