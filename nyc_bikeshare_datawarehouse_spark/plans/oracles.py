@@ -211,6 +211,21 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q_json_struct": """
+        SELECT event_id,
+               CAST(props ->> '$.k' AS INTEGER) AS k,
+               CAST(props ->> '$.k' AS INTEGER) % 10 = 0 AS k_round
+        FROM events
+    """,
+    "q_array_stats": """
+        WITH v AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS d FROM embeddings)
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               ROUND(sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum')), 4) AS l2_norm,
+               CAST(len(list_filter(d, x -> x > 0)) AS INTEGER) AS n_positive,
+               ROUND(list_aggregate(d, 'max'), 4) AS max_val
+        FROM v
+    """,
     "q_tumbling_hour": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
                COUNT(*) AS n_events,

@@ -552,6 +552,34 @@ def q_simhash_near_dup(spark, sf_dir):
     return dedup.simhash_candidates(d, "text", "doc_id", bands=4).filter(F.col("hamming") <= 16)
 
 
+def q_array_stats(spark, sf_dir):
+    """Higher-order array functions over the embedding column (SURVEY
+    §2.8): transform/filter/aggregate stay JVM-side — the full vector math
+    runs inside codegen with zero Python."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+    )
+
+
+def q_json_struct(spark, sf_dir):
+    """Typed JSON parsing with from_json + schema (vs the string-path
+    get_json_object in q_json_extract): parse once, access struct fields
+    (SURVEY §1.3 JSON-in-string mapping)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "struct<k:int>"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10 == 0).alias("k_round"),
+    )
+
+
 # ------------------------------------------- LLM-pipeline: embeddings
 
 def q_cosine_topk(spark, sf_dir):
@@ -622,6 +650,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_rank": q_window_rank,
     "q_window_running": q_window_running,
     "q_json_extract": q_json_extract,
+    "q_json_struct": q_json_struct,
+    "q_array_stats": q_array_stats,
     "q_tumbling_hour": q_tumbling_hour,
     "q_asof_join": q_asof_join,
     "q_range_bucket_join": q_range_bucket_join,
