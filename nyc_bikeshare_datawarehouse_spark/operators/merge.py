@@ -1,0 +1,62 @@
+"""Merge/upsert patterns on plain parquet (no table-format dependency).
+
+The reference refreshed its warehouse with truncate-and-load (DELETE +
+COPY, stage_redshift.py:38-48). Between full truncation and a real
+lakehouse MERGE sits the parquet-native upsert implemented here:
+
+- `merge_upsert` (SCD1): updates win over target rows on the key; new
+  keys append. One full-outer join on the key — at scale, combine with
+  partition pruning (join only the partitions the updates touch, then
+  `overwrite_partitions`) so a small update batch never rewrites the
+  whole table.
+- `changed_rows`: the CDC-style diff between two snapshots (added /
+  removed / updated) via a full-outer join on the key + row comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD1 upsert: rows from `updates` replace same-key rows in
+    `target`; unmatched update rows are inserts. Column sets must match."""
+    cols = target.columns
+    t = target.alias("t")
+    u = updates.alias("u")
+    joined = t.join(u, on=F.col(f"t.{key}") == F.col(f"u.{key}"), how="full")
+    # "updates win" is whole-row precedence, not per-column coalesce: a
+    # legitimate NULL in an update column must survive
+    has_update = F.col(f"u.{key}").isNotNull()
+    return joined.select(
+        *[F.when(has_update, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in cols]
+    )
+
+
+def changed_rows(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Snapshot diff: one row per changed key with change_type in
+    ('added', 'removed', 'updated'). Unchanged keys are dropped."""
+    cols = [c for c in old.columns if c != key]
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, on=F.col(f"o.{key}") == F.col(f"n.{key}"), how="full")
+    in_old = F.col(f"o.{key}").isNotNull()
+    in_new = F.col(f"n.{key}").isNotNull()
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~(
+            F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        )
+    change = (
+        F.when(in_old & ~in_new, "removed")
+        .when(~in_old & in_new, "added")
+        .when(in_old & in_new & differs, "updated")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

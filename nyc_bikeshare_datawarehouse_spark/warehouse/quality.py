@@ -65,6 +65,30 @@ def expect_fk_integrity(fact: DataFrame, dim: DataFrame, table: str, fk: str, pk
     return QualityResult("fk_integrity", table, orphans == 0, f"orphan_probe={orphans}")
 
 
+def profile(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
+    """One-pass column profile: per column — null count, null ratio, and
+    (approximate by default) distinct count. A single aggregate job
+    regardless of column count; the standard pre-gate data inspection.
+
+    Returns one row per column: (column, n_nulls, null_ratio, n_distinct).
+    """
+    spark = df.sparkSession
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs).first()
+    n = row["__n"] or 1
+    out = [
+        (c, row[f"__nulls_{c}"], round(row[f"__nulls_{c}"] / n, 4), row[f"__nd_{c}"])
+        for c in df.columns
+    ]
+    return spark.createDataFrame(out, "column string, n_nulls long, null_ratio double, n_distinct long")
+
+
 def check_all(
     fact: DataFrame,
     table: str,

@@ -1,0 +1,48 @@
+"""Merge/upsert and snapshot-diff tests."""
+
+from __future__ import annotations
+
+from nyc_bikeshare_datawarehouse_spark.operators.merge import changed_rows, merge_upsert
+from nyc_bikeshare_datawarehouse_spark.warehouse.quality import profile
+
+from conftest import rows_set
+
+
+def _frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40.0)], "id int, name string, v double"
+    )
+    return target, updates
+
+
+def test_merge_upsert_updates_win_whole_row(spark):
+    target, updates = _frames(spark)
+    got = rows_set(merge_upsert(target, updates, "id"))
+    # id=2 fully replaced (v becomes NULL — whole-row precedence,
+    # not per-column coalesce); id=4 inserted; 1,3 untouched
+    assert got == [(1, "a", 10.0), (2, "B", None), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_changed_rows_diff(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    new = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "id int, v string")
+    got = {(r["id"], r["change_type"]) for r in changed_rows(old, new, "id").collect()}
+    assert got == {(2, "updated"), (3, "removed"), (4, "added")}
+
+
+def test_changed_rows_null_safe(spark):
+    old = spark.createDataFrame([(1, None)], "id int, v string")
+    new = spark.createDataFrame([(1, None)], "id int, v string")
+    assert changed_rows(old, new, "id").count() == 0  # NULL == NULL here
+
+
+def test_profile(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None), (2, "y")], "id int, v string")
+    got = {r["column"]: (r["n_nulls"], r["null_ratio"]) for r in profile(df, approx_distinct=False).collect()}
+    assert got["v"] == (1, 0.3333)
+    assert got["id"] == (0, 0.0)
+    exact = {r["column"]: r["n_distinct"] for r in profile(df, approx_distinct=False).collect()}
+    assert exact["id"] == 2
