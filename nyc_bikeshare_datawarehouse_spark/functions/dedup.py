@@ -202,6 +202,44 @@ def minhash_lsh_candidates(
     return pairs.select("id_a", "id_b", F.round(match_frac, 4).alias("est_jaccard"))
 
 
+def minhash_ml_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 8,
+    shingle_n: int = 3,
+    max_distance: float = 0.8,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """pyspark.ml MinHashLSH variant of minhash_lsh_candidates (SURVEY
+    §7.4 named this as the library path, with the pure-DataFrame form as
+    fallback — both ship; results are approximate-Jaccard candidate pairs
+    either way).
+
+    Pipeline: shingles -> HashingTF sparse vectors (binary) -> MinHashLSH
+    -> approxSimilarityJoin. Raises ImportError where pyspark.ml is
+    unavailable; callers that need portability use
+    minhash_lsh_candidates."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH  # gated import
+
+    base = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+    tf = HashingTF(inputCol="__sh", outputCol="__features", numFeatures=num_features, binary=True)
+    feats = tf.transform(base)
+    lsh = MinHashLSH(inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_distance, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -3,8 +3,13 @@ from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot, decode_
 from nyc_bikeshare_datawarehouse_spark.operators.sessionize import sessionize
 from nyc_bikeshare_datawarehouse_spark.operators.windows import top_k, deterministic_id, with_date_parts
 from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join, two_phase_agg
+from nyc_bikeshare_datawarehouse_spark.operators.asof import asof_join
+from nyc_bikeshare_datawarehouse_spark.operators.merge import merge_upsert, changed_rows
 
 __all__ = [
+    "asof_join",
+    "merge_upsert",
+    "changed_rows",
     "timestamp_series",
     "unpivot",
     "decode_onehot_flags",

@@ -278,6 +278,30 @@ ORACLES: dict[str, str] = {
         FROM sess
         GROUP BY user_id, session_id
     """,
+    "q_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+            FROM events GROUP BY user_id
+        ), fp AS (
+            SELECT e.user_id, MIN(e.ts) AS first_purchase_after_signup
+            FROM events e JOIN per_user p ON e.user_id = p.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= p.first_signup
+            GROUP BY e.user_id
+        )
+        SELECT p.user_id, p.first_signup, fp.first_purchase_after_signup,
+               p.first_signup IS NOT NULL AND fp.first_purchase_after_signup IS NOT NULL
+                   AS converted
+        FROM per_user p LEFT JOIN fp ON p.user_id = fp.user_id
+    """,
+    "q_dedup_keep_best": """
+        SELECT source,
+               arg_max(doc_id, n_chars * 100000 + doc_id) AS best_doc,
+               MAX(n_chars) AS best_chars,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY source
+    """,
     "q_dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
                MIN(doc_id) AS keep_id,

@@ -461,6 +461,43 @@ def q_sql_surrogate_keys(spark, sf_dir):
     """)
 
 
+def q_funnel(spark, sf_dir):
+    """Sequential funnel (signup -> first purchase after signup) per user:
+    conditional windowed mins, then a conversion flag. One shuffle on
+    user_id; the standard product-analytics shape on the events surface."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        purchases.join(per_user, "user_id")
+        .filter(F.col("p_ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase_after_signup"))
+    )
+    return per_user.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        "first_signup",
+        "first_purchase_after_signup",
+        (F.col("first_signup").isNotNull() & F.col("first_purchase_after_signup").isNotNull()).alias("converted"),
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Dedup with a quality-chosen representative (max_by): per source,
+    keep the longest document, deterministically tie-broken by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    rank_key = F.col("n_chars") * 100000 + F.col("doc_id")
+    return d.groupBy("source").agg(
+        F.max_by("doc_id", rank_key).alias("best_doc"),
+        F.max("n_chars").alias("best_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization, 30-minute gap (batch twin of
     session_window; SURVEY §2.9). Exact µs gap arithmetic."""
@@ -657,6 +694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_bucket_join": q_range_bucket_join,
     "q_sql_surrogate_keys": q_sql_surrogate_keys,
     "q_sessionize": q_sessionize,
+    "q_funnel": q_funnel,
+    "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint_dedup": q_fingerprint_dedup,
     "q_text_tokens": q_text_tokens,

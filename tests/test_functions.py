@@ -94,6 +94,13 @@ class TestDedup:
         }
         assert got == again
 
+    def test_minhash_ml_variant(self, spark, docs):
+        pytest.importorskip("pyspark.ml")
+        pairs = dedup.minhash_ml_candidates(docs, num_hash_tables=8)
+        got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+        assert got[(1, 2)] == 1.0  # identical docs: distance 0
+        assert (1, 3) in got or (1, 5) in got  # near-dups surface as candidates
+
     def test_ngram_jaccard_exact_values(self, spark, docs):
         pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=2, min_jaccard=0.1)
         got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
