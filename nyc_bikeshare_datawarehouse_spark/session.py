@@ -49,7 +49,10 @@ def get_spark(
         # without lowering the scale-safe initial partition count
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        # UTC unless overridden (SPARK_GRAFT_TZ exists so the harness can
+        # simulate a hostile caller session; library code re-pins UTC at
+        # runtime in load_table regardless)
+        .config("spark.sql.session.timeZone", os.environ.get("SPARK_GRAFT_TZ", "UTC"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")

@@ -57,17 +57,48 @@ def read_csv(
     infer: bool = False,
     sep: str = ",",
     timestamp_format: str | None = None,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
     """CSV scan. Explicit schema >> inference (inference = extra full pass,
-    reference etl.py:56 did this per month)."""
+    reference etl.py:56 did this per month).
+
+    `capture_corrupt=True` (requires a schema) parses in PERMISSIVE mode
+    and lands unparseable lines in a `_corrupt_record` column instead of
+    nulling them silently or failing the job — at 100 TB some malformed
+    rows are a certainty, and quarantining beats either extreme."""
     reader = spark.read.option("header", str(header).lower()).option("sep", sep)
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
+    if capture_corrupt:
+        if schema is None:
+            raise ValueError("capture_corrupt requires an explicit schema")
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+        reader = (
+            reader.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        )
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Partition a capture_corrupt read into (clean, quarantined).
+
+    Spark disallows plans that read only `_corrupt_record` from a raw
+    CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — column pruning can reduce
+    e.g. a post-filter count() to exactly that), so the parsed frame is
+    cached first, per the documented workaround. The cache holds one
+    parsed copy of the input for the duration of the quarantine flow."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return df.filter(~corrupt).drop("_corrupt_record"), df.filter(corrupt)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -98,6 +98,21 @@ def session_window_stats(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key's state only until the
+    watermark passes it, so state size is O(keys-per-watermark-window) —
+    the streaming twin of functions.dedup.exact_dedup. Default key:
+    event_id (at-least-once source -> exactly-once downstream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def stream_to_parquet(
     stream_df: DataFrame,
     out_path: str,

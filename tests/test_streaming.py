@@ -90,6 +90,39 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_dedup_stream_removes_replays(spark, sf_dir, tmp_path):
+    # duplicate the events file in a landing dir -> an at-least-once
+    # replay; streaming dedup on event_id must restore exactly-once counts
+    import shutil
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, landing / "events_a.parquet")
+    shutil.copy(src, landing / "events_b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(se.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        se.dedup_stream(raw, ["event_id"], "10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert spark.table("t_dedup").count() == n_unique
+
+
 def test_sliding_counts_total(spark, sf_dir):
     stream = se.stream_events(spark, sf_dir)
     se.run_available_now(se.sliding_counts(stream, "1 hour", "15 minutes"), "t_sliding", "complete")
