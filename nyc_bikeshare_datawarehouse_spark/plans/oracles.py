@@ -195,6 +195,24 @@ ORACLES: dict[str, str] = {
             FROM orders
         ) WHERE rn <= 5
     """,
+    "q_ntile_percent_rank": """
+        SELECT o_orderkey,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "q_string_null_funcs": """
+        SELECT c_custkey,
+               concat_ws('|', upper(c_mktsegment), lower(c_name)) AS seg_name,
+               substring(c_name, 1, 8) AS name_prefix,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               replace(c_name, 'Customer', 'Cust') AS short_name,
+               CAST(length(trim(c_name)) AS INTEGER) AS name_len,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other
+        FROM customer
+        WHERE c_name LIKE '%1%'
+    """,
     "q_window_running": """
         SELECT event_id, user_id,
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

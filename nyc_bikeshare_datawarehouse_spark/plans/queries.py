@@ -373,6 +373,36 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_ntile_percent_rank(spark, sf_dir):
+    """Distribution window functions: quartile bucket + percent_rank over
+    a deterministic total order (completes the window family beyond
+    rank/row_number/lag/frames)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_string_null_funcs(spark, sf_dir):
+    """Scalar string + null-handling functions (SURVEY §2.8: concat,
+    trim/substring, upper/lower, lpad, replace, LIKE; coalesce/nullif)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("%1%")).select(
+        "c_custkey",
+        F.concat_ws("|", F.upper("c_mktsegment"), F.lower("c_name")).alias("seg_name"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.length(F.trim(F.col("c_name"))).cast("int").alias("name_len"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+    )
+
+
 # ------------------------------------------------------------------ reshaping
 
 def q_unpivot(spark, sf_dir):
@@ -686,6 +716,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_flags": q_pivot_flags,
     "q_window_rank": q_window_rank,
     "q_window_running": q_window_running,
+    "q_ntile_percent_rank": q_ntile_percent_rank,
+    "q_string_null_funcs": q_string_null_funcs,
     "q_json_extract": q_json_extract,
     "q_json_struct": q_json_struct,
     "q_array_stats": q_array_stats,
