@@ -240,6 +240,56 @@ def minhash_ml_candidates(
     )
 
 
+def cluster_duplicates(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every node
+    gets `cluster_id` = min id reachable through pair edges (singletons
+    keep their own id). THE final dedup step — candidates (LSH) →
+    verified pairs (Jaccard/cosine) → components → keep one per cluster.
+
+    Iterative min-label propagation, converging in O(component diameter)
+    rounds. Each round is one join + one aggregate; lineage is truncated
+    per round with localCheckpoint, without which the plan doubles every
+    iteration and the job dies long before 100 TB does. The fixpoint test
+    is a cheap limit(1) existence probe, not a full count.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

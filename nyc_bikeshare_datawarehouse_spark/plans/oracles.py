@@ -391,6 +391,41 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
     """,
+    "q_dedup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM toks
+            WHERE len(t) >= 2
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT doc_id AS node, doc_id AS lab FROM documents
+            UNION
+            SELECT e.dst AS node, r.lab
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id
+        FROM reach
+        GROUP BY node
+    """,
     "q_cosine_topk": """
         WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id,

@@ -606,6 +606,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: verified bigram-Jaccard pairs →
+    connected components (iterative min-label propagation) → one
+    cluster_id per document. Oracle: recursive-CTE reachability."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    pairs = dedup.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5)
+    return dedup.cluster_duplicates(pairs, d, "doc_id")
+
+
 def q_near_dup_minhash(spark, sf_dir):
     """MinHash-LSH near-duplicate candidates (banded signatures; rows-only
     check — not SQL-expressible)."""
@@ -734,6 +744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_lang_stats": q_lang_stats,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_near_dup_minhash": q_near_dup_minhash,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,

@@ -94,6 +94,17 @@ class TestDedup:
         }
         assert got == again
 
+    def test_cluster_duplicates_transitive(self, spark):
+        # chain 1-2, 2-3 plus pair 10-11: {1,2,3} one cluster via
+        # transitivity even though (1,3) was never a pair; 99 singleton
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.cluster_duplicates(pairs, ids, "doc_id").collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
     def test_minhash_ml_variant(self, spark, docs):
         pytest.importorskip("pyspark.ml")
         pairs = dedup.minhash_ml_candidates(docs, num_hash_tables=8)
