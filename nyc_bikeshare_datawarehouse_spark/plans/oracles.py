@@ -229,6 +229,30 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q_grouping_sets": """
+        SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate), month(o_orderdate)), (year(o_orderdate)))
+    """,
+    "q_date_arith": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS INTEGER) AS days_since_95,
+               CAST(CAST(l_shipdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS ship_plus_30,
+               CAST(CAST(l_shipdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS ship_plus_3m,
+               CAST(last_day(l_shipdate) AS TIMESTAMP) AS month_end,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month_start
+        FROM lineitem
+    """,
+    "q_map_funcs": """
+        SELECT event_id,
+               CAST(props ->> '$.k' AS INTEGER) AS k_val,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+               array_to_string(list_sort(json_keys(props)), ',') AS key_list
+        FROM events
+    """,
     "q_json_struct": """
         SELECT event_id,
                CAST(props ->> '$.k' AS INTEGER) AS k,

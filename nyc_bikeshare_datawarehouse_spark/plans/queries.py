@@ -435,6 +435,53 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the exact two levels the README's 'monthly
+    and yearly' question needs — cheaper than full ROLLUP when the
+    intermediate level is unwanted). SQL form: GROUPING SETS has no
+    DataFrame-API equivalent."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT year(o_orderdate)  AS o_year,
+               month(o_orderdate) AS o_month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((year(o_orderdate), month(o_orderdate)), (year(o_orderdate)))
+    """)
+
+
+def q_date_arith(spark, sf_dir):
+    """Date arithmetic scalars (SURVEY §2.8): datediff, date_add,
+    add_months, last_day, truncation to month grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        # date_add/add_months/last_day return DATE; cast to timestamp so
+        # both engines hash identical midnight instants
+        F.date_add(d, 30).cast("timestamp").alias("ship_plus_30"),
+        F.add_months(d, 3).cast("timestamp").alias("ship_plus_3m"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_trunc("month", d).alias("ship_month_start"),
+    )
+
+
+def q_map_funcs(spark, sf_dir):
+    """Map-typed JSON (SURVEY §1.3): from_json to map<string,int>,
+    map_keys / element_at / map_contains_key."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("key_list"),
+    )
+
+
 def q_tumbling_hour(spark, sf_dir):
     """Tumbling 1-hour window aggregate ≡ group-by-date_trunc (SURVEY §2.9;
     the same `window()` expression is the streaming form in
@@ -731,6 +778,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_json_extract": q_json_extract,
     "q_json_struct": q_json_struct,
     "q_array_stats": q_array_stats,
+    "q_map_funcs": q_map_funcs,
+    "q_grouping_sets": q_grouping_sets,
+    "q_date_arith": q_date_arith,
     "q_tumbling_hour": q_tumbling_hour,
     "q_asof_join": q_asof_join,
     "q_range_bucket_join": q_range_bucket_join,
