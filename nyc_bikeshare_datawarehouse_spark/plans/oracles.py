@@ -392,6 +392,14 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY lang
     """,
+    "q_regexp_funcs": """
+        SELECT doc_id,
+               CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS source_num,
+               regexp_replace(lang, '[aeiou]', '*', 'g') AS lang_masked,
+               regexp_extract(text, '^(\\w+)', 1) AS first_token
+        FROM documents
+        WHERE regexp_matches(source, '^src[0-9]+$')
+    """,
     "q_ngram_jaccard": """
         WITH toks AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

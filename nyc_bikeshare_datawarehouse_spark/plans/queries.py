@@ -645,6 +645,18 @@ def q_lang_stats(spark, sf_dir):
     )
 
 
+def q_regexp_funcs(spark, sf_dir):
+    """Regex scalar family (SURVEY §2.8): extract with a capture group,
+    replace, rlike predicate — all codegen'd JVM regex."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("source").rlike("^src[0-9]+$")).select(
+        "doc_id",
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("source_num"),
+        F.regexp_replace("lang", "[aeiou]", "*").alias("lang_masked"),
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_token"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram-Jaccard similar pairs via inverted-index join
     (SURVEY §2.10 near-dup verifier stage)."""
@@ -793,6 +805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_tokens": q_text_tokens,
     "q_text_stats": q_text_stats,
     "q_lang_stats": q_lang_stats,
+    "q_regexp_funcs": q_regexp_funcs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
     "q_near_dup_minhash": q_near_dup_minhash,
