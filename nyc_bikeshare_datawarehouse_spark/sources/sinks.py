@@ -27,15 +27,39 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
     max_records_per_file: int | None = None,
+    compression: str | None = None,
 ) -> None:
     """Partition-aware parquet sink. ~100-200 MB target files at scale:
-    set `max_records_per_file` or rely on AQE coalescing upstream."""
+    set `max_records_per_file` or rely on AQE coalescing upstream.
+    `compression`: snappy (default), zstd (better ratio, ~same read
+    speed — prefer at 100 TB), gzip, none."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if compression:
+        writer = writer.option("compression", compression)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_files: int = 1,
+    compression: str | None = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a directory of many small parquet
+    files into `target_files` files at `dst_path`. Streaming sinks and
+    frequent incremental appends accumulate small files that tax the
+    file-listing and per-task overhead at scale; periodic compaction is
+    the standard maintenance job. `coalesce` (no shuffle) merges read
+    splits. Returns the row count written (for the caller's swap-and-
+    verify step — this function deliberately does NOT delete the source)."""
+    df = spark.read.parquet(src_path).coalesce(target_files)
+    write_parquet(df, dst_path, compression=compression)
+    return spark.read.parquet(dst_path).count()
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_by: Sequence[str]) -> None:

@@ -36,6 +36,36 @@ def test_insert_append(spark, catalog_table):
     assert spark.table(catalog_table).count() == 3
 
 
+def test_compact_parquet(spark, tmp_path):
+    src = str(tmp_path / "small")
+    # simulate a small-file problem: 16 files for 160 rows
+    df = spark.range(160).repartition(16)
+    df.write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 16
+    dst = str(tmp_path / "compacted")
+    n = sinks.compact_parquet(spark, src, dst, target_files=2)
+    assert n == 160
+    assert len(glob.glob(f"{dst}/part-*")) == 2
+    got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert got == list(range(160))
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    # additive schema evolution: v2 files add a column; mergeSchema reads
+    # the union with nulls for old files
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double").write.mode(
+        "append"
+    ).parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     path = str(tmp_path / "fact")
     full = spark.createDataFrame(
