@@ -657,6 +657,25 @@ def q_regexp_funcs(spark, sf_dir):
     )
 
 
+def q_text_pipeline(spark, sf_dir):
+    """Full text-analysis pipeline surface (rows-only: the heuristic
+    language ID's argmax and the xxhash64 fingerprint have no DuckDB
+    equivalent): quality stats + predicted language + shingle fingerprint
+    per document — the per-doc feature row a filtering pipeline consumes."""
+    d = _t(spark, sf_dir, "documents")
+    stats = text.with_quality_stats(d, "text")
+    return stats.select(
+        "doc_id",
+        "lang",
+        text.language_id("text").alias("lang_pred"),
+        "n_tokens",
+        "avg_token_len",
+        "distinct_token_ratio",
+        "stopword_ratio",
+        text.rolling_hash_fingerprint("text", 3).alias("shingle_fp"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram-Jaccard similar pairs via inverted-index join
     (SURVEY §2.10 near-dup verifier stage)."""
@@ -806,6 +825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_lang_stats": q_lang_stats,
     "q_regexp_funcs": q_regexp_funcs,
+    "q_text_pipeline": q_text_pipeline,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
     "q_near_dup_minhash": q_near_dup_minhash,
