@@ -30,6 +30,9 @@ HEADLINE = [
     "q_star_join",
     "q_self_role_join",
     "q_agg_monthly",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q6",
     "q_rollup",
     "q_topk",
     "q_subtract",

@@ -221,6 +221,60 @@ def q_self_role_join(spark, sf_dir):
     )
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape (pricing summary report): scan-heavy multi-aggregate
+    with a pushed date filter — the canonical whole-stage-codegen
+    benchmark query, adapted to this corpus's columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-k): selective join of
+    customer segment x order date x ship date, revenue per order, top 10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): fully-pushed-down range
+    predicates, single global aggregate — the pushdown litmus test."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
 # -------------------------------------------------------------- aggregations
 
 def q_agg_monthly(spark, sf_dir):
@@ -794,6 +848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semi_active": q_semi_active,
     "q_self_role_join": q_self_role_join,
     "q_agg_monthly": q_agg_monthly,
+    "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q6": q_tpch_q6,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_full_outer_join": q_full_outer_join,
