@@ -723,6 +723,7 @@ def q_text_pipeline(spark, sf_dir):
         "lang",
         text.language_id("text").alias("lang_pred"),
         "n_tokens",
+        F.size(text.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
         "avg_token_len",
         "distinct_token_ratio",
         "stopword_ratio",
