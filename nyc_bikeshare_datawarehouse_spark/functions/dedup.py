@@ -290,6 +290,19 @@ def cluster_duplicates(
     return labels.select(F.col("node").alias(id_col), "cluster_id")
 
 
+def apply_dedup(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the dedup decision: keep only each cluster's
+    representative (the row whose id equals its cluster_id — the minimum
+    id in the component, as assigned by cluster_duplicates). The final
+    stage of the candidates → verify → cluster → APPLY pipeline."""
+    keepers = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

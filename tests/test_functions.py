@@ -105,6 +105,16 @@ class TestDedup:
         }
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
+    def test_apply_dedup_keeps_representatives(self, spark):
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "doc_id long")
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "doc_id long, text string"
+        )
+        clusters = dedup.cluster_duplicates(pairs, ids, "doc_id")
+        kept = dedup.apply_dedup(docs, clusters)
+        assert {r["doc_id"] for r in kept.collect()} == {1, 9}
+
     def test_minhash_ml_variant(self, spark, docs):
         pytest.importorskip("pyspark.ml")
         pairs = dedup.minhash_ml_candidates(docs, num_hash_tables=8)
