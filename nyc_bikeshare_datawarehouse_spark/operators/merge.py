@@ -34,6 +34,37 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     )
 
 
+def scd2_history(
+    snapshots: DataFrame,
+    key: str,
+    ts_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a stream of keyed
+    snapshots: one row per (key, value-version) with valid_from /
+    valid_to (null = current). Consecutive identical versions collapse.
+
+    Window formulation: order each key's snapshots by ts, keep rows whose
+    compared values differ from the previous snapshot (version starts),
+    then valid_to = next version's valid_from. One shuffle on the key,
+    two window passes over the same sort."""
+    from pyspark.sql import Window
+
+    compare_cols = compare_cols or [c for c in snapshots.columns if c not in (key, ts_col)]
+    w = Window.partitionBy(key).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    is_start = F.lag(F.col(ts_col)).over(w).isNull() | changed
+    starts = snapshots.withColumn("__start", is_start).filter(F.col("__start")).drop("__start")
+    w2 = Window.partitionBy(key).orderBy(ts_col)
+    return (
+        starts.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .drop(ts_col)
+    )
+
+
 def changed_rows(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Snapshot diff: one row per changed key with change_type in
     ('added', 'removed', 'updated'). Unchanged keys are dropped."""

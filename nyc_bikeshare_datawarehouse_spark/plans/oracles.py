@@ -155,6 +155,23 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
+    "q_tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+        GROUP BY o_orderpriority
+    """,
+    "q_tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
     "q_tpch_q6": """
         SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
         FROM lineitem

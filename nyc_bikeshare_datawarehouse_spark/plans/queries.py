@@ -275,6 +275,33 @@ def q_tpch_q6(spark, sf_dir):
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): EXISTS semi-join feeding
+    an aggregate — the semi-join's output cardinality = orders side, so
+    the count never double-counts multi-line matches."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): left outer join so
+    zero-order customers survive, then a two-level aggregation into an
+    order-count histogram."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
 # -------------------------------------------------------------- aggregations
 
 def q_agg_monthly(spark, sf_dir):
@@ -851,7 +878,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_agg_monthly": q_agg_monthly,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q4": q_tpch_q4,
     "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q13": q_tpch_q13,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_full_outer_join": q_full_outer_join,

@@ -39,6 +39,29 @@ def test_changed_rows_null_safe(spark):
     assert changed_rows(old, new, "id").count() == 0  # NULL == NULL here
 
 
+def test_scd2_history(spark):
+    from pyspark.sql import functions as F
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import scd2_history
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "gold"),
+            (1, "2024-01-02", "gold"),     # unchanged -> collapses
+            (1, "2024-01-03", "platinum"), # version 2
+            (2, "2024-01-01", "basic"),
+        ],
+        "id int, ts string, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(snaps, "id", "ts")
+    rows = {(r["id"], r["tier"]): (str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]))
+            for r in hist.collect()}
+    assert rows == {
+        (1, "gold"): ("2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        (1, "platinum"): ("2024-01-03 00:00:00", None),
+        (2, "basic"): ("2024-01-01 00:00:00", None),
+    }
+
+
 def test_profile(spark):
     df = spark.createDataFrame([(1, "x"), (2, None), (2, "y")], "id int, v string")
     got = {r["column"]: (r["n_nulls"], r["null_ratio"]) for r in profile(df, approx_distinct=False).collect()}
