@@ -213,6 +213,24 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY o_orderpriority
     """,
+    "q_correlated_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "q_lateral_topn": """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t ON true
+    """,
     "q_count_quality": """
         SELECT COUNT(*) AS n_rows,
                COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey,

@@ -380,6 +380,40 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery: orders above their own customer's
+    average order value. Catalyst decorrelates this into an aggregate +
+    self-join — same plan family as the window formulation, but the SQL
+    shape is what BI tools emit."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_corr_v o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice)
+                              FROM orders_corr_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+def q_lateral_topn(spark, sf_dir):
+    """Lateral correlated subquery join: top-2 orders per customer —
+    the per-row-subquery shape (Spark executes as a decorrelated
+    window/join; DuckDB as a lateral nested loop; results identical)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat_v c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat_v
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+    """)
+
+
 def q_count_quality(spark, sf_dir):
     """Quality-gate aggregates as one row (data_quality.py:25-41): row
     count, null-PK count, distinct-PK count. All COUNT-shaped so types are
@@ -886,6 +920,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_full_outer_join": q_full_outer_join,
     "q_cross_join": q_cross_join,
     "q_percentiles": q_percentiles,
+    "q_correlated_subquery": q_correlated_subquery,
+    "q_lateral_topn": q_lateral_topn,
     "q_count_quality": q_count_quality,
     "q_topk": q_topk,
     "q_pivot_flags": q_pivot_flags,
