@@ -414,6 +414,12 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY source
     """,
+    "q_hash_sample": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < 2000
+    """,
     "q_dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
                MIN(doc_id) AS keep_id,

@@ -700,6 +700,19 @@ def q_sessionize(spark, sf_dir):
 
 # ------------------------------------------- LLM-pipeline: text & dedup
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic consistent-hash sampling (operators/sampling.py):
+    ~20% of lineitem selected by md5-bucket — same rows every run, every
+    engine, every partitioning (unlike RNG df.sample), and a 1% sample is
+    always a subset of this 20%."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import hash_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hash_sample(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"), "l_orderkey", 0.2
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup on normalized text hash (SURVEY §2.10): one shuffle on a
     128-bit key; payload is (hash, id), never the document body."""
@@ -942,6 +955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_funnel": q_funnel,
     "q_dedup_keep_best": q_dedup_keep_best,
+    "q_hash_sample": q_hash_sample,
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint_dedup": q_fingerprint_dedup,
     "q_text_tokens": q_text_tokens,
