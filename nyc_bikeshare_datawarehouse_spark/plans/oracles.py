@@ -265,6 +265,22 @@ ORACLES: dict[str, str] = {
             FROM orders
         ) WHERE rn <= 5
     """,
+    "q_window_range_frame": """
+        WITH o AS (
+            SELECT *, epoch_us(o_orderdate) // 86400000000 AS order_day
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_day
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d_spend,
+               FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+               LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        FROM o
+    """,
     "q_ntile_percent_rank": """
         SELECT o_orderkey,
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,

@@ -488,6 +488,34 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, vs the ROWS frame in q_window_running):
+    30-day trailing spend per customer — every order in the value window
+    counts regardless of row position; ties need no tiebreak because the
+    frame is defined by the order-date value itself. Plus
+    first/last_value over the same partition."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        # o_orderdate is TIMESTAMP_NTZ; cast to TIMESTAMP (identity under
+        # the pinned UTC session) for unix_micros
+        "order_day", F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    )
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("order_day").rangeBetween(-30, Window.currentRow)
+    )
+    w_part = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("trailing_30d_spend"),
+        F.first("o_orderkey").over(w_part).alias("first_order"),
+        F.last("o_orderkey").over(w_part).alias("last_order"),
+    )
+
+
 def q_ntile_percent_rank(spark, sf_dir):
     """Distribution window functions: quartile bucket + percent_rank over
     a deterministic total order (completes the window family beyond
@@ -940,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_flags": q_pivot_flags,
     "q_window_rank": q_window_rank,
     "q_window_running": q_window_running,
+    "q_window_range_frame": q_window_range_frame,
     "q_ntile_percent_rank": q_ntile_percent_rank,
     "q_string_null_funcs": q_string_null_funcs,
     "q_json_extract": q_json_extract,
