@@ -42,8 +42,17 @@ def asof_join(
     value_cols: right columns to carry (default: all but key/ts).
     tolerance_seconds: matches older than this are nulled out.
     """
+    for df, cols, side in ((left, [key, left_ts], "left"), (right, [key, right_ts], "right")):
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"asof_join: {side} frame is missing column(s) {missing}; has {df.columns}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, right_ts)]
+    bad = [c for c in value_cols if c not in right.columns]
+    if bad:
+        raise ValueError(f"asof_join: value_cols {bad} not in right frame columns {right.columns}")
+    if not value_cols:
+        raise ValueError("asof_join: right frame has no value columns to carry")
 
     lifted = [f"{c}{suffix}" for c in value_cols]
     r = right.select(

@@ -23,6 +23,14 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """SCD1 upsert: rows from `updates` replace same-key rows in
     `target`; unmatched update rows are inserts. Column sets must match."""
     cols = target.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            "merge_upsert: column sets differ — "
+            f"target-only {sorted(set(cols) - set(updates.columns))}, "
+            f"updates-only {sorted(set(updates.columns) - set(cols))}"
+        )
+    if key not in cols:
+        raise ValueError(f"merge_upsert: key '{key}' not in columns {cols}")
     t = target.alias("t")
     u = updates.alias("u")
     joined = t.join(u, on=F.col(f"t.{key}") == F.col(f"u.{key}"), how="full")

@@ -44,6 +44,10 @@ def salted_join(
 
     Cost: small side is materialized num_salts times — only use when
     `small` is broadcast-sized and `big` is skewed on `on`."""
+    if on not in big.columns or on not in small.columns:
+        raise ValueError(f"salted_join: join column '{on}' must exist on both sides")
+    if num_salts < 2:
+        raise ValueError("salted_join: num_salts must be >= 2 (1 salt = no mitigation)")
     salted_big = big.withColumn(
         SALT_COL, (F.abs(F.xxhash64(F.col(on), F.spark_partition_id())) % num_salts).cast("int")
     )

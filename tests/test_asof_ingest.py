@@ -59,6 +59,36 @@ class TestAsof:
         assert a == b
 
 
+class TestValidation:
+    def test_missing_column_error(self, spark, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="missing column"):
+            asof_join(left.drop("ts"), right, "user_id", value_cols=["value"])
+
+    def test_bad_value_cols_error(self, spark, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="value_cols"):
+            asof_join(left, right, "user_id", value_cols=["nope"])
+
+    def test_merge_column_mismatch_error(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.merge import merge_upsert
+
+        t = spark.createDataFrame([(1, "a")], "id int, v string")
+        u = spark.createDataFrame([(1, "a", 2.0)], "id int, v string, extra double")
+        with pytest.raises(ValueError, match="column sets differ"):
+            merge_upsert(t, u, "id")
+
+    def test_salted_join_validation(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join
+
+        a = spark.createDataFrame([(1, 2)], "k int, v int")
+        b = spark.createDataFrame([(1, "x")], "k int, name string")
+        with pytest.raises(ValueError, match="num_salts"):
+            salted_join(a, b, "k", num_salts=1)
+        with pytest.raises(ValueError, match="both sides"):
+            salted_join(a, b, "missing")
+
+
 class TestIngest:
     def test_unzip_idempotent(self, tmp_path):
         src = tmp_path / "data.zip"
