@@ -304,7 +304,8 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS running_value,
-               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
         FROM events
     """,
     "q_json_extract": """
@@ -329,7 +330,8 @@ ORACLES: dict[str, str] = {
                CAST(CAST(l_shipdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS ship_plus_30,
                CAST(CAST(l_shipdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS ship_plus_3m,
                CAST(last_day(l_shipdate) AS TIMESTAMP) AS month_end,
-               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month_start
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month_start,
+               strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_formatted
         FROM lineitem
     """,
     "q_map_funcs": """

@@ -485,6 +485,7 @@ def q_window_running(spark, sf_dir):
         "user_id",
         F.round(F.sum("value").over(frame), 2).alias("running_value"),
         F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
     )
 
 
@@ -609,6 +610,8 @@ def q_date_arith(spark, sf_dir):
         F.add_months(d, 3).cast("timestamp").alias("ship_plus_3m"),
         F.last_day(d).cast("timestamp").alias("month_end"),
         F.date_trunc("month", d).alias("ship_month_start"),
+        # the reference's ts->string formatting (etl.py:92-93,101,178)
+        F.date_format(d, "yyyy-MM-dd HH:mm:ss").alias("ship_formatted"),
     )
 
 
