@@ -43,6 +43,23 @@ ORACLES: dict[str, str] = {
         UNION
         SELECT s_nationkey AS nationkey FROM supplier
     """,
+    "q_union_byname": """
+        SELECT c_custkey AS ent_id, c_name AS name, c_acctbal AS acctbal,
+               'customer' AS role, c_mktsegment AS segment
+        FROM customer
+        UNION ALL BY NAME
+        SELECT s_suppkey AS ent_id, s_name AS name, s_acctbal AS acctbal,
+               'supplier' AS role
+        FROM supplier
+    """,
+    "q_literal_lookup": """
+        SELECT severity, COUNT(*) AS n_events
+        FROM events
+        JOIN (VALUES ('error', 3), ('purchase', 1), ('signup', 1),
+                     ('click', 0), ('view', 0)) AS lookup(event_type, severity)
+          USING (event_type)
+        GROUP BY severity
+    """,
     "q_intersect": """
         SELECT c_custkey AS custkey FROM customer
         INTERSECT

@@ -95,6 +95,42 @@ def q_union_dedup(spark, sf_dir):
     return c.unionByName(s).dropDuplicates()
 
 
+def q_union_byname(spark, sf_dir):
+    """Schema-tolerant union (unionByName + allowMissingColumns): merge
+    differently-shaped entity tables into one frame, absent columns
+    null-filled — the schema-evolution-safe union (positional union
+    silently mis-aligns columns; SURVEY §2.5 noted the hazard)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ent_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("role"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("ent_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("role"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+def q_literal_lookup(spark, sf_dir):
+    """Inline literal lookup table (the weather_type pattern, etl.py:
+    142-164) joined to a fact — a broadcast-by-construction dim."""
+    lookup = spark.createDataFrame(
+        [("error", 3), ("purchase", 1), ("signup", 1), ("click", 0), ("view", 0)],
+        "event_type string, severity int",
+    )
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.join(F.broadcast(lookup), "event_type")
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_intersect(spark, sf_dir):
     """INTERSECT (SURVEY §2.5 completeness)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -943,6 +979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_notnull": q_filter_notnull,
     "q_subtract": q_subtract,
     "q_union_dedup": q_union_dedup,
+    "q_union_byname": q_union_byname,
+    "q_literal_lookup": q_literal_lookup,
     "q_intersect": q_intersect,
     "q_distinct_dim": q_distinct_dim,
     "q_date_parts": q_date_parts,
