@@ -4,9 +4,16 @@ from nyc_bikeshare_datawarehouse_spark.operators.sessionize import sessionize
 from nyc_bikeshare_datawarehouse_spark.operators.windows import top_k, deterministic_id, with_date_parts
 from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join, two_phase_agg
 from nyc_bikeshare_datawarehouse_spark.operators.asof import asof_join
-from nyc_bikeshare_datawarehouse_spark.operators.merge import merge_upsert, changed_rows
+from nyc_bikeshare_datawarehouse_spark.operators.merge import merge_upsert, changed_rows, scd2_history
+from nyc_bikeshare_datawarehouse_spark.operators.sampling import hash_sample, stratified_hash_sample, split
+from nyc_bikeshare_datawarehouse_spark.operators.incremental import incremental_refresh
 
 __all__ = [
+    "scd2_history",
+    "hash_sample",
+    "stratified_hash_sample",
+    "split",
+    "incremental_refresh",
     "asof_join",
     "merge_upsert",
     "changed_rows",

@@ -479,6 +479,22 @@ ORACLES: dict[str, str] = {
         ORDER BY n DESC, token
         LIMIT 50
     """,
+    "q_posexplode": """
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+        WHERE i - 1 < 5
+    """,
+    "q_collect_agg": """
+        SELECT l_orderkey,
+               list_sort(list(l_linenumber)) AS line_numbers,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
     "q_text_stats": """
         WITH toks AS (
             SELECT doc_id, lang, text,

@@ -807,6 +807,27 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_posexplode(spark, sf_dir):
+    """Index-preserving explode (posexplode): token position matters for
+    n-gram construction and positional features; 0-based positions on
+    both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "tok")
+    ).filter(F.col("pos") < 5)
+
+
+def q_collect_agg(spark, sf_dir):
+    """Array-valued aggregation: per-order sorted line-number list.
+    collect_list order is nondeterministic — array_sort makes the result
+    canonical (same rule as DuckDB's list_sort(list(...)))."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_text_stats(spark, sf_dir):
     """Per-document quality stats: chars, tokens, avg token length,
     distinct-token ratio (standard pre-training quality filters)."""
@@ -1029,6 +1050,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_fingerprint_dedup": q_fingerprint_dedup,
     "q_text_tokens": q_text_tokens,
+    "q_posexplode": q_posexplode,
+    "q_collect_agg": q_collect_agg,
     "q_text_stats": q_text_stats,
     "q_lang_stats": q_lang_stats,
     "q_regexp_funcs": q_regexp_funcs,

@@ -98,7 +98,9 @@ def main():
         # engines to families and warn on mismatch
         _duck2fam = {"INTEGER": "int", "BIGINT": "bigint", "DOUBLE": "double",
                      "FLOAT": "float", "VARCHAR": "string", "TIMESTAMP": "timestamp",
-                     "TIMESTAMP_NS": "timestamp", "BOOLEAN": "bool", "HUGEINT": "hugeint"}
+                     "TIMESTAMP_NS": "timestamp", "BOOLEAN": "bool", "HUGEINT": "hugeint",
+                     "INTEGER[]": "array<int>", "BIGINT[]": "array<bigint>",
+                     "VARCHAR[]": "array<string>", "DOUBLE[]": "array<double>"}
         _spark2fam = {"int": "int", "bigint": "bigint", "double": "double",
                       "string": "string", "timestamp": "timestamp",
                       "timestamp_ntz": "timestamp", "float": "float", "boolean": "bool"}
