@@ -98,6 +98,16 @@ def session_window_stats(
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) batch dimension.
+    The static side is broadcast per micro-batch; no stream state is
+    created, so this is the cheapest streaming join and the right shape
+    for lookup enrichment (severity codes, geo tables, model versions)."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on)
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,

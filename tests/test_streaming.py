@@ -123,6 +123,28 @@ def test_dedup_stream_removes_replays(spark, sf_dir, tmp_path):
     assert spark.table("t_dedup").count() == n_unique
 
 
+def test_stream_static_enrichment(spark, sf_dir):
+    dim = spark.createDataFrame(
+        [("error", 3), ("purchase", 1), ("signup", 1), ("click", 0), ("view", 0)],
+        "event_type string, severity int",
+    )
+    stream = se.stream_events(spark, sf_dir)
+    enriched = se.enrich_stream(stream, dim).groupBy("severity").count()
+    se.run_available_now(enriched, "t_enrich", "complete")
+    got = {r["severity"]: r["count"] for r in spark.table("t_enrich").collect()}
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    want = {
+        r["severity"]: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, "event_type")
+        .groupBy("severity")
+        .count()
+        .collect()
+    }
+    assert got == want
+
+
 def test_sliding_counts_total(spark, sf_dir):
     stream = se.stream_events(spark, sf_dir)
     se.run_available_now(se.sliding_counts(stream, "1 hour", "15 minutes"), "t_sliding", "complete")

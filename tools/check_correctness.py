@@ -81,7 +81,18 @@ def main():
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(s_rows)} rows ({time.time() - t0:.1f}s) [rows-only]")
+            # rows-only queries still must be deterministic: execute twice
+            # and require identical value hashes
+            h1 = frame_signature([tuple(r) for r in s_rows], s_cols)
+            rerun = fn(spark, sf_dir).collect()
+            h2 = frame_signature([tuple(r) for r in rerun], s_cols)
+            if h1 != h2:
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only NONDETERMINISTIC across runs "
+                      f"({len(s_rows)} vs {len(rerun)} rows)")
+            else:
+                print(f"rows  {name}: {len(s_rows)} rows, deterministic "
+                      f"({time.time() - t0:.1f}s) [rows-only]")
             continue
         try:
             res = con.execute(oracles[name])
