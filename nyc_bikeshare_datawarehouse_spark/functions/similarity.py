@@ -172,6 +172,34 @@ def cosine_near_dup_lsh(
     )
 
 
+def ivf_fit_kmeans(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train a real IVF coarse quantizer with seeded KMeans (pyspark.ml,
+    import-gated): returns (assigned_df with a `cell` column, centers as
+    a list of lists). This is the production replacement for ivf_topk's
+    first-K-vectors quantizer — fit once, persist the centers, write the
+    corpus `partitionBy("cell")`, and queries prune to nprobe cells.
+
+    Deterministic given the seed. Raises ImportError where pyspark.ml is
+    unavailable (callers fall back to the deterministic quantizer)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.select(id_col, vec_col, array_to_vector(_vec(vec_col)).alias("__features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__features").fit(feats)
+    assigned = model.transform(feats).select(
+        id_col, vec_col, F.col(model.getPredictionCol()).alias("cell")
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
 def ivf_topk(
     df: DataFrame,
     probe: DataFrame,

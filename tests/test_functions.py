@@ -159,6 +159,21 @@ class TestSimilarity:
         )
         assert s1 == s2
 
+    def test_ivf_kmeans_fit(self, spark, sf_dir):
+        pytest.importorskip("pyspark.ml")
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        assigned, centers = similarity.ivf_fit_kmeans(emb, n_cells=8, seed=42)
+        assert len(centers) == 8 and len(centers[0]) == 64
+        cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+        assert cells <= set(range(8)) and len(cells) > 1
+        # determinism: same seed -> same assignment
+        again, _ = similarity.ivf_fit_kmeans(emb, n_cells=8, seed=42)
+        a = rows_set(assigned.select("vec_id", "cell"))
+        b = rows_set(again.select("vec_id", "cell"))
+        assert a == b
+
     def test_ivf_topk_contains_probe(self, spark, sf_dir):
         from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
 
