@@ -179,6 +179,26 @@ ORACLES: dict[str, str] = {
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
         GROUP BY o_orderpriority
     """,
+    "q_tpch_q10": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_case_buckets": """
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_quantity < 25 THEN l_extendedprice END), 2) AS small_rev,
+               ROUND(SUM(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2) AS large_rev,
+               COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "q_tpch_q13": """
         SELECT c_count, COUNT(*) AS custdist
         FROM (

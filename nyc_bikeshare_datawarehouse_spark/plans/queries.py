@@ -361,6 +361,37 @@ def q_agg_monthly(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): revenue from returned
+    lineitems per customer with nation context, top 20 — the classic
+    'who should we call' report."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_case_buckets(spark, sf_dir):
+    """Conditional aggregation (CASE-sum buckets): one pass computing
+    bucketed sums side by side — the manual pivot for measures (q_pivot_
+    flags covers counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_quantity") < 25, F.col("l_extendedprice"))), 2).alias("small_rev"),
+        F.round(F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2).alias("large_rev"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+
+
 def q_rollup(spark, sf_dir):
     """ROLLUP(year, month) with grouping id (README.md:59 'monthly and
     yearly' = two grouping levels in one pass)."""
@@ -1017,7 +1048,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q10": q_tpch_q10,
     "q_tpch_q13": q_tpch_q13,
+    "q_case_buckets": q_case_buckets,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_full_outer_join": q_full_outer_join,
