@@ -191,6 +191,15 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
     """,
+    "q_stats_agg": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
+               ROUND(var_samp(l_quantity), 4) AS qty_var,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(covar_samp(l_discount, l_tax), 8) AS disc_tax_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "q_case_buckets": """
         SELECT l_returnflag,
                ROUND(SUM(CASE WHEN l_quantity < 25 THEN l_extendedprice END), 2) AS small_rev,

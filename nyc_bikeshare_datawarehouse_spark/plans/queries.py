@@ -380,6 +380,19 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: sample stddev/variance, Pearson
+    correlation, sample covariance — rounded to absorb the ulp-level
+    differences between streaming (Welford) and two-pass formulations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+    )
+
+
 def q_case_buckets(spark, sf_dir):
     """Conditional aggregation (CASE-sum buckets): one pass computing
     bucketed sums side by side — the manual pivot for measures (q_pivot_
@@ -1051,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q13": q_tpch_q13,
     "q_case_buckets": q_case_buckets,
+    "q_stats_agg": q_stats_agg,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_full_outer_join": q_full_outer_join,
