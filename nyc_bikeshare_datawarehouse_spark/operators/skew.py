@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+#: Join types for which replicate-the-small-side salting is semantics-
+#: preserving. With how='right'/'full'/'right_semi', an UNMATCHED small-side
+#: row survives the join once per salt replica (num_salts duplicates) — the
+#: pattern is only sound when unmatched small-side rows are dropped (inner,
+#: semi, anti) or the small side never emits unmatched rows (left).
+SALTABLE_JOINS = frozenset({"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"})
+
 
 def salted_join(
     big: DataFrame,
@@ -43,7 +50,15 @@ def salted_join(
     partitions.
 
     Cost: small side is materialized num_salts times — only use when
-    `small` is broadcast-sized and `big` is skewed on `on`."""
+    `small` is broadcast-sized and `big` is skewed on `on`.
+
+    `how` is restricted to SALTABLE_JOINS: with right/full joins an
+    unmatched small-side row would be emitted once per salt replica."""
+    if how.lower() not in SALTABLE_JOINS:
+        raise ValueError(
+            f"salted_join: how='{how}' is not salt-safe (unmatched small-side "
+            f"rows would duplicate per salt); allowed: inner, left, left_semi, left_anti"
+        )
     if on not in big.columns or on not in small.columns:
         raise ValueError(f"salted_join: join column '{on}' must exist on both sides")
     if num_salts < 2:

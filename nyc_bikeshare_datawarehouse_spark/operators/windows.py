@@ -38,6 +38,58 @@ def deterministic_id(
     return df.withColumn(id_col, F.row_number().over(w).cast("long"))
 
 
+def two_phase_global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_by: Sequence[Column],
+    rn_col: str = "__rn",
+    total_col: str = "__n",
+) -> DataFrame:
+    """Distributed global row_number over a total order — the scale-safe
+    replacement for an unpartitioned `Window.orderBy` (which funnels every
+    row through ONE task for the sort).
+
+    Two-phase formulation:
+      1. `bucket` — a caller-supplied expression that is *monotone
+         non-decreasing along the desired global order* (e.g. for
+         ORDER BY price DESC use ``-floor(price / width)``). Rows are
+         numbered *within* each bucket by a partitioned window — fully
+         parallel, one hash shuffle on the bucket key.
+      2. Per-bucket row counts (a map-side-combined aggregate; B rows,
+         where B = number of buckets, bounded and data-independent) are
+         turned into cumulative offsets with a window over those B rows
+         only, then broadcast back. Global rn = bucket offset + local rn.
+
+    Because `bucket` is a pure function of row values, both branches agree
+    on the assignment with no cross-branch partitioning hazard (unlike
+    spark_partition_id()-based zipWithIndex schemes, which silently break
+    if the two consumers of a range exchange re-sample boundaries).
+
+    At 100 TB derive bucket cut-points from column stats or approx
+    quantiles so bucket populations stay balanced; equal-width buckets on
+    a roughly uniform sort key are fine. Output keeps all input columns
+    plus `rn_col` (1-based global row number, long) and `total_col`
+    (total row count, long, same on every row)."""
+    b = df.withColumn("__bucket", bucket)
+    w_local = Window.partitionBy("__bucket").orderBy(*order_by)
+    local = b.withColumn("__local_rn", F.row_number().over(w_local))
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    # Window over the B-row bucket-counts table only — bounded, never the
+    # data; this is the one intentionally-tiny single-task stage.
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = counts.agg(F.sum("__cnt").alias(total_col))
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(rn_col, (F.col("__off") + F.col("__local_rn")).cast("long"))
+        .drop("__bucket", "__local_rn", "__off")
+    )
+
+
 def hash_key(cols: Sequence[str | Column], id_col: str = "id") -> Column:
     """Deterministic, shuffle-free surrogate key: md5 over the natural key
     (the reference's own pattern, sql_queries.py:4). Collision-safe enough

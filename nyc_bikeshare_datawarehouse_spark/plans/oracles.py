@@ -193,10 +193,10 @@ ORACLES: dict[str, str] = {
     """,
     "q_stats_agg": """
         SELECT l_returnflag,
-               ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
-               ROUND(var_samp(l_quantity), 4) AS qty_var,
-               ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-               ROUND(covar_samp(l_discount, l_tax), 8) AS disc_tax_covar
+               FLOOR(stddev_samp(l_extendedprice) * 100) / 100 AS price_stddev,
+               FLOOR(var_samp(l_quantity) * 10000) / 10000 AS qty_var,
+               FLOOR(corr(l_quantity, l_extendedprice) * 100000) / 100000 AS qty_price_corr,
+               FLOOR(covar_samp(l_discount, l_tax) * 10000000) / 10000000 AS disc_tax_covar
         FROM lineitem
         GROUP BY l_returnflag
     """,

@@ -24,7 +24,7 @@ from nyc_bikeshare_datawarehouse_spark.functions.multimodal import extract_featu
 from nyc_bikeshare_datawarehouse_spark.operators.sessionize import session_stats, sessionize
 from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
 from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot
-from nyc_bikeshare_datawarehouse_spark.operators.windows import with_date_parts
+from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_global_rank, with_date_parts
 from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
 
 
@@ -382,14 +382,17 @@ def q_tpch_q10(spark, sf_dir):
 
 def q_stats_agg(spark, sf_dir):
     """Statistical aggregates: sample stddev/variance, Pearson
-    correlation, sample covariance — rounded to absorb the ulp-level
-    differences between streaming (Welford) and two-pass formulations."""
+    correlation, sample covariance. Spark (Welford streaming) and DuckDB
+    (two-pass) accumulate in different orders, so the raw doubles differ
+    at ulp level; `_trunc` (identical floor on both engines for the same
+    double, unlike round()'s decimal-string vs binary divergence) with
+    one digit of headroom absorbs the drift."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+        _trunc(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        _trunc(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        _trunc(F.corr("l_quantity", "l_extendedprice"), 5).alias("qty_price_corr"),
+        _trunc(F.covar_samp("l_discount", "l_tax"), 7).alias("disc_tax_covar"),
     )
 
 
@@ -599,14 +602,41 @@ def q_window_range_frame(spark, sf_dir):
 
 def q_ntile_percent_rank(spark, sf_dir):
     """Distribution window functions: quartile bucket + percent_rank over
-    a deterministic total order (completes the window family beyond
-    rank/row_number/lag/frames)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    a deterministic total order — computed DISTRIBUTEDLY via
+    `two_phase_global_rank` (bucketed local windows + broadcast offsets),
+    not `Window.orderBy` with no partitionBy, which would funnel every row
+    through one task for the sort.
+
+    The order (o_totalprice DESC, o_orderkey) is total (unique tiebreak),
+    so rank == row_number == rn, and the window functions reduce to
+    arithmetic on (rn, n):
+      percent_rank = (rn - 1) / (n - 1)
+      ntile(t): first n%t tiles get n//t+1 rows, the rest n//t
+    — the exact definitions both engines implement, so values hash-match
+    the oracle's real ntile()/percent_rank()."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # monotone along the DESC-price order; o_totalprice spans ~[900, 600k]
+    # at every sf, so ~25 equal-width buckets stay balanced
+    bucket = -F.floor(F.col("o_totalprice") / F.lit(25000.0))
+    ranked = two_phase_global_rank(
+        o, bucket, [F.desc("o_totalprice"), F.col("o_orderkey")],
+        rn_col="__rn", total_col="__n",
+    )
+    big_rows = F.expr("__r * (__q + 1)")  # rows covered by the larger tiles
+    return (
+        ranked.withColumn("__q", F.expr("__n div 4"))
+        .withColumn("__r", F.expr("__n % 4"))
+        .withColumn(
+            "quartile",
+            F.when(F.col("__rn") <= big_rows, F.expr("(__rn - 1) div (__q + 1)"))
+            .otherwise(F.col("__r") + F.expr("(__rn - __r * (__q + 1) - 1) div greatest(__q, 1)"))
+            .cast("int") + 1,
+        )
+        .withColumn(
+            "pct_rank",
+            F.round((F.col("__rn") - 1).cast("double") / (F.col("__n") - 1), 6),
+        )
+        .select("o_orderkey", "quartile", "pct_rank")
     )
 
 

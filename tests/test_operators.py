@@ -113,3 +113,29 @@ class TestWindows:
         # same ids regardless of physical partitioning (unlike
         # monotonically_increasing_id, etl.py:91)
         assert a == b == [("a", 1), ("b", 2), ("c", 3)]
+
+    def test_two_phase_global_rank_matches_builtin(self, spark):
+        from pyspark.sql import Window
+
+        from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_global_rank
+
+        # 37 rows (not divisible by anything nice), ties in v, many buckets
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 11) for i in range(37)], "id long, v long"
+        ).repartition(5)
+        order = [F.desc("v"), F.col("id")]
+        ranked = two_phase_global_rank(df, -F.col("v"), order, rn_col="rn", total_col="n")
+        got = {r["id"]: (r["rn"], r["n"]) for r in ranked.collect()}
+        w = Window.orderBy(*order)
+        expected = {
+            r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == expected
+        assert all(v[1] == 37 for v in got.values())
+
+    def test_two_phase_global_rank_single_bucket_degenerate(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_global_rank
+
+        df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+        ranked = two_phase_global_rank(df, F.lit(0), [F.col("id")], rn_col="rn", total_col="n")
+        assert rows_set(ranked.select("id", "rn")) == [(i, i + 1) for i in range(5)]

@@ -72,3 +72,17 @@ def test_semi_anti_broadcast(spark, sf_dir):
 def test_agg_partial_before_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_agg_monthly")
     assert "partial_" in plan  # map-side combine present
+
+
+def test_ntile_percent_rank_window_is_partitioned(spark, sf_dir):
+    # The r01 scale-killer: Window.orderBy with no partitionBy = every row
+    # through ONE task. Now every window spec that touches the data (order
+    # columns present) must carry the __bucket partition key; unpartitioned
+    # specs may exist only over the B-row bucket-counts aggregate.
+    plan = plan_of(spark, sf_dir, "q_ntile_percent_rank")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    data_specs = [s for s in specs if "o_totalprice" in s or "o_orderkey" in s]
+    assert data_specs, "expected a window over the order data"
+    assert all("__bucket" in s for s in data_specs), data_specs
+    # offsets + totals broadcast back, never a full-data shuffle to one task
+    assert "BroadcastExchange" in plan

@@ -32,6 +32,25 @@ def test_salted_left_join(spark):
     assert salted == plain
 
 
+def test_salted_semi_anti_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(1, "one"), (5, "five")], "k int, name string")
+    for how in ("left_semi", "left_anti"):
+        plain = rows_set(big.join(small, "k", how).select("k", "v"))
+        salted = rows_set(salted_join(big, small, "k", num_salts=4, how=how).select("k", "v"))
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_unsafe_how(spark):
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([(1, "one")], "k int, name string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(big, small, "k", num_salts=4, how=how)
+
+
 def test_two_phase_agg_matches_plain(spark):
     df = _skewed(spark)
     plain = rows_set(
