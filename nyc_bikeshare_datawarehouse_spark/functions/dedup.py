@@ -257,8 +257,14 @@ def cluster_duplicates(
     iteration and the job dies long before 100 TB does. The fixpoint test
     is a cheap limit(1) existence probe, not a full count.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # materialize ONCE: `pairs` is typically an expensive LSH/jaccard
+        # pipeline, and without this every iteration (and every fixpoint
+        # probe) re-runs it from scratch; the edge list itself is two longs
+        # per row — cheap to hold
+        .localCheckpoint(eager=True)
     )
     labels = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id"))
     for _ in range(max_iters):
@@ -309,19 +315,40 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     min_jaccard: float = 0.2,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Inverted-index join: explode distinct shingles, self-equi-join on the
     shingle, count intersections per pair, then |A∪B| = |A|+|B|-|A∩B|.
-    Shuffles move (shingle_hash, id) pairs only. Hot shingles (stopword
-    n-grams) are the skew risk at scale — mitigate by hashing shingles and
-    optionally dropping top-frequency shingles (df-style pruning)."""
+    Shuffles move (shingle_hash, id) pairs only.
+
+    Hot shingles (stopword n-grams) are the skew killer at scale: a
+    shingle present in f·N docs contributes (f·N)² candidate pairs to ONE
+    join partition. `max_doc_frac` enables document-frequency pruning:
+    shingles appearing in more than that fraction of documents are dropped
+    from the index *before* the self-join (both intersection and set sizes
+    are computed over the kept-shingle universe, so jaccard stays a true
+    jaccard on the reduced feature space). A stopword shingle carries ~no
+    similarity signal, so recall loss is negligible while the worst
+    partition shrinks quadratically. Default None = off (exact semantics,
+    matches the SQL oracle)."""
     sh = (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"))
         .select(id_col, F.xxhash64("s").alias("sh"))
         .dropDuplicates()
     )
+    if max_doc_frac is not None:
+        n_docs = df.select(F.countDistinct(id_col).alias("__nd"))
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("__df") > F.col("__nd") * max_doc_frac)
+            .select("sh")
+        )
+        # hot shingles are few by construction -> broadcast anti join
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -6,11 +6,13 @@ Three tiers, all DataFrame-native:
    Dot/norms via higher-order functions (`zip_with` + `aggregate`), fully
    JVM-side; top-k is TakeOrderedAndProject (per-partition heap, no global
    sort). Exact, O(N·d) — the correctness baseline.
-2. `ivf_topk`     — IVF-style ANN: deterministic coarse centroids, assign
-   each vector to its nearest centroid (one broadcast join), search only
-   the probe's `nprobe` nearest cells. At 100 TB the table is written
-   partitioned by cell id → partition pruning turns a full scan into a
-   few-cells scan.
+2. `ivf_topk`     — IVF-style ANN: coarse centroids carried as ONE
+   array<array<double>> value (a literal when centers are known, else a
+   1-row broadcast), cell assignment as a single higher-order argmax
+   expression per row — no crossJoin row expansion, no window shuffle.
+   Search only the probe's `nprobe` nearest cells. At 100 TB the corpus
+   is written `partitionBy("cell")` (`ivf_write`) and a probe reads only
+   its cells via partition pruning (`ivf_probe_partitioned`).
 3. `cosine_near_dup_lsh` — random-hyperplane (signed random projection)
    LSH for embedding near-duplicate pairs: b-bit signatures from
    deterministic pseudo-random hyperplanes, banded bucket join; exact
@@ -22,7 +24,7 @@ results are reproducible across runs and cluster layouts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _vec(col) -> Column:
@@ -200,6 +202,88 @@ def ivf_fit_kmeans(
     return assigned, centers
 
 
+def _centers_lit(centers: list[list[float]]) -> Column:
+    """Known centroids (e.g. from ivf_fit_kmeans) as a 2-D array literal —
+    a pure expression, zero extra plan nodes."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+
+
+def _centroids_frame(df: DataFrame, n_cells: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic first-K coarse quantizer as a 1-row frame
+    `{__cents: array<array<double>>}`: the first `n_cells` vectors by id,
+    in id order (array_sort on (id, vec) structs — collect_list alone is
+    arrival-ordered). TakeOrdered(n_cells) + a tiny agg; consumers attach
+    it with a 1-row broadcast crossJoin."""
+    return (
+        df.orderBy(id_col).limit(n_cells)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), _vec(vec_col).alias("v")))
+            ).alias("__s")
+        )
+        .select(F.transform("__s", lambda s: s["v"]).alias("__cents"))
+    )
+
+
+def _cell_scores(vec_col, cents: Column) -> Column:
+    """array<struct<d,i>>: per centroid, dot(v,c)/|c| (argmax-equivalent to
+    cosine — |v| is constant across cells) and the cell index. One nested
+    higher-order expression, evaluated entirely in codegen."""
+    v = _vec(vec_col)
+    return F.zip_with(
+        cents,
+        F.sequence(F.lit(0), F.size(cents) - 1),
+        lambda c, i: F.struct(
+            (
+                F.aggregate(F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+                / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+
+
+def nearest_cell(vec_col, cents: Column) -> Column:
+    """Argmax cell index as ONE expression per row — the fix for the r01
+    crossJoin(n_cells× row blowup) + Window.partitionBy(id) full-shuffle
+    assignment: no join, no shuffle, no expansion. Ties keep the lowest
+    index (strict > in the fold)."""
+    best = F.aggregate(
+        _cell_scores(vec_col, cents),
+        F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )
+    return best["i"]
+
+
+def top_cells(vec_col, cents: Column, nprobe: int) -> Column:
+    """The `nprobe` nearest cell indices as array<int>, best first
+    (array_sort asc + reverse; ties → higher index first, deterministic)."""
+    ordered = F.reverse(F.array_sort(_cell_scores(vec_col, cents)))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["i"])
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centers: list[list[float]] | None = None,
+) -> DataFrame:
+    """Add a `cell` column (nearest-centroid id). With `centers` (a fitted
+    quantizer, e.g. ivf_fit_kmeans's) the centroids are a literal; without,
+    the deterministic first-K quantizer rides along as a 1-row broadcast.
+    Either way assignment is per-row arithmetic — no shuffle."""
+    if centers is not None:
+        return df.withColumn("cell", nearest_cell(vec_col, _centers_lit(centers)))
+    ca = _centroids_frame(df, n_cells, id_col, vec_col)
+    return (
+        df.crossJoin(F.broadcast(ca))
+        .withColumn("cell", nearest_cell(vec_col, F.col("__cents")))
+        .drop("__cents")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     probe: DataFrame,
@@ -208,42 +292,86 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN: centroids = the first `n_cells` vectors by id
-    (deterministic coarse quantizer — at scale replace with a KMeans fit
-    persisted once). Assign rows to nearest centroid, search the probe's
-    `nprobe` nearest cells only.
+    """IVF-flat ANN: assign rows to cells (per-row argmax expression),
+    score only rows in the probe's `nprobe` nearest cells. The only joins
+    are 1-row broadcasts (centroids, probe cells, probe vector) — no row
+    expansion, no window shuffle anywhere.
 
-    Scale path: write the corpus `partitionBy("cell")`; the cell filter
-    then becomes partition pruning and a query touches nprobe/n_cells of
-    the data."""
-    cents = F.broadcast(
-        df.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
-    assigned = (
-        df.crossJoin(cents)
-        .withColumn("d", dot(vec_col, "cent_vec") / (l2_norm(vec_col) * l2_norm("cent_vec")))
-        .withColumn(
-            "best",
-            F.max(F.struct(F.col("d"), F.col("cent_id"))).over(Window.partitionBy(id_col)),
+    This is the in-memory form; the persisted form is `ivf_write` +
+    `ivf_probe_partitioned`, where the cell filter becomes parquet
+    partition pruning and a probe reads nprobe/n_cells of the files."""
+    assigned = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centers=centers)
+    if centers is not None:
+        pc = probe.select(top_cells(vec_col, _centers_lit(centers), nprobe).alias("__pcells"))
+    else:
+        ca = _centroids_frame(df, n_cells, id_col, vec_col)
+        pc = probe.crossJoin(F.broadcast(ca)).select(
+            top_cells(vec_col, F.col("__cents"), nprobe).alias("__pcells")
         )
-        .filter((F.col("best.cent_id") == F.col("cent_id")))
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
-    )
-    probe_cells = (
-        probe.select(F.col(vec_col).alias("__probe"))
-        .crossJoin(cents)
-        .withColumn("d", dot("__probe", "cent_vec") / (l2_norm("__probe") * l2_norm("cent_vec")))
-        .orderBy(F.desc("d"))
-        .limit(nprobe)
-        .select(F.col("cent_id").alias("cell"))
+    candidates = assigned.crossJoin(F.broadcast(pc)).filter(
+        F.array_contains(F.col("__pcells"), F.col("cell"))
     )
     p = F.broadcast(probe.select(F.col(vec_col).alias("__probe")))
-    candidates = assigned.join(F.broadcast(probe_cells), "cell")
     return (
         candidates.crossJoin(p)
         .select(F.col(id_col), F.round(cosine(vec_col, "__probe"), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centers: list[list[float]] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus partitioned by cell id — the ingest-time half of
+    the 100 TB ANN path: assignment happens ONCE at write, probes prune to
+    their cells forever after."""
+    ivf_assign(df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centers=centers).write.mode(
+        mode
+    ).partitionBy("cell").parquet(path)
+
+
+def nearest_cells_py(vec: list[float], centers: list[list[float]], nprobe: int = 1) -> list[int]:
+    """Driver-side twin of `top_cells` for a single probe vector (same
+    score and tie order as the Spark expression) — produces the literal
+    cell list a partition-pruned read needs."""
+    scored = []
+    for i, c in enumerate(centers):
+        norm = sum(y * y for y in c) ** 0.5
+        d = sum(x * y for x, y in zip(vec, c)) / norm if norm else float("-inf")
+        scored.append((d, i))
+    scored.sort(key=lambda t: (-t[0], -t[1]))
+    return [i for _, i in scored[:nprobe]]
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    probe_vec: list[float],
+    centers: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query an `ivf_write` layout: `.filter(cell IN probe_cells)` over the
+    partitioned read compiles to PartitionFilters — only nprobe/n_cells of
+    the files are listed and scanned (asserted in tests/test_functions.py).
+    Exact cosine re-rank inside the pruned cells; TakeOrdered top-k."""
+    cells = nearest_cells_py(probe_vec, centers, nprobe)
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))
+        .select(F.col(id_col), F.round(cosine(vec_col, pv), 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )

@@ -23,6 +23,7 @@ from nyc_bikeshare_datawarehouse_spark.operators.asof import asof_join
 from nyc_bikeshare_datawarehouse_spark.functions.multimodal import extract_features
 from nyc_bikeshare_datawarehouse_spark.operators.sessionize import session_stats, sessionize
 from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
+from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join
 from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot
 from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_global_rank, with_date_parts
 from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
@@ -463,6 +464,74 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact
+    countDistinct it replaces at 100 TB: the exact form's expand+shuffle
+    carries every distinct value; the sketch is fixed-size and mergeable
+    (this is the form q_agg_monthly's scale note promises). Rows-only
+    check — DuckDB's HLL yields different estimates — but fully
+    deterministic (fixed hash seed), and the relative error column makes
+    the tolerance visible in the result itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .withColumn(
+            "rel_err_pct",
+            _trunc(
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                / F.col("exact_orders") * 100,
+                2,
+            ),
+        )
+    )
+
+
+def q_approx_percentiles(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch) — the 100 TB form of
+    q_percentiles: fixed-size mergeable summaries instead of materializing
+    the sorted set. Rows-only deterministic check (sketch internals differ
+    from DuckDB's)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice",
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(10000),
+            ).alias("ps")
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.element_at("ps", 1), 2).alias("p25_approx"),
+            F.round(F.element_at("ps", 2), 2).alias("p50_approx"),
+            F.round(F.element_at("ps", 3), 2).alias("p75_approx"),
+        )
+    )
+
+
+def q_salted_join_equiv(spark, sf_dir):
+    """Skew-mitigated join as a declared query (operators/skew.py:
+    salted_join shards each big-side key over 8 salts and replicates the
+    small side per salt). The oracle is the PLAIN SQL join — a green row
+    is proof the salting is semantics-preserving, not just faster."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, on="suppkey", num_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
 def q_correlated_subquery(spark, sf_dir):
     """Correlated scalar subquery: orders above their own customer's
     average order value. Catalyst decorrelates this into an aggregate +
@@ -722,6 +791,24 @@ def q_date_arith(spark, sf_dir):
         F.date_trunc("month", d).alias("ship_month_start"),
         # the reference's ts->string formatting (etl.py:92-93,101,178)
         F.date_format(d, "yyyy-MM-dd HH:mm:ss").alias("ship_formatted"),
+    )
+
+
+def q_epoch_arith(spark, sf_dir):
+    """Epoch arithmetic (reference sql_queries.py:13: ``TIMESTAMP 'epoch'
+    + ts/1000 * INTERVAL '1 second'``): extract epoch millis/seconds from
+    a timestamp and reconstruct timestamps from raw epoch values —
+    timestamp_millis / timestamp_seconds are Spark's idiomatic form of the
+    reference's interval-multiplication idiom. All integer arithmetic, so
+    values are engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    return e.select(
+        "event_id",
+        ms.alias("epoch_ms"),
+        F.expr("unix_millis(ts) div 1000").alias("epoch_sec"),
+        F.timestamp_millis(ms).alias("ts_ms"),
+        F.timestamp_seconds(F.expr("unix_millis(ts) div 1000")).alias("ts_sec"),
     )
 
 
@@ -1046,7 +1133,12 @@ def q_embed_near_dup(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN top-k (cell-pruned scan; rows-only check)."""
+    """IVF-style ANN top-k (rows-only check): cell assignment is one
+    higher-order argmax expression per row over a 1-row broadcast centroid
+    array — no crossJoin expansion, no window shuffle (the plan's only
+    joins are 1-row broadcasts). The persisted form (ivf_write →
+    partitionBy('cell') → PartitionFilters pruning) is exercised in
+    tests/test_functions.py."""
     e = _t(spark, sf_dir, "embeddings")
     probe = e.filter(F.col("vec_id") == 0)
     return similarity.ivf_topk(e, probe, k=10, n_cells=16, nprobe=4)
@@ -1100,6 +1192,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_full_outer_join": q_full_outer_join,
     "q_cross_join": q_cross_join,
     "q_percentiles": q_percentiles,
+    "q_approx_distinct": q_approx_distinct,
+    "q_approx_percentiles": q_approx_percentiles,
+    "q_salted_join_equiv": q_salted_join_equiv,
     "q_correlated_subquery": q_correlated_subquery,
     "q_lateral_topn": q_lateral_topn,
     "q_count_quality": q_count_quality,
@@ -1116,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_map_funcs": q_map_funcs,
     "q_grouping_sets": q_grouping_sets,
     "q_date_arith": q_date_arith,
+    "q_epoch_arith": q_epoch_arith,
     "q_tumbling_hour": q_tumbling_hour,
     "q_asof_join": q_asof_join,
     "q_range_bucket_join": q_range_bucket_join,

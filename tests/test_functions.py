@@ -129,6 +129,21 @@ class TestDedup:
         # doc5 differs in last token: 7 of 8 bigrams shared -> 7/9
         assert got[(1, 5)] == math.floor(7 / 9 * 10000) / 10000
 
+    def test_ngram_jaccard_hot_shingle_pruning(self, spark):
+        # one stopword bigram ("stop word") in EVERY doc: unpruned, all
+        # C(12,2) pairs are candidates through that single hot posting list
+        # (the quadratic skew blowup); with df pruning at 50% the only
+        # surviving pair is the true duplicate, found via its rare shingles
+        rows = [(i, f"stop word unique{i} tail{i}") for i in range(10)]
+        rows += [(100, "stop word same same2"), (101, "stop word same same2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        unpruned = dedup.ngram_jaccard_pairs(df, min_jaccard=0.05)
+        assert unpruned.count() == 12 * 11 // 2  # every pair shares the hot shingle
+        pruned = dedup.ngram_jaccard_pairs(df, min_jaccard=0.05, max_doc_frac=0.5)
+        got = [(r["id_a"], r["id_b"], r["jaccard"]) for r in pruned.collect()]
+        # the duplicate pair keeps jaccard 1.0 over its remaining shingles
+        assert got == [(100, 101, 1.0)]
+
 
 class TestSimilarity:
     def test_cosine_matches_numpy(self, spark):
@@ -181,6 +196,54 @@ class TestSimilarity:
         probe = emb.filter(F.col("vec_id") == 0)
         top = similarity.ivf_topk(emb, probe, k=5, n_cells=8, nprobe=2).collect()
         assert top[0]["vec_id"] == 0  # probe's own cell is always searched
+
+    def test_ivf_topk_plan_no_expansion(self, spark, sf_dir):
+        # the r01 defect: crossJoin(n_cells×) + Window.partitionBy(vec_id).
+        # Now: only 1-row broadcast joins — no cartesian product, no window,
+        # no shuffle at all before the final top-k heap.
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probe = emb.filter(F.col("vec_id") == 0)
+        df = similarity.ivf_topk(emb, probe, k=5, n_cells=8, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_ivf_assign_matches_python_quantizer(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(50)
+        rows = {r["vec_id"]: list(map(float, r["embedding"])) for r in emb.collect()}
+        centers = [rows[i] for i in sorted(rows)[:4]]
+        assigned = similarity.ivf_assign(emb, n_cells=4, centers=centers)
+        got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+        for vid, vec in rows.items():
+            assert got[vid] == similarity.nearest_cells_py(vec, centers, 1)[0], vid
+
+    def test_ivf_partitioned_write_prunes_and_matches(self, spark, sf_dir, tmp_path):
+        pytest.importorskip("pyspark.ml")
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _, centers = similarity.ivf_fit_kmeans(emb, n_cells=8, seed=42)
+        path = str(tmp_path / "ivf")
+        similarity.ivf_write(emb, path, n_cells=8, centers=centers)
+        probe_vec = list(map(float, emb.filter(F.col("vec_id") == 0).first()["embedding"]))
+        pruned = similarity.ivf_probe_partitioned(
+            spark, path, probe_vec, centers, k=5, nprobe=2
+        )
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # the cell IN (...) filter must become partition pruning (file-level
+        # skip), not a data filter inside the scan
+        assert "PartitionFilters: [cell#" in plan
+        # pruned result == in-memory ivf_topk with the same quantizer
+        probe = emb.filter(F.col("vec_id") == 0)
+        mem = similarity.ivf_topk(emb, probe, k=5, n_cells=8, nprobe=2, centers=centers)
+        assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
 
 
 class TestMultimodal:
