@@ -259,6 +259,22 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY o_orderpriority
     """,
+    "q_salted_join_equiv": """
+        SELECT s_nationkey,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
+    "q_epoch_arith": """
+        SELECT event_id,
+               epoch_ms(ts) AS epoch_ms,
+               epoch_ms(ts) // 1000 AS epoch_sec,
+               epoch_ms(epoch_ms(ts)) AS ts_ms,
+               TIMESTAMP 'epoch' + (epoch_ms(ts) // 1000) * INTERVAL '1 second' AS ts_sec
+        FROM events
+    """,
     "q_correlated_subquery": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
