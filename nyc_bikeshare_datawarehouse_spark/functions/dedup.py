@@ -316,6 +316,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     min_jaccard: float = 0.2,
     max_doc_frac: float | None = None,
+    size_prune: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
@@ -332,9 +333,21 @@ def ngram_jaccard_pairs(
     jaccard on the reduced feature space). A stopword shingle carries ~no
     similarity signal, so recall loss is negligible while the worst
     partition shrinks quadratically. Default None = off (exact semantics,
-    matches the SQL oracle)."""
+    matches the SQL oracle).
+
+    `size_prune` adds the EXACT size-ratio prefilter: jaccard(A,B) can
+    never exceed min(|A|,|B|)/max(|A|,|B|), so size-incompatible pairs are
+    dropped inside the self-join, before the per-pair intersection groupBy
+    ever sees them. Worth it when doc sizes are heterogeneous and the
+    threshold is high; on a size-uniform corpus it filters little while
+    widening the candidate shuffle by two longs per row (measured 26s→39s
+    at sf0.1, 77% of pairs passing), hence opt-in. Results are identical
+    either way (tested)."""
     sh = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"))
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        )
         .select(id_col, F.xxhash64("s").alias("sh"))
         .dropDuplicates()
     )
@@ -347,21 +360,38 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > F.col("__nd") * max_doc_frac)
             .select("sh")
         )
-        # hot shingles are few by construction -> broadcast anti join
+        # hot shingles are few by construction -> broadcast anti join;
+        # sizes below are computed over the KEPT shingles
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    if size_prune:
+        posting = sh.join(sizes, id_col)
+        a = posting.select(F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+        b = posting.select(F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+        inter = (
+            a.join(b, "sh")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * min_jaccard)
+            )
+            .groupBy("id_a", "n_a", "id_b", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # slim postings: the candidate shuffle carries (sh, id) only;
+        # sizes attach to the (much smaller) aggregated pair table
+        a, b = sh.alias("a"), sh.alias("b")
+        pair_counts = (
+            a.join(b, "sh")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        inter = pair_counts.join(sa, "id_a").join(sb, "id_b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter
         .withColumn(
             "jaccard",
             # floor-truncation, not round: exact on the bit-identical double

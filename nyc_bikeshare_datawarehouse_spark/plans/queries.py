@@ -339,6 +339,292 @@ def q_tpch_q13(spark, sf_dir):
     return per_customer.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): 5-way join where customer
+    and supplier must share a nation, region-filtered, revenue per nation.
+    supplier/nation/region broadcast; the customer⋈supplier nation
+    equality rides the join condition, not a post-filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("n_name"))
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): trade volume between two nations
+    in both directions, per ship year — the two-role nation join
+    (supplier's nation x customer's nation) with a symmetric pair
+    predicate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_1's share of PROMO
+    part volume sold into AMERICA, per order year — a conditional-sum /
+    total-sum ratio over a 6-way join. The ratio is floor-truncated
+    (`_trunc`) because sums of doubles accumulate in engine-specific
+    order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _trunc(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts), adapted: the
+    corpus has no l_shipmode/commitdate/receiptdate, so 'late' =
+    shipped 60+ days after the order date and grouping is by order
+    status — same conditional-count-by-category skeleton."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60).cast("timestamp")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): percentage of 1996 revenue from
+    PROMO parts — conditional-sum/total-sum ratio, floor-truncated."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        _trunc(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the supplier(s) whose revenue equals the max — the view-reuse +
+    scalar-max-subquery pattern. Revenue is floor-truncated BEFORE the
+    equality so both engines compare identical doubles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        _trunc(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): per-part correlated
+    average subquery — lines of one brand whose quantity is below 20% of
+    that part's average quantity. Catalyst decorrelates to an aggregate +
+    join; DuckDB runs the same decorrelation."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17_v")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_q17_v")
+    return spark.sql("""
+        SELECT floor(sum(l_extendedprice) / 7.0 * 100) / 100 AS avg_yearly
+        FROM lineitem_q17_v
+        JOIN part_q17_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#11'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l_quantity)
+            FROM lineitem_q17_v
+            WHERE l_partkey = p_partkey
+          )
+    """)
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): HAVING on a grouped sum
+    (orders whose total quantity exceeds the threshold), re-joined to
+    customer/orders context, top 20."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive blocks): three
+    OR-blocks mixing part attributes and lineitem ranges — the classic
+    test that a disjunction across join sides still evaluates after a
+    single broadcast join rather than three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    blocks = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(blocks)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (waiting suppliers), adapted: no commit/receipt
+    dates in the corpus, so the fault condition is 'only supplier with a
+    returned line in a multi-supplier finished order' — preserving Q21's
+    signature EXISTS + NOT EXISTS double correlation on the same fact."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q21_v")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21_v")
+    return spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_q21_v
+        JOIN lineitem_q21_v l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders_q21_v ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT * FROM lineitem_q21_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT * FROM lineitem_q21_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity), adapted: no c_phone
+    column, so 'country code' is the nation key and 'never ordered'
+    becomes 'no order since 2000' — preserving the scalar-avg subquery +
+    NOT EXISTS anti-join + final rollup skeleton."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22_v")
+    return spark.sql("""
+        SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM (
+            SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+            FROM customer_q22_v
+            WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+              AND c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer_q22_v
+                WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 2, 3, 4, 5)
+              )
+        ) hot
+        WHERE NOT EXISTS (
+            SELECT * FROM orders_q22_v
+            WHERE o_custkey = hot.c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """)
+
+
 # -------------------------------------------------------------- aggregations
 
 def q_agg_monthly(spark, sf_dir):
@@ -1185,6 +1471,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
     "q_case_buckets": q_case_buckets,
     "q_stats_agg": q_stats_agg,
     "q_rollup": q_rollup,
