@@ -245,6 +245,7 @@ def cluster_duplicates(
     all_ids: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every node
     gets `cluster_id` = min id reachable through pair edges (singletons
@@ -253,18 +254,30 @@ def cluster_duplicates(
 
     Iterative min-label propagation, converging in O(component diameter)
     rounds. Each round is one join + one aggregate; lineage is truncated
-    per round with localCheckpoint, without which the plan doubles every
-    iteration and the job dies long before 100 TB does. The fixpoint test
-    is a cheap limit(1) existence probe, not a full count.
+    per round, without which the plan doubles every iteration and the job
+    dies long before 100 TB does. The fixpoint test is a cheap limit(1)
+    existence probe, not a full count.
+
+    Checkpoint durability: the default `localCheckpoint` stores blocks on
+    executors ONLY — fast (no DFS round-trip), but on a real cluster a
+    lost executor makes the truncated lineage unrecoverable and fails the
+    job. For cluster runs set `reliable_checkpoint=True` and configure
+    `spark.sparkContext.setCheckpointDir(<dfs path>)` first: each round
+    then writes to the checkpoint dir and survives executor loss. On
+    local[n] (one JVM) the distinction is moot, so local stays default.
     """
-    edges = (
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         # materialize ONCE: `pairs` is typically an expensive LSH/jaccard
         # pipeline, and without this every iteration (and every fixpoint
         # probe) re-runs it from scratch; the edge list itself is two longs
         # per row — cheap to hold
-        .localCheckpoint(eager=True)
     )
     labels = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id"))
     for _ in range(max_iters):
@@ -273,7 +286,7 @@ def cluster_duplicates(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -281,7 +294,6 @@ def cluster_duplicates(
                     "cluster_id"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -257,9 +257,17 @@ def nearest_cell(vec_col, cents: Column) -> Column:
 
 
 def top_cells(vec_col, cents: Column, nprobe: int) -> Column:
-    """The `nprobe` nearest cell indices as array<int>, best first
-    (array_sort asc + reverse; ties → higher index first, deterministic)."""
-    ordered = F.reverse(F.array_sort(_cell_scores(vec_col, cents)))
+    """The `nprobe` nearest cell indices as array<int>, best first.
+
+    Tie order is (score DESC, index ASC) — the SAME order `nearest_cell`'s
+    strict-> fold yields (lowest index wins an exact tie), so a probe's
+    own assignment cell is always among its top cells even at nprobe=1.
+    Sorting ascending on struct(-d, i) gives exactly that order."""
+    negated = F.transform(
+        _cell_scores(vec_col, cents),
+        lambda s: F.struct((-s["d"]).alias("nd"), s["i"].alias("i")),
+    )
+    ordered = F.array_sort(negated)
     return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["i"])
 
 
@@ -348,7 +356,7 @@ def nearest_cells_py(vec: list[float], centers: list[list[float]], nprobe: int =
         norm = sum(y * y for y in c) ** 0.5
         d = sum(x * y for x, y in zip(vec, c)) / norm if norm else float("-inf")
         scored.append((d, i))
-    scored.sort(key=lambda t: (-t[0], -t[1]))
+    scored.sort(key=lambda t: (-t[0], t[1]))
     return [i for _, i in scored[:nprobe]]
 
 

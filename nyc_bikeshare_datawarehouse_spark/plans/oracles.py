@@ -9,8 +9,12 @@ Parity pins (SURVEY §7.4):
 - `range(ts, ts, interval)` is stop-exclusive (generate_series is NOT).
 - session gaps in exact microseconds (epoch_us) on both sides.
 
-Queries with no entry here (minhash/simhash/SRP LSH, IVF ANN, multimodal)
-are non-SQL-expressible → driver records rows-only checks.
+Every SQL-expressible query has an entry here (including all 17 TPC-H
+shapes). The 8 queries with no entry are genuinely non-SQL-expressible —
+minhash/simhash/SRP LSH (engine-specific hash lattices), IVF ANN, the
+multimodal codec path, the composed text pipeline, and the two approx
+sketches (engine-specific estimates) — and get rows-only determinism
+checks; `tests/test_queries.py::test_contract_shape` pins that exact set.
 """
 
 from __future__ import annotations
@@ -604,6 +608,213 @@ ORACLES: dict[str, str] = {
                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
             FROM toks
             WHERE len(t) >= 2
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT doc_id AS node, doc_id AS lab FROM documents
+            UNION
+            SELECT e.dst AS node, r.lab
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id
+        FROM reach
+        GROUP BY node
+    """,
+    "q_tpch_q5": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q_tpch_q7": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "q_tpch_q8": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               FLOOR(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)) * 10000) / 10000 AS mkt_share
+        FROM lineitem
+        JOIN part      ON l_partkey = p_partkey
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region    ON n2.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'PROMO'
+          AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY year(o_orderdate)
+    """,
+    "q_tpch_q12": """
+        SELECT o_orderstatus,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                   AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                   AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= CAST(CAST(o_orderdate AS DATE) + 60 AS TIMESTAMP)
+        GROUP BY o_orderstatus
+    """,
+    "q_tpch_q14": """
+        SELECT FLOOR(100.0
+                     * SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)) * 10000) / 10000
+                   AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    "q_tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q_tpch_q17": """
+        SELECT floor(sum(l_extendedprice) / 7.0 * 100) / 100 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#11'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    "q_tpch_q18": """
+        WITH big AS (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING ROUND(SUM(l_quantity), 2) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "q_tpch_q19": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q_tpch_q21": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT * FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT * FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q_tpch_q22": """
+        SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM (
+            SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+            FROM customer
+            WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+              AND c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 2, 3, 4, 5)
+              )
+        ) hot
+        WHERE NOT EXISTS (
+            SELECT * FROM orders
+            WHERE o_custkey = hot.c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+    "q_dedup_clusters_pruned": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh0 AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM toks
+            WHERE len(t) >= 2
+        ), nd AS (
+            SELECT COUNT(DISTINCT doc_id) AS n FROM toks WHERE len(t) >= 2
+        ), hot AS (
+            SELECT s FROM sh0, nd GROUP BY s, nd.n HAVING COUNT(*) > n * 0.07
+        ), sh AS (
+            SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
         ), sizes AS (
             SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
         ), inter AS (

@@ -203,6 +203,24 @@ class TestSimilarity:
         top = similarity.ivf_topk(emb, probe, k=5, n_cells=8, nprobe=2).collect()
         assert top[0]["vec_id"] == 0  # probe's own cell is always searched
 
+    def test_tie_order_assignment_vs_probe(self, spark):
+        # duplicate centroids force an exact score tie: nearest_cell's
+        # strict-> fold keeps the LOWER index, and top_cells must rank that
+        # same cell first — else a tied probe at small nprobe could skip
+        # its own assignment cell (the r02 advice finding)
+        c = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+        df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, v array<double>")
+        got = df.select(
+            "vec_id",
+            similarity.nearest_cell("v", similarity._centers_lit(c)).alias("cell"),
+            similarity.top_cells("v", similarity._centers_lit(c), 2).alias("top"),
+        ).collect()
+        for r in got:
+            assert r["top"][0] == r["cell"], r
+            assert similarity.nearest_cells_py(
+                [1.0, 0.0] if r["vec_id"] == 0 else [0.0, 1.0], c, 1
+            )[0] == r["cell"]
+
     def test_ivf_topk_plan_no_expansion(self, spark, sf_dir):
         # the r01 defect: crossJoin(n_cells×) + Window.partitionBy(vec_id).
         # Now: only 1-row broadcast joins — no cartesian product, no window,
