@@ -68,6 +68,7 @@ HEAVY = [
     "q_text_pipeline",
     "q_ngram_jaccard",
     "q_dedup_clusters",
+    "q_dedup_clusters_pruned",
     "q_near_dup_minhash",
     "q_embed_near_dup",
 ]
@@ -133,9 +134,12 @@ def main() -> None:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
     total = round(sum(timings.values()), 3)
 
+    # best-of-2 like the headline tier: the heavy tier tracks the most
+    # expensive family, so it needs the same noise damping for
+    # round-over-round comparisons to mean anything
     heavy: dict[str, float] = {}
     for name in HEAVY:
-        heavy[name] = round(run_query(spark, name, sf_dir, repeats=1), 3)
+        heavy[name] = round(run_query(spark, name, sf_dir, repeats=2), 3)
     heavy_total = round(sum(heavy.values()), 3)
 
     print(json.dumps({

@@ -279,7 +279,13 @@ def cluster_duplicates(
         # probe) re-runs it from scratch; the edge list itself is two longs
         # per row — cheap to hold
     )
-    labels = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id"))
+    # iterate ONLY over edge-connected nodes: a node in no pair can never
+    # change its label, and at scale near-dups are a small fraction of the
+    # corpus — so the per-round joins run on |edge nodes|, not |corpus|.
+    # Singletons rejoin at the end via a left join against all_ids.
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -305,7 +311,13 @@ def cluster_duplicates(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), "cluster_id")
+    # rejoin singletons: every id not in any edge keeps its own label
+    return all_ids.select(F.col(id_col)).join(
+        labels, all_ids[id_col] == labels.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
 
 
 def apply_dedup(

@@ -812,7 +812,7 @@ ORACLES: dict[str, str] = {
         ), nd AS (
             SELECT COUNT(DISTINCT doc_id) AS n FROM toks WHERE len(t) >= 2
         ), hot AS (
-            SELECT s FROM sh0, nd GROUP BY s, nd.n HAVING COUNT(*) > n * 0.07
+            SELECT s FROM sh0, nd GROUP BY s, nd.n HAVING COUNT(*) > n * 0.05
         ), sh AS (
             SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
         ), sizes AS (

@@ -1360,7 +1360,7 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_dedup_clusters_pruned(spark, sf_dir):
     """The 100 TB form of duplicate clustering: document-frequency pruning
-    (`max_doc_frac=0.07`) drops hot stopword shingles BEFORE the
+    (`max_doc_frac=0.05`) drops hot stopword shingles BEFORE the
     inverted-index self-join — a shingle in f·N docs contributes (f·N)^2
     candidate pairs to one partition, so the worst partition shrinks
     quadratically — then the verified pairs feed the same
@@ -1371,7 +1371,7 @@ def q_dedup_clusters_pruned(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
     pairs = dedup.ngram_jaccard_pairs(
-        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_frac=0.07
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_frac=0.05
     )
     return dedup.cluster_duplicates(pairs, d, "doc_id")
 
