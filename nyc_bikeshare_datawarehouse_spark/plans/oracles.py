@@ -800,6 +800,25 @@ ORACLES: dict[str, str] = {
         GROUP BY cntrycode
         ORDER BY cntrycode
     """,
+    "q_dedup_apply": """
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        WHERE doc_id IN (
+            SELECT MIN(doc_id) FROM documents GROUP BY md5(lower(trim(text)))
+        )
+    """,
+    "q_train_split": """
+        SELECT doc_id,
+               CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 AS bucket
+            FROM documents
+        )
+    """,
     "q_dedup_clusters_pruned": """
         WITH RECURSIVE toks AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -1376,6 +1376,38 @@ def q_dedup_clusters_pruned(spark, sf_dir):
     return dedup.cluster_duplicates(pairs, d, "doc_id")
 
 
+def q_dedup_apply(spark, sf_dir):
+    """The APPLY stage that closes the dedup pipeline (candidates →
+    verify → cluster → APPLY): exact-dedup clusters (min doc_id per
+    normalized-text hash as representative) materialized back onto the
+    corpus via left-semi join — only each cluster's keeper survives.
+    Oracle: doc_id IN (SELECT MIN(doc_id) ... GROUP BY md5 hash)."""
+    d = _t(spark, sf_dir, "documents")
+    ex = dedup.exact_dedup(d)  # text_hash, keep_id, n_copies
+    clusters = (
+        d.select("doc_id", dedup.normalized_hash("text").alias("text_hash"))
+        .join(ex.select("text_hash", F.col("keep_id").alias("cluster_id")), "text_hash")
+        .select("doc_id", "cluster_id")
+    )
+    return dedup.apply_dedup(d, clusters, "doc_id").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py
+    `split`): disjoint md5-bucket ranges, stable under data growth — a
+    row never migrates between splits when new rows arrive. md5 (not
+    xxhash64) keeps the buckets engine-portable, so the assignment is
+    oracle-checkable in any SQL engine."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import split
+
+    d = _t(spark, sf_dir, "documents")
+    return split(
+        d.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_near_dup_minhash(spark, sf_dir):
     """MinHash-LSH near-duplicate candidates (banded signatures; rows-only
     check — not SQL-expressible)."""
@@ -1492,15 +1524,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_regexp_funcs": q_regexp_funcs,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_hash_sample": q_hash_sample,
+    # --- new in round 3 (need their first driver row) ---
+    "q_dedup_apply": q_dedup_apply,
+    "q_train_split": q_train_split,
     "q_posexplode": q_posexplode,
     "q_collect_agg": q_collect_agg,
     "q_epoch_arith": q_epoch_arith,
     "q_sql_surrogate_keys": q_sql_surrogate_keys,
     "q_sessionize": q_sessionize,
     "q_funnel": q_funnel,
-    # --- r01-green, evicted from the r02 window (14) ---
+    # --- r01-green, evicted from the r02 window ---
     "q_window_rank": q_window_rank,
-    "q_window_running": q_window_running,
     "q_window_range_frame": q_window_range_frame,
     "q_ntile_percent_rank": q_ntile_percent_rank,
     "q_string_null_funcs": q_string_null_funcs,
@@ -1525,7 +1559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
-    # --- driver-green in CORRECTNESS_r02 (rotated behind the 50-slot window) ---
+    # --- rotated behind the 50-slot window (driver-green r01/r02 rows stand) ---
+    "q_window_running": q_window_running,
     "q_project_cast_alias": q_project_cast_alias,
     "q_filter_conj": q_filter_conj,
     "q_filter_notnull": q_filter_notnull,
