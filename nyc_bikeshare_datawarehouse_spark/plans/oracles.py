@@ -9,8 +9,9 @@ Parity pins (SURVEY §7.4):
 - `range(ts, ts, interval)` is stop-exclusive (generate_series is NOT).
 - session gaps in exact microseconds (epoch_us) on both sides.
 
-Every SQL-expressible query has an entry here (including all 17 TPC-H
-shapes). The 8 queries with no entry are genuinely non-SQL-expressible —
+Every SQL-expressible query has an entry here (all 17 TPC-H shapes, the
+dedup/sampling/split family, and the SCD/CDC/profile warehouse ops).
+The 8 queries with no entry are genuinely non-SQL-expressible —
 minhash/simhash/SRP LSH (engine-specific hash lattices), IVF ANN, the
 multimodal codec path, the composed text pipeline, and the two approx
 sketches (engine-specific estimates) — and get rows-only determinism
@@ -817,6 +818,101 @@ ORACLES: dict[str, str] = {
                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                        % 10000 AS bucket
             FROM documents
+        )
+    """,
+    "q_stratified_sample": """
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 AS bucket
+            FROM documents
+        )
+        WHERE (lang = 'en' AND bucket < 2500)
+           OR (lang = 'de' AND bucket < 5000)
+           OR (lang = 'zh' AND bucket < 10000)
+    """,
+    "q_scd1_merge": """
+        WITH t AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+             u AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal + 100 AS c_acctbal,
+                       'UPDATED' AS c_mktsegment
+                FROM customer WHERE c_custkey % 2 = 0
+             )
+        SELECT
+            CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE t.c_custkey END AS c_custkey,
+            CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+            CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+            CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+            CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+    """,
+    "q_cdc_changed_rows": """
+        WITH o AS (SELECT * FROM customer WHERE c_custkey % 5 <> 0),
+             n AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50
+                            ELSE c_acctbal END AS c_acctbal,
+                       c_mktsegment
+                FROM customer WHERE c_custkey % 7 <> 0
+             )
+        SELECT c_custkey, change_type FROM (
+            SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+                   CASE
+                       WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NULL THEN 'removed'
+                       WHEN o.c_custkey IS NULL AND n.c_custkey IS NOT NULL THEN 'added'
+                       WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                            AND (o.c_name      IS DISTINCT FROM n.c_name
+                              OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                              OR o.c_acctbal   IS DISTINCT FROM n.c_acctbal
+                              OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                           THEN 'updated'
+                   END AS change_type
+            FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+        )
+        WHERE change_type IS NOT NULL
+    """,
+    "q_scd2_history": """
+        WITH s AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus,
+                   LAG(o_orderstatus) OVER w AS prev,
+                   LAG(o_orderkey) OVER w AS prev_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ),
+        starts AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus
+            FROM s
+            WHERE prev_key IS NULL OR o_orderstatus IS DISTINCT FROM prev
+        )
+        SELECT o_custkey, o_orderstatus,
+               o_orderkey AS valid_from,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to
+        FROM starts
+    """,
+    "q_quality_profile": """
+        WITH agg AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(o_orderkey) AS k1, COUNT(DISTINCT o_orderkey) AS d1,
+                   COUNT(o_custkey) AS k2, COUNT(DISTINCT o_custkey) AS d2,
+                   COUNT(o_orderstatus) AS k3, COUNT(DISTINCT o_orderstatus) AS d3,
+                   COUNT(o_totalprice) AS k4, COUNT(DISTINCT o_totalprice) AS d4,
+                   COUNT(o_orderdate) AS k5, COUNT(DISTINCT o_orderdate) AS d5,
+                   COUNT(o_orderpriority) AS k6, COUNT(DISTINCT o_orderpriority) AS d6
+            FROM orders
+        )
+        SELECT col_name,
+               CAST(n_nulls AS BIGINT) AS n_nulls,
+               n_nulls / n AS null_ratio,
+               CAST(n_distinct AS BIGINT) AS n_distinct
+        FROM (
+            SELECT 'o_orderkey' AS col_name, n - k1 AS n_nulls, d1 AS n_distinct, n FROM agg
+            UNION ALL SELECT 'o_custkey', n - k2, d2, n FROM agg
+            UNION ALL SELECT 'o_orderstatus', n - k3, d3, n FROM agg
+            UNION ALL SELECT 'o_totalprice', n - k4, d4, n FROM agg
+            UNION ALL SELECT 'o_orderdate', n - k5, d5, n FROM agg
+            UNION ALL SELECT 'o_orderpriority', n - k6, d6, n FROM agg
         )
     """,
     "q_dedup_clusters_pruned": """

@@ -1408,6 +1408,84 @@ def q_train_split(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (operators/sampling.py
+    `stratified_hash_sample`): different keep-rates per language, strata
+    absent from the rate map dropped entirely. Same engine-portable md5
+    buckets as q_train_split, so the exact row set is oracle-checkable."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 0.25, "de": 0.5, "zh": 1.0},
+    )
+
+
+def q_scd1_merge(spark, sf_dir):
+    """SCD1 upsert (operators/merge.py `merge_upsert`): updates replace
+    same-key target rows wholesale (a legitimate NULL in an update column
+    survives — per-column coalesce would resurrect stale values); unmatched
+    updates are inserts. One full-outer join on the key. Target/update
+    sets are deterministic slices of `customer` so the merged table is
+    plain SQL."""
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0)
+    updates = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    return merge_upsert(target, updates, "c_custkey")
+
+
+def q_cdc_changed_rows(spark, sf_dir):
+    """CDC snapshot diff (operators/merge.py `changed_rows`): one row per
+    key that was added / removed / updated between two snapshots, via a
+    full-outer join + null-safe row comparison. Unchanged keys drop out."""
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import changed_rows
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 5 != 0)
+    new = c.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 4 == 0, F.col("c_acctbal") + 50).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return changed_rows(old, new, "c_custkey")
+
+
+def q_scd2_history(spark, sf_dir):
+    """Type-2 SCD history (operators/merge.py `scd2_history`): collapse a
+    keyed snapshot stream into value-versions with valid_from/valid_to
+    (null = current). `o_orderkey` is the version stamp — unique per row,
+    so the per-key ordering (and therefore the output) is total."""
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    snapshots = o.select("o_custkey", "o_orderkey", "o_orderstatus")
+    return scd2_history(snapshots, "o_custkey", "o_orderkey", ["o_orderstatus"])
+
+
+def q_quality_profile(spark, sf_dir):
+    """Column-level data profile (warehouse/quality.py `profile_frame`):
+    per column — null count, null ratio, exact distinct count, computed in
+    ONE aggregate pass regardless of column count, reshaped to rows by a
+    1-row explode (no driver round-trip). The pre-gate inspection the
+    reference's data_quality.py implies but never implements."""
+    from nyc_bikeshare_datawarehouse_spark.warehouse.quality import profile_frame
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_frame(o)
+
+
 def q_near_dup_minhash(spark, sf_dir):
     """MinHash-LSH near-duplicate candidates (banded signatures; rows-only
     check — not SQL-expressible)."""
@@ -1559,6 +1637,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
+    # --- new in round 3, declared past the window (first in line for r04 rotation) ---
+    "q_stratified_sample": q_stratified_sample,
+    "q_scd1_merge": q_scd1_merge,
+    "q_cdc_changed_rows": q_cdc_changed_rows,
+    "q_scd2_history": q_scd2_history,
+    "q_quality_profile": q_quality_profile,
     # --- rotated behind the 50-slot window (driver-green r01/r02 rows stand) ---
     "q_window_running": q_window_running,
     "q_project_cast_alias": q_project_cast_alias,

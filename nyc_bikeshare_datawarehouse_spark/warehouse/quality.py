@@ -89,6 +89,34 @@ def profile(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
     return spark.createDataFrame(out, "column string, n_nulls long, null_ratio double, n_distinct long")
 
 
+def profile_frame(df: DataFrame) -> DataFrame:
+    """`profile` without the driver round-trip: the same one-pass aggregate,
+    reshaped to one-row-per-column entirely in the plan (explode over a
+    struct array on the single agg row). Exact distinct counts, so the
+    result is oracle-checkable; null_ratio is the raw IEEE quotient
+    (bit-identical across engines — no rounding needed).
+
+    One wide aggregate job regardless of column count, then a 1-row
+    explode: the reshape costs nothing at any scale."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                (F.col(f"__nulls_{c}") / F.col("__n")).alias("null_ratio"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in df.columns
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
 def check_all(
     fact: DataFrame,
     table: str,
