@@ -108,6 +108,41 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "event_type") -> 
     return events.join(F.broadcast(dim), on)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join with a time-interval condition — the
+    funnel primitive (left event followed by a right event from the same
+    key within `within`). Both sides carry watermarks AND the join
+    condition bounds right.ts to [left.ts, left.ts + within]: that pair is
+    what lets Spark expire join state — without the interval bound the
+    state grows forever. Inner interval joins emit in append mode, so
+    results land exactly once as the watermark closes each window.
+
+    Batch twin: the identical join condition over two static frames
+    (tested equivalent in tests/test_streaming.py)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("__rkey"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop("__rkey")
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,

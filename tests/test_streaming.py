@@ -153,3 +153,28 @@ def test_sliding_counts_total(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "events").count()
     assert total == n * 4  # every event lands in exactly window/slide = 4 buckets
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    # click followed by a same-user purchase within 1 hour: run the SAME
+    # interval join as stream-stream (append mode) and as a static join
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    stream = se.stream_events(spark, sf_dir)
+    joined = se.stream_stream_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    assert joined.isStreaming
+    se.run_available_now(joined, "t_ssj", "append")
+    got = rows_set(spark.table("t_ssj"))
+
+    ev = load_table(spark, sf_dir, "events")
+    want = rows_set(
+        se.stream_stream_interval_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+    )
+    assert len(want) > 0
+    assert got == want
