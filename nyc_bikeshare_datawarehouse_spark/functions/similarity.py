@@ -130,16 +130,29 @@ def cosine_near_dup_lsh(
     """Embedding near-duplicate pairs: SRP-LSH buckets, then exact cosine
     verify inside buckets only. Join key is (band, chunk) — small ints —
     so the shuffle is tiny; the expensive exact cosine runs only on
-    candidate pairs."""
+    candidate pairs.
+
+    Slim-postings shape (same trick as dedup.ngram_jaccard_pairs): ids
+    only through the bucket join and the pair dedup, vectors re-attached
+    by id just before the verify. At sf0.1 this costs ~2s of extra stage
+    overhead (two more broadcast joins on a 6s query), but the dedup
+    exchange shrinks 465 MB -> 7 MB; at 1B x 512-dim the non-slim form
+    would shuffle the vector column 2*bands times (~16 TB) versus ~100 GB
+    slim — the sf0.1 penalty is the right trade."""
     width = n_planes // bands
     # explode(array(...)) barrier: stops CollapseProject from inlining the
     # signature expression into every band chunk (see dedup._materialized)
     sig = df.select(
-        id_col, vec_col, F.explode(F.array(srp_signature(vec_col, dim, n_planes))).alias("sig")
+        id_col, F.explode(F.array(srp_signature(vec_col, dim, n_planes))).alias("sig")
     )
+    # SLIM postings: the bucket join and the pair dedup move (band, chunk,
+    # id) only — never the vectors. A dim-d embedding is ~8d bytes; carrying
+    # it through a ×bands exploded self-join and a pair-dedup exchange
+    # multiplies shuffle volume by 2·bands·8d per row. Vectors attach to
+    # the (much smaller) deduped candidate list by id, right before the
+    # exact verify.
     chunks = sig.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(*[
                 F.struct(
@@ -151,18 +164,21 @@ def cosine_near_dup_lsh(
                 for b in range(bands)
             ])
         ).alias("bc"),
-    ).select(id_col, vec_col, "bc.band", "bc.chunk")
+    ).select(id_col, "bc.band", "bc.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    cand = (
         a.join(b, on=["band", "chunk"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(id_col, vec_col)
+    pairs = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b")
     )
     return (
         pairs.select(
