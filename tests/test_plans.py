@@ -86,3 +86,28 @@ def test_ntile_percent_rank_window_is_partitioned(spark, sf_dir):
     assert all("__bucket" in s for s in data_specs), data_specs
     # offsets + totals broadcast back, never a full-data shuffle to one task
     assert "BroadcastExchange" in plan
+
+
+def test_quality_profile_single_agg_no_join(spark, sf_dir):
+    # one wide aggregate + a 1-row explode: no join, exactly the agg exchange
+    plan = plan_of(spark, sf_dir, "q_quality_profile")
+    assert "Join" not in plan
+    assert n_exchanges(plan) == 1
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_scd1_merge_single_join_pruned_scans(spark, sf_dir):
+    # one full-outer join on the key; both sides scan customer only once each
+    plan = plan_of(spark, sf_dir, "q_scd1_merge")
+    assert plan.count("FullOuter") == 1
+    assert plan.count("customer.parquet") == 2
+
+
+def test_embed_near_dup_shuffles_ids_not_vectors(spark, sf_dir):
+    # the slim-postings property: every hash exchange moves id/band/chunk
+    # rows only — the embedding column must never appear in exchange output
+    plan = plan_of(spark, sf_dir, "q_embed_near_dup")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1)
+    # vectors re-attach via broadcast at this scale (no vector shuffle at all)
+    assert plan.count("BroadcastHashJoin") >= 2
