@@ -202,6 +202,76 @@ def minhash_lsh_candidates(
     return pairs.select("id_a", "id_b", F.round(match_frac, 4).alias("est_jaccard"))
 
 
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with ENGINE-PORTABLE hash functions:
+    h_i(s) = first 60 bits of md5(i || ':' || shingle), so the ENTIRE
+    pipeline — k min-hashes, banded signature, bucket self-join — computes
+    identically in any SQL engine and is oracle-checkable end to end
+    (`q_minhash_portable`). The xxhash64 variant above is the faster
+    production path; THIS one exists to prove the lattice's semantics
+    against an independent engine, the same exact/pruned split used for
+    n-gram Jaccard.
+
+    Same 100 TB shape as the production variant: shuffles carry
+    (id, band, band_sig) only; the expensive md5s happen map-side in one
+    projection."""
+    rows_per_band = n_hashes // bands
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    ).dropDuplicates()
+    # one md5 per (shingle, i): posexplode the k-hash array computed in a
+    # single transform so the shingle string is hashed k times map-side
+    hashed = sh.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("s"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("i", "h"),
+    )
+    sig = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+    band_sigs = (
+        sig.withColumn("band", (F.col("i") / F.lit(rows_per_band)).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+
+
 def minhash_ml_candidates(
     df: DataFrame,
     text_col: str = "text",

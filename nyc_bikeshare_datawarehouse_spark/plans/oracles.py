@@ -915,6 +915,29 @@ ORACLES: dict[str, str] = {
             UNION ALL SELECT 'o_orderpriority', n - k6, d6, n FROM agg
         )
     """,
+    "q_minhash_portable": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM toks WHERE len(t) >= 2
+        ), hashes AS (
+            SELECT doc_id, i,
+                   MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range(12)) AS i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 3 AS band,
+                   md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_sig
+            FROM hashes GROUP BY doc_id, i // 3
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    """,
     "q_dedup_clusters_pruned": """
         WITH RECURSIVE toks AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -1486,6 +1486,20 @@ def q_quality_profile(spark, sf_dir):
     return profile_frame(o)
 
 
+def q_minhash_portable(spark, sf_dir):
+    """MinHash-LSH candidates with engine-portable md5 hash functions
+    (functions/dedup.py `minhash_lsh_candidates_portable`): the one LSH
+    lattice in the inventory whose ENTIRE pipeline — k min-hashes, band
+    signatures, bucket join — is reproducible in plain SQL, so it carries
+    a full DuckDB oracle where the xxhash64 production variant can only be
+    rows-only checked."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    return dedup.minhash_lsh_candidates_portable(
+        d2, "text", "doc_id", n_hashes=12, bands=4, shingle_n=2
+    )
+
+
 def q_near_dup_minhash(spark, sf_dir):
     """MinHash-LSH near-duplicate candidates (banded signatures; rows-only
     check — not SQL-expressible)."""
@@ -1643,6 +1657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdc_changed_rows": q_cdc_changed_rows,
     "q_scd2_history": q_scd2_history,
     "q_quality_profile": q_quality_profile,
+    "q_minhash_portable": q_minhash_portable,
     # --- rotated behind the 50-slot window (driver-green r01/r02 rows stand) ---
     "q_window_running": q_window_running,
     "q_project_cast_alias": q_project_cast_alias,
