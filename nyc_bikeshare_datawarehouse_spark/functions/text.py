@@ -141,3 +141,121 @@ def rolling_hash_fingerprint(text_col: str | Column, n: int = 3) -> Column:
     one-permutation sketch). A cheap single-value document signature whose
     equality implies high shingle overlap probability."""
     return F.array_min(F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)))
+
+
+def with_token_budget(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Token-budget curation: keep documents, in deterministic priority
+    order, until a token budget is exhausted — the standard "take the best
+    N billion tokens" selection step of a pre-training data pipeline
+    (reference analog: the corpus-trimming stage of scripts/etl.py).
+
+    Order within a stratum is (priority DESC, id ASC) — unique, so the
+    running total is well-defined; a document is kept iff the cumulative
+    token count INCLUDING it stays within budget (a doc larger than the
+    remaining budget is skipped along with everything after it, keeping
+    the kept set prefix-closed and engine-reproducible).
+
+    Scale: the cumulative sum is a window partitioned by `stratum_col`
+    (language/source/shard) — one shuffle on the stratum key, each
+    stratum's prefix sum computed independently. The unstratified form
+    degenerates to a single-partition window; at 100 TB always pass a
+    stratum (per-language budgets are what pipelines want anyway).
+    """
+    from pyspark.sql import Window
+
+    parts = [stratum_col] if stratum_col else []
+    order = ([F.desc(priority_col)] if priority_col else []) + [F.asc(id_col)]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(text_col)
+    out_cols = [id_col] + ([stratum_col] if stratum_col else [])
+    return (
+        df.select(*out_cols, *([priority_col] if priority_col else []),
+                  n_tok.cast("int").alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(*out_cols, "n_tokens", "cum_tokens")
+    )
+
+
+def concat_chunk_spans(
+    df: DataFrame,
+    context_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing, span view: documents are laid
+    end-to-end in deterministic order (id ASC within a stratum) and the
+    token stream is sliced into fixed `context_len` windows — the standard
+    GPT-style packing step. Returns, per document, its token offsets and
+    the chunk ids it lands in (a doc may straddle a chunk boundary):
+    start_offset / first_chunk / last_chunk / n_chunks.
+
+    Everything is a prefix sum + integer arithmetic — no tokenized text
+    moves through the shuffle, only (id, n_tokens). Same scale shape as
+    `with_token_budget`: one window partitioned by the stratum key.
+    Empty documents are dropped (they occupy no span).
+    """
+    from pyspark.sql import Window
+
+    parts = [stratum_col] if stratum_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [id_col] + ([stratum_col] if stratum_col else [])
+    L = F.lit(context_len).cast("long")
+    end = F.sum("n_tokens").over(w).cast("long")
+    return (
+        df.select(*out_cols, token_count(text_col).cast("int").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .withColumn("start_offset", end - F.col("n_tokens"))
+        .withColumn("first_chunk", (F.col("start_offset") / L).cast("long"))
+        .withColumn(
+            "last_chunk",
+            ((F.col("start_offset") + F.col("n_tokens") - 1) / L).cast("long"),
+        )
+        .withColumn("n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1))
+        .select(
+            *out_cols, "n_tokens", "start_offset", "first_chunk", "last_chunk",
+            "n_chunks",
+        )
+    )
+
+
+def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two histogram of document token counts — the length-
+    distribution profile a packing/curation pipeline reads first. Bucket
+    b holds docs with n_tokens in [2^(b-1), 2^b); computed as the binary
+    bit-length of n_tokens (exact integer arithmetic — no float log2,
+    whose .9999 edge cases differ between engines).
+
+    Pure two-level aggregation: map-side partial agg, one exchange on the
+    ~60 distinct buckets; scans only the text column."""
+    n_tok = token_count(text_col)
+    bucket = F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("int")
+    return (
+        df.select(n_tok.cast("int").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .select(bucket.alias("bit_bucket"), "n_tokens")
+        .groupBy("bit_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("bit_bucket")
+    )
