@@ -137,9 +137,8 @@ def main() -> None:
         timings[name] = round(run_query(spark, name, sf_dir, repeats=3), 3)
     total = round(sum(timings.values()), 3)
 
-    # best-of-2 like the headline tier: the heavy tier tracks the most
-    # expensive family, so it needs the same noise damping for
-    # round-over-round comparisons to mean anything
+    # best-of-2 (headline gets best-of-3): same noise-damping idea at
+    # lower cost for the multi-second heavy queries
     heavy: dict[str, float] = {}
     for name in HEAVY:
         heavy[name] = round(run_query(spark, name, sf_dir, repeats=2), 3)

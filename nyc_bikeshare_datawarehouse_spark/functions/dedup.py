@@ -310,6 +310,45 @@ def minhash_ml_candidates(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard VERIFY stage for LSH candidate pairs: the true
+    shingle Jaccard computed for each candidate pair ONLY — never all
+    pairs. This is the middle of the production lattice (candidates →
+    VERIFY → cluster → apply): LSH recall is probabilistic, the verify
+    makes the kept edges exact, so downstream clustering is deterministic
+    and engine-checkable.
+
+    Scale: every shuffle key is an id. The per-doc distinct-shingle
+    arrays attach to the (LSH-pruned) pair list via two id joins —
+    candidate pairs are a small fraction of the corpus, so AQE picks
+    broadcast/shuffled-hash by actual size — and the set intersection
+    runs per pair inside codegen (array_intersect), O(|a|+|b|) per row.
+    Jaccard is floor-truncated to 4 decimals (`_trunc` rule) so the
+    threshold compare is bit-identical across engines."""
+    sets = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    p = (
+        pairs.select("id_a", "id_b")
+        .join(sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")), "id_b")
+    )
+    n_inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    n_union = (F.size("__sa") + F.size("__sb")).cast("double") - n_inter
+    j = F.floor(n_inter / n_union * 10000) / 10000
+    return (
+        p.select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def cluster_duplicates(
     pairs: DataFrame,
     all_ids: DataFrame,
@@ -356,6 +395,7 @@ def cluster_duplicates(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -380,7 +420,17 @@ def cluster_duplicates(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a component with diameter > max_iters would get WRONG cluster ids
+        # silently — at larger corpora long chains are real. Fail loudly;
+        # callers with known-deep graphs raise max_iters (convergence is
+        # O(diameter) rounds of min-label propagation).
+        raise RuntimeError(
+            f"cluster_duplicates did not converge in {max_iters} iterations; "
+            "a component has diameter > max_iters — raise max_iters"
+        )
     # rejoin singletons: every id not in any edge keeps its own label
     return all_ids.select(F.col(id_col)).join(
         labels, all_ids[id_col] == labels.node, "left"

@@ -216,16 +216,17 @@ def concat_chunk_spans(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out_cols = [id_col] + ([stratum_col] if stratum_col else [])
-    L = F.lit(context_len).cast("long")
     end = F.sum("n_tokens").over(w).cast("long")
     return (
         df.select(*out_cols, token_count(text_col).cast("int").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 1)
         .withColumn("start_offset", end - F.col("n_tokens"))
-        .withColumn("first_chunk", (F.col("start_offset") / L).cast("long"))
+        # integer division (`div`), not double division + cast: offsets are
+        # exact longs and must stay exact past 2^53 tokens
+        .withColumn("first_chunk", F.expr(f"start_offset div {int(context_len)}"))
         .withColumn(
             "last_chunk",
-            ((F.col("start_offset") + F.col("n_tokens") - 1) / L).cast("long"),
+            F.expr(f"(start_offset + n_tokens - 1) div {int(context_len)}"),
         )
         .withColumn("n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1))
         .select(

@@ -540,7 +540,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_collect_agg": """
         SELECT l_orderkey,
-               list_sort(list(l_linenumber)) AS line_numbers,
+               array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
                COUNT(*) AS n_lines
         FROM lineitem
         GROUP BY l_orderkey
@@ -987,5 +987,125 @@ ORACLES: dict[str, str] = {
         FROM embeddings e, p
         ORDER BY cosine_sim DESC, e.vec_id
         LIMIT 10
+    """,
+    "q_token_budget": """
+        WITH toks AS (
+            SELECT doc_id, lang, n_chars,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, CAST(nt AS INTEGER) AS n_tokens,
+                   CAST(SUM(nt) OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 2000
+    """,
+    "q_chunk_spans": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, lang, CAST(nt AS INTEGER) AS n_tokens,
+                   CAST(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - nt AS BIGINT) AS start_offset
+            FROM toks WHERE nt >= 1
+        )
+        SELECT doc_id, lang, n_tokens, start_offset,
+               CAST(start_offset // 512 AS BIGINT) AS first_chunk,
+               CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS last_chunk,
+               CAST((start_offset + n_tokens - 1) // 512
+                    - start_offset // 512 + 1 AS BIGINT) AS n_chunks
+        FROM spans
+    """,
+    "q_length_histogram": """
+        WITH toks AS (
+            SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+            FROM documents
+        ), b AS (
+            SELECT CAST(nt AS INTEGER) AS n_tokens,
+                   CAST(length(bin(CAST(nt AS INTEGER))) AS INTEGER) AS bit_bucket
+            FROM toks WHERE nt >= 1
+        )
+        SELECT bit_bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM b GROUP BY bit_bucket
+    """,
+    "q_late_data": """
+        WITH wm AS (
+            SELECT user_id, MAX(ts) AS mx FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type
+        FROM events e JOIN wm USING (user_id)
+        WHERE e.ts >= wm.mx - INTERVAL 2 HOUR
+    """,
+    "q_multimodal_features": """
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(CAST(('0x' || substring(sha256(text), 1, 8)) AS UBIGINT) // 2
+                    AS INTEGER) AS sha
+        FROM documents
+    """,
+    "q_dedup_pipeline": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM toks WHERE len(t) >= 2
+        ), hashes AS (
+            SELECT doc_id, i,
+                   MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range(12)) AS i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 3 AS band,
+                   md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_sig
+            FROM hashes GROUP BY doc_id, i // 3
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                         AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+            GROUP BY c.id_a, c.id_b
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT doc_id AS node, doc_id AS lab FROM documents
+            UNION
+            SELECT e.dst AS node, r.lab
+            FROM reach r JOIN edges e ON e.src = r.node
+        ), clusters AS (
+            SELECT node AS doc_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+        WHERE c.doc_id = c.cluster_id
     """,
 }

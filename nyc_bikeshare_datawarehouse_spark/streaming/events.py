@@ -143,6 +143,37 @@ def stream_stream_interval_join(
     return l.join(r, cond, "inner").drop("__rkey")
 
 
+def drop_late_rows(
+    events: DataFrame,
+    delay: str = "2 hours",
+    ts_col: str = "ts",
+    key: str | None = None,
+) -> DataFrame:
+    """Batch expression of watermark late-row dropping: keep a row iff
+    `ts >= max(ts) - delay` — exactly the rows a fully-caught-up
+    streaming watermark (`withWatermark(ts, delay)`) would still accept
+    into open state. Keyed form (`key=...`) scopes the high-water mark
+    per key (the per-source/per-partition watermark generalization);
+    global form matches Spark's single global watermark.
+
+    Scale: the global max is a 1-row aggregate broadcast back over the
+    stream (no window, no single-partition sort); the keyed max is a
+    groupBy on the key joined back on the key — Catalyst/AQE picks
+    broadcast vs sort-merge by the key-side size (a billion-key watermark
+    table must NOT be forced broadcast).
+    """
+    if key is None:
+        mx = events.agg(F.max(ts_col).alias("__mx"))
+        out = events.crossJoin(F.broadcast(mx))
+    else:
+        mx = events.groupBy(key).agg(F.max(ts_col).alias("__mx"))
+        out = events.join(mx, key)
+    return (
+        out.filter(F.col(ts_col) >= F.col("__mx") - F.expr(f"INTERVAL {delay}"))
+        .drop("__mx")
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -80,6 +80,17 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
+        # The DRIVER's hasher cannot canonicalize non-scalar columns (its
+        # pandas sort dies on 'unhashable type: list' — r03 q_collect_agg
+        # ERR). Reject them here so the break is caught pre-driver:
+        # serialize arrays/structs/maps before the contract boundary.
+        bad = [f"{c}:{t}" for c, t in sdf.dtypes
+               if t.startswith(("array", "struct", "map", "binary"))]
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: non-scalar output columns (driver hasher "
+                  f"cannot canonicalize them): {bad}")
+            continue
         if name not in oracles:
             # rows-only queries still must be deterministic: execute twice
             # and require identical value hashes
