@@ -396,7 +396,11 @@ def cluster_duplicates(
         "cluster_id", F.col("node")
     )
     converged = False
-    for _ in range(max_iters):
+    # max_iters counts label-UPDATE rounds; a graph whose last update lands
+    # exactly on round max_iters is already converged, but the changed==0
+    # probe that proves it runs inside the next round — so run up to
+    # max_iters + 1 rounds and treat changed==0 as the only termination.
+    for _ in range(max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")

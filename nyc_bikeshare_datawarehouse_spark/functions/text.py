@@ -246,7 +246,10 @@ def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     Pure two-level aggregation: map-side partial agg, one exchange on the
     ~60 distinct buckets; scans only the text column."""
     n_tok = token_count(text_col)
-    bucket = F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("int")
+    # bit-length of the already-selected n_tokens column — the expression
+    # must not re-derive token_count(text): text is dropped by the first
+    # select, so referencing it here is an unresolved column.
+    bucket = F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2)).cast("int")
     return (
         df.select(n_tok.cast("int").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 1)

@@ -105,6 +105,29 @@ class TestDedup:
         }
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
+    def test_cluster_duplicates_converges_on_final_round(self, spark):
+        # path 0-1-2-3: min-label needs 3 update rounds (label 0 moves one
+        # hop per round). max_iters=3 means the LAST update lands exactly on
+        # round max_iters — the changed==0 probe runs in round 4 and must
+        # confirm convergence, not raise.
+        pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
+        ids = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.cluster_duplicates(pairs, ids, "doc_id", max_iters=3).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    def test_cluster_duplicates_nonconvergence_still_raises(self, spark):
+        # diameter 4 > max_iters 2: labels are still moving after the
+        # allowed update rounds — must fail loudly, not return wrong ids
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.cluster_duplicates(pairs, ids, "doc_id", max_iters=2).collect()
+
     def test_apply_dedup_keeps_representatives(self, spark):
         pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
         ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "doc_id long")
