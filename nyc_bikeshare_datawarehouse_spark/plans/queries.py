@@ -1632,8 +1632,10 @@ def q_late_data(spark, sf_dir):
     `drop_late_rows`): keep a row iff ts >= max(ts) - 2h within its
     user_id — the rows a caught-up per-key watermark still accepts. The
     high-water marks are a groupBy(key) max joined back on the key (no
-    single-partition window); tests/test_streaming.py proves the same
-    filter is what `withWatermark` enforces on the streaming twin."""
+    single-partition window);
+    tests/test_streaming.py::test_drop_late_rows_matches_streaming_watermark
+    proves the same filter is what `withWatermark` enforces on a
+    streaming probe replay."""
     from nyc_bikeshare_datawarehouse_spark.streaming.events import drop_late_rows
 
     e = _t(spark, sf_dir, "events")

@@ -60,6 +60,58 @@ class TestText:
         short = spark.createDataFrame([("a b",)], "text string")
         assert short.select(text.shingles("text", 3).alias("s")).first()["s"] == ["a b"]
 
+    def test_length_histogram_buckets(self, spark):
+        # bucket b = [2^(b-1), 2^b): n_tokens 1 -> b1, {2,3} -> b2,
+        # {4..7} -> b3, 8 -> b4; empty docs are excluded entirely
+        rows = [(i, " ".join(["t"] * n)) for i, n in enumerate([1, 2, 3, 4, 7, 8])]
+        rows.append((99, ""))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["bit_bucket"]: (r["n_docs"], r["min_tokens"], r["max_tokens"], r["sum_tokens"])
+            for r in text.length_histogram(df).collect()
+        }
+        assert got == {1: (1, 1, 1, 1), 2: (2, 2, 3, 5), 3: (2, 4, 7, 11), 4: (1, 8, 8, 8)}
+
+    def test_with_token_budget_prefix_closed(self, spark):
+        # id order, budget 8: cum 3, 7, 12 -> doc 3 exceeds and is dropped
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+            for r in text.with_token_budget(df, 8).collect()
+        }
+        assert got == {1: (3, 3), 2: (4, 7)}
+
+    def test_with_token_budget_stratified_priority(self, spark):
+        # per-stratum budgets: en spends on the higher-priority doc first,
+        # de fills its budget exactly
+        df = spark.createDataFrame(
+            [
+                (1, "en", 1.0, "a b"),
+                (2, "en", 2.0, "a b c"),
+                (3, "de", 1.0, "w x y z"),
+            ],
+            "doc_id long, lang string, prio double, text string",
+        )
+        out = text.with_token_budget(
+            df, 4, priority_col="prio", stratum_col="lang"
+        )
+        got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+        assert got == {2: 3, 3: 4}
+
+    def test_concat_chunk_spans_offsets(self, spark):
+        # id-order token stream 3+5+2, context 4: doc 2 straddles the
+        # chunk-0/1 boundary, doc 3 starts exactly at a boundary
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c d e"), (3, "a b")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["start_offset"], r["first_chunk"], r["last_chunk"], r["n_chunks"])
+            for r in text.concat_chunk_spans(df, 4).collect()
+        }
+        assert got == {1: (0, 0, 0, 1), 2: (3, 0, 1, 2), 3: (8, 2, 2, 1)}
+
 
 class TestDedup:
     def test_exact_dedup(self, spark, docs):
@@ -127,6 +179,26 @@ class TestDedup:
         ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup.cluster_duplicates(pairs, ids, "doc_id", max_iters=2).collect()
+
+    def test_jaccard_verify_pairs_candidates_only(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c d"), (3, "x y z")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        # bigrams {a b, b c} vs {a b, b c, c d}: J = 2/3, floor-truncated
+        # to 4 decimals; (1,3) has J=0 and falls below the threshold
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_verify_pairs(docs, pairs, min_jaccard=0.5).collect()
+        }
+        assert got == {(1, 2): 0.6666}
+        # only candidate pairs are ever scored: (2,3) is absent even at
+        # threshold 0 because it was never in the candidate list
+        got_all = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.jaccard_verify_pairs(docs, pairs, min_jaccard=0.0).collect()
+        }
+        assert got_all == {(1, 2), (1, 3)}
 
     def test_apply_dedup_keeps_representatives(self, spark):
         pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")

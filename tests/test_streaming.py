@@ -178,3 +178,91 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_drop_late_rows_matches_streaming_watermark(spark, tmp_path):
+    # drop_late_rows' contract: it keeps exactly the rows a fully
+    # caught-up streaming watermark would still ACCEPT into state.
+    # Prove it: batch 1 drains the corpus, batch 2 is a single on-time row
+    # at the corpus max (the watermark Spark applies during batch N is
+    # computed from batches 0..N-1, i.e. it lags the progress report by
+    # one batch), batch 3 replays every row under a fresh probe id — the
+    # probes the watermarked stateful agg accepts must equal
+    # drop_late_rows' kept set over the same corpus.
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1)
+    orig = [
+        (i, base + dt.timedelta(minutes=m))
+        for i, m in [(1, 0), (2, 30), (3, 75), (4, 110), (5, 180)]
+    ]
+    mid = [(50, base + dt.timedelta(minutes=180))]  # ties corpus max: cutoff unchanged
+    probes = [(100 + i, ts) for i, ts in orig]
+    schema = "event_id long, ts timestamp"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for name, rows, mtime in [("b1", orig, 1_000), ("b2", mid, 2_000), ("b3", probes, 3_000)]:
+        stage = tmp_path / f"w_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        dest = landing / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))  # file mtime orders the micro-batches
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing))
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "30 minutes").alias("win"), "event_id")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_probe")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    accepted = {
+        r["event_id"] - 100
+        for r in spark.table("t_late_probe").filter("event_id >= 100").collect()
+    }
+    kept = {
+        r["event_id"]
+        for r in se.drop_late_rows(
+            spark.createDataFrame(orig, schema), "2 hours", ts_col="ts"
+        ).collect()
+    }
+    # watermark = 3:00 - 2h = 1:00 -> rows at 0:00 and 0:30 are late
+    assert accepted == kept == {3, 4, 5}
+    assert dropped == 2
+
+
+def test_drop_late_rows_keyed_per_key_cutoff(spark):
+    # keyed form: each key's high-water mark is its OWN max(ts), so a row
+    # late for one key can be on time for another
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", 1, base + dt.timedelta(hours=0)),
+        ("a", 2, base + dt.timedelta(hours=5)),   # key a cutoff: 3:00
+        ("b", 3, base + dt.timedelta(hours=0)),
+        ("b", 4, base + dt.timedelta(hours=1)),   # key b cutoff: -1:00 -> all kept
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    kept = {
+        r["event_id"]
+        for r in se.drop_late_rows(df, "2 hours", key="user_id").collect()
+    }
+    assert kept == {2, 3, 4}
