@@ -175,16 +175,39 @@ def cosine_near_dup_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = df.select(id_col, vec_col)
+    # Per-VECTOR norms computed once here (explode(array) barrier stops
+    # CollapseProject from re-inlining the aggregate into every pair) —
+    # the per-PAIR verify is then a single zip_with dot product. Without
+    # this, cosine() recomputes both norms for every candidate pair:
+    # 3× the higher-order-function work on the hot path.
+    vecs = df.select(id_col, _vec(vec_col).alias("__v")).select(
+        id_col, "__v", F.explode(F.array(l2_norm("__v"))).alias("__n")
+    )
     pairs = (
-        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a")
-        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b")
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
     )
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+            # raw zip_with dot — __va/__vb are pre-cast doubles, so skip
+            # _vec()'s per-pair cast-transform array copy
+            F.round(
+                F.aggregate(
+                    F.zip_with("__va", "__vb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= min_cosine)
     )

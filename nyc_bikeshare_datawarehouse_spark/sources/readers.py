@@ -104,11 +104,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-corpus table: `{sf_dir}/{name}.parquet`.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs (legacy
-    conf, set only around the footer read) and truncate to a µs timestamp —
-    the same ns→µs floor DuckDB applies, so both engines see identical
-    values."""
+    `events.ts` is stored as parquet TIMESTAMP(NANOS). Spark ≥4.1 reads it
+    natively as TIMESTAMP_NTZ (µs truncation, same floor DuckDB applies);
+    older Sparks reject it ([PARQUET_TYPE_ILLEGAL]) unless the
+    `nanosAsLong` legacy conf is on, in which case ts arrives as a raw ns
+    long. `_load_events` handles both, normalizing to a UTC TIMESTAMP so
+    downstream date-part/window semantics are version-independent."""
     # Date-part semantics (hour/day/dow) must not depend on whatever zone
     # the *caller's* session was built with — pin UTC (runtime-settable).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -118,15 +119,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The conf must stay set for the lifetime of the (lazy) plan — the
-    # parquet reader consults it at execution time, not just at schema
-    # resolution. It only affects ns-typed columns, so leaving it on is
-    # safe for every other table.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Older Sparks need the legacy conf to read TIMESTAMP(NANOS) at all
+    # (as a raw ns long); Spark ≥4.1 ignores/removes it and reads NTZ
+    # natively. Set it when settable, then branch on the dtype we got.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # ns since epoch → floor to µs (matches DuckDB's ns→µs cast).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Native NTZ read: wall-clock equals the UTC instant (corpus is UTC);
+    # cast under the pinned-UTC session for dtype parity with the old path.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] | None = None) -> dict[str, DataFrame]:

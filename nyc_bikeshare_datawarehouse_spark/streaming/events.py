@@ -22,16 +22,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events schema as stored (ts is ns in parquet -> read as long, converted
-#: below; streaming readers require an explicit schema).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),  # ns since epoch (nanosAsLong)
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Schema of events.parquet as THIS Spark reads it (streaming readers
+    require an explicit schema). ts is parquet TIMESTAMP(NANOS): Spark ≥4.1
+    reads it natively as TIMESTAMP_NTZ; older Sparks need the nanosAsLong
+    legacy conf and surface a raw ns long. A batch footer read (zero data
+    scanned) tells us which contract applies."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def stream_events(
@@ -41,14 +42,22 @@ def stream_events(
 ) -> DataFrame:
     """File-source stream over the events parquet with the same ns->µs
     normalization as the batch reader (sources/readers.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(raw)
+
+
+def _normalize_ts(raw: DataFrame) -> DataFrame:
+    """ns-long (legacy read) or TIMESTAMP_NTZ (native ≥4.1 read) → UTC
+    TIMESTAMP, identical to the batch reader's normalization."""
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -101,12 +101,11 @@ def test_dedup_stream_removes_replays(spark, sf_dir, tmp_path):
     shutil.copy(src, landing / "events_a.parquet")
     shutil.copy(src, landing / "events_b.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(se.EVENTS_RAW_SCHEMA)
+    schema = se._events_raw_schema(spark, sf_dir)
+    raw = se._normalize_ts(
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(landing))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     q = (
         se.dedup_stream(raw, ["event_id"], "10 minutes")
