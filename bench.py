@@ -67,6 +67,7 @@ HEADLINE = [
 HEAVY = [
     "q_text_pipeline",
     "q_ngram_jaccard",
+    "q_dedup_pipeline",
     "q_dedup_clusters",
     "q_dedup_clusters_pruned",
     "q_near_dup_minhash",
