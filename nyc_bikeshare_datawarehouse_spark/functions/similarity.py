@@ -422,3 +422,40 @@ def ivf_probe_partitioned(
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 5,
+) -> DataFrame:
+    """Element-wise mean vector per group (class centroids / mean pooling),
+    returned in LONG form: (group, pos, centroid) — scalar columns an
+    external oracle can hash, and the shape a downstream join-by-position
+    consumes.
+
+    Scale shape: ONE groupBy over the group key with `dim` avg aggregates
+    (map-side partial agg, one exchange of dim doubles per group) — NOT
+    posexplode-then-group, which would shuffle dim× the corpus row count.
+    The cheap posexplode to long form happens AFTER aggregation, on
+    |groups| rows."""
+    avgs = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"__c{i}") for i in range(dim)
+    ]
+    wide = df.groupBy(group_col).agg(*avgs)
+    return (
+        wide.select(
+            group_col,
+            F.posexplode(F.array(*[F.col(f"__c{i}") for i in range(dim)])).alias(
+                "pos", "__v"
+            ),
+        )
+        .select(
+            group_col,
+            "pos",
+            F.round(F.col("__v"), round_to).alias("centroid"),
+        )
+        .orderBy(group_col, "pos")
+    )

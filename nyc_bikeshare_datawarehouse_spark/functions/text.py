@@ -263,3 +263,114 @@ def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("bit_bucket")
     )
+
+
+def portable_hash64(col: str | Column) -> Column:
+    """Engine-portable 60-bit string hash: first 15 hex chars of md5 as a
+    non-negative bigint. Identical in DuckDB as
+    `CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)` — the same trick
+    `dedup.minhash_signature_portable` uses, factored out for reuse by
+    every oracle-checked hashing op. xxhash64 is faster where parity with
+    another engine isn't needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    window: int = 4,
+    out_col: str = "fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm, public literature): hash every n-gram shingle, slide a
+    window of `window` consecutive hashes over the sequence, keep each
+    window's minimum — the distinct kept hashes are the fingerprint set.
+    Guarantees: any shared run of window+shingle_n-1 tokens between two
+    documents yields at least one shared fingerprint, while storing only
+    ~2/(window+1) of all shingle hashes.
+
+    Returns `df` narrowed to (id_col, out_col=array<long>). DataFrame-level
+    (not a Column) because the hash array MUST materialize behind a
+    Generate barrier before the windowing: the per-window lambda references
+    the array once per window, and CollapseProject would otherwise inline
+    the md5 chain into every window — O(shingles x windows) md5 calls per
+    row (measured 32s -> 0.4s at sf0.01). Per-row expression work only —
+    no shuffle, no UDF; the hash is the md5-derived portable form so a SQL
+    oracle can replay it bit-for-bit. Documents shorter than the window
+    keep the minimum of what they have (one fingerprint)."""
+    hashed = df.select(
+        id_col,
+        F.explode(
+            F.array(F.transform(shingles(text_col, shingle_n), lambda s: portable_hash64(s)))
+        ).alias("__hs"),
+    )
+    n_windows = F.greatest(F.size("__hs") - F.lit(window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
+        )
+    )
+    # second barrier: consumers read the fingerprint set more than once
+    # (count + digest) — materialize it once per row too
+    return hashed.select(id_col, F.explode(F.array(fps)).alias(out_col))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag-of-words query
+    (Robertson/Spärck Jones, public literature; Lucene's idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)) so idf is always positive).
+
+    Scale shape: tokens are filtered to the query's terms BEFORE any
+    aggregation, so the only per-corpus shuffle carries (doc, term)
+    postings for matching terms only — O(matches), not O(tokens). The
+    corpus stats (N, avgdl) are a 1-row broadcast; per-term document
+    frequencies are a |query|-row broadcast. Returns (id_col, score)
+    for every document containing >= 1 query term, best first, ties by
+    id; scores rounded to `round_to` so an external oracle's floating
+    point agrees."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    lengths = toks.select(id_col, F.size("__t").cast("double").alias("__dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    terms = [t for t in query_terms]
+    tf = (
+        toks.select(
+            F.col(id_col),
+            F.explode(F.filter("__t", lambda t: t.isin(terms))).alias("__term"),
+        )
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+                * (F.col("__tf") * (k1 + 1))
+                / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl")))
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+    )

@@ -1108,4 +1108,79 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
         WHERE c.doc_id = c.cluster_id
     """,
+    # BM25 (Lucene idf). The arithmetic mirrors the Spark expression
+    # SHAPE (tf + 1.2*(0.25 + 0.75*dl/avgdl); tf*(1.2+1) numerator) so
+    # both engines run the same IEEE op sequence; ROUND(,4) absorbs
+    # summation-order drift.
+    "q_bm25_search": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), lengths AS (
+            SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lengths
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(t, x -> x IN ('spark', 'vector', 'stream'))) AS term
+                FROM toks
+            )
+            GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / s.avgdl))
+               ), 4) AS score
+        FROM tf
+        JOIN dfreq d USING (term)
+        JOIN lengths l ON l.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    """,
+    # Winnowing fingerprints: bigram shingles -> portable 60-bit md5 hash
+    # -> 4-hash sliding window minima -> distinct. hs[i:i+3] is DuckDB's
+    # INCLUSIVE 4-element slice, matching Spark slice(h, i, 4).
+    "q_winnow_fingerprints": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM toks WHERE len(t) >= 1
+        ), h AS (
+            SELECT doc_id,
+                   list_transform(s, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS hs
+            FROM sh
+        ), fp AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       i -> list_min(hs[i:i + 3])
+                   )) AS fps
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(len(fps) AS INTEGER) AS n_fingerprints,
+               md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+        FROM fp
+    """,
+    # Element-wise mean embedding per label; embedding[i+1] is DuckDB's
+    # 1-based index of Spark's 0-based getItem(i). ROUND(,5) absorbs
+    # float-summation order drift.
+    "q_embed_centroids": """
+        SELECT label,
+               CAST(i AS INTEGER) AS pos,
+               ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 5) AS centroid
+        FROM embeddings, (SELECT unnest(range(64)) AS i)
+        GROUP BY label, i
+    """,
 }

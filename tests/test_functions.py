@@ -393,3 +393,74 @@ class TestMultimodal:
         df = multimodal.resize_images(assets, 64, 64)  # plan construction OK
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             df.collect()
+
+
+class TestRoundFiveTextOps:
+    def test_bm25_scores_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spark spark is fast"),
+                (2, "a vector index"),
+                (3, "nothing relevant here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["score"]
+            for r in text.bm25_scores(df, ["spark", "vector"], k1=1.2, b=0.75).collect()
+        }
+        # hand BM25 (Lucene idf), N=3, avgdl=(4+3+3)/3
+        n, avgdl = 3.0, 10.0 / 3.0
+
+        def bm25(tf, dfreq, dl):
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+        assert out[1] == round(bm25(2.0, 1.0, 4.0), 4)
+        assert out[2] == round(bm25(1.0, 1.0, 3.0), 4)
+        assert 3 not in out  # no query term -> not returned
+
+    def test_winnow_shared_run_shares_fingerprint(self, spark):
+        # window=4, shingle_n=2 -> any shared run of 5 tokens must share
+        # at least one fingerprint (the winnowing guarantee)
+        df = spark.createDataFrame(
+            [
+                (1, "p q r s t u v w x"),
+                (2, "zz p q r s t yy ww vv uu"),  # shares the 5-run "p q r s t"
+                (3, "totally disjoint token stream here"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = {
+            r["doc_id"]: set(r["fps"])
+            for r in text.winnow_fingerprints(df, "text", "doc_id").collect()
+        }
+        assert fps[1] & fps[2]
+        assert not (fps[1] & fps[3])
+
+    def test_winnow_short_doc_single_fingerprint(self, spark):
+        df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+        out = text.winnow_fingerprints(df, "text", "doc_id").first()
+        assert len(out["fps"]) == 1  # one shingle -> one window -> one min
+
+    def test_winnow_density(self, spark):
+        # winnowing keeps far fewer hashes than shingling: ~2/(w+1)
+        df = spark.createDataFrame(
+            [(1, " ".join(f"tok{i}" for i in range(200)))], "doc_id long, text string"
+        )
+        out = text.winnow_fingerprints(df, "text", "doc_id", window=4).first()
+        n_shingles = 199
+        assert len(out["fps"]) < n_shingles * 0.6
+
+    def test_group_centroids_exact_means(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], 0),
+                (2, [3.0, 4.0], 0),
+                (3, [10.0, 20.0], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = similarity.group_centroids(df, "label", "embedding", dim=2).collect()
+        got = {(r["label"], r["pos"]): r["centroid"] for r in out}
+        assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
