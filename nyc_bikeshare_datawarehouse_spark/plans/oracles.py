@@ -9,8 +9,10 @@ Parity pins (SURVEY §7.4):
 - `range(ts, ts, interval)` is stop-exclusive (generate_series is NOT).
 - session gaps in exact microseconds (epoch_us) on both sides.
 
-Every SQL-expressible query has an entry here (all 17 TPC-H shapes, the
-dedup/sampling/split family, and the SCD/CDC/profile warehouse ops).
+Every SQL-expressible query has an entry here (all 22 TPC-H shapes —
+Q2/Q9/Q11/Q16/Q20 adapted over a lineitem-derived supply relation, the
+corpus has no partsupp — the dedup/sampling/split family, and the
+SCD/CDC/profile warehouse ops).
 The 8 queries with no entry are genuinely non-SQL-expressible —
 minhash/simhash/SRP LSH (engine-specific hash lattices), IVF ANN, the
 multimodal codec path, the composed text pipeline, and the two approx
@@ -1172,6 +1174,95 @@ ORACLES: dict[str, str] = {
                CAST(len(fps) AS INTEGER) AS n_fingerprints,
                md5(array_to_string(list_sort(fps), ',')) AS fp_digest
         FROM fp
+    """,
+    "q_tpch_q2": """
+        WITH supply AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               FLOOR(ps_supplycost * 100) / 100 AS supplycost
+        FROM part, supply, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size = 15 AND p_type = 'SMALL'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+              SELECT MIN(s2.ps_supplycost)
+              FROM supply s2, supplier, nation, region
+              WHERE s2.ps_partkey = p_partkey AND s_suppkey = s2.ps_suppkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    # per-line integer cents before the SUM (exact, order-independent);
+    # a float SUM drifts by summation order and the 2-decimal floor then
+    # disagrees at .xx boundaries
+    "q_tpch_q9": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                                    - 0.8 * p_retailprice * l_quantity) * 100)
+                             AS BIGINT)) AS BIGINT) / 100 AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "q_tpch_q11": """
+        WITH vals AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS vc
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_7'
+            GROUP BY l_partkey
+        ), total AS (SELECT CAST(SUM(vc) AS BIGINT) AS tc FROM vals)
+        SELECT l_partkey, vc / 100 AS value
+        FROM vals, total
+        WHERE vc * 1000 > tc
+    """,
+    "q_tpch_q16": """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        )
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+          AND p_size IN (1, 14, 23, 45)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q_tpch_q20": """
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+        ), part_total AS (
+            SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+              SELECT sh.l_suppkey
+              FROM shipped sh
+              JOIN part_total pt ON sh.l_partkey = pt.l_partkey
+              JOIN part p ON p.p_partkey = sh.l_partkey
+              WHERE p.p_name LIKE 'small%'
+                AND sh.qty > 0.3 * pt.total_qty
+          )
     """,
     # Element-wise mean embedding per label; embedding[i+1] is DuckDB's
     # 1-based index of Spark's 0-based getItem(i). ROUND(,5) absorbs

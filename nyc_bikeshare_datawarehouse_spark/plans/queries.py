@@ -625,6 +625,179 @@ def q_tpch_q22(spark, sf_dir):
     """)
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the corpus has no
+    partsupp table, so the supply relation derives from lineitem —
+    supplycost(part, supplier) = MIN unit price ever charged. Preserves
+    the Q2 skeleton exactly: region-scoped supplier lattice + correlated
+    scalar MIN subquery on the same lattice, top-100 by account balance.
+    Catalyst decorrelates the subquery to an aggregate + join (same
+    rewrite DuckDB applies)."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q2_v")
+    return spark.sql("""
+        WITH supply AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM lineitem_q2_v GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               FLOOR(ps_supplycost * 100) / 100 AS supplycost
+        FROM part_q2_v, supply, supplier_q2_v, nation_q2_v, region_q2_v
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size = 15 AND p_type = 'SMALL'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+              SELECT MIN(s2.ps_supplycost)
+              FROM supply s2, supplier_q2_v, nation_q2_v, region_q2_v
+              WHERE s2.ps_partkey = p_partkey AND s_suppkey = s2.ps_suppkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """)
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    supply cost proxies as 80% of p_retailprice per unit (no partsupp).
+    The five-way join lattice (lineitem-part-supplier-nation-orders) and
+    the (nation, year) profit rollup are preserved. Broadcasts: part is
+    filtered before the join; supplier/nation are dimension-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            # per-line amount truncated to integer CENTS before the sum:
+            # each line's double arithmetic is bit-identical across
+            # engines, and integer sums are exact and order-independent —
+            # a float SUM here drifts by summation order, and the final
+            # 2-decimal floor lands on either side of a .xx boundary
+            # (observed: 1400788.48 vs .47 at sf0.01)
+            F.floor(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg((F.sum("cents") / 100).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part value among one
+    nation's suppliers, kept only where it exceeds a fraction of the
+    GLOBAL value — a grouped aggregate HAVING-compared against a scalar
+    aggregate of the same relation. The scalar rides a 1-row broadcast
+    crossJoin; the part-value aggregation is the only corpus-sized
+    shuffle. Value = SUM(l_extendedprice * (1 - l_discount)) over the
+    nation's line items (no partsupp in the corpus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_sup = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    )
+    lines = li.join(nat_sup, li.l_suppkey == nat_sup.s_suppkey).select(
+        "l_partkey",
+        # integer-cents per line (see q_tpch_q9): exact, order-independent
+        # sums, and a threshold comparison both engines decide identically
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("__cents"),
+    )
+    vals = lines.groupBy("l_partkey").agg(F.sum("__cents").alias("__vc"))
+    total = vals.agg(F.sum("__vc").alias("__tc"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("__vc") * 1000 > F.col("__tc"))
+        .select("l_partkey", (F.col("__vc") / 100).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (part/supplier relationship count): distinct
+    supplier count per (brand, type, size) over the derived
+    part-supplier relation (distinct lineitem pairs — no partsupp),
+    excluding one brand, one type, sizes outside a pinned IN-list, and
+    suppliers in deficit (the 'complaints' NOT-IN, adapted to
+    s_acctbal < 0 — a broadcast anti-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (
+        li.select("l_partkey", "l_suppkey").dropDuplicates()
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+    )
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    return (
+        ps.join(F.broadcast(pf), ps.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion), adapted: 'availqty
+    exceeds half the shipped quantity' becomes 'this supplier shipped
+    more than 30% of the part's 1996 volume' (dominant suppliers) — the
+    same nested semi-join skeleton (suppliers IN (pairs JOIN part-total
+    JOIN name-filtered parts)) over the lineitem-derived supply
+    relation. Quantities are integral doubles, so the sums and the 0.3×
+    threshold are exact in both engines."""
+    for t in ("lineitem", "part", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q20_v")
+    return spark.sql("""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem_q20_v
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+        ), part_total AS (
+            SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier_q20_v JOIN nation_q20_v ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+              SELECT sh.l_suppkey
+              FROM shipped sh
+              JOIN part_total pt ON sh.l_partkey = pt.l_partkey
+              JOIN part_q20_v p ON p.p_partkey = sh.l_partkey
+              WHERE p.p_name LIKE 'small%'
+                AND sh.qty > 0.3 * pt.total_qty
+          )
+        ORDER BY s_name
+    """)
+
+
 # -------------------------------------------------------------- aggregations
 
 def q_agg_monthly(spark, sf_dir):
@@ -1709,19 +1882,25 @@ def q_embed_centroids(spark, sf_dir):
 
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
-# slice). Round-5 slots 1-50: the 4 queries that need a driver row —
-# q_length_histogram (r04 ERR: unresolved column, fixed + unit-tested) and
-# the 3 new round-5 operators (BM25, winnowing fingerprints, embedding
-# centroids) — then 46 r03/r04-green fillers. Evicted to the back: the
+# slice). Round-5 slots 1-50: the 9 queries that need a driver row —
+# q_length_histogram (r04 ERR: unresolved column, fixed + unit-tested), the
+# 3 new round-5 operators (BM25, winnowing fingerprints, embedding
+# centroids), and the 5 TPC-H completions (Q2/Q9/Q11/Q16/Q20, partsupp
+# derived from lineitem) — then 41 r03/r04-green fillers. Evicted to the back: the
 # rows-only LSH/ANN/pipeline queries (their driver rows stand; rows-only
 # entries gain nothing from re-checking) and r04-green queries displaced by
 # the new four.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- need their first (or first non-ERR) driver row (4) ---
+    # --- need their first (or first non-ERR) driver row (9) ---
     "q_length_histogram": q_length_histogram,
     "q_bm25_search": q_bm25_search,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_embed_centroids": q_embed_centroids,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q20": q_tpch_q20,
     # --- r04-green fillers ---
     "q_stratified_sample": q_stratified_sample,
     "q_scd1_merge": q_scd1_merge,
@@ -1766,13 +1945,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_grouping_sets": q_grouping_sets,
     "q_date_arith": q_date_arith,
     "q_tumbling_hour": q_tumbling_hour,
+    # --- rotated behind the 50-slot window (driver-green rows stand) ---
     "q_asof_join": q_asof_join,
     "q_range_bucket_join": q_range_bucket_join,
-    # --- r03-green fillers: TPC-H (3 of 11) ---
     "q_tpch_q15": q_tpch_q15,
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
-    # --- rotated behind the 50-slot window (driver-green rows stand) ---
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,

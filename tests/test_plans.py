@@ -111,3 +111,19 @@ def test_embed_near_dup_shuffles_ids_not_vectors(spark, sf_dir):
         assert "embedding" not in m.group(1)
     # vectors re-attach via broadcast at this scale (no vector shuffle at all)
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q9_broadcasts_dimensions(spark, sf_dir):
+    # part/supplier/nation are dimension-sized: the 5-way lattice must
+    # broadcast them, leaving orders<->lineitem as the only possible
+    # non-broadcast join
+    plan = plan_of(spark, sf_dir, "q_tpch_q9")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q11_single_corpus_shuffle(spark, sf_dir):
+    # nation-filtered supplier list broadcasts; the only corpus-sized
+    # exchange is the per-part value aggregation (plus the 1-row total)
+    plan = plan_of(spark, sf_dir, "q_tpch_q11")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert n_exchanges(plan) <= 2
