@@ -374,3 +374,65 @@ def bm25_scores(
         .agg(F.round(F.sum("__s"), round_to).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram repetition counters — the raw inputs of the
+    Gopher-style repetition filters (Rae et al. 2021, public literature):
+    "fraction of characters/tokens in the most frequent n-gram" and
+    "fraction of duplicated n-grams". Returns counts only (n_ngrams,
+    distinct_ngrams, top_ngram_count); callers derive ratios, so ties on
+    which n-gram is most frequent can never leak into the output.
+
+    Scale shape: explode to (id, ngram) postings, then TWO cascaded
+    aggregations — groupBy(id, ngram) with map-side partial agg collapses
+    repeats before the shuffle, groupBy(id) reduces to one row per doc.
+    Both shuffles carry ids and counts, never text; per-row work is linear
+    in document length (no per-row quadratic mode-finding expression).
+    Documents shorter than n tokens are dropped (no n-grams, mirroring the
+    oracle's len >= n filter)."""
+    ng = df.filter(token_count(text_col) >= n).select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__ng")
+    )
+    per = ng.groupBy(id_col, "__ng").agg(F.count(F.lit(1)).alias("__c"))
+    return per.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        F.max("__c").cast("long").alias("top_ngram_count"),
+    )
+
+
+#: Conservative PII patterns, valid in both Java regex and RE2 so an
+#: external oracle replays them exactly (no lookbehind, no backrefs).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Redact email addresses and phone-like numbers, keeping match counts
+    (the audit trail a compliance pipeline wants). Pure codegen built-ins —
+    regexp_extract_all + regexp_replace — applied in one projection: no
+    shuffle, no UDF, linear scan at 100 TB. Emails are redacted first so a
+    phone-looking digit run inside an address can't double-count."""
+    c = F.col(text_col)
+    no_email = F.regexp_replace(c, EMAIL_PATTERN, email_token)
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))),
+            "n_phones": F.size(
+                F.regexp_extract_all(no_email, F.lit(PHONE_PATTERN), F.lit(0))
+            ),
+            out_col: F.regexp_replace(no_email, PHONE_PATTERN, phone_token),
+        }
+    )

@@ -1274,4 +1274,123 @@ ORACLES: dict[str, str] = {
         FROM embeddings, (SELECT unnest(range(64)) AS i)
         GROUP BY label, i
     """,
+    # Train/eval trigram contamination: distinct trigram postings per side,
+    # pair counts with >= 2 shared, overlap fraction floor-truncated (the
+    # same FLOOR(x*10000)/10000 the Spark side applies).
+    "q_contamination": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), ng AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ng
+            FROM toks WHERE len(t) >= 3
+        ), ev AS (
+            SELECT doc_id AS eval_id, ng FROM ng WHERE doc_id % 25 = 0
+        ), tr AS (
+            SELECT doc_id AS train_id, ng FROM ng WHERE doc_id % 25 <> 0
+        ), sizes AS (
+            SELECT eval_id, COUNT(*) AS en FROM ev GROUP BY eval_id
+        ), pairs AS (
+            SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+            FROM tr JOIN ev USING (ng)
+            GROUP BY train_id, eval_id
+            HAVING COUNT(*) >= 2
+        )
+        SELECT p.train_id, p.eval_id, p.shared_ngrams,
+               FLOOR(p.shared_ngrams / s.en * 10000) / 10000 AS overlap_frac
+        FROM pairs p JOIN sizes s USING (eval_id)
+    """,
+    "q_decontaminate": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), ng AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ng
+            FROM toks WHERE len(t) >= 3
+        ), contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM ng t JOIN ng e ON t.ng = e.ng
+                       AND t.doc_id % 25 <> 0 AND e.doc_id % 25 = 0
+            GROUP BY t.doc_id, e.doc_id
+            HAVING COUNT(*) >= 2
+        )
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id % 25 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    # Bigram repetition counters; ratios floor-truncated. The most-frequent
+    # bigram itself is never projected (frequency ties would be
+    # non-deterministic).
+    "q_repetition_stats": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), ng AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ng
+            FROM toks WHERE len(t) >= 2
+        ), per AS (
+            SELECT doc_id, ng, COUNT(*) AS c FROM ng GROUP BY doc_id, ng
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+                   CAST(MAX(c) AS BIGINT) AS top_ngram_count
+            FROM per GROUP BY doc_id
+        )
+        SELECT doc_id, n_ngrams, distinct_ngrams, top_ngram_count,
+               FLOOR(top_ngram_count / n_ngrams * 10000) / 10000 AS top_ngram_frac,
+               FLOOR((1 - distinct_ngrams / n_ngrams) * 10000) / 10000 AS dup_ngram_frac
+        FROM agg
+    """,
+    # PII scrub: same seeded text, same RE2/Java-portable patterns, emails
+    # redacted before phones on both sides.
+    "q_pii_scrub": """
+        WITH seeded AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS s
+            FROM documents
+        ), redact AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(s,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                   regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                  '[EMAIL]', 'g') AS ne
+            FROM seeded
+        )
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(ne, '\\b\\d{3}-\\d{4}\\b')) AS INTEGER) AS n_phones,
+               md5(regexp_replace(ne, '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS clean_md5
+        FROM redact
+    """,
+    "q_stream_dedup_batch": """
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    # The bucketed join is a storage-layout property; the answer is a plain
+    # equi-join + aggregate.
+    "q_bucketed_join": """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
 }

@@ -82,8 +82,19 @@ def create_table(spark: SparkSession, name: str, df: DataFrame, mode: str = "ove
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
-    """DDL analog of drop_tables.sql (idempotent)."""
+    """DDL analog of drop_tables.sql (idempotent). Also purges an orphaned
+    managed-table location: a previous session's saveAsTable leaves its
+    directory under spark.sql.warehouse.dir while the (session-local
+    in-memory) catalog forgets the table — without the purge, the next
+    saveAsTable fails with LOCATION_ALREADY_EXISTS. Hadoop FS API, so the
+    same code handles local disk and HDFS/object stores."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{name.split('.')[-1].lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def insert_overwrite(df: DataFrame, table: str) -> None:
@@ -97,3 +108,28 @@ def insert_overwrite(df: DataFrame, table: str) -> None:
 def insert_append(df: DataFrame, table: str) -> None:
     """Append-load variant (load_fact.py's non-truncating mode)."""
     df.write.insertInto(table, overwrite=False)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: data is hash-partitioned into `n_buckets`
+    files per write-task on `bucket_cols` at WRITE time, so every later
+    join or aggregation on those columns is exchange-free — the scan
+    itself reports HashPartitioning and Catalyst drops the shuffle. This
+    is the 100 TB answer to "we join fact-to-fact on this key every day":
+    pay the shuffle once at ingest, never again (the reference re-sorted
+    its warehouse per load instead — stage_redshift.py:38-48).
+
+    Both sides of a co-located join must use the same n_buckets and key.
+    `sort_cols` additionally orders rows within each bucket file, letting
+    sort-merge joins skip their sort step."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

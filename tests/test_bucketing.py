@@ -18,16 +18,37 @@ from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
 def bucketed(spark, sf_dir):
     # spark.sql.warehouse.dir is a static conf — tables land in the default
     # ./spark-warehouse; dropped (and the dir ignored by git) on teardown
-    n_buckets = 4
-    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(
-        n_buckets, "l_orderkey"
-    ).sortBy("l_orderkey").saveAsTable("b_lineitem")
-    load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
-        n_buckets, "o_orderkey"
-    ).sortBy("o_orderkey").saveAsTable("b_orders")
+    from nyc_bikeshare_datawarehouse_spark.sources.sinks import write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "b_lineitem",
+        ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "b_orders",
+        ["o_orderkey"], 4, sort_cols=["o_orderkey"],
+    )
     yield "b_lineitem", "b_orders"
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_q_bucketed_join_plan_is_colocated(spark, sf_dir):
+    # the declared query's join must read both bucketed tables without an
+    # exchange on the bucket key (the only shuffles feed the tiny
+    # per-segment aggregate and the final sort)
+    from nyc_bikeshare_datawarehouse_spark.plans.queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q_bucketed_join"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
 
 
 def test_bucketed_join_has_no_shuffle(spark, bucketed):

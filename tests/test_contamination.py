@@ -1,0 +1,105 @@
+"""Unit tests for the corpus-hygiene surface: train/eval decontamination,
+repetition counters, and PII scrubbing — tiny hand-computed fixtures, so
+every expected number is checkable by eye.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.functions import contamination, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_overlap_counts(spark):
+    # train doc 1 shares exactly two distinct trigrams with eval doc 100:
+    # "a b c" and "b c d"; train doc 2 shares one ("x y z"); doc 3 none.
+    train = _docs(spark, [
+        (1, "a b c d q"),
+        (2, "p q r x y z"),
+        (3, "m n o p q"),
+    ])
+    ev = _docs(spark, [(100, "a b c d"), (200, "w x y z")])
+    got = {
+        (r["train_id"], r["eval_id"]): (r["shared_ngrams"], r["overlap_frac"])
+        for r in contamination.ngram_overlap(train, ev, n=3, min_shared=1).collect()
+    }
+    # eval 100 has trigrams {"a b c", "b c d"} (2), eval 200 {"w x y", "x y z"} (2)
+    assert got[(1, 100)] == (2, 1.0)
+    assert got[(2, 200)] == (1, 0.5)
+    assert (3, 100) not in got and (3, 200) not in got
+
+
+def test_ngram_overlap_min_shared_filters(spark):
+    train = _docs(spark, [(1, "a b c d q"), (2, "p q r x y z")])
+    ev = _docs(spark, [(100, "a b c d"), (200, "w x y z")])
+    pairs = contamination.ngram_overlap(train, ev, n=3, min_shared=2).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in pairs} == {(1, 100)}
+
+
+def test_decontaminate_drops_contaminated_only(spark):
+    train = _docs(spark, [
+        (1, "a b c d q"),      # 2 shared trigrams with eval -> dropped
+        (2, "p q r x y z"),    # 1 shared -> kept at min_shared=2
+        (3, "m n o p q"),      # 0 shared -> kept
+    ])
+    ev = _docs(spark, [(100, "a b c d"), (200, "w x y z")])
+    kept = contamination.decontaminate(train, ev, n=3, min_shared=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    # original columns survive the anti-join
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_short_docs_emit_no_ngrams(spark):
+    # 2-token doc has no trigrams: shingles' short-doc fallback must NOT
+    # leak a whole-text pseudo-shingle into the postings
+    df = _docs(spark, [(1, "a b"), (2, "a b c")])
+    got = contamination.ngram_postings(df, n=3).collect()
+    assert {r["doc_id"] for r in got} == {2}
+    assert [r["ngram"] for r in got] == ["a b c"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a": bigrams = [a b, b a, a b, b a] -> 4 total, 2 distinct,
+    # top count 2. "x y": 1 bigram. "z" alone: no bigrams -> dropped.
+    df = _docs(spark, [(1, "a b a b a"), (2, "x y"), (3, "z")])
+    got = {r["doc_id"]: r for r in text.repetition_stats(df, n=2).collect()}
+    assert (got[1]["n_ngrams"], got[1]["distinct_ngrams"], got[1]["top_ngram_count"]) == (4, 2, 2)
+    assert (got[2]["n_ngrams"], got[2]["distinct_ngrams"], got[2]["top_ngram_count"]) == (1, 1, 1)
+    assert 3 not in got
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    df = _docs(spark, [
+        (1, "write a@b.io and c.d+x@e.org now"),
+        (2, "call 555-1234 twice: 555-1234"),
+        (3, "clean text only"),
+    ])
+    got = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 0)
+    assert got[1]["clean_text"] == "write [EMAIL] and [EMAIL] now"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 2)
+    assert got[2]["clean_text"] == "call [PHONE] twice: [PHONE]"
+    assert got[3]["clean_text"] == "clean text only"
+
+
+def test_scrub_pii_email_digits_not_double_counted(spark):
+    # the digit run inside an address must not also count as a phone
+    df = _docs(spark, [(1, "mail me: abc123-4567@x.co")])
+    r = text.scrub_pii(df).collect()[0]
+    assert (r["n_emails"], r["n_phones"]) == (1, 0)
+    assert r["clean_text"] == "mail me: [EMAIL]"
+
+
+def test_eval_broadcast_plan(spark):
+    # the 100 TB contract: with broadcast_eval=True the n-gram join must be
+    # a BroadcastHashJoin — the train side never shuffles on the ngram key
+    train = _docs(spark, [(i, "a b c d e f g") for i in range(10)])
+    ev = _docs(spark, [(100, "a b c d")])
+    df = contamination.ngram_overlap(train, ev, n=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(ngram" not in plan

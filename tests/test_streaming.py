@@ -90,6 +90,37 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_dedup_stream_keyed_matches_batch_twin(spark, sf_dir, tmp_path):
+    # keyed streaming dedup keeps the FIRST ARRIVAL per key; on an
+    # in-(ts, event_id)-order replay that is exactly q_stream_dedup_batch's
+    # rank-1 row per (user_id, event_type)
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    landing = tmp_path / "ordered"
+    load_table(spark, sf_dir, "events").orderBy("ts", "event_id").coalesce(
+        1
+    ).write.parquet(str(landing))
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(landing)).schema)
+        .parquet(str(landing))
+    )
+    q = (
+        se.dedup_stream(raw, ["user_id", "event_type"], "10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_keyed_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = rows_set(
+        spark.table("t_keyed_dedup").select("user_id", "event_type", "event_id", "ts")
+    )
+    want = rows_set(QUERIES["q_stream_dedup_batch"](spark, sf_dir))
+    assert got == want
+
+
 def test_dedup_stream_removes_replays(spark, sf_dir, tmp_path):
     # duplicate the events file in a landing dir -> an at-least-once
     # replay; streaming dedup on event_id must restore exactly-once counts
