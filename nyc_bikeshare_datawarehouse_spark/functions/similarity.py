@@ -424,6 +424,33 @@ def ivf_probe_partitioned(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "q",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage-compression
+    step of a 100 TB embedding corpus (4x smaller than float32, standard
+    for IVF/PQ-style ANN serving): scale each vector by 127/max|x| and
+    keep integer codes plus the dequantization scale.
+
+    Engine-portable rounding: `floor(x·127/mx + 0.5)` (round-half-toward-
+    +inf via exact floor) — NOT round(), whose half-even/half-up behavior
+    differs across engines. Zero vectors quantize to all-zero codes with
+    scale 0. One projection per row, no shuffle, no UDF."""
+    v = _vec(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / mx * 127.0 + 0.5).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias(out_col),
+        F.when(mx == 0, F.lit(0.0)).otherwise(mx / 127.0).alias("scale"),
+    )
+
+
 def group_centroids(
     df: DataFrame,
     group_col: str = "label",

@@ -1384,6 +1384,45 @@ ORACLES: dict[str, str] = {
         )
         WHERE rn = 1
     """,
+    "q_top_ngrams": """
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), ng AS (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
+            FROM toks WHERE len(t) >= 2
+        )
+        SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM ng GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT 50
+    """,
+    # Same engine-exact floor(x*127/mx + 0.5) quantizer; every checked
+    # column is an exact integer, a truncated double, or an md5 of the
+    # integer code array.
+    "q_embed_quantize": """
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), m AS (
+            SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v
+        ), q AS (
+            SELECT vec_id,
+                   CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
+                        ELSE list_transform(e, x -> CAST(floor(x / mx * 127 + 0.5) AS INTEGER))
+                   END AS q,
+                   CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127 END AS scale
+            FROM m
+        )
+        SELECT vec_id,
+               CAST(len(q) AS INTEGER) AS n_dims,
+               CAST(list_sum(q) AS BIGINT) AS sum_codes,
+               CAST(list_min(q) AS INTEGER) AS min_code,
+               CAST(list_max(q) AS INTEGER) AS max_code,
+               FLOOR(scale * 1000000) / 1000000 AS scale_trunc,
+               md5(array_to_string(q, ',')) AS codes_md5
+        FROM q
+    """,
     # The bucketed join is a storage-layout property; the answer is a plain
     # equi-join + aggregate.
     "q_bucketed_join": """

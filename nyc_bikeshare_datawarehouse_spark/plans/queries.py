@@ -2005,6 +2005,46 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus heavy-hitter bigrams — the boilerplate detector every
+    dedup/quality pipeline runs first (its output feeds max_doc_frac hot-
+    shingle pruning in functions/dedup.py). groupBy(ngram) with map-side
+    partial agg (bigram cardinality << token count), then TakeOrdered
+    top-50 on (count DESC, ngram ASC) — O(k) network, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    ng = d.filter(text.token_count("text") >= 2).select(
+        F.explode(text.shingles("text", 2)).alias("ngram")
+    )
+    return (
+        ng.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(50)
+    )
+
+
+def q_embed_quantize(spark, sf_dir):
+    """Int8 embedding quantization audit (functions/similarity.py
+    `quantize_embeddings`): per-vector symmetric codes with engine-exact
+    floor(x·127/mx + 0.5) rounding. Checked projection is all exact
+    integers + a truncated scale + an md5 digest of the code array —
+    scalars the oracle hashes bit-for-bit. Pure per-row expressions; the
+    only exchange is the final sort."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.size("q").cast("int").alias("n_dims"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_codes"),
+        F.array_min("q").alias("min_code"),
+        F.array_max("q").alias("max_code"),
+        (F.floor(F.col("scale") * 1000000) / 1000000).alias("scale_trunc"),
+        F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias(
+            "codes_md5"
+        ),
+    ).orderBy("vec_id")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-5 slots 1-50: the 15 queries that need a driver row —
@@ -2024,6 +2064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scrub": q_pii_scrub,
     "q_stream_dedup_batch": q_stream_dedup_batch,
     "q_bucketed_join": q_bucketed_join,
+    "q_top_ngrams": q_top_ngrams,
+    "q_embed_quantize": q_embed_quantize,
     # --- need their first (or first non-ERR) driver row (9) ---
     "q_length_histogram": q_length_histogram,
     "q_bm25_search": q_bm25_search,

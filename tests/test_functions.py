@@ -464,3 +464,26 @@ class TestRoundFiveTextOps:
         out = similarity.group_centroids(df, "label", "embedding", dim=2).collect()
         got = {(r["label"], r["pos"]): r["centroid"] for r in out}
         assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
+
+    def test_quantize_embeddings_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, -0.5, 0.25, 0.0]),
+                (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector edge
+                (3, [-2.0, 2.0, 1.0, -1.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+        # max|x|=1.0 -> codes are floor(x*127 + 0.5)
+        assert out[1]["q"] == [127, -63, 32, 0]
+        assert abs(out[1]["scale"] - 1.0 / 127) < 1e-12
+        # zero vector: all-zero codes, zero scale, no NaN/div-by-zero
+        assert out[2]["q"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
+        # symmetric range: extremes land exactly on +/-127
+        assert out[3]["q"] == [-127, 127, 64, -63]
+        # dequantization error bounded by half a step
+        step = out[3]["scale"]
+        orig = [-2.0, 2.0, 1.0, -1.0]
+        for code, x in zip(out[3]["q"], orig):
+            assert abs(code * step - x) <= step / 2 + 1e-9
