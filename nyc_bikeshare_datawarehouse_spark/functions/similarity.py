@@ -451,6 +451,59 @@ def quantize_embeddings(
     )
 
 
+def group_pca_variance(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group PCA spectrum summary via `applyInPandas` — intrinsic-
+    dimensionality probing of an embedding corpus (is a cluster really a
+    1-D manifold?). Eigendecomposition has no DataFrame expression, so
+    this is the legitimate applyInPandas case: each group's vectors
+    arrive as ONE Arrow batch, numpy does the linear algebra, one row per
+    group comes back.
+
+    Determinism: rows are sorted by `id_col` inside the UDF before any
+    float accumulation (group rows arrive in partition order, which is
+    not stable run-to-run), `eigvalsh` is deterministic per platform, and
+    outputs are rounded. Scale: one shuffle on the group key; state is
+    O(dim²) per group regardless of group size, but a single group's
+    VECTORS must fit one executor's Arrow batch — for web-scale groups,
+    pre-aggregate X'X with `aggregate` expressions instead (same trick as
+    `group_centroids`)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} int, n_vecs long, top_eig_share double, total_var double"
+    )
+
+    def pca(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        n = len(x)
+        group = pdf[group_col].iloc[0]
+        if n < 2:
+            return pd.DataFrame(
+                [[group, n, 1.0, 0.0]],
+                columns=[group_col, "n_vecs", "top_eig_share", "total_var"],
+            )
+        xc = x - x.mean(axis=0)
+        cov = xc.T @ xc / (n - 1)
+        eig = np.linalg.eigvalsh(cov)
+        total = float(np.trace(cov))
+        share = float(eig[-1] / total) if total > 0 else 0.0
+        return pd.DataFrame(
+            [[group, n, round(share, round_to), round(total, round_to)]],
+            columns=[group_col, "n_vecs", "top_eig_share", "total_var"],
+        )
+
+    return df.groupBy(group_col).applyInPandas(pca, schema=out_schema)
+
+
 def group_centroids(
     df: DataFrame,
     group_col: str = "label",

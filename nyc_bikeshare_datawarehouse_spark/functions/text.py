@@ -407,6 +407,38 @@ def repetition_stats(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flagging: |x - median| > k · MAD within each group
+    (median absolute deviation — the quality filter that survives the
+    heavy-tailed length distributions where mean/stddev break). Returns
+    the outlier rows with their group's `med` and `mad` attached.
+
+    Exact interpolated `percentile` (≡ DuckDB quantile_cont, parity
+    proven by q_percentiles); two groupBys on the group key + two joins
+    back — at 100 TB the per-group stats frames are |groups| rows and
+    broadcast, so the corpus shuffles ZERO times (at this SF Catalyst
+    broadcasts them on its own; F.broadcast pins it). Swap percentile →
+    approx_percentile to trade exactness for a single pass when |groups|
+    is huge."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.expr("percentile(__adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("__adev") > k * F.col("mad"))
+        .drop("__adev")
+    )
+
+
 #: Conservative PII patterns, valid in both Java regex and RE2 so an
 #: external oracle replays them exactly (no lookbehind, no backrefs).
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -15,9 +15,10 @@ corpus has no partsupp — the dedup/sampling/split family, and the
 SCD/CDC/profile warehouse ops).
 The 8 queries with no entry are genuinely non-SQL-expressible —
 minhash/simhash/SRP LSH (engine-specific hash lattices), IVF ANN, the
-multimodal codec path, the composed text pipeline, and the two approx
-sketches (engine-specific estimates) — and get rows-only determinism
-checks; `tests/test_queries.py::test_contract_shape` pins that exact set.
+composed text pipeline, the two approx sketches (engine-specific
+estimates), and the applyInPandas PCA spectrum (no SQL engine replays
+eigvalsh) — and get rows-only determinism checks;
+`tests/test_queries.py::test_contract_shape` pins that exact set.
 """
 
 from __future__ import annotations
@@ -1383,6 +1384,26 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         WHERE rn = 1
+    """,
+    # MAD outliers: med/mad are interpolated midpoints of integer token
+    # counts — exact .0/.5 doubles, identical across engines (quantile_cont
+    # ≡ Spark percentile, parity proven by q_percentiles).
+    "q_robust_outliers": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+            FROM documents
+        ), med AS (
+            SELECT lang, quantile_cont(nt, 0.5) AS med FROM t GROUP BY lang
+        ), dev AS (
+            SELECT t.doc_id, t.lang, t.nt, m.med, abs(t.nt - m.med) AS adev
+            FROM t JOIN med m USING (lang)
+        ), mad AS (
+            SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, CAST(d.nt AS INTEGER) AS n_tokens, d.med, ma.mad
+        FROM dev d JOIN mad ma USING (lang)
+        WHERE d.adev > 1.5 * ma.mad
     """,
     "q_top_ngrams": """
         WITH toks AS (

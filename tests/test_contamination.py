@@ -103,3 +103,26 @@ def test_eval_broadcast_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(ngram" not in plan
+
+
+def test_mad_outliers_hand_computed(spark):
+    # group g: values [10,10,10,10,100] -> med=10, adev=[0,0,0,0,90],
+    # mad=0 -> outlier iff adev > 0: only the 100
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 10), (3, "g", 10), (4, "g", 10), (5, "g", 100)],
+        "id long, grp string, v int",
+    )
+    out = text.mad_outliers(df, "v", "grp", k=3.0).collect()
+    assert [(r["id"], r["med"], r["mad"]) for r in out] == [(5, 10.0, 0.0)]
+
+
+def test_mad_outliers_interpolated_median(spark):
+    # even count: med interpolates to a .5 -> exact double on both engines
+    df = spark.createDataFrame(
+        [(1, "g", 1), (2, "g", 2), (3, "g", 3), (4, "g", 1000)],
+        "id long, grp string, v int",
+    )
+    out = {r["id"]: r for r in text.mad_outliers(df, "v", "grp", k=3.0).collect()}
+    # med=2.5, adevs=[1.5,0.5,0.5,997.5], mad=1.0 -> outlier iff adev>3
+    assert set(out) == {4}
+    assert out[4]["med"] == 2.5 and out[4]["mad"] == 1.0

@@ -487,3 +487,25 @@ class TestRoundFiveTextOps:
         orig = [-2.0, 2.0, 1.0, -1.0]
         for code, x in zip(out[3]["q"], orig):
             assert abs(code * step - x) <= step / 2 + 1e-9
+
+    def test_group_pca_variance_1d_manifold(self, spark):
+        # label 0 lies exactly on a line -> top eigenvalue carries ALL
+        # variance; label 1 is isotropic in 2-D -> share 0.5
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], 0), (2, [2.0, 4.0], 0), (3, [3.0, 6.0], 0),
+                (4, [1.0, 0.0], 1), (5, [-1.0, 0.0], 1),
+                (6, [0.0, 1.0], 1), (7, [0.0, -1.0], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r["label"]: r for r in similarity.group_pca_variance(df).collect()}
+        assert out[0]["top_eig_share"] == 1.0 and out[0]["n_vecs"] == 3
+        assert abs(out[1]["top_eig_share"] - 0.5) < 1e-9
+
+    def test_group_pca_variance_singleton_group(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], 0)], "vec_id long, embedding array<float>, label int"
+        )
+        r = similarity.group_pca_variance(df).collect()[0]
+        assert (r["n_vecs"], r["top_eig_share"], r["total_var"]) == (1, 1.0, 0.0)

@@ -25,6 +25,8 @@ def test_contract_shape():
         "q_ann_ivf", "q_text_pipeline",
         # approx sketches: deterministic but engine-specific estimates
         "q_approx_distinct", "q_approx_percentiles",
+        # applyInPandas eigendecomposition: no SQL engine replays eigvalsh
+        "q_pca_variance",
     }
 
 
