@@ -75,6 +75,25 @@ HEAVY = [
 ]
 
 
+#: Extended tier (round 5+): the corpus-hygiene / curation / maintenance
+#: family. Benched with its own total (`extended_value`) so the headline
+#: and heavy totals stay comparable across rounds.
+EXTENDED = [
+    "q_contamination",
+    "q_decontaminate",
+    "q_repetition_stats",
+    "q_pii_scrub",
+    "q_top_ngrams",
+    "q_robust_outliers",
+    "q_embed_quantize",
+    "q_pca_variance",
+    "q_stream_dedup_batch",
+    "q_bucketed_join",
+    "q_bm25_search",
+    "q_winnow_fingerprints",
+]
+
+
 def prepare_parallel_corpus(spark, sf_dir: str) -> tuple[str, float]:
     """Rewrite the single-row-group corpus into a multi-file copy (cached
     in .benchdata/) so scans parallelize across cores like a real
@@ -149,13 +168,19 @@ def main() -> None:
         heavy[name] = round(run_query(spark, name, sf_dir, repeats=2), 3)
     heavy_total = round(sum(heavy.values()), 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        extended[name] = round(run_query(spark, name, sf_dir, repeats=2), 3)
+    extended_total = round(sum(extended.values()), 3)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": {**timings, **heavy},
+        "queries": {**timings, **heavy, **extended},
         "sf": sf,
         "heavy_value": heavy_total,
+        "extended_value": extended_total,
         "prep_sec": prep_sec,
     }))
 
