@@ -1984,14 +1984,25 @@ def q_bucketed_join(spark, sf_dir):
     (pinned in tests/test_plans.py). This is the pay-the-shuffle-once-at-
     ingest pattern for recurring fact-to-fact joins at 100 TB; only the
     tiny per-segment aggregate shuffles after."""
+    import tempfile
+
     from nyc_bikeshare_datawarehouse_spark.sources.sinks import drop_table, write_bucketed
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # external tables under the system temp dir: the driver's session may
+    # run from a cwd where the default managed warehouse isn't writable
+    base = f"{tempfile.gettempdir()}/spark_graft_bucketed"
     for t in ("spark_graft_b_orders", "spark_graft_b_customer"):
         drop_table(spark, t)
-    write_bucketed(o, "spark_graft_b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
-    write_bucketed(c, "spark_graft_b_customer", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    write_bucketed(
+        o, "spark_graft_b_orders", ["o_custkey"], 8,
+        sort_cols=["o_custkey"], path=f"{base}/orders",
+    )
+    write_bucketed(
+        c, "spark_graft_b_customer", ["c_custkey"], 8,
+        sort_cols=["c_custkey"], path=f"{base}/customer",
+    )
     bo = spark.table("spark_graft_b_orders")
     bc = spark.table("spark_graft_b_customer")
     return (

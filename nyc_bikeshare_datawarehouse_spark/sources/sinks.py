@@ -117,6 +117,7 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed catalog table: data is hash-partitioned into `n_buckets`
     files per write-task on `bucket_cols` at WRITE time, so every later
@@ -128,8 +129,19 @@ def write_bucketed(
 
     Both sides of a co-located join must use the same n_buckets and key.
     `sort_cols` additionally orders rows within each bucket file, letting
-    sort-merge joins skip their sort step."""
+    sort-merge joins skip their sort step.
+
+    With `path` the table is EXTERNAL at that location (purged first —
+    stale bucket files from a previous layout must never mix with the new
+    write); without, it is managed under spark.sql.warehouse.dir."""
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        spark = df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
