@@ -57,3 +57,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 `transformWithStateInPandas` twin of `running_user_totals`
+    — the successor arbitrary-state API (typed state handles, timers,
+    TTL, initial-state seeding; SPARK-42823 umbrella, public). Same
+    semantics: per-user cumulative (count, value-sum), one updated row
+    per user per micro-batch.
+
+    Requires the RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass` =
+    `...state.RocksDBStateStoreProvider`) and a working `google.protobuf`
+    (the runner speaks protobuf to the JVM) — import-gated here because
+    minimal containers ship without it; callers fall back to
+    `running_user_totals` (applyInPandasWithState needs neither)."""
+    # fail fast with a clear message instead of a mid-stream worker crash
+    from google.protobuf import descriptor  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -126,3 +126,13 @@ def test_mad_outliers_interpolated_median(spark):
     # med=2.5, adevs=[1.5,0.5,0.5,997.5], mad=1.0 -> outlier iff adev>3
     assert set(out) == {4}
     assert out[4]["med"] == 2.5 and out[4]["mad"] == 1.0
+
+
+def test_ngram_overlap_shuffle_join_path_equivalent(spark):
+    # broadcast_eval=False (eval too big to broadcast) must produce the
+    # identical pair list through the plain hash-join path
+    train = _docs(spark, [(i, f"a b c d e f g{i}") for i in range(6)])
+    ev = _docs(spark, [(100, "a b c d"), (200, "e f g1 h")])
+    a = sorted(map(tuple, contamination.ngram_overlap(train, ev, n=3, broadcast_eval=True).collect()))
+    b = sorted(map(tuple, contamination.ngram_overlap(train, ev, n=3, broadcast_eval=False).collect()))
+    assert a == b and len(a) > 0

@@ -64,3 +64,56 @@ def test_unpivot_preserves_cells(spark, vals):
         [(i, "a", float(v)) for i, v in vals] + [(i, "b", float(v) * 2) for i, v in vals]
     )
     assert got == want
+
+
+def py_quantize(vec: list[float]) -> list[int]:
+    import math
+
+    mx = max(abs(x) for x in vec)
+    if mx == 0:
+        return [0] * len(vec)
+    return [math.floor(x / mx * 127.0 + 0.5) for x in vec]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=1, max_size=16,
+    )
+)
+def test_quantize_matches_reference(spark, vec):
+    from nyc_bikeshare_datawarehouse_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = quantize_embeddings(df).collect()[0]
+    # float32 storage rounds the input; reference must see the same values
+    stored = [float(x) for x in df.collect()[0]["embedding"]]
+    assert r["q"] == py_quantize(stored)
+    assert all(-127 <= c <= 127 for c in r["q"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+def test_ngram_overlap_bounded_by_set_sizes(spark, texts):
+    # shared_ngrams can never exceed either side's distinct-trigram count,
+    # and overlap_frac is in (0, 1]
+    from nyc_bikeshare_datawarehouse_spark.functions import contamination
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ev = docs.limit(1)
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in contamination.ngram_postings(docs, n=3)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in contamination.ngram_overlap(docs, ev, n=3).collect():
+        assert r["shared_ngrams"] <= min(sizes[r["train_id"]], sizes[r["eval_id"]])
+        assert 0 < r["overlap_frac"] <= 1.0

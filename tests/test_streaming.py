@@ -90,6 +90,48 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_tws_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    # Spark 4 transformWithStateInPandas twin; needs protobuf + the
+    # RocksDB state store — skipped where the container lacks either
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from nyc_bikeshare_datawarehouse_spark.streaming.stateful import running_user_totals_tws
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = se.stream_events(spark, sf_dir)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in spark.table("t_tws").collect()}
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_dedup_stream_keyed_matches_batch_twin(spark, sf_dir, tmp_path):
     # keyed streaming dedup keeps the FIRST ARRIVAL per key; on an
     # in-(ts, event_id)-order replay that is exactly q_stream_dedup_batch's
