@@ -91,6 +91,7 @@ EXTENDED = [
     "q_bucketed_join",
     "q_bm25_search",
     "q_winnow_fingerprints",
+    "q_curation_pipeline",
 ]
 
 

@@ -1405,6 +1405,47 @@ ORACLES: dict[str, str] = {
         FROM dev d JOIN mad ma USING (lang)
         WHERE d.adev > 1.5 * ma.mad
     """,
+    # Full curation funnel: quality gate -> decontamination -> exact dedup
+    # -> per-language token budget, replayed as one CTE chain. Same
+    # integer/divison ops as the Spark plan at every stage.
+    "q_curation_pipeline": """
+        WITH toks AS (
+            SELECT doc_id, lang, n_chars, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents
+        ), quality AS (
+            SELECT doc_id, lang, n_chars, text, tk FROM toks
+            WHERE len(tk) >= 20 AND len(list_distinct(tk)) / len(tk) >= 0.3
+        ), ng AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS ng
+            FROM toks WHERE len(tk) >= 3
+        ), contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM ng t JOIN ng e ON t.ng = e.ng AND e.doc_id % 25 = 0
+            WHERE t.doc_id % 25 <> 0
+              AND t.doc_id IN (SELECT doc_id FROM quality)
+            GROUP BY t.doc_id, e.doc_id
+            HAVING COUNT(*) >= 2
+        ), clean AS (
+            SELECT doc_id, lang, n_chars, text, tk FROM quality
+            WHERE doc_id % 25 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM clean GROUP BY md5(lower(trim(text)))
+        ), sel AS (
+            SELECT c.doc_id, c.lang, CAST(len(c.tk) AS INTEGER) AS n_tokens,
+                   CAST(SUM(len(c.tk)) OVER (
+                        PARTITION BY c.lang
+                        ORDER BY c.n_chars DESC, c.doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM clean c JOIN keep k USING (doc_id)
+        )
+        SELECT doc_id, lang, n_tokens, cum_tokens
+        FROM sel WHERE cum_tokens <= 2500
+    """,
     "q_top_ngrams": """
         WITH toks AS (
             SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
