@@ -1,3 +1,9 @@
-from nyc_bikeshare_datawarehouse_spark.functions import text, similarity, dedup, multimodal
+from nyc_bikeshare_datawarehouse_spark.functions import (
+    contamination,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "similarity", "dedup", "multimodal"]
+__all__ = ["contamination", "dedup", "multimodal", "similarity", "text"]

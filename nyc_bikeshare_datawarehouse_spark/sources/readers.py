@@ -49,6 +49,31 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    capture_corrupt: bool = False,
+) -> DataFrame:
+    """JSON-lines scan — the interchange format most raw text corpora
+    arrive in. ALWAYS pass `schema` at scale: inference runs a full extra
+    pass over the data before the real read. `capture_corrupt=True` adds
+    a `_corrupt_record` column and keeps malformed lines (PERMISSIVE)
+    for a quarantine split instead of failing the job mid-scan."""
+    reader = spark.read
+    if schema is not None:
+        if capture_corrupt:
+            if isinstance(schema, str):
+                schema = T.StructType.fromDDL(schema)
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema)
+    if capture_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    return reader.json(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -3,19 +3,31 @@ from nyc_bikeshare_datawarehouse_spark.streaming.events import (
     tumbling_counts,
     sliding_counts,
     session_window_stats,
+    stream_stream_interval_join,
+    enrich_stream,
+    drop_late_rows,
+    dedup_stream,
     stream_to_parquet,
     stream_foreach_batch,
     run_available_now,
 )
-from nyc_bikeshare_datawarehouse_spark.streaming.stateful import running_user_totals
+from nyc_bikeshare_datawarehouse_spark.streaming.stateful import (
+    running_user_totals,
+    running_user_totals_tws,
+)
 
 __all__ = [
     "stream_events",
     "tumbling_counts",
     "sliding_counts",
     "session_window_stats",
+    "stream_stream_interval_join",
+    "enrich_stream",
+    "drop_late_rows",
+    "dedup_stream",
     "stream_to_parquet",
     "stream_foreach_batch",
     "run_available_now",
     "running_user_totals",
+    "running_user_totals_tws",
 ]

@@ -40,3 +40,36 @@ def test_capture_corrupt_quarantines(spark, csv_file):
 def test_capture_corrupt_requires_schema(spark, csv_file):
     with pytest.raises(ValueError, match="schema"):
         read_csv(spark, csv_file, capture_corrupt=True)
+
+
+def test_read_jsonl_with_schema(spark, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "hola mundo", "lang": "es"}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id long, text string, lang string")
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [(1, "hello world", "en"), (2, "hola mundo", "es")]
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        'this is not json\n'
+        '{"doc_id": 3, "text": "also ok"}\n'
+    )
+    df = read_jsonl(
+        spark, str(p), schema="doc_id long, text string", capture_corrupt=True
+    ).cache()  # PERMISSIVE corrupt-capture requires materializing once
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert bad.collect()[0]["_corrupt_record"] == "this is not json"
