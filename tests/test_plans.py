@@ -127,3 +127,28 @@ def test_tpch_q11_single_corpus_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_tpch_q11")
     assert plan.count("BroadcastHashJoin") >= 2
     assert n_exchanges(plan) <= 2
+
+
+def test_curation_pipeline_no_duplicated_funnel(spark, sf_dir):
+    # the dedup stage is a rank-1 window, NOT aggregate + semi-join-back:
+    # a diverged branch would re-execute the whole upstream funnel (Spark
+    # does not reuse non-broadcast subplans). Pin: exactly ONE
+    # contamination pair aggregation and ONE budget-window exchange.
+    plan = plan_of(spark, sf_dir, "q_curation_pipeline")
+    assert len(re.findall(r"Exchange hashpartitioning\(train_id", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning\(lang", plan)) == 1
+    # contamination exclusion rides a broadcast anti-join, never a shuffle
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_top_ngrams_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_top_ngrams")
+    assert "TakeOrderedAndProject" in plan  # top-50 never global-sorts
+    assert n_exchanges(plan) == 1  # the n-gram aggregation only
+
+
+def test_pii_scrub_and_quantize_shuffle_free(spark, sf_dir):
+    # pure per-row projections: the only exchange is the final sort
+    for name in ("q_pii_scrub", "q_embed_quantize"):
+        plan = plan_of(spark, sf_dir, name)
+        assert n_exchanges(plan) == 0, name
