@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; LSH/ANN/multimodal queries are
+    """DuckDB-equivalent SQL per query; the LSH/ANN lattices, approx
+    sketches, composed text pipeline, and applyInPandas PCA are
     intentionally absent (non-SQL-expressible -> rows-only checks)."""
     return dict(ORACLES)
