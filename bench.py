@@ -92,6 +92,7 @@ EXTENDED = [
     "q_bm25_search",
     "q_winnow_fingerprints",
     "q_curation_pipeline",
+    "q_unigram_logprob",
 ]
 
 

@@ -376,6 +376,40 @@ def bm25_scores(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document average unigram log-probability against the corpus'
+    own token distribution — the SQL-expressible cousin of CCNet-style
+    LM-perplexity filtering (Wenzek et al. 2019, public): documents full
+    of rare/garbage tokens score very negative, boilerplate scores high.
+
+    Scale shape: corpus term frequencies are ONE groupBy over (token)
+    with map-side partial agg; the per-occurrence re-join is keyed on the
+    token (hot stopwords skew it — AQE skew-join splits those partitions,
+    or broadcast the frequency table when the vocabulary fits). The total
+    token count rides a 1-row broadcast. Rounded so an external oracle's
+    float summation agrees (same op sequence: ln(freq/total) per
+    occurrence, then AVG)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    freqs = toks.groupBy("__tok").agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return (
+        toks.join(freqs, "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("__c") / F.col("__t"))), round_to).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     n: int = 2,

@@ -132,7 +132,8 @@ ORACLES: dict[str, str] = {
         SELECT n1.n_name AS cust_nation,
                n2.n_name AS supp_nation,
                COUNT(*)  AS n_items,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 100 AS revenue
         FROM lineitem
         JOIN orders    ON l_orderkey = o_orderkey
         JOIN customer  ON o_custkey = c_custkey
@@ -146,7 +147,8 @@ ORACLES: dict[str, str] = {
                CAST(month(l_shipdate) AS INTEGER) AS ship_month,
                COUNT(*) AS n_items,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) / COUNT(*)) / 100 AS avg_price,
                MIN(l_discount) AS min_disc,
                MAX(l_discount) AS max_disc,
                COUNT(DISTINCT l_orderkey) AS n_orders
@@ -1404,6 +1406,24 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id, d.lang, CAST(d.nt AS INTEGER) AS n_tokens, d.med, ma.mad
         FROM dev d JOIN mad ma USING (lang)
         WHERE d.adev > 1.5 * ma.mad
+    """,
+    # Same op sequence as the Spark plan: ln(freq/total) per occurrence,
+    # then AVG; ROUND(,4) absorbs summation-order drift (bm25 precedent).
+    "q_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ), freqs AS (
+            SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok
+        ), total AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(ln(c / t)), 4) AS avg_logprob
+        FROM toks JOIN freqs USING (tok) CROSS JOIN total
+        GROUP BY doc_id
     """,
     # Full curation funnel: quality gate -> decontamination -> exact dedup
     # -> per-language token budget, replayed as one CTE chain. Same

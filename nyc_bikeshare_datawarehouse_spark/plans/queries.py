@@ -253,7 +253,15 @@ def q_self_role_join(spark, sf_dir):
         .groupBy("cust_nation", "supp_nation")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # integer-cents per line (see q_tpch_q9): exact order-independent
+            # sum — ROUND(float SUM, 2) straddles .xx5 boundaries by
+            # summation order (observed 753930.79 vs .80 at sf0.001)
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+                )
+                / 100
+            ).alias("revenue"),
         )
     )
 
@@ -812,8 +820,19 @@ def q_agg_monthly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
+            # l_quantity is integer-valued -> float sum exact at any order
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            # integer-cents mean (see q_tpch_q9): ROUND(AVG(double), 2)
+            # straddles .xx5 boundaries by summation order (observed
+            # 46926.64 vs .63 at sf0.001); floor(cents-sum/count)/100 is
+            # exact and engine-identical
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+                    / F.count(F.lit(1))
+                )
+                / 100
+            ).alias("avg_price"),
             F.min("l_discount").alias("min_disc"),
             F.max("l_discount").alias("max_disc"),
             F.countDistinct("l_orderkey").alias("n_orders"),
@@ -2086,6 +2105,16 @@ def q_pca_variance(spark, sf_dir):
     return similarity.group_pca_variance(e).orderBy("label")
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style quality signal, unigram form (functions/text.py
+    `unigram_logprob`): avg ln(corpus-frequency/total) per document —
+    garbage-token documents score very negative. One groupBy(token) for
+    corpus frequencies, token-keyed re-join (AQE splits hot-stopword
+    skew), 1-row total broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob(d).orderBy("doc_id")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The FULL pre-training curation funnel as ONE lazy plan (the LLM-
     pipeline story end to end): quality gate (length + distinct-token
@@ -2126,8 +2155,8 @@ def q_curation_pipeline(spark, sf_dir):
 
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
-# slice). Round-5 slots 1-50: the 20 queries that need a driver row —
-# the 11 new round-5 hygiene/maintenance operators (contamination scan +
+# slice). Round-5 slots 1-50: the 21 queries that need a driver row —
+# the 12 new round-5 hygiene/maintenance operators (contamination scan +
 # decontaminate, repetition stats, PII scrub, streaming-dedup batch twin,
 # bucketed co-located join, heavy-hitter n-grams, int8 embedding
 # quantization, MAD outliers, applyInPandas PCA, the four-stage curation
@@ -2150,6 +2179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robust_outliers": q_robust_outliers,
     "q_pca_variance": q_pca_variance,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_unigram_logprob": q_unigram_logprob,
     # --- need their first (or first non-ERR) driver row (9) ---
     "q_length_histogram": q_length_histogram,
     "q_bm25_search": q_bm25_search,

@@ -136,3 +136,15 @@ def test_ngram_overlap_shuffle_join_path_equivalent(spark):
     a = sorted(map(tuple, contamination.ngram_overlap(train, ev, n=3, broadcast_eval=True).collect()))
     b = sorted(map(tuple, contamination.ngram_overlap(train, ev, n=3, broadcast_eval=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus tokens: [a, a, a, b] -> p(a)=3/4, p(b)=1/4
+    df = _docs(spark, [(1, "a a a"), (2, "b")])
+    got = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["avg_logprob"] == round(math.log(3 / 4), 4)
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["avg_logprob"] == round(math.log(1 / 4), 4)
