@@ -1539,10 +1539,14 @@ def q_text_pipeline(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram-Jaccard similar pairs via inverted-index join
-    (SURVEY §2.10 near-dup verifier stage)."""
+    (SURVEY §2.10 near-dup verifier stage). pack_ids: the pair-count
+    shuffle key is one packed long (doc_ids fit 31 bits on this corpus;
+    the general 64-bit path is the default)."""
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
-    return dedup.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5)
+    return dedup.ngram_jaccard_pairs(
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, pack_ids=True
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1551,7 +1555,9 @@ def q_dedup_clusters(spark, sf_dir):
     cluster_id per document. Oracle: recursive-CTE reachability."""
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
-    pairs = dedup.ngram_jaccard_pairs(d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, pack_ids=True
+    )
     return dedup.cluster_duplicates(pairs, d, "doc_id")
 
 
@@ -1568,7 +1574,8 @@ def q_dedup_clusters_pruned(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
     pairs = dedup.ngram_jaccard_pairs(
-        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_frac=0.05
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_frac=0.05,
+        pack_ids=True,
     )
     return dedup.cluster_duplicates(pairs, d, "doc_id")
 

@@ -509,3 +509,17 @@ class TestRoundFiveTextOps:
         )
         r = similarity.group_pca_variance(df).collect()[0]
         assert (r["n_vecs"], r["top_eig_share"], r["total_var"]) == (1, 1.0, 0.0)
+
+    def test_ngram_jaccard_pack_ids_identical(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+        from nyc_bikeshare_datawarehouse_spark.functions import dedup, text as tx
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.size(tx.tokens("text")) >= 2
+        )
+        plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", shingle_n=2, min_jaccard=0.5).collect()))
+        packed = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", shingle_n=2, min_jaccard=0.5, pack_ids=True).collect()))
+        assert plain == packed and len(plain) > 0
