@@ -88,7 +88,11 @@ def decontaminate(
     """Drop every train document sharing >= `min_shared` distinct n-grams
     with ANY eval document (left-anti against the contaminated id set).
     Returns the clean train frame with its original columns — the shuffle
-    carries only contaminated ids, the anti-join side is broadcastable."""
+    carries only contaminated ids. The contaminated-id set is only
+    force-broadcast when `broadcast_eval=True`; callers set it False
+    precisely because the eval side is large, which makes the hit set
+    potentially large too, so there Catalyst/AQE picks the anti-join
+    strategy (sort-merge or runtime broadcast) from actual sizes."""
     contaminated = (
         ngram_overlap(
             train, eval_df, n, text_col, id_col,
@@ -97,4 +101,5 @@ def decontaminate(
         .select(F.col("train_id").alias(id_col))
         .distinct()
     )
-    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+    anti_side = F.broadcast(contaminated) if broadcast_eval else contaminated
+    return train.join(anti_side, id_col, "left_anti")

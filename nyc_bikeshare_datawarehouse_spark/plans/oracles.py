@@ -1510,7 +1510,8 @@ ORACLES: dict[str, str] = {
     "q_bucketed_join": """
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(SUM(o.o_totalprice), 2) AS revenue
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS revenue
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,

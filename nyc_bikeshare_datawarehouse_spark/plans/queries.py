@@ -2036,7 +2036,12 @@ def q_bucketed_join(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # integer-cents per order (see q_tpch_q9): ROUND(SUM(double),2)
+            # is SF-fragile — summation order differs between engines, so a
+            # .xx5 straddle can appear at any corpus size
+            (F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / 100).alias(
+                "revenue"
+            ),
         )
         .orderBy("c_mktsegment")
     )

@@ -59,7 +59,12 @@ def read_jsonl(
     arrive in. ALWAYS pass `schema` at scale: inference runs a full extra
     pass over the data before the real read. `capture_corrupt=True` adds
     a `_corrupt_record` column and keeps malformed lines (PERMISSIVE)
-    for a quarantine split instead of failing the job mid-scan."""
+    for a quarantine split instead of failing the job mid-scan; like
+    read_csv it REQUIRES an explicit schema then — relying on inference
+    to surface _corrupt_record costs a full extra pass at scale and made
+    the two readers' contracts inconsistent."""
+    if capture_corrupt and schema is None:
+        raise ValueError("capture_corrupt=True requires an explicit schema")
     reader = spark.read
     if schema is not None:
         if capture_corrupt:

@@ -87,11 +87,44 @@ def drop_table(spark: SparkSession, name: str) -> None:
     directory under spark.sql.warehouse.dir while the (session-local
     in-memory) catalog forgets the table — without the purge, the next
     saveAsTable fails with LOCATION_ALREADY_EXISTS. Hadoop FS API, so the
-    same code handles local disk and HDFS/object stores."""
+    same code handles local disk and HDFS/object stores.
+
+    When the table still exists in the catalog, its REAL location is
+    resolved (DESCRIBE EXTENDED) and only purged if it is a managed
+    location under the warehouse dir — never an external path. For the
+    orphan case (catalog has already forgotten the table) the purge
+    reconstructs the managed layout exactly: `<warehouse>/<table>` for
+    unqualified names, `<warehouse>/<db>.db/<table>` for `db.table` —
+    so dropping `db.t` can no longer delete an unrelated default-database
+    table's directory at `<warehouse>/t`."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    location = None
+    managed = False
+    if spark.catalog.tableExists(name):
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+            if row.col_name == "Location":
+                location = row.data_type
+            elif row.col_name == "Type":
+                managed = row.data_type.upper() == "MANAGED"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if location is None:
+        # Orphan case: rebuild the managed location the catalog WOULD use.
+        parts = [p.lower() for p in name.split(".")]
+        if len(parts) == 1:
+            location = f"{wh}/{parts[0]}"
+        elif len(parts) == 2:
+            location = f"{wh}/{parts[0]}.db/{parts[1]}"
+        else:
+            return  # catalog.db.table — no deterministic local layout; skip purge
+        managed = True
+    if not managed:
+        return  # external table: dropping must never delete the data
+    # Only ever delete under the warehouse dir (belt and braces for odd configs).
+    norm = location.removeprefix("file:")
+    if not norm.startswith(wh.removeprefix("file:")):
+        return
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{name.split('.')[-1].lower()}")
+    path = jvm.org.apache.hadoop.fs.Path(location)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)

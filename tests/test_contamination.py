@@ -148,3 +148,15 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1]["avg_logprob"] == round(math.log(3 / 4), 4)
     assert got[2]["n_tokens"] == 1
     assert got[2]["avg_logprob"] == round(math.log(1 / 4), 4)
+
+
+def test_decontaminate_no_forced_broadcast_when_flag_off(spark):
+    # broadcast_eval=False is chosen when the eval side (and so the hit
+    # set) is large: the anti-join side must NOT be force-broadcast then —
+    # result is identical, strategy is left to Catalyst/AQE.
+    train = _docs(spark, [(1, "a b c d q"), (2, "p q r x y z"), (3, "m n o p q")])
+    ev = _docs(spark, [(100, "a b c d"), (200, "w x y z")])
+    kept = contamination.decontaminate(train, ev, n=3, min_shared=2, broadcast_eval=False)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint (strategy=broadcast)" not in plan

@@ -523,3 +523,37 @@ class TestRoundFiveTextOps:
         packed = sorted(map(tuple, dedup.ngram_jaccard_pairs(
             d, "text", "doc_id", shingle_n=2, min_jaccard=0.5, pack_ids=True).collect()))
         assert plain == packed and len(plain) > 0
+
+
+class TestPackIdsGuards:
+    def test_pack_ids_int_typed_ids_identical(self, spark):
+        # IntegerType ids used to shift within 32 bits (JVM shift-mod-32),
+        # producing garbage packed keys even for tiny values; the long cast
+        # makes the documented 31-bit value range the only precondition.
+        from nyc_bikeshare_datawarehouse_spark.functions import dedup
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"),
+             (3, "totally different words here now")],
+            "doc_id int, text string",
+        )
+        plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=2, min_jaccard=0.3).collect()))
+        packed = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=2, min_jaccard=0.3, pack_ids=True).collect()))
+        assert plain == packed and len(plain) == 1
+
+    def test_pack_ids_overflow_raises_loudly(self, spark):
+        # ids >= 2^31 would silently collide in the packed key: the plan
+        # must fail the job with a clear message instead.
+        from nyc_bikeshare_datawarehouse_spark.functions import dedup
+
+        big = 1 << 31
+        df = spark.createDataFrame(
+            [(big, "the quick brown fox jumps"), (big + 1, "the quick brown fox leaps")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(Exception, match="pack_ids requires"):
+            dedup.ngram_jaccard_pairs(
+                df, "text", "doc_id", shingle_n=2, min_jaccard=0.1, pack_ids=True
+            ).collect()

@@ -73,3 +73,14 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 2 and bad.count() == 1
     assert bad.collect()[0]["_corrupt_record"] == "this is not json"
+
+
+def test_read_jsonl_capture_corrupt_requires_schema(spark, tmp_path):
+    # Contract parity with read_csv: relying on inference to surface
+    # _corrupt_record costs a full extra pass at scale — fail fast instead.
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\n')
+    with pytest.raises(ValueError, match="schema"):
+        read_jsonl(spark, str(p), capture_corrupt=True)

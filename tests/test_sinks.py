@@ -77,3 +77,55 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     sinks.overwrite_partitions(feb_fix, path, ["month"])
     got = sorted(tuple(r) for r in spark.read.parquet(path).select("month", "v", "tag").collect())
     assert got == [(1, 10, "jan"), (1, 11, "jan2"), (2, 99, "feb-fixed")]
+
+
+def test_drop_table_db_qualified_spares_default_table(spark, tmp_path):
+    # Regression: drop_table('db.t') used to purge <warehouse>/t — the data
+    # dir of an UNRELATED default-database managed table named t.
+    spark.sql("CREATE DATABASE IF NOT EXISTS dropdb")
+    victim = spark.createDataFrame([(1, "keep")], "id int, v string")
+    sinks.create_table(spark, "t_shared_name", victim)
+    qualified = spark.createDataFrame([(2, "bye")], "id int, v string")
+    qualified.write.mode("overwrite").format("parquet").saveAsTable("dropdb.t_shared_name")
+    try:
+        sinks.drop_table(spark, "dropdb.t_shared_name")
+        assert not spark.catalog.tableExists("dropdb.t_shared_name")
+        # the default-db table and its data must be untouched
+        assert spark.table("t_shared_name").count() == 1
+    finally:
+        sinks.drop_table(spark, "t_shared_name")
+        spark.sql("DROP DATABASE IF EXISTS dropdb CASCADE")
+
+
+def test_drop_table_db_qualified_purges_orphan_location(spark):
+    # A re-created db.table must not hit LOCATION_ALREADY_EXISTS even when
+    # the catalog forgot the table (fresh session) but the dir survived.
+    spark.sql("CREATE DATABASE IF NOT EXISTS dropdb2")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    df.write.format("parquet").saveAsTable("dropdb2.t_orphan")
+    # simulate a fresh session's in-memory catalog: forget the table but
+    # leave its directory behind
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/dropdb2.db/t_orphan")
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert fs.exists(loc)
+    spark.sql("DROP TABLE dropdb2.t_orphan")  # catalog drop may leave files
+    try:
+        sinks.drop_table(spark, "dropdb2.t_orphan")
+        assert not fs.exists(loc)
+        df.write.format("parquet").saveAsTable("dropdb2.t_orphan")  # must not raise
+        assert spark.table("dropdb2.t_orphan").count() == 1
+    finally:
+        sinks.drop_table(spark, "dropdb2.t_orphan")
+        spark.sql("DROP DATABASE IF EXISTS dropdb2 CASCADE")
+
+
+def test_drop_table_external_keeps_data(spark, tmp_path):
+    # Dropping an EXTERNAL table must never delete its data directory.
+    ext = str(tmp_path / "ext_data")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df.write.option("path", ext).format("parquet").saveAsTable("t_external_keep")
+    sinks.drop_table(spark, "t_external_keep")
+    assert not spark.catalog.tableExists("t_external_keep")
+    assert spark.read.parquet(ext).count() == 2
