@@ -72,6 +72,7 @@ HEAVY = [
     "q_dedup_clusters_pruned",
     "q_near_dup_minhash",
     "q_embed_near_dup",
+    "q_embed_dedup_pipeline",
 ]
 
 

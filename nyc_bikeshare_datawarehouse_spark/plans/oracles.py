@@ -1516,3 +1516,69 @@ ORACLES: dict[str, str] = {
         GROUP BY c.c_mktsegment
     """,
 }
+
+
+def _embed_dedup_pipeline_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
+                              min_cosine: float = 0.40) -> str:
+    """Build the q_embed_dedup_pipeline oracle from the SAME deterministic
+    hyperplane table the Spark query uses (functions/similarity.py
+    `_deterministic_hyperplanes` — pure hash-of-index Python, no Spark):
+    the plane values are inlined as DOUBLE[] literals, so DuckDB replays
+    the exact SRP signature → band chunks → candidate join → cosine
+    verify → recursive-CTE connected components → min-id apply lattice.
+    Shortest-repr float literals round-trip to the identical double, and
+    both engines fold the dot product in double precision."""
+    from nyc_bikeshare_datawarehouse_spark.functions.similarity import (
+        _deterministic_hyperplanes,
+    )
+
+    planes = _deterministic_hyperplanes(dim, n_planes)
+    sig_terms = "\n                 + ".join(
+        "(CASE WHEN list_dot_product(e, [{vals}]) > 0 THEN {mask} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in planes[p]), mask=1 << p
+        )
+        for p in range(n_planes)
+    )
+    width = n_planes // bands
+    return f"""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), sig AS (
+            SELECT vec_id,
+                   {sig_terms} AS sig
+            FROM v
+        ), chunks AS (
+            SELECT vec_id, band, (sig >> (band * {width})) & {(1 << width) - 1} AS chunk
+            FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band)
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM chunks a
+            JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                          AND a.vec_id < b.vec_id
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM cand c
+            JOIN v va ON va.vec_id = c.id_a
+            JOIN v vb ON vb.vec_id = c.id_b
+            WHERE ROUND(list_cosine_similarity(va.e, vb.e), 6) >= {min_cosine}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+            SELECT vec_id AS node, vec_id AS lab FROM embeddings
+            UNION
+            SELECT e.dst AS node, r.lab
+            FROM reach r JOIN edges e ON e.src = r.node
+        ), clusters AS (
+            SELECT node AS vec_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT emb.vec_id, emb.label
+        FROM embeddings emb JOIN clusters c ON emb.vec_id = c.vec_id
+        WHERE c.vec_id = c.cluster_id
+        ORDER BY emb.vec_id
+    """
+
+
+ORACLES["q_embed_dedup_pipeline"] = _embed_dedup_pipeline_sql()

@@ -2165,6 +2165,34 @@ def q_curation_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_embed_dedup_pipeline(spark, sf_dir):
+    """The FULL embedding dedup lattice as ONE query — the vector twin of
+    q_dedup_pipeline (SURVEY §2.10): SRP-LSH bucket candidates → exact
+    cosine VERIFY on candidates only → connected components → APPLY (each
+    cluster's min-id vector survives). Every stage is the scale form:
+    banded (band, chunk) bucket join moving ids only (vectors re-attach by
+    id before the verify — plan-pinned in tests/test_plans.py), edge-
+    nodes-only CC with per-round checkpoints, left-semi apply. The
+    hyperplanes are deterministic hash-of-index values, so the oracle
+    replays the EXACT lattice in DuckDB — the same 16 plane literals,
+    sign-bit signature, band chunks, candidate-restricted cosine verify,
+    recursive-CTE reachability — end to end (plans/oracles.py builds the
+    SQL from the same _deterministic_hyperplanes table)."""
+    e = _t(spark, sf_dir, "embeddings")
+    # 0.40, not q_embed_near_dup's 0.35: at the larger SFs the 0.35 tail
+    # densifies into a near-giant component (4656/5000 vectors dropped at
+    # sf0.1 — degenerate dedup and an O(diameter)-deep CC); 0.40 keeps the
+    # pair graph a genuine top tail at every tested corpus size
+    pairs = similarity.cosine_near_dup_lsh(
+        e, dim=64, n_planes=16, bands=4, min_cosine=0.40
+    )
+    clusters = dedup.cluster_duplicates(pairs, e, id_col="vec_id")
+    return (
+        dedup.apply_dedup(e.select("vec_id", "label"), clusters, id_col="vec_id")
+        .orderBy("vec_id")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-5 slots 1-50: the 21 queries that need a driver row —
@@ -2180,6 +2208,7 @@ def q_curation_pipeline(spark, sf_dir):
 # (their driver rows stand; rows-only entries gain nothing from
 # re-checking) and green queries displaced by the new six.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,

@@ -152,3 +152,14 @@ def test_pii_scrub_and_quantize_shuffle_free(spark, sf_dir):
     for name in ("q_pii_scrub", "q_embed_quantize"):
         plan = plan_of(spark, sf_dir, name)
         assert n_exchanges(plan) == 0, name
+
+
+def test_embed_dedup_pipeline_apply_is_broadcast_semi_ids_only(spark, sf_dir):
+    # the embedding dedup lattice's APPLY stage: keepers (cluster reps,
+    # ids only) semi-join back against the corpus — at any scale the
+    # keeper list is id-width, and no exchange may carry the vector column
+    # (candidates/verify ids-only property is pinned via q_embed_near_dup)
+    plan = plan_of(spark, sf_dir, "q_embed_dedup_pipeline")
+    assert "LeftSemi" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1)
