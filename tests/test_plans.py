@@ -163,3 +163,13 @@ def test_embed_dedup_pipeline_apply_is_broadcast_semi_ids_only(spark, sf_dir):
     assert "LeftSemi" in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1)
+
+
+def test_ann_ivf_partitioned_prunes_cells(spark, sf_dir):
+    # the persisted ANN lifecycle: the probe's cell filter must compile to
+    # parquet PartitionFilters (nprobe/n_cells of the files listed), and
+    # the top-k must be a per-partition heap, never a global sort
+    plan = plan_of(spark, sf_dir, "q_ann_ivf_partitioned")
+    assert "PartitionFilters: [cell#" in plan
+    assert "cell IN" in plan or "cell#" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -27,6 +27,8 @@ def test_contract_shape():
         "q_approx_distinct", "q_approx_percentiles",
         # applyInPandas eigendecomposition: no SQL engine replays eigvalsh
         "q_pca_variance",
+        # iterative seeded KMeans fit + persisted-layout lifecycle: no SQL form
+        "q_ann_ivf_partitioned",
     }
 
 
