@@ -464,6 +464,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     min_jaccard: float = 0.2,
     max_doc_frac: float | None = None,
+    max_doc_count: int | None = None,
     size_prune: bool = False,
     pack_ids: bool = False,
 ) -> DataFrame:
@@ -484,6 +485,18 @@ def ngram_jaccard_pairs(
     partition shrinks quadratically. Default None = off (exact semantics,
     matches the SQL oracle).
 
+    CALIBRATION (scaling-probe finding, BASELINE.md round 6): a FRACTION
+    threshold is a corpus-density property, not a constant — on a corpus
+    whose vocabulary grows with size (so per-shingle doc-frequency
+    fractions shrink), a fixed frac stops pruning and the cost reverts
+    toward quadratic (measured alpha 1.48 vs 0.45 at 10x). When the df
+    distribution at the target scale is unknown, prefer `max_doc_count`:
+    an ABSOLUTE posting-length cutoff. A shingle's join cost is
+    (posting length)² regardless of corpus size, so a count cutoff bounds
+    the worst partition absolutely and is scale-invariant by
+    construction. If both are given, a shingle is pruned when it exceeds
+    EITHER threshold.
+
     `size_prune` adds the EXACT size-ratio prefilter: jaccard(A,B) can
     never exceed min(|A|,|B|)/max(|A|,|B|), so size-incompatible pairs are
     dropped inside the self-join, before the per-pair intersection groupBy
@@ -502,8 +515,10 @@ def ngram_jaccard_pairs(
     no-op shift producing garbage keys even for small values), and a
     codegen-side range check raises a loud runtime error on any id
     outside [0, 2^31) instead of silently colliding (tested). The check
-    is a single branch per row — noise next to the hash+shuffle it
-    guards. Results are identical to the unpacked path (tested)."""
+    rides the per-DOC sizes branch (one branch per document, ZERO cost on
+    the quadratic pair stream); it wraps the sizes join key, so no result
+    row can be produced before every packed id has passed it. Results are
+    identical to the unpacked path (tested)."""
     sh = (
         df.select(
             F.col(id_col),
@@ -512,15 +527,19 @@ def ngram_jaccard_pairs(
         .select(id_col, F.xxhash64("s").alias("sh"))
         .dropDuplicates()
     )
-    if max_doc_frac is not None:
-        n_docs = df.select(F.countDistinct(id_col).alias("__nd"))
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .crossJoin(F.broadcast(n_docs))
-            .filter(F.col("__df") > F.col("__nd") * max_doc_frac)
-            .select("sh")
-        )
+    if max_doc_frac is not None or max_doc_count is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        conds = []
+        if max_doc_frac is not None:
+            n_docs = df.select(F.countDistinct(id_col).alias("__nd"))
+            dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+            conds.append(F.col("__df") > F.col("__nd") * max_doc_frac)
+        if max_doc_count is not None:
+            conds.append(F.col("__df") > F.lit(max_doc_count))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        hot = dfreq.filter(cond).select("sh")
         # hot shingles are few by construction -> broadcast anti join;
         # sizes below are computed over the KEPT shingles
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -556,25 +575,15 @@ def ngram_jaccard_pairs(
         # No partition count: inherits spark.sql.shuffle.partitions /
         # AQE, so the same plan scales with the cluster.
         if pack_ids:
-
-            def _checked31(c):
-                # LONG cast first (IntegerType shifts mod 32 in the JVM),
-                # then a loud per-row guard: outside [0, 2^31) the packed
-                # key would collide silently, so fail the job instead.
-                lc = c.cast("long")
-                return F.when((lc >= 0) & (lc < (1 << 31)), lc).otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit("pack_ids requires 0 <= id < 2^31, got "),
-                            lc.cast("string"),
-                        )
-                    ).cast("long")
-                )
-
             pair_counts = (
                 joined.select(
-                    F.shiftleft(_checked31(F.col(f"a.{id_col}")), 32)
-                    .bitwiseOR(_checked31(F.col(f"b.{id_col}")))
+                    # LONG cast is mandatory: an IntegerType id would shift
+                    # mod 32 in the JVM (a no-op), producing garbage packed
+                    # keys even for small values. The value-range guard
+                    # lives on the per-DOC sizes branch below, not here on
+                    # the quadratic pair stream.
+                    F.shiftleft(F.col(f"a.{id_col}").cast("long"), 32)
+                    .bitwiseOR(F.col(f"b.{id_col}").cast("long"))
                     .alias("__pk")
                 )
                 .repartition("__pk")
@@ -595,8 +604,24 @@ def ngram_jaccard_pairs(
                 .groupBy("id_a", "id_b")
                 .agg(F.count(F.lit(1)).alias("n_inter"))
             )
-        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        idc = F.col(id_col)
+        if pack_ids:
+            # Range guard on the per-DOC sizes branch (one row per doc, not
+            # per pair): an id outside [0, 2^31) would collide silently in
+            # the packed key, so raise loudly instead. The checked column
+            # IS the join key, so it cannot be pruned, and every packed id
+            # flows through sa/sb — the join cannot emit a single result
+            # row before the guard has seen (and rejected) a bad id.
+            idc = F.when((idc >= 0) & (idc < (1 << 31)), idc).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pack_ids requires 0 <= id < 2^31, got "),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast(sizes.schema[id_col].dataType)
+            )
+        sa = sizes.select(idc.alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(idc.alias("id_b"), F.col("n_sh").alias("n_b"))
         inter = pair_counts.join(sa, "id_a").join(sb, "id_b")
     return (
         inter

@@ -93,19 +93,60 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — Spark plumbing real, codec stubbed.
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real codec path, import-gated: PIL decode → resize → PNG re-encode.
+    Raises NotImplementedError where PIL is not installed (this container);
+    deployments either install PIL or inject their own `codec_fn`."""
+    try:
+        import io
 
-    Raises NotImplementedError at execution time unless a codec is
-    available; the plan (schema, batching) is still constructible, which is
-    what the engine tests."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - PIL absent in CI container
         raise NotImplementedError(
             "image codec (PIL) not available in this environment; "
-            "inject a decoder to enable resize_images"
-        )
-        yield  # pragma: no cover
+            "install PIL or inject codec_fn to enable resize_images"
+        ) from e
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    out = io.BytesIO()  # pragma: no cover
+    img.resize((width, height)).save(out, format="PNG")  # pragma: no cover
+    return out.getvalue()  # pragma: no cover
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    codec_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize operator over Arrow-batched mapInPandas.
+
+    `codec_fn(payload, width, height) -> bytes` is the pluggable codec
+    (real codecs parse their own headers); the default is the import-gated
+    PIL path, which raises NotImplementedError at EXECUTION time where PIL
+    is absent — the plan (schema, batch shape) is constructible either way.
+    Image rows get resized content and meta.width/height rewritten to the
+    target; null-content and non-image rows pass through unchanged."""
+    codec = codec_fn or _pil_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for content, modality, meta in zip(
+                pdf["content"], pdf["modality"], pdf["meta"]
+            ):
+                if modality == "image" and content is not None:
+                    contents.append(codec(bytes(content), width, height))
+                    new_meta = dict(meta) if meta is not None else {}
+                    new_meta["width"] = width
+                    new_meta["height"] = height
+                    metas.append(new_meta)
+                else:
+                    contents.append(content)
+                    metas.append(meta)
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
 
     return df.mapInPandas(run, schema=ASSET_SCHEMA)
 

@@ -389,10 +389,45 @@ class TestMultimodal:
         # 3500 ms at 1000 ms cadence -> frames 0,1,2 at 0/1000/2000 ms
         assert [(r["frame_idx"], r["frame_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000)]
 
-    def test_resize_stub_raises_at_execution(self, spark, assets):
-        df = multimodal.resize_images(assets, 64, 64)  # plan construction OK
+    def test_resize_default_codec_import_gated(self, spark, assets):
+        # without PIL in the container, the default codec raises at
+        # EXECUTION time with an actionable message; plan construction OK
+        df = multimodal.resize_images(assets, 64, 64)
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             df.collect()
+
+    def test_resize_with_injected_codec_end_to_end(self, spark, assets):
+        # a pure-Python nearest-neighbor codec over raw grayscale bytes
+        # proves the whole mapInPandas path: batch shape, struct meta
+        # rewrite, binary round-trip, non-image passthrough
+        def toy_codec(payload: bytes, w: int, h: int) -> bytes:
+            # fixture payload is a 3x3 row-major grayscale grid
+            src_w = src_h = 3
+            pix = payload[: src_w * src_h]
+            return bytes(
+                pix[min(int(y * src_h / h), src_h - 1) * src_w
+                    + min(int(x * src_w / w), src_w - 1)]
+                for y in range(h)
+                for x in range(w)
+            )
+
+        grid = bytes(range(10, 19))  # 3x3 grayscale
+        df = spark.createDataFrame(
+            [
+                (1, "image", bytearray(grid), None, ("image/raw", 3, 3, None, None)),
+                (2, "video", None, "s3://bucket/v.mp4", ("video/mp4", None, None, None, 3500)),
+            ],
+            multimodal.ASSET_SCHEMA,
+        )
+        out = {r["asset_id"]: r for r in
+               multimodal.resize_images(df, 2, 2, codec_fn=toy_codec).collect()}
+        # nearest-neighbor of a 3x3 grid at 2x2 picks rows/cols 0 and 1
+        assert bytes(out[1]["content"]) == bytes([10, 11, 13, 14])
+        assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (2, 2)
+        # non-image rows pass through untouched, nulls stay null
+        assert out[2]["content"] is None
+        assert out[2]["meta"]["duration_ms"] == 3500
+        assert out[2]["content_uri"] == "s3://bucket/v.mp4"
 
 
 class TestRoundFiveTextOps:
@@ -557,3 +592,36 @@ class TestPackIdsGuards:
             dedup.ngram_jaccard_pairs(
                 df, "text", "doc_id", shingle_n=2, min_jaccard=0.1, pack_ids=True
             ).collect()
+
+
+class TestMaxDocCountPruning:
+    def test_count_and_frac_thresholds_agree(self, spark):
+        # on a fixed corpus, frac f and count ceil(f*N) prune the same
+        # shingles; the absolute form is the scale-invariant calibration
+        from nyc_bikeshare_datawarehouse_spark.functions import dedup
+
+        rows = [(i, f"common word unique{i} tail{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        by_frac = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=2, min_jaccard=0.01,
+            max_doc_frac=0.5).collect()))
+        by_count = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=2, min_jaccard=0.01,
+            max_doc_count=5).collect()))
+        assert by_frac == by_count
+        # 'common word' appears in all 10 docs and must have been pruned:
+        # without pruning every doc-pair shares it -> 45 pairs
+        unpruned = dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=2, min_jaccard=0.01).collect()
+        assert len(unpruned) == 45 and len(by_count) == 0
+
+    def test_either_threshold_prunes(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.functions import dedup
+
+        rows = [(i, f"common word unique{i} tail{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # frac alone too lax (1.1 never fires), count=5 still prunes
+        both = dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", shingle_n=2, min_jaccard=0.01,
+            max_doc_frac=1.1, max_doc_count=5).collect()
+        assert len(both) == 0

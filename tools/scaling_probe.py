@@ -1,0 +1,217 @@
+"""Heavy-tier scaling probe — the empirical check of the 100× design claims.
+
+Builds an sf1-equivalent corpus (10× the sf0.1 documents/embeddings) and
+times the heavy-tier queries at sf0.1 and sf1x, printing per-query scaling
+exponents alpha = log(t_big/t_small) / log(replicas): ~1 = linear (the
+scale path's claim), ~2 = quadratic (the exact verifiers' known shape).
+
+Corpus synthesis (documents): replica k suffixes every token with `_k`,
+so replicas are DISJOINT in shingle space — within-replica near-dup
+structure (dup rate, posting-list lengths, cluster sizes) is preserved
+exactly, while cross-replica shingle collisions are zero. This measures
+data-VOLUME scaling at constant per-key density, i.e. the well-partitioned
+regime. It deliberately does NOT grow hot-shingle doc-frequency with
+corpus size (a true same-vocabulary 10× corpus would); that regime is the
+one `max_doc_frac` hot-shingle pruning exists for, whose effect is
+measured separately at fixed SF (q_dedup_clusters 18.0s -> pruned 5.5s in
+BENCH_r05). Embeddings: replica k circularly rotates each vector by k
+positions — random-vector rotations are ~orthogonal, so cross-replica
+cosine stays in the noise while within-replica geometry is untouched.
+
+The deliberately-quadratic oracle verifiers (q_ngram_jaccard,
+q_dedup_clusters) are NOT run at sf1x by default: at alpha ~2 their 20 s
+would become ~30 min. Pass --include-exact to time them anyway; their
+exponent is measured at the sf0.01 -> sf0.1 step instead.
+
+Usage: python tools/scaling_probe.py [--replicas 10] [--include-exact]
+Writes SCALING.json and prints a markdown table for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.plans.queries import QUERIES
+from nyc_bikeshare_datawarehouse_spark.session import get_spark
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF001 = "/root/testdata/sf0.01"
+BENCHDATA = "/root/repo/.benchdata"
+
+#: scale-path heavy queries: claimed ~linear in corpus size
+SCALE_PATH = [
+    "q_dedup_pipeline",
+    "q_dedup_clusters_pruned",
+    "q_near_dup_minhash",
+    "q_embed_near_dup",
+    "q_embed_dedup_pipeline",
+    "q_text_pipeline",
+]
+#: oracle-exact quadratic verifiers: measured at the sf0.01 -> sf0.1 step
+EXACT = ["q_ngram_jaccard", "q_dedup_clusters"]
+
+
+def build_sfx(spark, replicas: int) -> str:
+    out = f"{BENCHDATA}/sfx{replicas}"
+    marker = f"{out}/_SCALING_READY"
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).head()[0] + 1
+    parts = []
+    for k in range(replicas):
+        suffixed = F.array_join(
+            F.transform(F.split(F.col("text"), " "), lambda t: F.concat(t, F.lit(f"_{k}"))),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * max_id)).alias("doc_id"),
+                suffixed.alias("text"),
+                "lang",
+                "n_chars",
+            )
+        )
+    big_docs = parts[0]
+    for p in parts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    vmax = emb.agg(F.max("vec_id")).head()[0] + 1
+    dim = len(emb.select("embedding").head()["embedding"])
+    eparts = []
+    for k in range(replicas):
+        rot = k % dim
+        rotated = (
+            F.col("embedding")
+            if rot == 0
+            else F.concat(
+                F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot)
+            )
+        )
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * vmax)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    big_emb = eparts[0]
+    for p in eparts[1:]:
+        big_emb = big_emb.unionByName(p)
+    big_emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(marker, "w").write("ok")
+    return out
+
+
+def time_query(spark, name: str, sf_dir: str, warm: bool = False) -> float:
+    """One timed run; `warm=True` runs once first and times the second —
+    small-corpus runs are otherwise dominated by first-touch JVM/codegen
+    cost, which inflates t_small and UNDERSTATES the exponent."""
+    if warm:
+        QUERIES[name](spark, sf_dir).count()
+    t0 = time.time()
+    QUERIES[name](spark, sf_dir).count()
+    return round(time.time() - t0, 2)
+
+
+def time_pruned_const_density(spark, sf_dir: str, frac: float, warm: bool = False) -> float:
+    """q_dedup_clusters_pruned's lattice with max_doc_frac scaled to the
+    synthetic corpus: suffix-disjoint replicas dilute every shingle's
+    document-frequency FRACTION by 1/replicas, which deactivates a
+    fixed-frac pruning threshold (a true same-vocabulary 10x corpus keeps
+    fractions constant). Scaling the threshold restores constant-density
+    semantics: the same shingles are pruned per replica as at sf0.1."""
+    from nyc_bikeshare_datawarehouse_spark.functions import dedup, text
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    def run():
+        d = load_table(spark, sf_dir, "documents")
+        d2 = d.filter(F.size(text.tokens("text")) >= 2)
+        pairs = dedup.ngram_jaccard_pairs(
+            d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5,
+            max_doc_frac=frac, pack_ids=True,
+        )
+        dedup.cluster_duplicates(pairs, d, "doc_id").filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).count()
+
+    if warm:
+        run()
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--include-exact", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("scaling-probe")
+    big = build_sfx(spark, args.replicas)
+
+    results: dict[str, dict] = {}
+    for name in SCALE_PATH:
+        t_small = time_query(spark, name, SF01, warm=True)
+        t_big = time_query(spark, name, big)  # long enough to amortize warm-up
+        alpha = math.log(t_big / t_small) / math.log(args.replicas)
+        results[name] = {
+            "sf0.1_sec": t_small,
+            f"sf1x{args.replicas}_sec": t_big,
+            "alpha": round(alpha, 2),
+            "step": f"sf0.1 -> {args.replicas}x",
+        }
+        print(f"{name}: {t_small}s -> {t_big}s  alpha={alpha:.2f}", flush=True)
+
+    # the pruned lattice under constant per-key density (see helper doc)
+    t_small = time_pruned_const_density(spark, SF01, 0.05, warm=True)
+    t_big = time_pruned_const_density(spark, big, 0.05 / args.replicas)
+    alpha = math.log(t_big / t_small) / math.log(args.replicas)
+    results["pruned_lattice_const_density"] = {
+        "sf0.1_sec": t_small,
+        f"sf1x{args.replicas}_sec": t_big,
+        "alpha": round(alpha, 2),
+        "step": f"sf0.1 -> {args.replicas}x, max_doc_frac/{args.replicas}",
+    }
+    print(f"pruned_lattice_const_density: {t_small}s -> {t_big}s  alpha={alpha:.2f}",
+          flush=True)
+
+    exact_step = 10  # sf0.01 -> sf0.1
+    for name in EXACT:
+        t_small = time_query(spark, name, SF001, warm=True)
+        t_big = time_query(spark, name, SF01, warm=True)
+        alpha = math.log(t_big / t_small) / math.log(exact_step)
+        results[name] = {
+            "sf0.01_sec": t_small,
+            "sf0.1_sec": t_big,
+            "alpha": round(alpha, 2),
+            "step": "sf0.01 -> sf0.1",
+        }
+        print(f"{name}: {t_small}s -> {t_big}s  alpha={alpha:.2f} (sf0.01->sf0.1)", flush=True)
+        if args.include_exact:
+            t_huge = time_query(spark, name, big)
+            results[name][f"sf1x{args.replicas}_sec"] = t_huge
+
+    json.dump(results, open("/root/repo/SCALING.json", "w"), indent=2)
+    print("\n| query | small | big | alpha | step |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        ts = r.get("sf0.1_sec") if "sf0.01_sec" not in r else r["sf0.01_sec"]
+        tb = r.get(f"sf1x{args.replicas}_sec", r.get("sf0.1_sec"))
+        print(f"| {name} | {ts}s | {tb}s | {r['alpha']} | {r['step']} |")
+
+
+if __name__ == "__main__":
+    main()
