@@ -1518,16 +1518,14 @@ ORACLES: dict[str, str] = {
 }
 
 
-def _embed_dedup_pipeline_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
-                              min_cosine: float = 0.40) -> str:
-    """Build the q_embed_dedup_pipeline oracle from the SAME deterministic
-    hyperplane table the Spark query uses (functions/similarity.py
+def _srp_candidate_ctes(dim: int = 64, n_planes: int = 16, bands: int = 4) -> str:
+    """Shared CTE prefix (v -> sig -> chunks -> cand) replaying the Spark
+    SRP-LSH lattice in DuckDB, built from the SAME deterministic
+    hyperplane table the Spark expressions use (functions/similarity.py
     `_deterministic_hyperplanes` — pure hash-of-index Python, no Spark):
-    the plane values are inlined as DOUBLE[] literals, so DuckDB replays
-    the exact SRP signature → band chunks → candidate join → cosine
-    verify → recursive-CTE connected components → min-id apply lattice.
-    Shortest-repr float literals round-trip to the identical double, and
-    both engines fold the dot product in double precision."""
+    the plane values are inlined as DOUBLE[] literals, so shortest-repr
+    float literals round-trip to identical doubles and both engines fold
+    the dot product in double precision."""
     from nyc_bikeshare_datawarehouse_spark.functions.similarity import (
         _deterministic_hyperplanes,
     )
@@ -1540,8 +1538,7 @@ def _embed_dedup_pipeline_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
         for p in range(n_planes)
     )
     width = n_planes // bands
-    return f"""
-        WITH RECURSIVE v AS (
+    return f"""v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), sig AS (
             SELECT vec_id,
@@ -1555,7 +1552,32 @@ def _embed_dedup_pipeline_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
             FROM chunks a
             JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
                           AND a.vec_id < b.vec_id
-        ), pairs AS (
+        )"""
+
+
+def _embed_near_dup_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
+                        min_cosine: float = 0.35) -> str:
+    """Oracle for q_embed_near_dup: SRP-LSH candidates + exact cosine
+    verify — the first two stages of the pipeline lattice, output as the
+    verified pair list (id_a, id_b, cosine_sim)."""
+    return f"""
+        WITH {_srp_candidate_ctes(dim, n_planes, bands)}
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS cosine_sim
+        FROM cand c
+        JOIN v va ON va.vec_id = c.id_a
+        JOIN v vb ON vb.vec_id = c.id_b
+        WHERE ROUND(list_cosine_similarity(va.e, vb.e), 6) >= {min_cosine}
+    """
+
+
+def _embed_dedup_pipeline_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
+                              min_cosine: float = 0.40) -> str:
+    """Oracle for q_embed_dedup_pipeline: the full lattice — SRP
+    candidates -> cosine verify -> recursive-CTE connected components ->
+    min-id apply (see _srp_candidate_ctes for engine-parity notes)."""
+    return f"""
+        WITH RECURSIVE {_srp_candidate_ctes(dim, n_planes, bands)}, pairs AS (
             SELECT id_a, id_b
             FROM cand c
             JOIN v va ON va.vec_id = c.id_a
@@ -1582,3 +1604,4 @@ def _embed_dedup_pipeline_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
 
 
 ORACLES["q_embed_dedup_pipeline"] = _embed_dedup_pipeline_sql()
+ORACLES["q_embed_near_dup"] = _embed_near_dup_sql()

@@ -21,7 +21,7 @@ def test_contract_shape():
     assert len(qs) >= 30
     # every rows-only query is one of the declared non-SQL-expressible ops
     assert set(qs) - set(oracles) == {
-        "q_near_dup_minhash", "q_simhash_near_dup", "q_embed_near_dup",
+        "q_near_dup_minhash", "q_simhash_near_dup",
         "q_ann_ivf", "q_text_pipeline",
         # approx sketches: deterministic but engine-specific estimates
         "q_approx_distinct", "q_approx_percentiles",
