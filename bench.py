@@ -94,6 +94,11 @@ EXTENDED = [
     "q_winnow_fingerprints",
     "q_curation_pipeline",
     "q_unigram_logprob",
+    # round 6 members — extended totals before/after r6 are not directly
+    # comparable; per-query times are
+    "q_skew_topk",
+    "q_weighted_sample",
+    "q_incremental_mart",
 ]
 
 

@@ -42,6 +42,27 @@ def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str, rates:
     return df.filter(cond)
 
 
+def weighted_hash_sample(
+    df: DataFrame, key_col: str, weight_col: str, bp_per_unit: int
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row with
+    probability min(1, weight · bp_per_unit / 10000), decided by the
+    row's md5 bucket — the data-mixing primitive (upsample long/rare-
+    domain documents, downsample boilerplate) of LLM corpus curation.
+
+    The threshold is an exact integer (`least(MOD, weight·bp)`), so the
+    selected set is bit-identical across engines and runs, monotone in
+    `bp_per_unit` (doubling the rate only ADDS rows), and stable under
+    repartitioning — unlike RNG rejection sampling, whose accept set
+    changes with partition layout. Weight column must be a non-negative
+    integer type (chars, tokens, bytes); per-row filter, no shuffle.
+    """
+    if bp_per_unit < 0:
+        raise ValueError(f"bp_per_unit must be >= 0, got {bp_per_unit}")
+    thr = F.least(F.lit(_MOD).cast("long"), F.col(weight_col).cast("long") * bp_per_unit)
+    return df.filter(_bucket(key_col) < thr)
+
+
 def split(df: DataFrame, key_col: str, weights: dict[str, float], split_col: str = "split") -> DataFrame:
     """Disjoint deterministic splits (e.g. {"train": .8, "val": .1,
     "test": .1}); assignment is stable under data growth."""

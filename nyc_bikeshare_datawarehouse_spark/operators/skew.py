@@ -15,14 +15,18 @@ in preference order:
 
 `salted_join` implements the classic replicate-broadcast pattern as pure
 DataFrame ops; `two_phase_agg` does salted partial aggregation (shard,
-partially aggregate, merge).
+partially aggregate, merge); `skew_topk` does salted per-group top-k —
+the WINDOW-skew case, which AQE cannot touch at all (a
+`Window.partitionBy` needs the whole key in one task, so a 40%-hot key
+like `lang='en'` in a web crawl runs alone while the rest of the
+cluster idles).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -111,3 +115,47 @@ def two_phase_agg(
 
     phase1 = salted.groupBy(*keys, SALT_COL).agg(*phase1_exprs)
     return phase1.groupBy(*keys).agg(*merge_exprs)
+
+
+def skew_topk(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    num_salts: int = 8,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Skew-safe per-group top-k: row-identical to
+    ``row_number() OVER (PARTITION BY part ORDER BY order) <= k`` but
+    without funneling a whole hot group through one task.
+
+    Phase 1 ranks within (group, salt) and keeps k rows per salted
+    subgroup — sound for ANY salt assignment, because a member of the
+    group's true top-k is within the top-k of every subset it can land
+    in. Phase 2 re-ranks the ≤ k·num_salts survivors per group; that
+    second window sees a bounded row count per group regardless of how
+    skewed the input was. Two hash shuffles (salted key, then key), the
+    second over k·num_salts·n_groups rows only.
+
+    `order_by` must be a TOTAL order within each group (tie-break on a
+    unique id) — otherwise the k-th member is partition-dependent in any
+    engine, salted or not. Output keeps all input columns plus
+    `rank_col` (1-based int)."""
+    if k < 1:
+        raise ValueError(f"skew_topk: k must be >= 1, got {k}")
+    if num_salts < 2:
+        raise ValueError("skew_topk: num_salts must be >= 2 (1 salt = no mitigation)")
+    salted = df.withColumn(
+        SALT_COL,
+        (F.abs(F.xxhash64(*[F.col(c) for c in part_cols], F.spark_partition_id())) % num_salts).cast("int"),
+    )
+    w1 = Window.partitionBy(*part_cols, SALT_COL).orderBy(*order_by)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1", SALT_COL)
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_by)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )

@@ -24,6 +24,37 @@ eigvalsh) — and get rows-only determinism checks;
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "q_skew_topk": """
+        SELECT lang, doc_id, n_chars, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT lang, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS rank
+            FROM documents
+        )
+        WHERE rank <= 5
+        ORDER BY lang, rank
+    """,
+    "q_incremental_mart": """
+        SELECT o_orderpriority,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS revenue,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority, CAST(month(o_orderdate) AS INTEGER)
+        ORDER BY o_orderpriority, o_month
+    """,
+    "q_weighted_sample": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < LEAST(10000, n_chars * 8)
+        ORDER BY doc_id
+    """,
     "q_project_cast_alias": """
         SELECT l_orderkey, l_linenumber,
                CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,

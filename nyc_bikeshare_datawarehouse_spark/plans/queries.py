@@ -2222,6 +2222,81 @@ def q_embed_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_skew_topk(spark, sf_dir):
+    """Skew-safe per-group top-k (operators/skew.py `skew_topk`): top-5
+    longest documents per language. `lang` is THE skew key of a web-scale
+    corpus ('en' holds ~44% of this one); a plain
+    `Window.partitionBy(lang)` puts that 44% through ONE task, and AQE
+    cannot split a window. The salted two-phase form ranks within
+    (lang, salt) first — fully parallel — then re-ranks the ≤ k·salts
+    survivors per lang. The oracle is the PLAIN ROW_NUMBER SQL: a green
+    row proves the salting is semantics-preserving, not just faster
+    (same evidence pattern as q_salted_join_equiv)."""
+    from nyc_bikeshare_datawarehouse_spark.operators.skew import skew_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    top = skew_topk(
+        d, ["lang"], [F.desc("n_chars"), F.asc("doc_id")], k=5, num_salts=8
+    )
+    return top.select("lang", "doc_id", "n_chars", "rank").orderBy("lang", "rank")
+
+
+def q_incremental_mart(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental.py):
+    bootstrap a seasonality mart from the ≤1997 order history, then
+    merge the 1998+ slice as a DELTA — partial-aggregate the new rows
+    only, re-aggregate at mart cardinality (priority × month = 60 rows,
+    shared between both periods so the merge genuinely combines
+    partials). The oracle is the PLAIN full-recompute GROUP BY over all
+    orders: a green row is the exactness proof that merge(partials) ≡
+    recompute — the property that lets a 100 TB nightly batch touch only
+    the new day's facts. Money as integer cents (q_tpch_q9 pattern);
+    count/sum re-sum, min/max re-extremize."""
+    from nyc_bikeshare_datawarehouse_spark.operators.incremental import incremental_refresh
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.month("o_orderdate").alias("o_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_totalprice",
+    )
+    keys = ["o_orderpriority", "o_month"]
+    aggs = {
+        "n_orders": ("count", "cents"),
+        "revenue_cents": ("sum", "cents"),
+        "min_price": ("min", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    mart = incremental_refresh(None, o.filter(F.col("yr") <= 1997), keys, aggs)
+    refreshed = incremental_refresh(mart, o.filter(F.col("yr") >= 1998), keys, aggs)
+    return refreshed.select(
+        "o_orderpriority",
+        "o_month",
+        "n_orders",
+        (F.col("revenue_cents") / 100).alias("revenue"),
+        "min_price",
+        "max_price",
+    ).orderBy("o_orderpriority", "o_month")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted Bernoulli sample (operators/sampling.py
+    `weighted_hash_sample`): keep a document with probability
+    min(1, 8·n_chars/10000) — the data-mixing primitive (upsample long /
+    rare-domain documents, downsample boilerplate) behind LLM corpus
+    mixture weighting. The accept decision is an exact integer compare
+    of the row's md5 bucket against weight·bp, so the selected set is
+    bit-identical across engines (oracle mirrors the bucket arithmetic,
+    q_hash_sample precedent), monotone in the rate (raising bp only ADDS
+    rows — nested mixtures stay coherent), and stable under
+    repartitioning. Per-row filter pushed to the scan; no shuffle."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_hash_sample(d, "doc_id", "n_chars", bp_per_unit=8).orderBy("doc_id")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -2233,6 +2308,9 @@ def q_embed_dedup_pipeline(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_skew_topk": q_skew_topk,
+    "q_weighted_sample": q_weighted_sample,
+    "q_incremental_mart": q_incremental_mart,
     "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
     "q_ann_ivf_partitioned": q_ann_ivf_partitioned,
     "q_window_running": q_window_running,

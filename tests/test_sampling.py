@@ -10,6 +10,7 @@ from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
     hash_sample,
     split,
     stratified_hash_sample,
+    weighted_hash_sample,
 )
 
 from conftest import rows_set
@@ -57,3 +58,45 @@ def test_split_disjoint_and_stable(spark, df):
 def test_split_weights_validated(spark, df):
     with pytest.raises(ValueError, match="sum to 1"):
         split(df, "id", {"a": 0.5, "b": 0.2})
+
+
+@pytest.fixture()
+def wdf(spark):
+    # weights 0, tiny, and cap-exceeding in one frame
+    rows = [(i, [0, 10, 1000, 20000][i % 4]) for i in range(2000)]
+    return spark.createDataFrame(rows, "id long, w long")
+
+
+def test_weighted_zero_weight_never_selected(spark, wdf):
+    s = weighted_hash_sample(wdf, "id", "w", bp_per_unit=5)
+    assert s.filter(F.col("w") == 0).count() == 0
+
+
+def test_weighted_cap_selects_all(spark, wdf):
+    # w=20000, bp=5 -> threshold capped at MOD: probability 1
+    s = weighted_hash_sample(wdf, "id", "w", bp_per_unit=5)
+    assert s.filter(F.col("w") == 20000).count() == 500
+
+
+def test_weighted_rate_tracks_weight(spark, wdf):
+    # w=1000, bp=5 -> p=0.5; w=10 -> p=0.005
+    s = weighted_hash_sample(wdf, "id", "w", bp_per_unit=5)
+    mid = s.filter(F.col("w") == 1000).count()
+    lo = s.filter(F.col("w") == 10).count()
+    assert 180 <= mid <= 320  # ~250 of 500
+    assert lo <= 15  # ~2.5 of 500
+
+
+def test_weighted_monotone_in_rate_and_stable(spark, wdf):
+    small = {r["id"] for r in weighted_hash_sample(wdf, "id", "w", 2).collect()}
+    big = {r["id"] for r in weighted_hash_sample(wdf, "id", "w", 8).collect()}
+    assert small <= big  # raising the rate only adds rows
+    again = {
+        r["id"] for r in weighted_hash_sample(wdf.repartition(7), "id", "w", 2).collect()
+    }
+    assert again == small
+
+
+def test_weighted_negative_rate_rejected(spark, wdf):
+    with pytest.raises(ValueError, match="bp_per_unit"):
+        weighted_hash_sample(wdf, "id", "w", -1)

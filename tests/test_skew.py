@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join, two_phase_agg
+from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join, skew_topk, two_phase_agg
 
 from conftest import rows_set
 
@@ -49,6 +49,49 @@ def test_salted_join_rejects_unsafe_how(spark):
     for how in ("right", "full", "outer", "right_outer"):
         with pytest.raises(ValueError, match="not salt-safe"):
             salted_join(big, small, "k", num_salts=4, how=how)
+
+
+def test_skew_topk_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    # hot group 1 (90 rows) + singleton groups; unique id column for the
+    # total-order tie-break
+    rows = [(1, i, i % 7) for i in range(90)] + [(k, k * 100, k) for k in range(2, 11)]
+    df = spark.createDataFrame(rows, "k int, id int, v int")
+    order = [F.desc("v"), F.asc("id")]
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = rows_set(
+        df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    )
+    salted = rows_set(skew_topk(df, ["k"], order, k=3, num_salts=4))
+    assert salted == plain
+
+
+def test_skew_topk_k_exceeds_group_size(spark):
+    # groups smaller than k return all their rows, ranked
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 3)], "k int, id int")
+    out = skew_topk(df, ["k"], [F.asc("id")], k=10, num_salts=2)
+    assert rows_set(out) == [(1, 1, 1), (1, 2, 2), (2, 3, 1)]
+
+
+def test_skew_topk_validation(spark):
+    import pytest
+
+    df = _skewed(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        skew_topk(df, ["k"], [F.asc("v")], k=0)
+    with pytest.raises(ValueError, match="num_salts"):
+        skew_topk(df, ["k"], [F.asc("v")], k=1, num_salts=1)
+
+
+def test_skew_topk_first_window_is_salted(spark):
+    # the heavy (full-data) window must partition on (key, salt); only the
+    # bounded survivor set may hit the unsalted per-key window
+    df = _skewed(spark).withColumn("id", F.col("v"))
+    out = skew_topk(df, ["k"], [F.desc("v"), F.asc("id")], k=3, num_salts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    first_window = plan[plan.rindex("Window") :]  # windows print innermost-last
+    assert "__salt" in first_window
 
 
 def test_two_phase_agg_matches_plain(spark):

@@ -153,14 +153,75 @@ def time_pruned_const_density(spark, sf_dir: str, frac: float, warm: bool = Fals
     return round(time.time() - t0, 2)
 
 
+def time_embed_lsh_planes(spark, sf_dir: str, n_planes: int, warm: bool = False) -> float:
+    """q_embed_near_dup's SRP lattice with a parameterized plane count.
+
+    With 16 planes / 4 bands the band key is 4 bits — 16 possible buckets
+    per band, a CORPUS-SIZE-INDEPENDENT cardinality. Bucket occupancy
+    therefore grows linearly with the corpus and the within-bucket
+    candidate pair count quadratically: that is the measured alpha≈1.3 of
+    the fixed-parameter run. The scale rule mirrors max_doc_frac (see
+    time_pruned_const_density): bits-per-band must grow with log2 of the
+    corpus so expected occupancy stays constant — +4 bits per band
+    (16 -> 32 planes) at 10x. Stricter bands lower per-band recall for
+    borderline pairs (the standard LSH bands/bits recall trade; verified
+    pairs remain exact — candidates only get rarer), which is the price
+    of keeping candidate generation linear."""
+    from nyc_bikeshare_datawarehouse_spark.functions import similarity
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    def run():
+        e = load_table(spark, sf_dir, "embeddings")
+        similarity.cosine_near_dup_lsh(
+            e, dim=64, n_planes=n_planes, bands=4, min_cosine=0.35
+        ).count()
+
+    if warm:
+        run()
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--include-exact", action="store_true")
+    ap.add_argument(
+        "--embed-planes", action="store_true",
+        help="run ONLY the SRP bucket-cardinality scaling variant and merge "
+             "its rows into the existing SCALING.json",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scaling-probe")
     big = build_sfx(spark, args.replicas)
+
+    if args.embed_planes:
+        # all three timings in ONE session (CLAUDE.md: compare within a run)
+        t_small = time_embed_lsh_planes(spark, SF01, 16, warm=True)
+        t_big_fixed = time_embed_lsh_planes(spark, big, 16)
+        t_big_scaled = time_embed_lsh_planes(spark, big, 32)
+        a_fixed = math.log(t_big_fixed / t_small) / math.log(args.replicas)
+        a_scaled = math.log(t_big_scaled / t_small) / math.log(args.replicas)
+        merged = json.load(open("/root/repo/SCALING.json"))
+        merged["embed_lsh_fixed_planes"] = {
+            "sf0.1_sec": t_small,
+            f"sf1x{args.replicas}_sec": t_big_fixed,
+            "alpha": round(a_fixed, 2),
+            "step": f"sf0.1 -> {args.replicas}x, 16 planes both (4-bit bands)",
+        }
+        merged["embed_lsh_scaled_planes"] = {
+            "sf0.1_sec": t_small,
+            f"sf1x{args.replicas}_sec": t_big_scaled,
+            "alpha": round(a_scaled, 2),
+            "step": f"sf0.1 (16 planes) -> {args.replicas}x (32 planes: "
+                    "bits-per-band grown with log2(corpus))",
+        }
+        json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
+        print(f"fixed 16 planes : {t_small}s -> {t_big_fixed}s  alpha={a_fixed:.2f}")
+        print(f"scaled 32 planes: {t_small}s -> {t_big_scaled}s  alpha={a_scaled:.2f}")
+        return
 
     results: dict[str, dict] = {}
     for name in SCALE_PATH:
