@@ -63,6 +63,72 @@ def weighted_hash_sample(
     return df.filter(_bucket(key_col) < thr)
 
 
+def mixture_upsample(
+    df: DataFrame, key_col: str, weight_bp_col: str, epoch_col: str = "epoch"
+) -> DataFrame:
+    """Deterministic fractional upsampling — the other half of corpus
+    mixture weighting (`weighted_hash_sample` downsamples; this emits a
+    row floor(w) times plus one more with probability frac(w), so a
+    domain weighted 2.25 contributes each document 2 or 3 times and the
+    corpus-level expectation is exactly 2.25 epochs).
+
+    The weight is an integer in basis points (22500 = 2.25 epochs) and
+    the fractional accept is the same md5-bucket compare as the samplers,
+    so the replicated set is bit-identical across engines/runs and
+    monotone in the weight (raising a domain's weight only ADDS copies —
+    mixtures stay nested across re-weighting experiments). Replication
+    is a per-row `explode(sequence(1, copies))` — no shuffle; at 100 TB
+    the multiplied rows flow straight into the downstream shard write.
+    `epoch_col` numbers the copies 1..n so downstream shuffling can
+    decorrelate epochs. Rows with copies = 0 are dropped (sequence(1,0)
+    would DESCEND in Spark, hence the explicit empty-array guard)."""
+    bp = F.col(weight_bp_col).cast("long")
+    copies = (F.floor(bp / _MOD) + (_bucket(key_col) < bp % _MOD).cast("long")).cast("int")
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(seq))
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    shard_size: int,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + fixed-size training-shard layout:
+    order rows by md5(key) — a pseudo-random permutation decorrelated
+    from ingestion order, identical on every engine — and assign
+    shard = rank div shard_size, pos = rank mod shard_size.
+
+    This is the terminal step of a pretraining pipeline (write N-row
+    shards in shuffled order). A naive global `row_number()` funnels
+    100 TB through ONE sort task; here the rank comes from
+    `two_phase_global_rank` with the hash's first byte as the range
+    bucket — md5 is uniform, so 256 buckets stay balanced at any scale,
+    and the plan is one hash shuffle + a broadcast of 256 offsets. The
+    eventual `write.partitionBy(shard)` then lands each shard as one
+    directory."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_global_rank
+
+    key = F.col(key_col)
+    h = F.md5(key.cast("string"))
+    # First hex byte as int: monotone along ORDER BY h (fixed-width
+    # lowercase hex ⇒ lexicographic order = numeric order of any prefix).
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    ranked = two_phase_global_rank(
+        df.withColumn("__h", h), bucket, [F.col("__h"), key], rn_col="__rn"
+    )
+    return (
+        ranked.withColumn(shard_col, F.floor((F.col("__rn") - 1) / shard_size).cast("int"))
+        .withColumn(pos_col, ((F.col("__rn") - 1) % shard_size).cast("int"))
+        .drop("__h", "__rn", "__n")
+    )
+
+
 def split(df: DataFrame, key_col: str, weights: dict[str, float], split_col: str = "split") -> DataFrame:
     """Disjoint deterministic splits (e.g. {"train": .8, "val": .1,
     "test": .1}); assignment is stable under data growth."""

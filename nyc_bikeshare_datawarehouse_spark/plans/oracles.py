@@ -24,6 +24,36 @@ eigvalsh) — and get rows-only determinism checks;
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "q_mixture_epochs": """
+        SELECT doc_id, lang, e.epoch
+        FROM (
+            SELECT doc_id, lang,
+                   (w.weight_bp // 10000)
+                   + CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                    AS BIGINT) % 10000 < (w.weight_bp % 10000)
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM documents
+            JOIN (VALUES ('en', 5000), ('de', 10000), ('es', 22500),
+                         ('fr', 22500), ('zh', 35000)) AS w(lang, weight_bp)
+              USING (lang)
+        ) d
+        -- max weight is 3.5 epochs -> n_copies <= 4; the VALUES table bounds it
+        JOIN (VALUES (1), (2), (3), (4)) AS e(epoch) ON e.epoch <= d.n_copies
+        ORDER BY doc_id, epoch
+    """,
+    "q_shard_assign": """
+        SELECT doc_id, lang,
+               CAST(FLOOR((rn - 1) / 64) AS INTEGER) AS shard,
+               CAST((rn - 1) % 64 AS INTEGER) AS pos
+        FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        ORDER BY shard, pos
+    """,
     "q_skew_topk": """
         SELECT lang, doc_id, n_chars, CAST(rank AS INTEGER) AS rank
         FROM (

@@ -2297,6 +2297,53 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_hash_sample(d, "doc_id", "n_chars", bp_per_unit=8).orderBy("doc_id")
 
 
+def q_mixture_epochs(spark, sf_dir):
+    """Deterministic fractional upsampling (operators/sampling.py
+    `mixture_upsample`) — the data-mixing step that REPLICATES
+    under-represented domains: lang weights in basis points (en 0.5
+    epochs, de 1.0, es/fr 2.25, zh 3.5) broadcast-joined onto the
+    corpus, each doc emitted floor(w) times plus one md5-bucket-decided
+    extra, numbered 1..n in `epoch`. Bit-identical across engines
+    (integer bp arithmetic, oracle replays it with a VALUES epoch table)
+    and monotone in the weight — raising a domain's mixture only ADDS
+    copies, so A/B mixture experiments stay nested. Per-row explode on
+    top of a broadcast join: the 100 TB side never shuffles."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import mixture_upsample
+
+    weights = spark.createDataFrame(
+        [("en", 5000), ("de", 10000), ("es", 22500), ("fr", 22500), ("zh", 35000)],
+        "lang string, weight_bp long",
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = d.join(F.broadcast(weights), "lang")
+    return (
+        mixture_upsample(mixed, "doc_id", "weight_bp")
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + training-shard layout
+    (operators/sampling.py `shard_assign`): rows ordered by md5(doc_id)
+    — a pseudo-random permutation identical on every engine — and cut
+    into fixed 64-row shards (shard = rank div 64, pos = rank mod 64);
+    the terminal write step of a pretraining pipeline. The global rank
+    is the two-phase form (`operators/windows.two_phase_global_rank`,
+    range-bucketed on the hash's first byte — uniform, so 256 buckets
+    balance at any scale) instead of the single-task
+    `Window.orderBy(md5)` sort the oracle's ROW_NUMBER implies: a green
+    row proves the distributed rank ≡ the sequential one."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import shard_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        shard_assign(d, "doc_id", shard_size=64)
+        .select("doc_id", "lang", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -2308,6 +2355,8 @@ def q_weighted_sample(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_mixture_epochs": q_mixture_epochs,
+    "q_shard_assign": q_shard_assign,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

@@ -10,6 +10,8 @@ from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
     hash_sample,
     split,
     stratified_hash_sample,
+    mixture_upsample,
+    shard_assign,
     weighted_hash_sample,
 )
 
@@ -100,3 +102,66 @@ def test_weighted_monotone_in_rate_and_stable(spark, wdf):
 def test_weighted_negative_rate_rejected(spark, wdf):
     with pytest.raises(ValueError, match="bp_per_unit"):
         weighted_hash_sample(wdf, "id", "w", -1)
+
+
+@pytest.fixture()
+def mixdf(spark):
+    # weight_bp: 0 epochs, exactly 2, fractional 1.5, fractional 0.25
+    rows = [(i, {0: 0, 1: 20000, 2: 15000, 3: 2500}[i % 4]) for i in range(400)]
+    return spark.createDataFrame(rows, "id long, weight_bp long")
+
+
+def test_mixture_zero_weight_drops_row(spark, mixdf):
+    out = mixture_upsample(mixdf, "id", "weight_bp")
+    assert out.filter(F.col("weight_bp") == 0).count() == 0
+
+
+def test_mixture_integer_weight_exact_copies(spark, mixdf):
+    out = mixture_upsample(mixdf, "id", "weight_bp").filter(F.col("weight_bp") == 20000)
+    per = out.groupBy("id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per] == [2]
+    epochs = out.filter(F.col("id") == 1).select("epoch").orderBy("epoch").collect()
+    assert [r["epoch"] for r in epochs] == [1, 2]
+
+
+def test_mixture_fractional_expectation_and_stability(spark, mixdf):
+    out = mixture_upsample(mixdf, "id", "weight_bp")
+    n_15 = out.filter(F.col("weight_bp") == 15000).count()
+    assert 115 <= n_15 <= 185  # 100 ids x ~1.5 epochs
+    n_025 = out.filter(F.col("weight_bp") == 2500).count()
+    assert 10 <= n_025 <= 45  # 100 ids x ~0.25 epochs
+    again = mixture_upsample(mixdf.repartition(5), "id", "weight_bp")
+    assert rows_set(out) == rows_set(again)
+
+
+def test_mixture_monotone_in_weight(spark, mixdf):
+    lo = mixture_upsample(mixdf, "id", "weight_bp")
+    hi = mixture_upsample(
+        mixdf.withColumn("weight_bp", F.col("weight_bp") + 5000), "id", "weight_bp"
+    )
+    assert rows_set(lo) <= rows_set(hi)
+
+
+def test_shard_assign_partitions_and_matches_sequential(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = shard_assign(df, "id", shard_size=100)
+    rows = out.orderBy("shard", "pos").collect()
+    assert len(rows) == 1000
+    # every shard full (1000 is a multiple of 100), positions 0..99
+    from collections import Counter
+
+    per_shard = Counter(r["shard"] for r in rows)
+    assert set(per_shard.values()) == {100}
+    assert sorted(set(r["pos"] for r in rows)) == list(range(100))
+    # distributed two-phase rank == the sequential md5 sort
+    import hashlib
+
+    seq = sorted(range(1000), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    expect = {(i, rank // 100, rank % 100) for rank, i in enumerate(seq)}
+    assert {(r["id"], r["shard"], r["pos"]) for r in rows} == expect
+
+
+def test_shard_assign_validates_size(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        shard_assign(df, "id", shard_size=0)
