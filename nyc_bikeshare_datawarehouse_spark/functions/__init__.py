@@ -3,7 +3,8 @@ from nyc_bikeshare_datawarehouse_spark.functions import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     text,
 )
 
-__all__ = ["contamination", "dedup", "multimodal", "similarity", "text"]
+__all__ = ["contamination", "dedup", "multimodal", "similarity", "sketches", "text"]

@@ -54,6 +54,32 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY shard, pos
     """,
+    "q_countmin_topk": """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents
+        ), cells AS (
+            SELECT r.i AS row_i,
+                   CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || token), 1, 8))
+                        AS BIGINT) % 256 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cell
+            FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(i)
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM toks GROUP BY token
+            ORDER BY exact_n DESC, token LIMIT 20
+        )
+        SELECT e.token, e.exact_n, MIN(c.cell) AS cm_est
+        FROM exact e
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(i)
+        JOIN cells c
+          ON c.row_i = r.i
+         AND c.bucket = CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || e.token), 1, 8))
+                             AS BIGINT) % 256
+        GROUP BY e.token, e.exact_n
+        ORDER BY exact_n DESC, token
+    """,
     "q_skew_topk": """
         SELECT lang, doc_id, n_chars, CAST(rank AS INTEGER) AS rank
         FROM (

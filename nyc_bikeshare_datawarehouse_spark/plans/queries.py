@@ -18,7 +18,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_bikeshare_datawarehouse_spark.functions import contamination, dedup, similarity, text
+from nyc_bikeshare_datawarehouse_spark.functions import (
+    contamination,
+    dedup,
+    similarity,
+    sketches,
+    text,
+)
 from nyc_bikeshare_datawarehouse_spark.operators.asof import asof_join
 from nyc_bikeshare_datawarehouse_spark.functions.multimodal import extract_features
 from nyc_bikeshare_datawarehouse_spark.operators.sessionize import session_stats, sessionize
@@ -2323,6 +2329,30 @@ def q_mixture_epochs(spark, sf_dir):
     )
 
 
+def q_countmin_topk(spark, sf_dir):
+    """Count-min sketch heavy hitters (functions/sketches.py): the token
+    stream aggregated into a 4 x 256 counter grid — shuffle key space is
+    1024 cells REGARDLESS of vocabulary, the fixed-memory 100 TB form of
+    frequency counting (q_top_ngrams' exact groupBy is the small-vocab
+    sibling) — then the top-20 exact tokens probed against the broadcast
+    grid. Output pairs exact_n with cm_est so the sketch's guarantee
+    (cm_est >= exact_n, equal absent collisions) is hash-checked: the
+    oracle replays the md5-seeded grid cell by cell in DuckDB. The exact
+    side exists here as the in-query verifier; production keeps only the
+    mergeable grid (`countmin_merge` is the per-slice rollup)."""
+    d = _t(spark, sf_dir, "documents")
+    stream = d.select(F.explode(text.tokens("text")).alias("token"))
+    grid = sketches.countmin_build(stream, "token", depth=4, width=256)
+    top = (
+        stream.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(20)
+    )
+    est = sketches.countmin_estimate(grid, top, "token", depth=4, width=256)
+    return est.select("token", "exact_n", "cm_est").orderBy(F.desc("exact_n"), "token")
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic global shuffle + training-shard layout
     (operators/sampling.py `shard_assign`): rows ordered by md5(doc_id)
@@ -2357,6 +2387,7 @@ def q_shard_assign(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,
+    "q_countmin_topk": q_countmin_topk,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
