@@ -54,6 +54,14 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY shard, pos
     """,
+    "q_bloom_join": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 490000
+        )
+        ORDER BY c_custkey
+    """,
     "q_countmin_topk": """
         WITH toks AS (
             SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
