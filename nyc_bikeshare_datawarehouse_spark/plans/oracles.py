@@ -700,6 +700,31 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
     """,
+    # Same all-pairs truth, different plan: q_jaccard_prefix must reproduce
+    # the full inverted-index result exactly (lossless prefix filter).
+    "q_jaccard_prefix": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM toks
+            WHERE len(t) >= 2
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
+    """,
     "q_dedup_clusters": """
         WITH RECURSIVE toks AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -200,6 +200,64 @@ class TestDedup:
         }
         assert got_all == {(1, 2), (1, 3)}
 
+    def test_prefix_filter_is_lossless(self, spark):
+        # prefix-filtered candidates + exact verify must reproduce the
+        # full inverted-index result exactly, at two thresholds
+        import random
+
+        rng = random.Random(7)
+        base = ["w%d" % i for i in range(30)]
+        docs = []
+        for i in range(80):
+            words = rng.sample(base, rng.randint(5, 12))
+            docs.append((i, " ".join(words)))
+            if i % 4 == 0:  # plant near-duplicates
+                docs.append((1000 + i, " ".join(words[:-1] + [rng.choice(base)])))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.5, 0.8):
+            full = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in dedup.ngram_jaccard_pairs(df, min_jaccard=t).collect()
+            }
+            cand = dedup.prefix_jaccard_candidates(df, min_jaccard=t)
+            pref = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in dedup.jaccard_verify_pairs(df, cand, min_jaccard=t).collect()
+            }
+            assert pref == full and full  # non-empty by construction
+
+    def test_prefix_filter_collapses_candidates_on_zipf_vocab(self, spark):
+        # the design regime: Zipf vocabulary -> most shingles rare ->
+        # df-ordered prefixes index almost no hot shingles and the
+        # candidate set collapses vs the full co-occurrence universe
+        import random
+
+        rng = random.Random(11)
+        hot = ["the", "of", "and", "to", "in"]
+        docs = []
+        for i in range(300):
+            rare = ["r%d_%d" % (i // 3, k) for k in range(8)]  # shared by ~3 docs
+            words = hot + rng.sample(rare, 6)
+            rng.shuffle(words)
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        cand_n = dedup.prefix_jaccard_candidates(df, min_jaccard=0.5).count()
+        sh = df.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.shingles("text", 2))).alias("s"),
+        ).dropDuplicates()
+        a, b = sh.alias("a"), sh.alias("b")
+        all_n = (
+            a.join(b, "s")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        # every doc shares hot bigrams with most others -> all_n is huge;
+        # prefixes exclude them -> candidates collapse by >5x
+        assert all_n > 5 * cand_n
+
     def test_apply_dedup_keeps_representatives(self, spark):
         pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
         ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "doc_id long")
