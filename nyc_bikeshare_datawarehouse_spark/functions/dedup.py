@@ -310,6 +310,61 @@ def minhash_ml_candidates(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — exact SUBSTRING
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022): document-level dedup misses boilerplate
+    (licenses, headers, templates) pasted INSIDE otherwise-unique
+    documents; this finds every token position whose gram_n-gram occurs
+    >= min_count times corpus-wide and merges overlapping/adjacent hits
+    into maximal [span_start, span_end) spans, the removal targets.
+
+    Plan: grams with positions come free from posexplode over the
+    per-row shingle array (no shuffle); duplication is a COUNT window
+    over the gram hash — ONE exchange keyed by xxhash64(gram), no
+    aggregate-and-join-back (the paper's suffix array is a single-node
+    construction; corpus-wide gram counting is its shuffle-native
+    equivalent at this gram length). The interval merge is the classic
+    running-max window per doc: a hit starts a new span iff its start
+    exceeds every previous hit's end. Hot grams (boilerplate in f·N
+    docs) make a fat COUNT partition — linear, never quadratic: nothing
+    ever pairs occurrences with each other.
+
+    Returns (id, span_start, span_end, span_tokens); span_end is
+    exclusive. Docs shorter than gram_n have no grams and never appear.
+    """
+    toks = tokens(text_col)
+    occ = df.filter(F.size(toks) >= gram_n).select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, gram_n)).alias("start", "g"),
+    )
+    counted = occ.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("g")))
+    )
+    marked = counted.filter(F.col("__cnt") >= min_count).select(
+        id_col, "start", (F.col("start") + gram_n).alias("__end")
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("__end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = marked.withColumn(
+        "__new", F.when(F.col("start") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    )
+    spans = flagged.withColumn(
+        "__span", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return spans.groupBy(id_col, "__span").agg(
+        F.min("start").alias("span_start"),
+        F.max("__end").alias("span_end"),
+        (F.max("__end") - F.min("start")).alias("span_tokens"),
+    ).drop("__span")
+
+
 def prefix_jaccard_candidates(
     df: DataFrame,
     text_col: str = "text",

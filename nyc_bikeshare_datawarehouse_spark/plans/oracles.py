@@ -62,6 +62,41 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY c_custkey
     """,
+    "q_span_dedup": """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS start,
+                   array_to_string(t[i:i+7], ' ') AS g
+            FROM toks, LATERAL unnest(range(1, len(t) - 8 + 2)) AS r(i)
+            WHERE len(t) >= 8
+        ), marked AS (
+            SELECT doc_id, start, start + 8 AS e
+            FROM (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY g) AS cnt FROM grams)
+            WHERE cnt >= 2
+        ), flagged AS (
+            SELECT doc_id, start, e,
+                   CASE WHEN start > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_span
+            FROM marked
+        ), spans AS (
+            SELECT doc_id, start, e,
+                   SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(MIN(start) AS INTEGER) AS span_start,
+               CAST(MAX(e) AS INTEGER) AS span_end,
+               CAST(MAX(e) - MIN(start) AS INTEGER) AS span_tokens
+        FROM spans
+        GROUP BY doc_id, span_id
+        ORDER BY doc_id, span_start
+    """,
     "q_countmin_topk": """
         WITH toks AS (
             SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

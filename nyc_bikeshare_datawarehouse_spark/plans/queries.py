@@ -1589,6 +1589,25 @@ def q_jaccard_prefix(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicated-SPAN detection (functions/dedup.py
+    `duplicate_spans`, Lee et al. ACL 2022): every maximal token span
+    whose 8-grams repeat corpus-wide — the boilerplate/template remover
+    that document-level dedup cannot see. One exchange keyed by
+    xxhash64(8-gram) for the COUNT window, then per-doc running-max
+    interval merge; nothing ever pairs occurrences, so hot boilerplate
+    is a fat-but-linear partition. Oracle replays gram positions,
+    window count, and interval merge in ANSI SQL."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.duplicate_spans(d, "text", "doc_id", gram_n=8, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_tokens").cast("int").alias("span_tokens"),
+    ).orderBy("doc_id", "span_start")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: verified bigram-Jaccard pairs →
     connected components (iterative min-label propagation) → one
@@ -2453,6 +2472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_countmin_topk": q_countmin_topk,
     "q_bloom_join": q_bloom_join,
     "q_jaccard_prefix": q_jaccard_prefix,
+    "q_span_dedup": q_span_dedup,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
