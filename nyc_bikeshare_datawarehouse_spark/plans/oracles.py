@@ -1760,3 +1760,37 @@ def _embed_dedup_pipeline_sql(dim: int = 64, n_planes: int = 16, bands: int = 4,
 
 ORACLES["q_embed_dedup_pipeline"] = _embed_dedup_pipeline_sql()
 ORACLES["q_embed_near_dup"] = _embed_near_dup_sql()
+
+
+def _zvalue_sql(cols: list[str], bits: int) -> str:
+    """Bit-interleave expression mirroring operators/layout.zvalue:
+    column j contributes its bit i to output bit i*len(cols)+j."""
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {i * len(cols) + j})")
+    return " | ".join(terms)
+
+
+def _zorder_layout_sql(bits: int = 10) -> str:
+    return f"""
+        WITH dims AS (
+            SELECT o_orderkey,
+                   o_custkey % 1024 AS d1,
+                   o_orderkey % 1024 AS d2
+            FROM orders
+        ), zz AS (
+            SELECT o_orderkey, d1, d2, {_zvalue_sql(["d1", "d2"], bits)} AS z
+            FROM dims
+        ), bucketed AS (
+            SELECT d1, d2, NTILE(64) OVER (ORDER BY z, o_orderkey) AS bucket
+            FROM zz
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_rows,
+               MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+               MIN(d2) AS d2_min, MAX(d2) AS d2_max
+        FROM bucketed GROUP BY bucket ORDER BY bucket
+    """
+
+
+ORACLES["q_zorder_layout"] = _zorder_layout_sql()

@@ -2356,6 +2356,41 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_hash_sample(d, "doc_id", "n_chars", bp_per_unit=8).orderBy("doc_id")
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering audit (operators/layout.py): orders
+    bucketed into 64 z-contiguous cells over the two dims (custkey mod
+    1024, orderkey mod 1024), reporting each cell's row count and
+    per-dim bounding box — tight boxes on BOTH dims are exactly what
+    lets parquet min-max stats skip files for a predicate on EITHER
+    dim (single-column sort leaves the other dim's ranges useless;
+    tests/test_layout.py measures the actual skip rate from written
+    footers). The z-arithmetic (bits*dims shift-or terms, pure codegen)
+    is replayed term-by-term in the generated oracle. The global
+    NTILE here is the sequential VERIFIER of cell assignment; the
+    production write path is `write_zordered`'s repartitionByRange on z
+    — sampled range boundaries, no single-task sort."""
+    from nyc_bikeshare_datawarehouse_spark.operators.layout import zvalue
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("d1"),
+        (F.col("o_orderkey") % 1024).alias("d2"),
+    )
+    zz = o.withColumn("z", zvalue([F.col("d1"), F.col("d2")], bits=10))
+    b = zz.withColumn("bucket", F.ntile(64).over(Window.orderBy("z", "o_orderkey")))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+            F.min("d2").alias("d2_min"),
+            F.max("d2").alias("d2_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_mixture_epochs(spark, sf_dir):
     """Deterministic fractional upsampling (operators/sampling.py
     `mixture_upsample`) — the data-mixing step that REPLICATES
@@ -2473,6 +2508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_join": q_bloom_join,
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_span_dedup": q_span_dedup,
+    "q_zorder_layout": q_zorder_layout,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
