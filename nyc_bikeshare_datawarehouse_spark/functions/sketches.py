@@ -59,6 +59,77 @@ def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def hll_registers(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): m = 2^b rows
+    (register, rank) where rank is the max leading-zero-run(+1) of the
+    60-bit hash tail among keys routed to that register; absent
+    registers are zero-filled so the frame always has exactly m rows.
+
+    The registers — not the estimate — are the sketch's durable state:
+    integers, bit-exact across engines (md5-derived like every portable
+    sketch here, so the whole table carries a DuckDB oracle), mergeable
+    by elementwise max (`hll_merge`), O(m) memory per slice regardless
+    of stream size. Build cost: one groupBy over m register keys with
+    map-side combine — each task emits <= m rows. `hll_estimate` turns
+    registers into the cardinality estimate (float math, library-side).
+    Spark's own approx_count_distinct is the fused engine-specific form
+    (q_approx_distinct); this is the portable, checkable, composable
+    one."""
+    if not 1 <= b <= 8:
+        raise ValueError(f"b must be in [1, 8], got {b}")
+    m = 1 << b
+    h = F.md5(F.col(key_col).cast("string"))
+    # first hex byte -> register (256 % m == 0 for m <= 256: uniform);
+    # next 15 hex chars -> 60-bit tail for the leading-zero rank
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    tail = F.substring(h, 3, 15)
+    v = F.conv(tail, 16, 10).cast("long")
+    # rank = leading zeros in the 60-bit field + 1 = 61 - bitlength(v);
+    # conv(x, 16, 2) drops leading zeros, so its length IS the bitlength
+    # (with the v=0 edge pinned explicitly on both engines)
+    rank = F.when(v == 0, F.lit(61)).otherwise(61 - F.length(F.conv(tail, 16, 2)))
+    regs = (
+        df.select(idx.alias("register"), rank.cast("int").alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("rank"))
+    )
+    spark = df.sparkSession
+    full = spark.range(m).select(F.col("id").cast("long").alias("register"))
+    return full.join(regs, "register", "left").select(
+        "register", F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank")
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of the underlying key sets = elementwise max of registers —
+    the property that lets per-day sketches roll up without re-reading
+    the streams (same partial-aggregate algebra as countmin_merge)."""
+    return (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("rank").cast("int").alias("rank"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> float:
+    """Bias-corrected cardinality estimate from a register table:
+    alpha_m * m^2 / sum(2^-rank), with the small-range linear-counting
+    correction (E <= 2.5m and empty registers present). Driver-side
+    float math over m rows — the sketch state stays distributed; only
+    the m-row register table ever reaches the driver."""
+    rows = regs.collect()
+    m = len(rows)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    inv_sum = sum(2.0 ** -r["rank"] for r in rows)
+    est = alpha * m * m / inv_sum
+    zeros = sum(1 for r in rows if r["rank"] == 0)
+    if est <= 2.5 * m and zeros > 0:
+        import math
+
+        est = m * math.log(m / zeros)
+    return est
+
+
 def countmin_estimate(
     sketch: DataFrame,
     probes: DataFrame,

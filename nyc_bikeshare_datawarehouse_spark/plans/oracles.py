@@ -54,6 +54,23 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY shard, pos
     """,
+    "q_hll_registers": """
+        WITH keyed AS (
+            SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+        ), hashed AS (
+            SELECT CAST(('0x' || substring(h, 1, 2)) AS BIGINT) % 64 AS register,
+                   CAST(('0x' || substring(h, 3, 15)) AS BIGINT) AS v
+            FROM keyed
+        ), regs AS (
+            SELECT register,
+                   MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS rank
+            FROM hashed GROUP BY register
+        )
+        SELECT g.register, CAST(COALESCE(r.rank, 0) AS INTEGER) AS rank
+        FROM generate_series(0, 63) AS g(register)
+        LEFT JOIN regs r ON r.register = g.register
+        ORDER BY g.register
+    """,
     "q_bloom_join": """
         SELECT c_custkey, c_name, c_acctbal
         FROM customer

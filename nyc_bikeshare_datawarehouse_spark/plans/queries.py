@@ -2417,6 +2417,21 @@ def q_mixture_epochs(spark, sf_dir):
     )
 
 
+def q_hll_registers(spark, sf_dir):
+    """Portable HyperLogLog state (functions/sketches.py): the 64
+    registers of an HLL(b=6) over order custkeys — integers, bit-exact
+    across engines, zero-filled to exactly m rows, mergeable by
+    elementwise max (`hll_merge`, pytest-pinned ≡ sketch-of-union). The
+    REGISTERS are the checked artifact because they are the sketch's
+    durable state — per-slice O(m) memory at any stream size — while
+    `hll_estimate`'s float math stays library-side (accuracy
+    pytest-bounded). One groupBy over 64 register keys; each task emits
+    ≤ 64 partial rows. The engine-fused sibling is q_approx_distinct
+    (approx_count_distinct); this is the composable, checkable form."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return sketches.hll_registers(o, "o_custkey", b=6).orderBy("register")
+
+
 def q_bloom_join(spark, sf_dir):
     """Explicit Bloom-filter semi-join reduction (operators/bloom.py):
     high-value order custkeys (o_totalprice > 490k, ~300 keys) folded
@@ -2509,6 +2524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_span_dedup": q_span_dedup,
     "q_zorder_layout": q_zorder_layout,
+    "q_hll_registers": q_hll_registers,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

@@ -10,6 +10,9 @@ from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
     countmin_build,
     countmin_estimate,
     countmin_merge,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
 )
 
 from conftest import rows_set
@@ -56,3 +59,38 @@ def test_grid_bounded_and_stable(spark, stream):
     assert grid.count() <= 4 * 64
     again = countmin_build(stream.repartition(7), "token", depth=4, width=64)
     assert rows_set(grid) == rows_set(again)
+
+
+
+def test_hll_zero_filled_and_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    regs = hll_registers(df, "k", b=6)
+    rows = regs.collect()
+    assert len(rows) == 64
+    assert {r["register"] for r in rows} == set(range(64))
+    again = hll_registers(df.repartition(5), "k", b=6)
+    assert rows_set(regs) == rows_set(again)
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1500, 5000)], "k long")
+    merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
+    union = hll_registers(a.unionByName(b), "k")
+    assert rows_set(merged) == rows_set(union)
+
+
+def test_hll_estimate_accuracy(spark):
+    # m=64 -> standard error ~13%; allow 3 sigma
+    for n in (500, 5000, 20000):
+        df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "k string")
+        est = hll_estimate(hll_registers(df, "k", b=6))
+        assert abs(est - n) / n < 0.4, (n, est)
+
+
+def test_hll_validates_precision(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_registers(df, "k", b=9)
