@@ -54,6 +54,19 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY shard, pos
     """,
+    "q_group_quota": """
+        SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rank
+            FROM documents
+        )
+        WHERE rank <= 50
+        ORDER BY lang, rank
+    """,
     "q_hll_registers": """
         WITH keyed AS (
             SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders

@@ -2417,6 +2417,24 @@ def q_mixture_epochs(spark, sf_dir):
     )
 
 
+def q_group_quota(spark, sf_dir):
+    """Deterministic per-group QUOTA sampling: exactly min(50, |group|)
+    documents per language, chosen uniformly by md5(doc_id) order — the
+    per-domain document-quota primitive (distributed reservoir-sampling
+    equivalent, but deterministic, engine-portable, and nested: the
+    quota-20 sample is a prefix of the quota-50 sample by construction).
+    Reuses `operators/skew.skew_topk` with the hash as the order — the
+    hot group ('en', ~44%) never funnels through one task — while the
+    oracle is the PLAIN ROW_NUMBER SQL over md5 order, re-proving the
+    salted two-phase rank ≡ sequential on a second ordering."""
+    from nyc_bikeshare_datawarehouse_spark.operators.skew import skew_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    top = skew_topk(d, ["lang"], [F.asc(h), F.asc("doc_id")], k=50, num_salts=8)
+    return top.select("lang", "doc_id", "rank").orderBy("lang", "rank")
+
+
 def q_hll_registers(spark, sf_dir):
     """Portable HyperLogLog state (functions/sketches.py): the 64
     registers of an HLL(b=6) over order custkeys — integers, bit-exact
@@ -2525,6 +2543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_span_dedup": q_span_dedup,
     "q_zorder_layout": q_zorder_layout,
     "q_hll_registers": q_hll_registers,
+    "q_group_quota": q_group_quota,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

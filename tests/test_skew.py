@@ -112,3 +112,22 @@ def test_two_phase_agg_matches_plain(spark):
         .select("k", "sum_v", "count_v", "min_v", "max_v")
     )
     assert salted == plain
+
+
+def test_skew_topk_quota_sample_nested(spark):
+    # hash-ordered top-k == deterministic quota sample; smaller quotas
+    # must be prefixes of larger ones (nested mixtures stay coherent)
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.operators.skew import skew_topk
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(600)], "id long, g string"
+    )
+    h = F.md5(F.col("id").cast("string"))
+    small = skew_topk(df, ["g"], [F.asc(h), F.asc("id")], k=10)
+    big = skew_topk(df, ["g"], [F.asc(h), F.asc("id")], k=40)
+    s_ids = {(r["g"], r["id"]) for r in small.collect()}
+    b_ids = {(r["g"], r["id"]) for r in big.collect()}
+    assert len(s_ids) == 30 and len(b_ids) == 120
+    assert s_ids <= b_ids
