@@ -173,3 +173,46 @@ def test_ann_ivf_partitioned_prunes_cells(spark, sf_dir):
     assert "PartitionFilters: [cell#" in plan
     assert "cell IN" in plan or "cell#" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_join_probe_filter_before_any_exchange(spark, sf_dir):
+    # the probe must be pre-filtered by per-row bloom checks on top of a
+    # 1-row broadcast; the customer side never hash-shuffles at all
+    plan = plan_of(spark, sf_dir, "q_bloom_join")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom frame
+    assert plan.count("BroadcastHashJoin") >= 1  # exact semi join
+    m = re.search(r"customer\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and len(m.group(1).split(",")) == 3  # custkey, name, acctbal
+
+
+def test_countmin_grid_is_broadcast_for_estimation(spark, sf_dir):
+    # the d*w grid must broadcast to the probes, never the reverse
+    plan = plan_of(spark, sf_dir, "q_countmin_topk")
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_span_dedup_no_joins_only_windows(spark, sf_dir):
+    # duplication via a COUNT window keyed on the gram hash: no
+    # aggregate-and-join-back, no pair join anywhere in the plan
+    plan = plan_of(spark, sf_dir, "q_span_dedup")
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in plan
+    assert plan.count("Window") >= 2  # gram count + interval merge
+
+
+def test_shard_assign_big_side_window_is_partitioned(spark, sf_dir):
+    # the corpus-side row_number rides the 256-bucket hash partitioning;
+    # the only single-partition stage is the 256-row offsets window
+    plan = plan_of(spark, sf_dir, "q_shard_assign")
+    assert re.search(r"Window \[row_number\(\)[^\n]*partitionBy", plan) or \
+        "Exchange hashpartitioning(__bucket" in plan
+    # both single-partition stages consume the 256-row bucket-counts
+    # frame only (offsets window + totals agg), never the corpus
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_hll_registers_single_bounded_aggregation(spark, sf_dir):
+    # one groupBy over <= 64 register keys; zero-fill joins the tiny
+    # range frame -- no exchange on the orders side beyond the register agg
+    plan = plan_of(spark, sf_dir, "q_hll_registers")
+    assert n_exchanges(plan) <= 2  # register agg (+ zero-fill join key)
