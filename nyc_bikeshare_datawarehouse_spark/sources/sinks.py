@@ -43,6 +43,23 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """ORC sink, mirroring `write_parquet`'s contract for Hive-side
+    consumers. `compression`: zlib (ORC default), snappy, zstd, none."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.orc(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

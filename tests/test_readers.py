@@ -84,3 +84,44 @@ def test_read_jsonl_capture_corrupt_requires_schema(spark, tmp_path):
     p.write_text('{"a": 1}\n')
     with pytest.raises(ValueError, match="schema"):
         read_jsonl(spark, str(p), capture_corrupt=True)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_orc
+    from nyc_bikeshare_datawarehouse_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(100)],
+        "id long, g string, v double",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=["g"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert {r["g"] for r in back.select("g").distinct().collect()} == {"g0", "g1", "g2"}
+    # filter + projection reach the ORC scan like parquet
+    q = back.filter(F.col("id") < 10).select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(id,10)" in plan
+    # partition pruning on the partition column
+    pruned = back.filter(F.col("g") == "g1")._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*g1", pruned)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_parquet_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, name string, lang string"
+    ).write.parquet(v2)
+    merged = read_parquet_evolved(spark, v1, v2)
+    assert set(merged.columns) == {"id", "name", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}  # old files null-fill the new column
