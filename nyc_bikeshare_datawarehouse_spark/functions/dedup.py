@@ -310,6 +310,86 @@ def minhash_ml_candidates(
     )
 
 
+def incremental_dedup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    min_jaccard: float = 0.5,
+    max_doc_count: int | None = None,
+) -> DataFrame:
+    """Admit only the delta rows that are new versus an EXISTING corpus
+    — the daily-crawl pattern: the already-deduped 100 TB corpus must
+    never re-pair with itself; each day's delta screens against it in
+    cost proportional to the delta.
+
+    Two screens: (1) exact — left-anti on the normalized text hash
+    (one shuffle keyed by a 128-bit digest; at scale the corpus side is
+    a persisted hash index, pay-once); (2) near-dup — the inverted-index
+    jaccard restricted to CROSS pairs by construction (delta postings
+    join corpus postings: a delta×delta or corpus×corpus pair can never
+    form), so a hot shingle costs |delta_f|·|corpus_f| — linear in the
+    corpus for a bounded delta, never the corpus-quadratic
+    (|corpus_f|²) of a full re-dedup. `max_doc_count` optionally prunes
+    hot shingles from the CORPUS index by absolute posting length (the
+    scale-invariant cutoff; see ngram_jaccard_pairs CALIBRATION).
+
+    Intra-delta duplicates are NOT collapsed here — that is the batch
+    lattice's job (`q_dedup_pipeline`) on the admitted rows. Returns
+    the admitted delta rows unchanged."""
+    dh = delta.withColumn("__h", normalized_hash(text_col))
+    ch = corpus.select(normalized_hash(text_col).alias("__h")).distinct()
+    no_exact = dh.join(ch, "__h", "left_anti").drop("__h")
+
+    def _postings(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.size(tokens(text_col)) >= 2)
+            .select(
+                F.col(id_col),
+                F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+            )
+            .select(id_col, F.xxhash64("s").alias("sh"))
+            .dropDuplicates()
+        )
+
+    dp = _postings(no_exact)
+    cp = _postings(corpus)
+    if max_doc_count is not None:
+        hot = (
+            cp.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_count)
+            .select("sh")
+        )
+        cp = cp.join(F.broadcast(hot), "sh", "left_anti")
+        dp = dp.join(F.broadcast(hot), "sh", "left_anti")
+    d_sizes = dp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_d"))
+    c_sizes = cp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        dp.select(F.col(id_col).alias("id_d"), "sh")
+        .join(cp.select(F.col(id_col).alias("id_c"), "sh"), "sh")
+        .repartition("id_d", "id_c")
+        .groupBy("id_d", "id_c")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(d_sizes.select(F.col(id_col).alias("id_d"), "n_d"), "id_d")
+        .join(c_sizes.select(F.col(id_col).alias("id_c"), "n_c"), "id_c")
+    )
+    rejected = (
+        inter.withColumn(
+            "__j",
+            F.floor(
+                F.col("n_inter") / (F.col("n_d") + F.col("n_c") - F.col("n_inter")) * 10000
+            )
+            / 10000,
+        )
+        .filter(F.col("__j") >= min_jaccard)
+        .select(F.col("id_d").alias(id_col))
+        .distinct()
+    )
+    return no_exact.join(rejected, id_col, "left_anti")
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -54,6 +54,60 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY shard, pos
     """,
+    "q_incremental_dedup": """
+        WITH delta AS (
+            SELECT * FROM documents WHERE doc_id % 5 = 0
+        ), corpus AS (
+            SELECT * FROM documents WHERE doc_id % 5 <> 0
+        ), no_exact AS (
+            SELECT d.* FROM delta d
+            WHERE md5(lower(trim(d.text))) NOT IN
+                  (SELECT md5(lower(trim(text))) FROM corpus)
+        ), dsh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                  FROM no_exact)
+            WHERE len(t) >= 2
+        ), csh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+            FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                  FROM corpus)
+            WHERE len(t) >= 2
+        ), dsz AS (SELECT doc_id, COUNT(*) AS n_d FROM dsh GROUP BY doc_id
+        ), csz AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY doc_id
+        ), inter AS (
+            SELECT d.doc_id AS id_d, c.doc_id AS id_c, COUNT(*) AS n_inter
+            FROM dsh d JOIN csh c ON d.s = c.s
+            GROUP BY d.doc_id, c.doc_id
+        ), rejected AS (
+            SELECT DISTINCT id_d AS doc_id
+            FROM inter
+            JOIN dsz ON dsz.doc_id = id_d
+            JOIN csz ON csz.doc_id = id_c
+            WHERE FLOOR(n_inter / (n_d + n_c - n_inter) * 10000) / 10000 >= 0.5
+        )
+        SELECT doc_id, lang, source
+        FROM no_exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+        ORDER BY doc_id
+    """,
+    "q_vocab_build": """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents
+        ), counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS token_id,
+               token, n,
+               FLOOR(CAST(SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / (SELECT SUM(n) FROM counts) * 10000) / 10000 AS coverage
+        FROM counts
+        ORDER BY token_id
+    """,
     "q_group_quota": """
         SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank
         FROM (

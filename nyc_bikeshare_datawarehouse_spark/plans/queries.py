@@ -2417,6 +2417,56 @@ def q_mixture_epochs(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental delta-vs-corpus dedup (functions/dedup.py
+    `incremental_dedup`): docs with doc_id % 5 == 0 play the daily
+    delta, the rest the existing corpus; a delta row is admitted iff it
+    has no exact normalized-hash twin AND no corpus neighbor with
+    bigram Jaccard >= 0.5. The point at 100 TB: the corpus NEVER
+    re-pairs with itself — the inverted-index join forms cross pairs
+    only, so cost is |delta|-proportional, the property that makes
+    nightly ingestion O(day) instead of O(history). Oracle replays both
+    screens (NOT IN on the hash; cross-side jaccard CTE)."""
+    d = _t(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    out = dedup.incremental_dedup(
+        delta, corpus, "text", "doc_id", shingle_n=2, min_jaccard=0.5
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def q_vocab_build(spark, sf_dir):
+    """Frequency-ranked vocabulary with cumulative coverage — the
+    tokenizer-training precursor: every corpus token gets a stable id
+    (rank by count DESC, token ASC), its count, and the cumulative
+    fraction of the token stream covered by ids ≤ rank (the curve that
+    picks a vocab size). One groupBy(token) with map-side combine
+    (vocab ≪ stream), then rank + running sum over the VOCAB-sized
+    frame only — the corpus-sized stream never enters a window. The
+    global window over vocab rows is bounded by vocabulary, not data
+    (a 100 TB corpus with a 1M-type vocab windows 1M rows); coverage
+    as floor-truncated ratio of exact longs (engine-identical)."""
+    d = _t(spark, sf_dir, "documents")
+    stream = d.select(F.explode(text.tokens("text")).alias("token"))
+    counts = stream.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "token")
+    total = counts.agg(F.sum("n").alias("__total"))
+    ranked = (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .withColumn(
+            "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        "token_id",
+        "token",
+        "n",
+        _trunc(F.col("cum_n") / F.col("__total"), 4).alias("coverage"),
+    ).orderBy("token_id")
+
+
 def q_group_quota(spark, sf_dir):
     """Deterministic per-group QUOTA sampling: exactly min(50, |group|)
     documents per language, chosen uniformly by md5(doc_id) order — the
@@ -2544,6 +2594,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder_layout": q_zorder_layout,
     "q_hll_registers": q_hll_registers,
     "q_group_quota": q_group_quota,
+    "q_vocab_build": q_vocab_build,
+    "q_incremental_dedup": q_incremental_dedup,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

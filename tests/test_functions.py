@@ -200,6 +200,49 @@ class TestDedup:
         }
         assert got_all == {(1, 2), (1, 3)}
 
+    def test_incremental_dedup_screens_exact_and_near(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "one two three four five six"),
+            ],
+            "doc_id long, text string",
+        )
+        delta = spark.createDataFrame(
+            [
+                (10, "  ALPHA beta gamma delta epsilon "),  # exact after normalize
+                (11, "one two three four five seven"),      # near-dup of 2 (J=5/7)
+                (12, "totally fresh content here now"),     # admitted
+                (13, "totally fresh content here now"),     # intra-delta dup: ALSO
+                # admitted — cross-side screening only (batch lattice's job)
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup.incremental_dedup(delta, corpus, min_jaccard=0.5).collect()
+        }
+        assert got == {12, 13}
+
+    def test_incremental_dedup_hot_shingle_pruning_keeps_admission_sound(self, spark):
+        # pruning hot corpus shingles must drop them from BOTH indexes so
+        # jaccard stays a true jaccard over the kept universe
+        corpus = spark.createDataFrame(
+            [(i, "the common filler words here plus unique%d tail%d" % (i, i))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        delta = spark.createDataFrame(
+            [(100, "the common filler words here plus other stuff entirely")],
+            "doc_id long, text string",
+        )
+        loose = dedup.incremental_dedup(delta, corpus, min_jaccard=0.3)
+        pruned = dedup.incremental_dedup(delta, corpus, min_jaccard=0.3, max_doc_count=5)
+        # the shared prefix's bigrams appear in all 20 corpus docs; with
+        # them pruned the delta doc shares nothing and is admitted
+        assert loose.count() == 0
+        assert pruned.count() == 1
+
     def test_duplicate_spans_boundaries_and_merge(self, spark):
         boiler = "b0 b1 b2 b3"  # shared 4-gram boilerplate
         docs = spark.createDataFrame(
