@@ -649,6 +649,28 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1
     """,
+    "q_gap_fill": """
+        WITH base AS (
+            SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM base
+        ), spine AS (
+            SELECT t.event_type, CAST(g.h AS TIMESTAMP) AS hour_ts
+            FROM (SELECT DISTINCT event_type FROM base) t
+            CROSS JOIN bounds b,
+            LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+        )
+        SELECT s.event_type, s.hour_ts,
+               COALESCE(b.n, 0) AS n_actual,
+               COALESCE(LAST_VALUE(b.n IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n_filled
+        FROM spine s
+        LEFT JOIN base b ON b.event_type = s.event_type AND b.hour_ts = s.hour_ts
+        ORDER BY s.event_type, s.hour_ts
+    """,
     "q_asof_join": """
         SELECT e.event_id, e.user_id, p.value AS purchase_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e

@@ -1321,6 +1321,49 @@ def q_tumbling_hour(spark, sf_dir):
     )
 
 
+def q_gap_fill(spark, sf_dir):
+    """Time-series densification + LOCF (SURVEY §2.9 family): hourly
+    per-event-type counts on a COMPLETE calendar spine — the corpus'
+    global [min,max] hour range exploded per type via
+    sequence(interval 1 hour) (bounds ride a 1-row broadcast crossJoin,
+    never a collect), left-joined to the actual counts, missing hours
+    carried forward with last-non-null-ignoring (Spark
+    `last(ignorenulls)` ≡ DuckDB `LAST_VALUE IGNORE NULLS`, both over
+    the running frame). The gap-fill window partitions by event_type —
+    bounded groups, fully parallel. n_actual is 0 on gap hours;
+    n_filled is the LOCF value (0 before a type's first observation)."""
+    e = _t(spark, sf_dir, "events")
+    base = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = base.agg(
+        F.min("hour_ts").alias("__lo"), F.max("hour_ts").alias("__hi")
+    )
+    spine = (
+        base.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    joined = spine.join(base, ["event_type", "hour_ts"], "left")
+    w = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_actual"),
+        F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0)).alias("n_filled"),
+    ).orderBy("event_type", "hour_ts")
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join (SURVEY §2.4 range/as-of): each error
     event picks up the value of the user's most recent purchase at or
@@ -2596,6 +2639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_group_quota": q_group_quota,
     "q_vocab_build": q_vocab_build,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_gap_fill": q_gap_fill,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
