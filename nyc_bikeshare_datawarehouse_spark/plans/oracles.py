@@ -649,6 +649,21 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1
     """,
+    "q_sliding_windows": """
+        WITH ev AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value FROM events
+        ), expanded AS (
+            SELECT CAST(g.s AS TIMESTAMP) AS window_start, value
+            FROM ev, LATERAL unnest([h - INTERVAL 1 HOUR, h]) AS g(s)
+        )
+        SELECT window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS sum_value
+        FROM expanded
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
     "q_gap_fill": """
         WITH base AS (
             SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,

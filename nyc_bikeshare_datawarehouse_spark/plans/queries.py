@@ -1321,6 +1321,27 @@ def q_tumbling_hour(spark, sf_dir):
     )
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Sliding 2-hour/1-hour-slide window aggregate (SURVEY §2.9; the
+    same `window()` expression is `streaming/events.sliding_counts`).
+    Each event lands in exactly 2 windows — Spark explodes that
+    membership inside the window() generator; the oracle mirrors it as
+    an unnest over [h-1h, h]. Money via the integer-cents pattern
+    (q_tpch_q9): ROUND(SUM(double),2) is SF-fragile across engines."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100).cast("long")) / 100
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
 def q_gap_fill(spark, sf_dir):
     """Time-series densification + LOCF (SURVEY §2.9 family): hourly
     per-event-type counts on a COMPLETE calendar spine — the corpus'
@@ -2640,6 +2661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vocab_build": q_vocab_build,
     "q_incremental_dedup": q_incremental_dedup,
     "q_gap_fill": q_gap_fill,
+    "q_sliding_windows": q_sliding_windows,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

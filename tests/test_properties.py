@@ -117,3 +117,106 @@ def test_ngram_overlap_bounded_by_set_sizes(spark, texts):
     for r in contamination.ngram_overlap(docs, ev, n=3).collect():
         assert r["shared_ngrams"] <= min(sizes[r["train_id"]], sizes[r["eval_id"]])
         assert 0 < r["overlap_frac"] <= 1.0
+
+
+# ---------------------------------------------------------------- round 6
+
+words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=0, max_size=14
+)
+
+
+def py_duplicate_spans(docs: list[tuple[int, str]], n: int) -> set[tuple[int, int, int]]:
+    """Reference: corpus-wide n-gram counts -> per-doc merged spans."""
+    from collections import Counter
+
+    grams: dict[int, list[tuple[int, str]]] = {}
+    counts: Counter = Counter()
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < n:
+            continue
+        gs = [(i, " ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)]
+        grams[did] = gs
+        counts.update(g for _, g in gs)
+    out = set()
+    for did, gs in grams.items():
+        hits = sorted(i for i, g in gs if counts[g] >= 2)
+        cur = None
+        for i in hits:
+            if cur is None or i > cur[1]:
+                if cur:
+                    out.add((did, cur[0], cur[1]))
+                cur = [i, i + n]
+            else:
+                cur[1] = max(cur[1], i + n)
+        if cur:
+            out.add((did, cur[0], cur[1]))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(words, min_size=2, max_size=6), n=st.sampled_from([2, 3]))
+def test_duplicate_spans_matches_reference(spark, texts, n):
+    from nyc_bikeshare_datawarehouse_spark.functions import dedup
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, gram_n=n).collect()
+    }
+    assert got == py_duplicate_spans(docs, n)
+
+
+def py_zvalue(vals: list[int], bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=8
+    )
+)
+def test_zvalue_matches_reference_and_is_injective(spark, pts):
+    from nyc_bikeshare_datawarehouse_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue([F.col("x"), F.col("y")], 10).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == py_zvalue([x, y], 10)
+    assert len(set(got.values())) == len({(x, y) for x, y in got})
+
+
+def py_mixture_copies(key: int, bp: int) -> int:
+    import hashlib
+
+    bucket = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 10000
+    return bp // 10000 + (1 if bucket < bp % 10000 else 0)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from([0, 2500, 10000, 15000, 35000])),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_mixture_upsample_matches_md5_model(spark, rows):
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import mixture_upsample
+
+    df = spark.createDataFrame(rows, "id long, weight_bp long")
+    out = mixture_upsample(df, "id", "weight_bp").groupBy("id").count().collect()
+    got = {r["id"]: r["count"] for r in out}
+    for key, bp in rows:
+        assert got.get(key, 0) == py_mixture_copies(key, bp)
