@@ -78,6 +78,7 @@ HEAVY = [
     # THIS corpus (dense 931-bigram vocabulary defeats the prefix
     # premise); see the query docstring + BASELINE.md for the regime.
     "q_jaccard_prefix",
+    "q_incremental_dedup",
 ]
 
 
@@ -103,6 +104,17 @@ EXTENDED = [
     # comparable; per-query times are
     "q_skew_topk",
     "q_weighted_sample",
+    "q_mixture_epochs",
+    "q_shard_assign",
+    "q_group_quota",
+    "q_countmin_topk",
+    "q_hll_registers",
+    "q_bloom_join",
+    "q_span_dedup",
+    "q_vocab_build",
+    "q_gap_fill",
+    "q_sliding_windows",
+    "q_zorder_layout",
     "q_incremental_mart",
 ]
 
