@@ -96,15 +96,51 @@ def simhash64(text_col="text") -> F.Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
 
 
+def simhash_portable(text_col: str = "text", n_bits: int = 16) -> F.Column:
+    """Engine-portable SimHash: md5-derived per-token bits over the
+    DISTINCT token set, so the whole signature is replayable in any SQL
+    engine (same portability rationale as minhash_lsh_candidates_portable;
+    the 64-bit xxhash form above is the production sibling). n_bits <= 16
+    keeps the hash inside the md5 prefix's first 4 hex chars. Integer
+    votes and compares only — bit-exact across engines."""
+    if not 1 <= n_bits <= 16:
+        raise ValueError(f"n_bits must be in [1, 16], got {n_bits}")
+    t = F.array_distinct(tokens(text_col))
+    hashes = F.transform(
+        t, lambda tok: F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    bits = F.transform(
+        masks,
+        lambda mask: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            mask,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
+
+
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    sig: F.Column | None = None,
+    sig_bits: int = 64,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded SimHash: split the 64-bit
-    signature into `bands` chunks; docs sharing any chunk value are
-    candidates (Hamming-distance <= bands-1 guaranteed recall). The join is
-    an equi-join on (band, chunk) — shuffle moves only (id, 16-bit chunk)."""
-    width = 64 // bands
-    sig = _materialized(df, simhash64(text_col), "sig", [id_col])
+    """Near-dup candidate pairs via banded SimHash: split the signature
+    into `bands` chunks; docs sharing any chunk value are candidates
+    (Hamming-distance <= bands-1 guaranteed recall). The join is an
+    equi-join on (band, chunk) — shuffle moves only (id, chunk). Pass
+    `sig`/`sig_bits` to band a different signature (e.g. the 16-bit
+    `simhash_portable`); default is the production 64-bit xxhash form."""
+    width = sig_bits // bands
+    sig = _materialized(df, sig if sig is not None else simhash64(text_col), "sig", [id_col])
     chunks = sig.select(
         id_col,
         "sig",

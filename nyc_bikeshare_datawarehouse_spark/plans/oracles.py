@@ -1915,3 +1915,48 @@ def _zorder_layout_sql(bits: int = 10) -> str:
 
 
 ORACLES["q_zorder_layout"] = _zorder_layout_sql()
+
+
+def _simhash_portable_sql(n_bits: int = 16, bands: int = 4, max_hamming: int = 1) -> str:
+    """Replays dedup.simhash_portable + banded candidates bit by bit:
+    md5-prefix per-token hashes, integer bit votes, banded equi-join,
+    Hamming via bit_count(xor). All-integer arithmetic — bit-exact."""
+    bit_rows = ", ".join(f"({b})" for b in range(n_bits))
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    width = n_bits // bands
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents
+        ), h AS (
+            SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 4)) AS BIGINT) AS v
+            FROM tok
+        ), votes AS (
+            SELECT doc_id, b.b,
+                   CASE WHEN SUM(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM h CROSS JOIN (VALUES {bit_rows}) AS b(b)
+            GROUP BY doc_id, b.b
+        ), sig AS (
+            SELECT doc_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS sig
+            FROM votes GROUP BY doc_id
+        ), chunks AS (
+            SELECT doc_id, sig, bd.band,
+                   (sig >> (bd.band * {width})) & {(1 << width) - 1} AS chunk
+            FROM sig CROSS JOIN (VALUES {band_rows}) AS bd(band)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.sig AS s1, b.sig AS s2
+            FROM chunks a
+            JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLES["q_simhash_portable"] = _simhash_portable_sql()

@@ -1653,6 +1653,29 @@ def q_jaccard_prefix(spark, sf_dir):
     )
 
 
+def q_simhash_portable(spark, sf_dir):
+    """Engine-portable banded SimHash near-dup (functions/dedup.py
+    `simhash_portable`): 16-bit md5-derived signature over distinct
+    tokens, 4 bands × 4 bits, pairs with Hamming ≤ 1 — the FULL-ORACLE
+    sibling of q_simhash_near_dup (whose 64-bit xxhash signature is
+    engine-specific), completing the portable-lattice pattern
+    (minhash_portable precedent) for the simhash family. Integer votes
+    and bitwise ops only, replayed bit by bit in the generated DuckDB
+    SQL. Same plan shape as production: per-row signature (zero
+    shuffles), then the (band, chunk) equi-join moves (id, 4-bit chunk)
+    pairs only."""
+    d = _t(spark, sf_dir, "documents").filter(F.size(text.tokens("text")) >= 1)
+    pairs = dedup.simhash_candidates(
+        d, "text", "doc_id", bands=4,
+        sig=dedup.simhash_portable("text", 16), sig_bits=16,
+    )
+    return (
+        pairs.filter(F.col("hamming") <= 1)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_span_dedup(spark, sf_dir):
     """Exact duplicated-SPAN detection (functions/dedup.py
     `duplicate_spans`, Lee et al. ACL 2022): every maximal token span
@@ -2662,6 +2685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_gap_fill": q_gap_fill,
     "q_sliding_windows": q_sliding_windows,
+    "q_simhash_portable": q_simhash_portable,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

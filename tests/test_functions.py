@@ -135,6 +135,33 @@ class TestDedup:
         ham_far = bin(sigs[1] ^ sigs[4]).count("1")
         assert ham_near < ham_far
 
+    def test_simhash_portable_matches_md5_model(self, spark, docs):
+        import hashlib
+
+        def model(text):
+            toks = {t for t in text.split(" ") if t}
+            sig = 0
+            for b in range(16):
+                vote = sum(
+                    1 if (int(hashlib.md5(t.encode()).hexdigest()[:4], 16) >> b) & 1
+                    else -1
+                    for t in toks
+                )
+                if vote > 0:
+                    sig |= 1 << b
+            return sig
+
+        rows = docs.select(
+            "doc_id", "text", dedup.simhash_portable("text", 16).alias("sig")
+        ).collect()
+        for r in rows:
+            assert r["sig"] == model(r["text"])
+        sigs = {r["doc_id"]: r["sig"] for r in rows}
+        assert sigs[1] == sigs[2] == sigs[3]  # distinct-token-set based
+        ham_near = bin(sigs[1] ^ sigs[5]).count("1")
+        ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+        assert ham_near < ham_far
+
     def test_minhash_est_jaccard(self, spark, docs):
         pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
         got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}

@@ -55,6 +55,11 @@ SCALE_PATH = [
     "q_embed_near_dup",
     "q_embed_dedup_pipeline",
     "q_text_pipeline",
+    # round 6: span dedup is one COUNT window + interval merge (claim ~1);
+    # the lossless prefix filter's candidate join pairs within replicas
+    # only on the suffix-disjoint corpus (claim ~1 in this regime)
+    "q_span_dedup",
+    "q_jaccard_prefix",
 ]
 #: oracle-exact quadratic verifiers: measured at the sf0.01 -> sf0.1 step
 EXACT = ["q_ngram_jaccard", "q_dedup_clusters"]
@@ -183,10 +188,49 @@ def time_embed_lsh_planes(spark, sf_dir: str, n_planes: int, warm: bool = False)
     return round(time.time() - t0, 2)
 
 
+def time_incremental_fixed_delta(spark, corpus_dir: str, warm: bool = False) -> float:
+    """q_incremental_dedup's REAL scaling claim: nightly cost for a FIXED
+    delta as the corpus grows (the declared query scales the delta with
+    the corpus, which measures a different thing). Delta = the sf0.1
+    docs with doc_id % 5 == 0; corpus = everything else in `corpus_dir`
+    (original delta rows excluded so the exact screen doesn't trivially
+    absorb them). On the suffix-disjoint synthetic corpus, cross-replica
+    shingles never collide, so only the LINEAR stages (corpus hash
+    index, corpus postings build) grow — expected alpha well below 1;
+    a same-vocabulary corpus would add |delta_f|·|corpus_f| pair growth,
+    the regime `max_doc_count` pruning bounds."""
+    from nyc_bikeshare_datawarehouse_spark.functions import dedup
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    delta = load_table(spark, SF01, "documents").filter(F.col("doc_id") % 5 == 0)
+    max_id = delta.agg(F.max("doc_id")).head()[0] + 1
+
+    def run():
+        corpus = load_table(spark, corpus_dir, "documents").filter(
+            ~((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < max_id))
+        )
+        dedup.incremental_dedup(delta, corpus, min_jaccard=0.5).count()
+
+    if warm:
+        run()
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--include-exact", action="store_true")
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="time only these SCALE_PATH queries (plus --incremental if "
+             "given) and MERGE the rows into the existing SCALING.json",
+    )
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="also run the fixed-delta incremental-dedup probe",
+    )
     ap.add_argument(
         "--embed-planes", action="store_true",
         help="run ONLY the SRP bucket-cardinality scaling variant and merge "
@@ -221,6 +265,34 @@ def main() -> None:
         json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
         print(f"fixed 16 planes : {t_small}s -> {t_big_fixed}s  alpha={a_fixed:.2f}")
         print(f"scaled 32 planes: {t_small}s -> {t_big_scaled}s  alpha={a_scaled:.2f}")
+        return
+
+    if args.only is not None or args.incremental:
+        merged = json.load(open("/root/repo/SCALING.json"))
+        for name in (args.only or []):
+            t_small = time_query(spark, name, SF01, warm=True)
+            t_big = time_query(spark, name, big)
+            alpha = math.log(t_big / t_small) / math.log(args.replicas)
+            merged[name] = {
+                "sf0.1_sec": t_small,
+                f"sf1x{args.replicas}_sec": t_big,
+                "alpha": round(alpha, 2),
+                "step": f"sf0.1 -> {args.replicas}x",
+            }
+            print(f"{name}: {t_small}s -> {t_big}s  alpha={alpha:.2f}", flush=True)
+        if args.incremental:
+            t_small = time_incremental_fixed_delta(spark, SF01, warm=True)
+            t_big = time_incremental_fixed_delta(spark, big)
+            alpha = math.log(t_big / t_small) / math.log(args.replicas)
+            merged["incremental_dedup_fixed_delta"] = {
+                "sf0.1_sec": t_small,
+                f"sf1x{args.replicas}_sec": t_big,
+                "alpha": round(alpha, 2),
+                "step": f"FIXED delta, corpus sf0.1 -> {args.replicas}x",
+            }
+            print(f"incremental_dedup_fixed_delta: {t_small}s -> {t_big}s  "
+                  f"alpha={alpha:.2f}", flush=True)
+        json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
         return
 
     results: dict[str, dict] = {}
