@@ -1704,44 +1704,7 @@ ORACLES: dict[str, str] = {
     # Full curation funnel: quality gate -> decontamination -> exact dedup
     # -> per-language token budget, replayed as one CTE chain. Same
     # integer/divison ops as the Spark plan at every stage.
-    "q_curation_pipeline": """
-        WITH toks AS (
-            SELECT doc_id, lang, n_chars, text,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
-            FROM documents
-        ), quality AS (
-            SELECT doc_id, lang, n_chars, text, tk FROM toks
-            WHERE len(tk) >= 20 AND len(list_distinct(tk)) / len(tk) >= 0.3
-        ), ng AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, len(tk) - 1),
-                          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS ng
-            FROM toks WHERE len(tk) >= 3
-        ), contaminated AS (
-            SELECT DISTINCT t.doc_id
-            FROM ng t JOIN ng e ON t.ng = e.ng AND e.doc_id % 25 = 0
-            WHERE t.doc_id % 25 <> 0
-              AND t.doc_id IN (SELECT doc_id FROM quality)
-            GROUP BY t.doc_id, e.doc_id
-            HAVING COUNT(*) >= 2
-        ), clean AS (
-            SELECT doc_id, lang, n_chars, text, tk FROM quality
-            WHERE doc_id % 25 <> 0
-              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-        ), keep AS (
-            SELECT MIN(doc_id) AS doc_id
-            FROM clean GROUP BY md5(lower(trim(text)))
-        ), sel AS (
-            SELECT c.doc_id, c.lang, CAST(len(c.tk) AS INTEGER) AS n_tokens,
-                   CAST(SUM(len(c.tk)) OVER (
-                        PARTITION BY c.lang
-                        ORDER BY c.n_chars DESC, c.doc_id
-                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-            FROM clean c JOIN keep k USING (doc_id)
-        )
-        SELECT doc_id, lang, n_tokens, cum_tokens
-        FROM sel WHERE cum_tokens <= 2500
-    """,
+
     "q_top_ngrams": """
         WITH toks AS (
             SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1960,3 +1923,82 @@ def _simhash_portable_sql(n_bits: int = 16, bands: int = 4, max_hamming: int = 1
 
 
 ORACLES["q_simhash_portable"] = _simhash_portable_sql()
+
+
+# The four-stage curation funnel CTE chain, shared verbatim by
+# q_curation_pipeline and q_pretraining_export (which extends it with
+# mixture replication + shard layout).
+_CURATION_CTES = """toks AS (
+            SELECT doc_id, lang, n_chars, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents
+        ), quality AS (
+            SELECT doc_id, lang, n_chars, text, tk FROM toks
+            WHERE len(tk) >= 20 AND len(list_distinct(tk)) / len(tk) >= 0.3
+        ), ng AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS ng
+            FROM toks WHERE len(tk) >= 3
+        ), contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM ng t JOIN ng e ON t.ng = e.ng AND e.doc_id % 25 = 0
+            WHERE t.doc_id % 25 <> 0
+              AND t.doc_id IN (SELECT doc_id FROM quality)
+            GROUP BY t.doc_id, e.doc_id
+            HAVING COUNT(*) >= 2
+        ), clean AS (
+            SELECT doc_id, lang, n_chars, text, tk FROM quality
+            WHERE doc_id % 25 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM clean GROUP BY md5(lower(trim(text)))
+        ), sel AS (
+            SELECT c.doc_id, c.lang, CAST(len(c.tk) AS INTEGER) AS n_tokens,
+                   CAST(SUM(len(c.tk)) OVER (
+                        PARTITION BY c.lang
+                        ORDER BY c.n_chars DESC, c.doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM clean c JOIN keep k USING (doc_id)
+        )"""
+
+ORACLES["q_curation_pipeline"] = f"""
+        WITH {_CURATION_CTES}
+        SELECT doc_id, lang, n_tokens, cum_tokens
+        FROM sel WHERE cum_tokens <= 2500
+"""
+
+ORACLES["q_pretraining_export"] = f"""
+        WITH {_CURATION_CTES}, sel2 AS (
+            SELECT doc_id, lang FROM sel WHERE cum_tokens <= 2500
+        ), mixed AS (
+            SELECT s.doc_id, s.lang, e.epoch
+            FROM (
+                SELECT doc_id, lang,
+                       (w.weight_bp // 10000)
+                       + CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                        AS BIGINT) % 10000 < (w.weight_bp % 10000)
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM sel2
+                JOIN (VALUES ('en', 5000), ('de', 10000), ('es', 22500),
+                             ('fr', 22500), ('zh', 35000)) AS w(lang, weight_bp)
+                  USING (lang)
+            ) s
+            JOIN (VALUES (1), (2), (3), (4)) AS e(epoch) ON e.epoch <= s.n_copies
+        ), keyed AS (
+            SELECT doc_id, lang, epoch,
+                   CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS rep
+            FROM mixed
+        ), ranked AS (
+            SELECT doc_id, lang, epoch,
+                   ROW_NUMBER() OVER (ORDER BY md5(rep), rep) AS rn
+            FROM keyed
+        )
+        SELECT doc_id, lang, epoch,
+               CAST(FLOOR((rn - 1) / 32) AS INTEGER) AS shard,
+               CAST((rn - 1) % 32 AS INTEGER) AS pos
+        FROM ranked
+        ORDER BY shard, pos
+"""
+

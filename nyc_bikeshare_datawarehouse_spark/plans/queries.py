@@ -2311,6 +2311,42 @@ def q_curation_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pretraining_export(spark, sf_dir):
+    """The END of the pretraining pipeline as ONE lazy plan, composing
+    the round-5 capstone with the round-6 mixing/export primitives:
+    curation funnel (quality → decontaminate → dedup → per-lang budget,
+    q_curation_pipeline) → mixture upsampling (per-lang bp weights,
+    floor+md5-fractional copies, `mixture_upsample`) → deterministic
+    shard layout (md5 permutation over (doc_id, epoch) replicas,
+    `shard_assign`, two-phase global rank). What a 100 TB run would
+    write with `partitionBy(shard)` — here the full lineage is declared
+    lazily and the oracle replays every stage in one CTE chain: funnel
+    CTEs + VALUES-epoch replication + the sequential ROW_NUMBER the
+    distributed rank must equal. Shuffle census: funnel 2 (dedup
+    window, budget window) + shard rank 1 (bucket hash) — the mixture
+    stage rides broadcasts and per-row explodes."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
+        mixture_upsample,
+        shard_assign,
+    )
+
+    base = q_curation_pipeline(spark, sf_dir).select("doc_id", "lang")
+    weights = spark.createDataFrame(
+        [("en", 5000), ("de", 10000), ("es", 22500), ("fr", 22500), ("zh", 35000)],
+        "lang string, weight_bp long",
+    )
+    mixed = mixture_upsample(
+        base.join(F.broadcast(weights), "lang"), "doc_id", "weight_bp"
+    )
+    keyed = mixed.withColumn(
+        "rep_key", F.concat_ws(":", F.col("doc_id"), F.col("epoch"))
+    )
+    sharded = shard_assign(keyed, "rep_key", shard_size=32)
+    return sharded.select("doc_id", "lang", "epoch", "shard", "pos").orderBy(
+        "shard", "pos"
+    )
+
+
 def q_ann_ivf_partitioned(spark, sf_dir):
     """The PERSISTED 100 TB ANN lifecycle as ONE query (rows-only check —
     the KMeans fit is iterative ML with no SQL form): seeded deterministic
@@ -2686,6 +2722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gap_fill": q_gap_fill,
     "q_sliding_windows": q_sliding_windows,
     "q_simhash_portable": q_simhash_portable,
+    "q_pretraining_export": q_pretraining_export,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
