@@ -115,6 +115,8 @@ EXTENDED = [
     "q_gap_fill",
     "q_sliding_windows",
     "q_zorder_layout",
+    "q_simhash_portable",
+    "q_pretraining_export",
     "q_incremental_mart",
 ]
 

@@ -2324,7 +2324,13 @@ def q_pretraining_export(spark, sf_dir):
     CTEs + VALUES-epoch replication + the sequential ROW_NUMBER the
     distributed rank must equal. Shuffle census: funnel 2 (dedup
     window, budget window) + shard rank 1 (bucket hash) — the mixture
-    stage rides broadcasts and per-row explodes."""
+    stage rides broadcasts and per-row explodes. One honest caveat:
+    `two_phase_global_rank` references its input twice (local ranks +
+    bucket counts), so the funnel lineage is traversed more than once
+    here (AQE exchange reuse shares the window exchanges; the per-row
+    tail recomputes). At 100 TB, persist or write the funnel output
+    once before `shard_assign` — declared fully lazily here so the
+    oracle can replay the WHOLE lineage in one CTE chain."""
     from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
         mixture_upsample,
         shard_assign,
