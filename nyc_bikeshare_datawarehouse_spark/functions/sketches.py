@@ -130,6 +130,52 @@ def hll_estimate(regs: DataFrame) -> float:
     return est
 
 
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """KMV / bottom-k sketch (Bar-Yossef et al. 2002; the theta-sketch
+    family): the k smallest md5-derived 60-bit hash values of the key
+    set — one column `hval`. Unlike HLL it supports SET OPERATIONS:
+    union = bottom-k of the merged value lists (`kmv_union`), and
+    intersections estimate via the Jaccard of survivors
+    (`kmv_jaccard`), which registers cannot express. The state is a
+    deterministic integer list (bit-exact across engines — full oracle),
+    built as distinct-hash + TakeOrdered: per-partition heaps, O(k)
+    rows to the driver side of the plan, never a global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hval")
+    )
+    return df.select(h).distinct().orderBy("hval").limit(k)
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Sketch of the union of the underlying sets, from sketches alone."""
+    return a.unionByName(b).distinct().orderBy("hval").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> float:
+    """Distinct-count estimate: (k-1) / normalized k-th minimum; exact
+    when fewer than k distinct values exist (the sketch IS the set)."""
+    vals = sorted(r["hval"] for r in sketch.collect())
+    if len(vals) < k:
+        return float(len(vals))
+    return (k - 1) * float(1 << 60) / vals[-1]
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 64) -> float:
+    """Jaccard estimate of the underlying sets from their sketches: the
+    fraction of the merged bottom-k that appears in BOTH — multiply by
+    `kmv_estimate(kmv_union(a, b))` for the intersection cardinality."""
+    sa = {r["hval"] for r in a.collect()}
+    sb = {r["hval"] for r in b.collect()}
+    merged = sorted(sa | sb)[:k]
+    if not merged:
+        return 0.0
+    return sum(1 for v in merged if v in sa and v in sb) / len(merged)
+
+
 def countmin_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -121,6 +121,30 @@ ORACLES: dict[str, str] = {
         WHERE rank <= 50
         ORDER BY lang, rank
     """,
+    "q_kmv_sketch": """
+        WITH ck AS (
+            SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) AS hval
+            FROM events WHERE event_type = 'click'
+        ), pk AS (
+            SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) AS hval
+            FROM events WHERE event_type = 'purchase'
+        ), ca AS (SELECT hval FROM ck ORDER BY hval LIMIT 64
+        ), pa AS (SELECT hval FROM pk ORDER BY hval LIMIT 64
+        ), ua AS (
+            SELECT hval FROM (SELECT hval FROM ca UNION SELECT hval FROM pa)
+            ORDER BY hval LIMIT 64
+        )
+        SELECT source, CAST(pos AS INTEGER) AS pos, hval FROM (
+            SELECT 'click' AS source, ROW_NUMBER() OVER (ORDER BY hval) AS pos, hval FROM ca
+            UNION ALL
+            SELECT 'purchase', ROW_NUMBER() OVER (ORDER BY hval), hval FROM pa
+            UNION ALL
+            SELECT 'union', ROW_NUMBER() OVER (ORDER BY hval), hval FROM ua
+        )
+        ORDER BY source, pos
+    """,
     "q_hll_registers": """
         WITH keyed AS (
             SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders

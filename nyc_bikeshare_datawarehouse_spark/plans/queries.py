@@ -2596,6 +2596,31 @@ def q_vocab_build(spark, sf_dir):
     ).orderBy("token_id")
 
 
+def q_kmv_sketch(spark, sf_dir):
+    """KMV / bottom-k sketch state (functions/sketches.py): the 64
+    smallest hash values of the click-user and purchase-user sets plus
+    their UNION sketch built from the sketches alone — the set-algebra
+    member of the sketch family (count-min = frequency, HLL = distinct,
+    KMV = union/intersection, which registers cannot express;
+    `kmv_jaccard` turns the merged survivors into an intersection
+    estimate, accuracy pytest-bounded). Deterministic integers — the
+    oracle replays all three bottom-k lists. Plan: distinct-hash then
+    TakeOrdered per-partition heaps; only 3k rows move."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    a = sketches.kmv_sketch(clicks, "user_id", 64)
+    b = sketches.kmv_sketch(buys, "user_id", 64)
+    u = sketches.kmv_union(a, b, 64)
+    w = Window.orderBy("hval")
+    parts = [
+        df.select(F.lit(tag).alias("source"), F.row_number().over(w).alias("pos"), "hval")
+        for tag, df in (("click", a), ("purchase", b), ("union", u))
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.orderBy("source", "pos")
+
+
 def q_group_quota(spark, sf_dir):
     """Deterministic per-group QUOTA sampling: exactly min(50, |group|)
     documents per language, chosen uniformly by md5(doc_id) order — the
@@ -2729,6 +2754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sliding_windows": q_sliding_windows,
     "q_simhash_portable": q_simhash_portable,
     "q_pretraining_export": q_pretraining_export,
+    "q_kmv_sketch": q_kmv_sketch,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

@@ -94,3 +94,43 @@ def test_hll_validates_precision(spark):
 
     with _pytest.raises(ValueError):
         hll_registers(df, "k", b=9)
+
+
+from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+    kmv_estimate,
+    kmv_jaccard,
+    kmv_sketch,
+    kmv_union,
+)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 30,) for i in range(500)], "k long")
+    sk = kmv_sketch(df, "k", k=64)
+    assert sk.count() == 30
+    assert kmv_estimate(sk, 64) == 30.0
+
+
+def test_kmv_estimate_and_union_accuracy(spark):
+    a = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 8000)], "k long")
+    ska, skb = kmv_sketch(a, "k", 256), kmv_sketch(b, "k", 256)
+    est_a = kmv_estimate(ska, 256)
+    assert abs(est_a - 4000) / 4000 < 0.25  # se ~ 1/sqrt(k-2) ~ 6%, 4 sigma
+    sku = kmv_union(ska, skb, 256)
+    est_u = kmv_estimate(sku, 256)
+    assert abs(est_u - 8000) / 8000 < 0.25
+    # jaccard(A,B) = 2000/8000 = 0.25
+    j = kmv_jaccard(ska, skb, 256)
+    assert 0.1 < j < 0.45
+    # intersection estimate
+    inter = j * est_u
+    assert abs(inter - 2000) / 2000 < 0.6
+
+
+def test_kmv_union_equals_sketch_of_union(spark):
+    a = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "k long")
+    merged = kmv_union(kmv_sketch(a, "k", 64), kmv_sketch(b, "k", 64), 64)
+    direct = kmv_sketch(a.unionByName(b), "k", 64)
+    assert rows_set(merged) == rows_set(direct)
