@@ -47,7 +47,8 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
 def bloom_build(
     keys: DataFrame, key_col: str, num_bits: int = 4096, num_hashes: int = 3
 ) -> DataFrame:
-    """One-row frame holding the filter as map<word_idx int, word long>.
+    """One-row frame holding the filter as map<word_idx int, word long>
+    in column `__bloom` (dunder-named so probe columns cannot collide).
 
     Build cost: explode k positions per key, groupBy word_idx (at most
     num_bits/64 groups — map-side combine collapses each task to that
@@ -61,7 +62,7 @@ def bloom_build(
         .agg(F.bit_or(_one_shifted(F.col("pos"))).alias("word"))
     )
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("bloom")
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("__bloom")
     )
 
 
@@ -78,11 +79,11 @@ def bloom_prefilter(
     checks = []
     for p in _positions(F.col(key_col), num_bits, num_hashes):
         word = F.coalesce(
-            F.element_at(F.col("bloom"), (p / 64).cast("int")), F.lit(0).cast("long")
+            F.element_at(F.col("__bloom"), (p / 64).cast("int")), F.lit(0).cast("long")
         )
         mask = _one_shifted(p)
         checks.append(word.bitwiseAND(mask) != 0)
     keep = checks[0]
     for c in checks[1:]:
         keep = keep & c
-    return probe.crossJoin(F.broadcast(bloom)).filter(keep).drop("bloom")
+    return probe.crossJoin(F.broadcast(bloom)).filter(keep).drop("__bloom")
