@@ -216,3 +216,18 @@ def test_hll_registers_single_bounded_aggregation(spark, sf_dir):
     # range frame -- no exchange on the orders side beyond the register agg
     plan = plan_of(spark, sf_dir, "q_hll_registers")
     assert n_exchanges(plan) <= 2  # register agg (+ zero-fill join key)
+
+
+def test_kmv_sketch_is_take_ordered(spark, sf_dir):
+    # bottom-k via per-partition heaps, never a global sort of the set
+    plan = plan_of(spark, sf_dir, "q_kmv_sketch")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_build_windows_vocab_not_stream(spark, sf_dir):
+    # the token stream is aggregated FIRST; ranking windows see only the
+    # vocab-sized count frame (one stream exchange + one 1-partition
+    # window over vocab rows)
+    plan = plan_of(spark, sf_dir, "q_vocab_build")
+    assert plan.count("Exchange SinglePartition") <= 2  # vocab window + bounds
+    assert n_exchanges(plan) >= 1  # the token-count aggregation
