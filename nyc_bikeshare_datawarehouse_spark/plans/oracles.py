@@ -14,10 +14,14 @@ Q2/Q9/Q11/Q16/Q20 adapted over a lineitem-derived supply relation, the
 corpus has no partsupp — the dedup/sampling/split family, and the
 SCD/CDC/profile warehouse ops).
 The 8 queries with no entry are genuinely non-SQL-expressible —
-minhash/simhash/SRP LSH (engine-specific hash lattices), IVF ANN, the
-composed text pipeline, the two approx sketches (engine-specific
-estimates), and the applyInPandas PCA spectrum (no SQL engine replays
-eigvalsh) — and get rows-only determinism checks;
+the xxhash64 minhash/simhash lattices (each has a hash-checked
+md5-portable twin: q_minhash_portable, q_simhash_portable; the SRP
+pair gained a generated-hyperplane oracle in round 6), the two IVF ANN
+lifecycles (iterative KMeans has no SQL form), the composed text
+pipeline, the two approx sketches (engine-specific estimates; the
+portable HLL/KMV/count-min siblings ARE oracle-checked), and the
+applyInPandas PCA spectrum (no SQL engine replays eigvalsh) — and get
+rows-only determinism checks;
 `tests/test_queries.py::test_contract_shape` pins that exact set.
 """
 
