@@ -481,6 +481,48 @@ def duplicate_spans(
     ).drop("__span")
 
 
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """APPLY stage for `duplicate_spans`: rebuild each document's text
+    with the tokens inside its [span_start, span_end) spans removed —
+    the boilerplate scrubber (detect/apply split mirrors the dedup
+    lattice's candidates/apply). Spans attach per doc as one collected
+    array (docs without spans keep their text verbatim via the empty
+    array), and the removal is a nested higher-order filter — the
+    2-arg (token, index) lambda probes the span list with exists() —
+    pure per-row codegen after one id-keyed join; the corpus never
+    shuffles its bodies beyond that join. Adds `out_col` and
+    `n_removed`."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ),
+    )
+    toks = tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return (
+        joined.withColumn(out_col, F.array_join(kept, " "))
+        .withColumn("n_removed", (F.size(toks) - F.size(kept)).cast("int"))
+        .drop("__spans")
+    )
+
+
 def prefix_jaccard_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -209,6 +209,61 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id, span_id
         ORDER BY doc_id, span_start
     """,
+    # Shares q_span_dedup's detection CTEs verbatim, then rebuilds each
+    # document minus its spans via nested lambdas (outer index captured
+    # in the inner span probe) and digests the result.
+    "q_span_scrub": """
+        WITH toks AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS start,
+                   array_to_string(t[i:i+7], ' ') AS g
+            FROM toks, LATERAL unnest(range(1, len(t) - 8 + 2)) AS r(i)
+            WHERE len(t) >= 8
+        ), marked AS (
+            SELECT doc_id, start, start + 8 AS e
+            FROM (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY g) AS cnt FROM grams)
+            WHERE cnt >= 2
+        ), flagged AS (
+            SELECT doc_id, start, e,
+                   CASE WHEN start > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_span
+            FROM marked
+        ), spans AS (
+            SELECT doc_id, MIN(start) AS lo, MAX(e) AS hi
+            FROM (
+                SELECT doc_id, start, e,
+                       SUM(new_span) OVER (
+                           PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+                FROM flagged
+            )
+            GROUP BY doc_id, span_id
+        ), sp AS (
+            SELECT doc_id, list(struct_pack(lo := lo, hi := hi)) AS sp
+            FROM spans GROUP BY doc_id
+        ), rebuilt AS (
+            SELECT d.doc_id, d.lang,
+                   d.t,
+                   list_transform(
+                       list_filter(range(1, len(d.t) + 1),
+                                   i -> len(list_filter(COALESCE(s.sp, []),
+                                            sx -> i - 1 >= sx.lo AND i - 1 < sx.hi)) = 0),
+                       i -> d.t[i]) AS kept
+            FROM toks d LEFT JOIN sp s ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang,
+               CAST(len(t) - len(kept) AS INTEGER) AS n_removed,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5,
+               CAST(length(COALESCE(array_to_string(kept, ' '), '')) AS INTEGER)
+                   AS clean_len
+        FROM rebuilt
+        ORDER BY doc_id
+    """,
     "q_countmin_topk": """
         WITH toks AS (
             SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

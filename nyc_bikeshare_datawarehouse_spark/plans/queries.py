@@ -1695,6 +1695,30 @@ def q_span_dedup(spark, sf_dir):
     ).orderBy("doc_id", "span_start")
 
 
+def q_span_scrub(spark, sf_dir):
+    """APPLY half of the span family (functions/dedup.py `scrub_spans`):
+    rebuild every document with its corpus-duplicated 8-gram spans
+    removed — detect (q_span_dedup) → scrub, mirroring the dedup
+    lattice's candidates → apply split. The reconstruction is a nested
+    higher-order filter ((token, index) lambda probing the collected
+    span list with exists()) — per-row codegen after one id-keyed join.
+    Hash-checked via md5(clean_text): the oracle rebuilds the exact
+    same token sequence in SQL (nested DuckDB lambdas), so a single
+    digest column verifies every byte of every scrubbed document."""
+    d = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(d, "text", "doc_id", gram_n=8, min_count=2).select(
+        "doc_id", "span_start", "span_end"
+    )
+    out = dedup.scrub_spans(d, spans)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("int").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: verified bigram-Jaccard pairs →
     connected components (iterative min-label propagation) → one
@@ -2755,6 +2779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_portable": q_simhash_portable,
     "q_pretraining_export": q_pretraining_export,
     "q_kmv_sketch": q_kmv_sketch,
+    "q_span_scrub": q_span_scrub,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,

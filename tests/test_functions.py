@@ -317,6 +317,28 @@ class TestDedup:
         # unique middle -> two spans per doc, never merged
         assert got == [(1, 0, 4), (1, 7, 11), (2, 0, 4), (2, 7, 11)]
 
+    def test_scrub_spans_removes_exact_tokens(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "u1 u2 b0 b1 b2 b3 u3"), (2, "b0 b1 b2 b3 v1 v2 v3"), (3, "w1 w2 w3 w4")],
+            "doc_id long, text string",
+        )
+        spans = dedup.duplicate_spans(docs, gram_n=4)
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in dedup.scrub_spans(docs, spans).collect()
+        }
+        assert out[1] == ("u1 u2 u3", 4)
+        assert out[2] == ("v1 v2 v3", 4)
+        assert out[3] == ("w1 w2 w3 w4", 0)  # span-free docs untouched
+
+    def test_scrub_spans_full_doc_becomes_empty(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        )
+        spans = dedup.duplicate_spans(docs, gram_n=4)
+        out = {r["doc_id"]: r["clean_text"] for r in dedup.scrub_spans(docs, spans).collect()}
+        assert out == {1: "", 2: ""}
+
     def test_prefix_filter_is_lossless(self, spark):
         # prefix-filtered candidates + exact verify must reproduce the
         # full inverted-index result exactly, at two thresholds
