@@ -117,6 +117,9 @@ EXTENDED = [
     "q_zorder_layout",
     "q_simhash_portable",
     "q_pretraining_export",
+    "q_kmv_sketch",
+    "q_span_scrub",
+    "q_lang_id",
     "q_incremental_mart",
 ]
 

@@ -2007,6 +2007,44 @@ def _simhash_portable_sql(n_bits: int = 16, bands: int = 4, max_hamming: int = 1
 
 ORACLES["q_simhash_portable"] = _simhash_portable_sql()
 
+def _lang_id_sql() -> str:
+    """Replays functions/text.language_id: per-language stopword-hit
+    counts from a generated VALUES table, argmax via struct max (same
+    field-by-field comparison as Spark's array_max over struct — score
+    first, then lexicographically LAST language on ties; parity probed
+    on both engines). Docs with zero hits fall to 'und' via the left
+    join."""
+    from nyc_bikeshare_datawarehouse_spark.functions.text import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in _STOPWORDS.items() for w in ws
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents
+        ), hits AS (
+            SELECT t.doc_id, s.lang AS cand, COUNT(*) AS score
+            FROM toks t
+            JOIN (VALUES {rows}) AS s(lang, word) ON lower(t.token) = s.word
+            GROUP BY t.doc_id, s.lang
+        ), best AS (
+            SELECT doc_id, max(struct_pack(score := score, cand := cand)) AS b
+            FROM hits GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE((b.b).cand, 'und') AS lang_pred,
+               CAST(CASE WHEN d.lang = COALESCE((b.b).cand, 'und')
+                         THEN 1 ELSE 0 END AS INTEGER) AS is_match
+        FROM documents d LEFT JOIN best b USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+ORACLES["q_lang_id"] = _lang_id_sql()
+
+
 
 # The four-stage curation funnel CTE chain, shared verbatim by
 # q_curation_pipeline and q_pretraining_export (which extends it with

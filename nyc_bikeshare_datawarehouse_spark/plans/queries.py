@@ -1607,6 +1607,25 @@ def q_text_pipeline(spark, sf_dir):
     )
 
 
+def q_lang_id(spark, sf_dir):
+    """The language-ID heuristic itself, hash-checked cross-engine
+    (q_lang_stats only aggregates the STORED lang; this validates the
+    PREDICTION): per-doc stopword-hit argmax with the exact tie-break
+    replayed — Spark's array_max over struct<score,lang> and DuckDB's
+    max(struct_pack(...)) both compare field-by-field, so a score tie
+    resolves to the lexicographically last language in BOTH engines
+    (probed and pinned). Pure per-row HOF scan in Spark; the generated
+    oracle joins a VALUES stopword table and takes the struct max."""
+    d = _t(spark, sf_dir, "documents")
+    pred = text.language_id("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.when(F.col("lang") == pred, 1).otherwise(0).cast("int").alias("is_match"),
+    ).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram-Jaccard similar pairs via inverted-index join
     (SURVEY §2.10 near-dup verifier stage). pack_ids: the pair-count
@@ -2780,6 +2799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pretraining_export": q_pretraining_export,
     "q_kmv_sketch": q_kmv_sketch,
     "q_span_scrub": q_span_scrub,
+    "q_lang_id": q_lang_id,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
