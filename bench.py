@@ -79,6 +79,13 @@ HEAVY = [
     # premise); see the query docstring + BASELINE.md for the regime.
     "q_jaccard_prefix",
     "q_incremental_dedup",
+    # 16-bit portable signature, 4-bit bands: 16 buckets per band is a
+    # corpus-size-INDEPENDENT cardinality, so bucket occupancy grows
+    # linearly and in-bucket pairs quadratically — the same band-capacity
+    # lesson as SCALING.json's embed_lsh_fixed_planes row. Heavy by
+    # construction at this corpus density; the production 64-bit form
+    # (q_simhash_near_dup) has 16-bit bands and stays cheap.
+    "q_simhash_portable",
 ]
 
 
@@ -115,11 +122,11 @@ EXTENDED = [
     "q_gap_fill",
     "q_sliding_windows",
     "q_zorder_layout",
-    "q_simhash_portable",
     "q_pretraining_export",
     "q_kmv_sketch",
     "q_span_scrub",
     "q_lang_id",
+    "q_sql_parameterized",
     "q_incremental_mart",
 ]
 

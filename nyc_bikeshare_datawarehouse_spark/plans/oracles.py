@@ -125,6 +125,16 @@ ORACLES: dict[str, str] = {
         WHERE rank <= 50
         ORDER BY lang, rank
     """,
+    "q_sql_parameterized": """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS revenue
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_totalprice > 300000 AND c.c_mktsegment <> 'MACHINERY'
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
     "q_kmv_sketch": """
         WITH ck AS (
             SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))

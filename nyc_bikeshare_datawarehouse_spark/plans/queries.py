@@ -1607,6 +1607,29 @@ def q_text_pipeline(spark, sf_dir):
     )
 
 
+def q_sql_parameterized(spark, sf_dir):
+    """Parameterized `spark.sql` (Spark 4 named-argument binding) — the
+    SQL-string API surface with injection-safe literals: the threshold
+    and segment arrive as BOUND PARAMETERS, not string-formatted SQL
+    (the reference's f-string SQL building, sql_queries.py shape, done
+    safely). Catalyst still constant-folds and pushes the bound
+    predicate into the scan like any literal."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) / 100 AS revenue
+        FROM v_orders o JOIN v_customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_totalprice > :thr AND c.c_mktsegment != :excluded
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """,
+        args={"thr": 300000, "excluded": "MACHINERY"},
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """The language-ID heuristic itself, hash-checked cross-engine
     (q_lang_stats only aggregates the STORED lang; this validates the
@@ -2800,6 +2823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmv_sketch": q_kmv_sketch,
     "q_span_scrub": q_span_scrub,
     "q_lang_id": q_lang_id,
+    "q_sql_parameterized": q_sql_parameterized,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
