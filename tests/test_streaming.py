@@ -338,3 +338,47 @@ def test_drop_late_rows_keyed_per_key_cutoff(spark):
         for r in se.drop_late_rows(df, "2 hours", key="user_id").collect()
     }
     assert kept == {2, 3, 4}
+
+
+def test_countmin_stream_state_equals_batch_sketch(spark, sf_dir, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import countmin_build
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import countmin_stream
+
+    batch = load_table(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = countmin_stream(
+        stream, "user_id", str(tmp_path / "cm_state"), str(tmp_path / "cm_ckpt")
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "cm_state"))
+    want = countmin_build(spark.read.parquet(src), "user_id")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_hll_stream_state_equals_batch_sketch(spark, sf_dir, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import hll_registers
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import hll_stream
+
+    batch = load_table(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "src")
+    batch.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = hll_stream(
+        stream, "user_id", str(tmp_path / "hll_state"), str(tmp_path / "hll_ckpt")
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "hll_state"))
+    want = hll_registers(spark.read.parquet(src), "user_id")
+    assert rows_set(got) == rows_set(want)
