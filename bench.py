@@ -127,6 +127,8 @@ EXTENDED = [
     "q_span_scrub",
     "q_lang_id",
     "q_sql_parameterized",
+    "q_rolling_time_window",
+    "q_histogram2d",
     "q_incremental_mart",
 ]
 

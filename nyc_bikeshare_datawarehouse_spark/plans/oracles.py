@@ -757,6 +757,33 @@ ORACLES: dict[str, str] = {
         GROUP BY window_start
         ORDER BY window_start
     """,
+    "q_histogram2d": """
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS price_band,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS revenue
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY price_band, o_month
+    """,
+    "q_rolling_time_window": """
+        WITH e AS (
+            SELECT event_id, event_type,
+                   -- epoch() is fractional and CAST rounds in DuckDB;
+                   -- Spark's unix_timestamp truncates -> FLOOR first
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, event_type,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+               CAST(SUM(cents) OVER w AS BIGINT) / 100.0 AS value_trailing_hour
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
     "q_gap_fill": """
         WITH base AS (
             SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,

@@ -1342,6 +1342,61 @@ def q_sliding_windows(spark, sf_dir):
     )
 
 
+def q_histogram2d(spark, sf_dir):
+    """Equi-width 2-D histogram (price band × order month) — the
+    stats-collection aggregate behind CBO histograms, heatmaps, and the
+    z-order dim bucketing (operators/layout.py consumes exactly such
+    bins). Manual binning floor(x / width) rather than width_bucket —
+    engine-exact and edge-unambiguous; one map-side-combined exchange
+    at bin-grid cardinality; money in integer cents."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 50000).cast("int").alias("price_band"),
+            F.month("o_orderdate").alias("o_month"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("price_band", "o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100).alias("revenue"),
+        )
+        .orderBy("price_band", "o_month")
+    )
+
+
+def q_rolling_time_window(spark, sf_dir):
+    """Per-row trailing-hour rolling aggregate — the RANGE frame keyed
+    by TIME (each event sees every same-type event in the preceding
+    3600s, not N rows and not a tumbling bucket): Spark's rangeBetween
+    is numeric, so the frame rides exact epoch-seconds, mirrored
+    verbatim in the oracle's RANGE BETWEEN 3600 PRECEDING. One exchange
+    on event_type; money in integer cents. Completes §2.7's frame
+    coverage: rows frames, value-range frames (q_window_range_frame),
+    and now time-range frames."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+            (F.sum("cents").over(w) / 100).alias("value_trailing_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_gap_fill(spark, sf_dir):
     """Time-series densification + LOCF (SURVEY §2.9 family): hourly
     per-event-type counts on a COMPLETE calendar spine — the corpus'
@@ -2824,6 +2879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_span_scrub": q_span_scrub,
     "q_lang_id": q_lang_id,
     "q_sql_parameterized": q_sql_parameterized,
+    "q_rolling_time_window": q_rolling_time_window,
+    "q_histogram2d": q_histogram2d,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
