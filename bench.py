@@ -129,6 +129,7 @@ EXTENDED = [
     "q_sql_parameterized",
     "q_rolling_time_window",
     "q_histogram2d",
+    "q_doc_features",
     "q_incremental_mart",
 ]
 

@@ -2082,6 +2082,44 @@ def _lang_id_sql() -> str:
 ORACLES["q_lang_id"] = _lang_id_sql()
 
 
+def _doc_features_sql() -> str:
+    """q_text_stats' floor-truncated ratios + _lang_id_sql's argmax +
+    the md5 token-set fingerprint, composed into one per-doc row."""
+    from nyc_bikeshare_datawarehouse_spark.functions.text import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in _STOPWORDS.items() for w in ws
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), hits AS (
+            SELECT x.doc_id, s.lang AS cand, COUNT(*) AS score
+            FROM (SELECT doc_id, unnest(t) AS token FROM toks) x
+            JOIN (VALUES {rows}) AS s(lang, word) ON lower(x.token) = s.word
+            GROUP BY x.doc_id, s.lang
+        ), best AS (
+            SELECT doc_id, max(struct_pack(score := score, cand := cand)) AS b
+            FROM hits GROUP BY doc_id
+        )
+        SELECT k.doc_id, k.lang,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               FLOOR(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                     / GREATEST(len(t), 1) * 100) / 100 AS avg_token_len,
+               FLOOR(CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(len(t), 1) * 10000)
+                   / 10000 AS distinct_token_ratio,
+               COALESCE((b.b).cand, 'und') AS lang_pred,
+               md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS token_set_fp
+        FROM toks k LEFT JOIN best b USING (doc_id)
+        ORDER BY k.doc_id
+    """
+
+
+ORACLES["q_doc_features"] = _doc_features_sql()
+
+
 
 # The four-stage curation funnel CTE chain, shared verbatim by
 # q_curation_pipeline and q_pretraining_export (which extends it with

@@ -1704,6 +1704,35 @@ def q_lang_id(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_doc_features(spark, sf_dir):
+    """The composed per-document feature row, FULLY hash-checked — the
+    oracle-checkable sibling of the rows-only q_text_pipeline (whose
+    rolling-hash fingerprint is xxhash-specific): quality stats
+    (floor-truncated int-derived ratios) + predicted language (the
+    argmax whose cross-engine tie-break q_lang_id pins) + the
+    order-invariant md5 token-set fingerprint. One projection over one
+    scan — zero shuffles before the output sort — yet every byte of
+    the row a filtering pipeline consumes is oracle-verified."""
+    d = _t(spark, sf_dir, "documents")
+    t = text.tokens("text")
+    n_tok = F.size(t).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        _trunc(
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.greatest(n_tok, F.lit(1)),
+            2,
+        ).alias("avg_token_len"),
+        _trunc(
+            F.size(F.array_distinct(t)).cast("double") / F.greatest(n_tok, F.lit(1)), 4
+        ).alias("distinct_token_ratio"),
+        text.language_id("text").alias("lang_pred"),
+        text.token_set_fingerprint("text").alias("token_set_fp"),
+    ).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram-Jaccard similar pairs via inverted-index join
     (SURVEY §2.10 near-dup verifier stage). pack_ids: the pair-count
@@ -2881,6 +2910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sql_parameterized": q_sql_parameterized,
     "q_rolling_time_window": q_rolling_time_window,
     "q_histogram2d": q_histogram2d,
+    "q_doc_features": q_doc_features,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
