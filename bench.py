@@ -130,6 +130,7 @@ EXTENDED = [
     "q_rolling_time_window",
     "q_histogram2d",
     "q_doc_features",
+    "q_scd2_asof",
     "q_incremental_mart",
 ]
 

@@ -1292,6 +1292,32 @@ ORACLES: dict[str, str] = {
                LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to
         FROM starts
     """,
+    "q_scd2_asof": """
+        WITH s AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus,
+                   LAG(o_orderstatus) OVER w AS prev,
+                   LAG(o_orderkey) OVER w AS prev_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ), starts AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus
+            FROM s
+            WHERE prev_key IS NULL OR o_orderstatus IS DISTINCT FROM prev
+        ), hist AS (
+            SELECT o_custkey, o_orderstatus,
+                   o_orderkey AS valid_from,
+                   LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                       AS valid_to
+            FROM starts
+        ), stamp AS (
+            SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT) AS as_of FROM orders
+        )
+        SELECT h.o_custkey, h.o_orderstatus, h.valid_from, t.as_of
+        FROM hist h CROSS JOIN stamp t
+        WHERE h.valid_from <= t.as_of
+          AND (h.valid_to IS NULL OR h.valid_to > t.as_of)
+        ORDER BY h.o_custkey
+    """,
     "q_quality_profile": """
         WITH agg AS (
             SELECT COUNT(*) AS n,

@@ -1974,6 +1974,38 @@ def q_scd2_history(spark, sf_dir):
     return scd2_history(snapshots, "o_custkey", "o_orderkey", ["o_orderstatus"])
 
 
+def q_scd2_asof(spark, sf_dir):
+    """Point-in-time (AS OF) reconstruction over the SCD2 history — the
+    temporal query the valid_from/valid_to encoding exists FOR: the
+    dimension state at version stamp S = floor(max(version)/2), i.e.
+    each key's row where valid_from <= S < valid_to (null = open). The
+    stamp is data-derived on a 1-row broadcast (scale-stable across
+    corpus sizes, no collect); one row per key whose history had begun
+    by S. Completes the SCD story: capture (q_scd2_history) → query
+    (this) → current-state upsert (q_scd1_merge)."""
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        o.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        "o_custkey",
+        "o_orderkey",
+        ["o_orderstatus"],
+    )
+    stamp = o.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("long").alias("as_of")
+    )
+    return (
+        hist.crossJoin(F.broadcast(stamp))
+        .filter(
+            (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("as_of")))
+        )
+        .select("o_custkey", "o_orderstatus", "valid_from", "as_of")
+        .orderBy("o_custkey")
+    )
+
+
 def q_quality_profile(spark, sf_dir):
     """Column-level data profile (warehouse/quality.py `profile_frame`):
     per column — null count, null ratio, exact distinct count, computed in
@@ -2911,6 +2943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rolling_time_window": q_rolling_time_window,
     "q_histogram2d": q_histogram2d,
     "q_doc_features": q_doc_features,
+    "q_scd2_asof": q_scd2_asof,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
