@@ -131,6 +131,7 @@ EXTENDED = [
     "q_histogram2d",
     "q_doc_features",
     "q_scd2_asof",
+    "q_dedup_report",
     "q_incremental_mart",
 ]
 

@@ -274,6 +274,23 @@ ORACLES: dict[str, str] = {
         FROM rebuilt
         ORDER BY doc_id
     """,
+    "q_dedup_report": """
+        WITH per_hash AS (
+            SELECT md5(lower(trim(text))) AS h,
+                   COUNT(*) AS n_docs,
+                   SUM(length(text)) AS chars_all,
+                   MIN(length(text)) AS chars_keep
+            FROM documents GROUP BY 1
+        )
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               CAST(COUNT(*) AS BIGINT) AS unique_docs,
+               CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS duplicate_docs,
+               FLOOR(CAST(SUM(n_docs) - COUNT(*) AS DOUBLE) / SUM(n_docs) * 10000)
+                   / 10000 AS dup_rate,
+               CAST(SUM(chars_all) AS BIGINT) AS chars_total,
+               CAST(SUM(chars_all) - SUM(chars_keep) AS BIGINT) AS chars_reclaimed
+        FROM per_hash
+    """,
     "q_countmin_topk": """
         WITH toks AS (
             SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

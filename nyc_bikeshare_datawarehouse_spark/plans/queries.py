@@ -1704,6 +1704,41 @@ def q_lang_id(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dedup_report(spark, sf_dir):
+    """Corpus dedup statistics — the one-row report every dedup run
+    ships (and the number that justifies the compute): exact-hash
+    groups → total/unique/duplicate doc counts, duplicate RATE
+    (floor-truncated int ratio), and the chars that deletion would
+    reclaim (Σ chars beyond each group's representative). Two cascaded
+    aggregations — per-hash partials then the corpus fold — so the
+    shuffle carries one row per distinct hash and the report is O(1)
+    output at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    per_hash = (
+        d.select(dedup.normalized_hash("text").alias("h"), F.length("text").alias("n_chars"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_all"),
+            F.min("n_chars").alias("chars_keep"),
+        )
+    )
+    return per_hash.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.count(F.lit(1)).cast("long").alias("unique_docs"),
+        (F.sum("n_docs") - F.count(F.lit(1))).cast("long").alias("duplicate_docs"),
+        _trunc(
+            (F.sum("n_docs") - F.count(F.lit(1))).cast("double")
+            / F.sum("n_docs"),
+            4,
+        ).alias("dup_rate"),
+        F.sum("chars_all").cast("long").alias("chars_total"),
+        # exact-hash copies share identical text, so every group member
+        # has the same length and the reclaim figure is convention-free
+        (F.sum("chars_all") - F.sum("chars_keep")).cast("long").alias("chars_reclaimed"),
+    )
+
+
 def q_doc_features(spark, sf_dir):
     """The composed per-document feature row, FULLY hash-checked — the
     oracle-checkable sibling of the rows-only q_text_pipeline (whose
@@ -2944,6 +2979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram2d": q_histogram2d,
     "q_doc_features": q_doc_features,
     "q_scd2_asof": q_scd2_asof,
+    "q_dedup_report": q_dedup_report,
     "q_skew_topk": q_skew_topk,
     "q_weighted_sample": q_weighted_sample,
     "q_incremental_mart": q_incremental_mart,
