@@ -79,3 +79,21 @@ def test_real_spark_pipeline_through_runner(spark, sf_dir, tmp_path):
     ]).run()
     assert all(r.ok for r in results)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_run_query_cli_list_and_errors():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/run_query.py", "--list", "tpch"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    assert out.stdout.count("q_tpch_") == 22  # the full TPC-H set listed
+    bad = subprocess.run(
+        [sys.executable, "tools/run_query.py", "star_join"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert bad.returncode != 0
+    assert "did you mean" in bad.stderr
