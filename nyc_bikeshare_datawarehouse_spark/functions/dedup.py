@@ -96,23 +96,25 @@ def simhash64(text_col="text") -> F.Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
 
 
-def simhash_portable(text_col: str = "text", n_bits: int = 16) -> F.Column:
-    """Engine-portable SimHash: md5-derived per-token bits over the
-    DISTINCT token set, so the whole signature is replayable in any SQL
-    engine (same portability rationale as minhash_lsh_candidates_portable;
-    the 64-bit xxhash form above is the production sibling). n_bits <= 16
-    keeps the hash inside the md5 prefix's first 4 hex chars. Integer
-    votes and compares only — bit-exact across engines."""
-    if not 1 <= n_bits <= 16:
-        raise ValueError(f"n_bits must be in [1, 16], got {n_bits}")
-    t = F.array_distinct(tokens(text_col))
-    hashes = F.transform(
-        t, lambda tok: F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
-    )
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
-    bits = F.transform(
-        masks,
-        lambda mask: F.when(
+def _salted_token_hashes(t: F.Column, salt: str) -> F.Column:
+    """16-bit md5-prefix hash per token under an explicit salt — each
+    salt yields an independent hash family (closure factory per the
+    higher-order-lambda capture rule)."""
+
+    def _h(tok):
+        return F.conv(F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 4), 16, 10).cast(
+            "long"
+        )
+
+    return F.transform(t, _h)
+
+
+def _vote_bit(hashes: F.Column):
+    """SimHash bit vote: +1/-1 per token hash on the masked bit; emits
+    the mask when the vote is positive (closure factory, see above)."""
+
+    def _v(mask):
+        return F.when(
             F.aggregate(
                 hashes,
                 F.lit(0),
@@ -120,9 +122,38 @@ def simhash_portable(text_col: str = "text", n_bits: int = 16) -> F.Column:
             )
             > 0,
             mask,
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
+        ).otherwise(F.lit(0).cast("long"))
+
+    return _v
+
+
+def simhash_portable(text_col: str = "text", n_bits: int = 32) -> F.Column:
+    """Engine-portable SimHash: md5-derived per-token bits over the
+    DISTINCT token set, so the whole signature is replayable in any SQL
+    engine (same portability rationale as minhash_lsh_candidates_portable;
+    the 64-bit xxhash form above is the production sibling). Each 16-bit
+    WORD of the signature comes from an independently salted md5 family
+    ("<word>:" prefix), so up to 64 bits stay inside md5's first 4 hex
+    chars per word — a 16-bit-only signature collapses banded candidate
+    generation to <=2^(16/bands) buckets per band and degenerates
+    quadratic at corpus scale (round-6 verdict), while >=32 bits keeps
+    bucket counts in the hundreds. Integer votes and compares only —
+    bit-exact across engines."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+    t = F.array_distinct(tokens(text_col))
+    sig = F.lit(0).cast("long")
+    for w in range(-(-n_bits // 16)):
+        lo, hi = 16 * w, min(16 * (w + 1), n_bits)
+        hashes = _salted_token_hashes(t, f"{w}:")
+        masks = F.array(*[F.lit(1 << b).cast("long") for b in range(hi - lo)])
+        word = F.aggregate(
+            F.transform(masks, _vote_bit(hashes)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc.bitwiseOR(v),
+        )
+        sig = sig.bitwiseOR(F.shiftleft(word, lo))
+    return sig
 
 
 def simhash_candidates(
@@ -379,8 +410,12 @@ def incremental_dedup(
     no_exact = dh.join(ch, "__h", "left_anti").drop("__h")
 
     def _postings(df: DataFrame) -> DataFrame:
+        # docs with fewer than shingle_n tokens have no real n-gram —
+        # excluding them (vs a hardcoded >= 2) keeps shingles() from
+        # emitting its whole-text fallback as a pseudo-posting when
+        # shingle_n > 2 (mirror any oracle on the same bound)
         return (
-            df.filter(F.size(tokens(text_col)) >= 2)
+            df.filter(F.size(tokens(text_col)) >= shingle_n)
             .select(
                 F.col(id_col),
                 F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),

@@ -150,15 +150,33 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     return df.select(h).distinct().orderBy("hval").limit(k)
 
 
+def _kmv_check_k(k: int, n_rows: int, what: str) -> None:
+    """A sketch holding more rows than the claimed k was built with a
+    LARGER k — normalizing by the wrong one silently truncates or skews
+    the estimate, so mismatches fail loudly instead (ADVICE r6)."""
+    if n_rows > k:
+        raise ValueError(
+            f"{what}: sketch holds {n_rows} values but k={k}; "
+            "pass the k the sketch was built with"
+        )
+
+
 def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
-    """Sketch of the union of the underlying sets, from sketches alone."""
+    """Sketch of the union of the underlying sets, from sketches alone.
+    `k` must be the k the inputs were built with (validated against
+    their row counts — they are O(k) frames, the count is free)."""
+    _kmv_check_k(k, a.count(), "kmv_union(a)")
+    _kmv_check_k(k, b.count(), "kmv_union(b)")
     return a.unionByName(b).distinct().orderBy("hval").limit(k)
 
 
 def kmv_estimate(sketch: DataFrame, k: int = 64) -> float:
     """Distinct-count estimate: (k-1) / normalized k-th minimum; exact
-    when fewer than k distinct values exist (the sketch IS the set)."""
+    when fewer than k distinct values exist (the sketch IS the set).
+    Raises if the sketch holds more than k values (built with a larger
+    k — the k-th-minimum formula would mis-normalize)."""
     vals = sorted(r["hval"] for r in sketch.collect())
+    _kmv_check_k(k, len(vals), "kmv_estimate")
     if len(vals) < k:
         return float(len(vals))
     return (k - 1) * float(1 << 60) / vals[-1]
@@ -167,9 +185,12 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> float:
 def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 64) -> float:
     """Jaccard estimate of the underlying sets from their sketches: the
     fraction of the merged bottom-k that appears in BOTH — multiply by
-    `kmv_estimate(kmv_union(a, b))` for the intersection cardinality."""
+    `kmv_estimate(kmv_union(a, b))` for the intersection cardinality.
+    Like kmv_union, validates k against the sketch sizes."""
     sa = {r["hval"] for r in a.collect()}
     sb = {r["hval"] for r in b.collect()}
+    _kmv_check_k(k, len(sa), "kmv_jaccard(a)")
+    _kmv_check_k(k, len(sb), "kmv_jaccard(b)")
     merged = sorted(sa | sb)[:k]
     if not merged:
         return 0.0

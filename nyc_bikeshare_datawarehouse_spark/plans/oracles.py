@@ -2043,29 +2043,35 @@ def _zorder_layout_sql(bits: int = 10) -> str:
 ORACLES["q_zorder_layout"] = _zorder_layout_sql()
 
 
-def _simhash_portable_sql(n_bits: int = 16, bands: int = 4, max_hamming: int = 1) -> str:
+def _simhash_portable_sql(n_bits: int = 32, bands: int = 4, max_hamming: int = 1) -> str:
     """Replays dedup.simhash_portable + banded candidates bit by bit:
-    md5-prefix per-token hashes, integer bit votes, banded equi-join,
-    Hamming via bit_count(xor). All-integer arithmetic — bit-exact."""
+    per 16-bit word, md5 of the salted token ("<word>:" prefix — an
+    independent hash family per word, mirroring _salted_token_hashes),
+    integer bit votes, banded equi-join, Hamming via bit_count(xor).
+    All-integer arithmetic — bit-exact."""
     bit_rows = ", ".join(f"({b})" for b in range(n_bits))
     band_rows = ", ".join(f"({b})" for b in range(bands))
     width = n_bits // bands
+    n_words = -(-n_bits // 16)
+    word_rows = ", ".join(f"({w})" for w in range(n_words))
     return f"""
         WITH tok AS (
             SELECT DISTINCT doc_id,
                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
             FROM documents
         ), h AS (
-            SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 4)) AS BIGINT) AS v
-            FROM tok
+            SELECT doc_id, w.w,
+                   CAST(('0x' || substring(
+                       md5(CAST(w.w AS VARCHAR) || ':' || token), 1, 4)) AS BIGINT) AS v
+            FROM tok CROSS JOIN (VALUES {word_rows}) AS w(w)
         ), votes AS (
             SELECT doc_id, b.b,
-                   CASE WHEN SUM(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                   CASE WHEN SUM(CASE WHEN (v >> (b.b % 16)) & 1 = 1 THEN 1 ELSE -1 END) > 0
                         THEN 1 ELSE 0 END AS bit
-            FROM h CROSS JOIN (VALUES {bit_rows}) AS b(b)
+            FROM h JOIN (VALUES {bit_rows}) AS b(b) ON (b.b // 16) = h.w
             GROUP BY doc_id, b.b
         ), sig AS (
-            SELECT doc_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS sig
+            SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sig
             FROM votes GROUP BY doc_id
         ), chunks AS (
             SELECT doc_id, sig, bd.band,

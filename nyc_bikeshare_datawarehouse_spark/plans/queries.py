@@ -1816,19 +1816,22 @@ def q_jaccard_prefix(spark, sf_dir):
 
 def q_simhash_portable(spark, sf_dir):
     """Engine-portable banded SimHash near-dup (functions/dedup.py
-    `simhash_portable`): 16-bit md5-derived signature over distinct
-    tokens, 4 bands × 4 bits, pairs with Hamming ≤ 1 — the FULL-ORACLE
-    sibling of q_simhash_near_dup (whose 64-bit xxhash signature is
-    engine-specific), completing the portable-lattice pattern
-    (minhash_portable precedent) for the simhash family. Integer votes
-    and bitwise ops only, replayed bit by bit in the generated DuckDB
-    SQL. Same plan shape as production: per-row signature (zero
-    shuffles), then the (band, chunk) equi-join moves (id, 4-bit chunk)
-    pairs only."""
+    `simhash_portable`): 32-bit signature from two independently-salted
+    md5 word families over distinct tokens, 4 bands × 8 bits, pairs with
+    Hamming ≤ 1 — the FULL-ORACLE sibling of q_simhash_near_dup (whose
+    64-bit xxhash signature is engine-specific), completing the
+    portable-lattice pattern (minhash_portable precedent) for the
+    simhash family. Widened from 16 bits in round 7: 4-bit chunks gave
+    ≤16 buckets per band — quadratic candidate generation on any real
+    corpus — while 8-bit chunks give ≤256, restoring the banded join's
+    selectivity. Integer votes and bitwise ops only, replayed bit by bit
+    in the generated DuckDB SQL. Same plan shape as production: per-row
+    signature (zero shuffles), then the (band, chunk) equi-join moves
+    (id, 8-bit chunk) pairs only."""
     d = _t(spark, sf_dir, "documents").filter(F.size(text.tokens("text")) >= 1)
     pairs = dedup.simhash_candidates(
         d, "text", "doc_id", bands=4,
-        sig=dedup.simhash_portable("text", 16), sig_bits=16,
+        sig=dedup.simhash_portable("text", 32), sig_bits=32,
     )
     return (
         pairs.filter(F.col("hamming") <= 1)
@@ -2956,6 +2959,60 @@ def q_shard_assign(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- driver window (first 50): round-7 rotation of every query whose
+    # --- newest driver row predates r05 (r02-r04 era / pre-Spark-4.1);
+    # --- q_embed_near_dup leads so its r6 SRP oracle gets a driver check
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q13": q_tpch_q13,
+    "q_case_buckets": q_case_buckets,
+    "q_stats_agg": q_stats_agg,
+    "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_full_outer_join": q_full_outer_join,
+    "q_cross_join": q_cross_join,
+    "q_percentiles": q_percentiles,
+    "q_salted_join_equiv": q_salted_join_equiv,
+    "q_correlated_subquery": q_correlated_subquery,
+    "q_lateral_topn": q_lateral_topn,
+    "q_count_quality": q_count_quality,
+    "q_topk": q_topk,
+    "q_pivot_flags": q_pivot_flags,
+    "q_approx_distinct": q_approx_distinct,
+    "q_approx_percentiles": q_approx_percentiles,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q14": q_tpch_q14,
+    "q_near_dup_minhash": q_near_dup_minhash,
+    "q_simhash_near_dup": q_simhash_near_dup,
+    "q_ann_ivf": q_ann_ivf,
+    "q_text_pipeline": q_text_pipeline,
+    "q_funnel": q_funnel,
+    "q_window_rank": q_window_rank,
+    "q_window_range_frame": q_window_range_frame,
+    "q_ntile_percent_rank": q_ntile_percent_rank,
+    "q_string_null_funcs": q_string_null_funcs,
+    "q_json_extract": q_json_extract,
+    "q_json_struct": q_json_struct,
+    "q_array_stats": q_array_stats,
+    "q_map_funcs": q_map_funcs,
+    "q_grouping_sets": q_grouping_sets,
+    "q_date_arith": q_date_arith,
+    "q_tumbling_hour": q_tumbling_hour,
+    "q_asof_join": q_asof_join,
+    "q_range_bucket_join": q_range_bucket_join,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
+    # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,
     "q_countmin_topk": q_countmin_topk,
@@ -3006,56 +3063,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_agg_monthly": q_agg_monthly,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
-    "q_tpch_q4": q_tpch_q4,
-    "q_tpch_q6": q_tpch_q6,
-    "q_tpch_q10": q_tpch_q10,
-    "q_tpch_q13": q_tpch_q13,
-    "q_case_buckets": q_case_buckets,
-    "q_stats_agg": q_stats_agg,
-    "q_rollup": q_rollup,
-    "q_cube": q_cube,
-    "q_full_outer_join": q_full_outer_join,
-    "q_cross_join": q_cross_join,
-    "q_percentiles": q_percentiles,
-    "q_salted_join_equiv": q_salted_join_equiv,
-    "q_correlated_subquery": q_correlated_subquery,
-    "q_lateral_topn": q_lateral_topn,
-    "q_count_quality": q_count_quality,
-    "q_topk": q_topk,
-    "q_pivot_flags": q_pivot_flags,
-    "q_approx_distinct": q_approx_distinct,
-    "q_approx_percentiles": q_approx_percentiles,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_tpch_q5": q_tpch_q5,
-    "q_tpch_q7": q_tpch_q7,
-    "q_tpch_q8": q_tpch_q8,
-    "q_tpch_q12": q_tpch_q12,
-    "q_tpch_q14": q_tpch_q14,
-    "q_near_dup_minhash": q_near_dup_minhash,
-    "q_simhash_near_dup": q_simhash_near_dup,
-    "q_embed_near_dup": q_embed_near_dup,
-    "q_ann_ivf": q_ann_ivf,
-    "q_text_pipeline": q_text_pipeline,
-    "q_funnel": q_funnel,
-    "q_window_rank": q_window_rank,
-    "q_window_range_frame": q_window_range_frame,
-    "q_ntile_percent_rank": q_ntile_percent_rank,
-    "q_string_null_funcs": q_string_null_funcs,
-    "q_json_extract": q_json_extract,
-    "q_json_struct": q_json_struct,
-    "q_array_stats": q_array_stats,
-    "q_map_funcs": q_map_funcs,
-    "q_grouping_sets": q_grouping_sets,
-    "q_date_arith": q_date_arith,
-    "q_tumbling_hour": q_tumbling_hour,
-    "q_asof_join": q_asof_join,
-    "q_range_bucket_join": q_range_bucket_join,
-    "q_tpch_q15": q_tpch_q15,
-    "q_tpch_q17": q_tpch_q17,
-    "q_tpch_q18": q_tpch_q18,
-    "q_tpch_q19": q_tpch_q19,
-    "q_tpch_q21": q_tpch_q21,
-    "q_tpch_q22": q_tpch_q22,
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,

@@ -6,10 +6,23 @@ element-wise — which is exactly the property a streaming rollup needs:
 each micro-batch folds into bounded state (d*w cells / 2^b registers)
 without ever re-reading history. This module wires that algebra into
 Structured Streaming via foreachBatch; the state lives as a tiny parquet
-frame, swapped atomically by directory rename (a local-filesystem stand-
-in for the table-format MERGE a production lake would use — the merge
-algebra is the part that transfers). tests/test_streaming.py proves the
-streamed state equals the one-shot batch sketch over the same corpus.
+frame (a local-filesystem stand-in for the table-format MERGE a
+production lake would use — the merge algebra is the part that
+transfers). tests/test_streaming.py proves the streamed state equals the
+one-shot batch sketch over the same corpus.
+
+Failure semantics. foreachBatch is at-least-once: Spark may replay a
+micro-batch whose effects were already applied if a failure lands
+between the state publish and the checkpoint commit. Count-min merge is
+cell-ADD, which is not idempotent, so each published state carries the
+id of the last batch folded into it (``_last_batch_id`` — the leading
+underscore keeps it invisible to Spark's parquet reader) and ``_merge``
+returns early on a replayed id. The publish itself is two atomic
+renames: the old state is first renamed aside to ``<path>__prev``, then
+the new state is renamed into place — no window in which the only copy
+of the sketch has been deleted (the old rmtree-then-rename had one).
+A crash between the two renames leaves ``__prev`` as the sole state;
+``_recover`` renames it back before the replayed batch re-merges.
 """
 
 from __future__ import annotations
@@ -27,15 +40,65 @@ from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
 )
 from nyc_bikeshare_datawarehouse_spark.streaming.events import stream_foreach_batch
 
+_BATCH_ID_FILE = "_last_batch_id"
 
-def _swap_state(new: DataFrame, state_path: str) -> None:
-    """Write the next state beside the current one, then swap by rename —
-    the reader of `state_path` never observes a half-written grid."""
+
+def _read_last_batch_id(state_path: str) -> int:
+    """Id of the last micro-batch folded into the published state
+    (-1 when the state predates the marker or doesn't exist)."""
+    marker = os.path.join(state_path, _BATCH_ID_FILE)
+    if os.path.exists(marker):
+        with open(marker, encoding="ascii") as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def _recover(state_path: str) -> None:
+    """Heal a crash that landed between the two publish renames: the
+    state dir is gone but ``__prev`` still holds the prior sketch."""
+    prev = state_path + "__prev"
+    if not os.path.exists(state_path) and os.path.exists(prev):
+        os.rename(prev, state_path)
+
+
+def _swap_state(new: DataFrame, state_path: str, batch_id: int) -> None:
+    """Publish the next state: write it beside the current one (with its
+    batch-id marker), rename the current state aside, rename the new one
+    into place. Both renames are atomic and the old sketch survives
+    until the new one is live — the reader of `state_path` never
+    observes a half-written grid and no crash point loses the state."""
     tmp = state_path + "__next"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     new.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _BATCH_ID_FILE), "w", encoding="ascii") as fh:
+        fh.write(str(batch_id))
+    prev = state_path + "__prev"
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
     if os.path.exists(state_path):
-        shutil.rmtree(state_path)
+        os.rename(state_path, prev)
     os.rename(tmp, state_path)
+    shutil.rmtree(prev, ignore_errors=True)
+
+
+def _sketch_merge_fn(state_path: str, build_fn, merge_fn):
+    """foreachBatch callback folding each micro-batch's partial sketch
+    into the persisted state, exactly once per batch id (replays after a
+    publish-then-crash are skipped, so the non-idempotent cell-add merge
+    stays correct under at-least-once delivery)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(state_path)
+        if os.path.exists(state_path) and batch_id <= _read_last_batch_id(state_path):
+            return
+        sketch = build_fn(batch_df)
+        if os.path.exists(state_path):
+            spark = batch_df.sparkSession
+            sketch = merge_fn(spark.read.parquet(state_path), sketch)
+        _swap_state(sketch, state_path, batch_id)
+
+    return _merge
 
 
 def countmin_stream(
@@ -50,15 +113,12 @@ def countmin_stream(
     its own d×w partial grid (bounded regardless of batch size) and
     cell-adds it into the persisted state. Exactly the per-day rollup
     recipe from DEPLOYMENT.md, expressed as a running stream."""
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        grid = countmin_build(batch_df, key_col, depth, width)
-        spark = batch_df.sparkSession
-        if os.path.exists(state_path):
-            grid = countmin_merge(spark.read.parquet(state_path), grid)
-        _swap_state(grid, state_path)
-
-    return stream_foreach_batch(stream, _merge, checkpoint_path)
+    merge = _sketch_merge_fn(
+        state_path,
+        lambda df: countmin_build(df, key_col, depth, width),
+        countmin_merge,
+    )
+    return stream_foreach_batch(stream, merge, checkpoint_path)
 
 
 def hll_stream(
@@ -70,13 +130,11 @@ def hll_stream(
 ):
     """Maintain HLL registers over a stream: per-batch registers folded
     by element-wise max — distinct counting with 2^b longs of state at
-    any stream length."""
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        regs = hll_registers(batch_df, key_col, b)
-        spark = batch_df.sparkSession
-        if os.path.exists(state_path):
-            regs = hll_merge(spark.read.parquet(state_path), regs)
-        _swap_state(regs, state_path)
-
-    return stream_foreach_batch(stream, _merge, checkpoint_path)
+    any stream length. Max-merge is idempotent, but the batch-id guard
+    still applies so replayed batches cost nothing."""
+    merge = _sketch_merge_fn(
+        state_path,
+        lambda df: hll_registers(df, key_col, b),
+        hll_merge,
+    )
+    return stream_foreach_batch(stream, merge, checkpoint_path)

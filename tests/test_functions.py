@@ -138,12 +138,20 @@ class TestDedup:
     def test_simhash_portable_matches_md5_model(self, spark, docs):
         import hashlib
 
-        def model(text):
+        def model(text, n_bits):
             toks = {t for t in text.split(" ") if t}
             sig = 0
-            for b in range(16):
+            for b in range(n_bits):
+                w, bw = divmod(b, 16)
                 vote = sum(
-                    1 if (int(hashlib.md5(t.encode()).hexdigest()[:4], 16) >> b) & 1
+                    1
+                    if (
+                        int(
+                            hashlib.md5(f"{w}:{t}".encode()).hexdigest()[:4], 16
+                        )
+                        >> bw
+                    )
+                    & 1
                     else -1
                     for t in toks
                 )
@@ -151,16 +159,17 @@ class TestDedup:
                     sig |= 1 << b
             return sig
 
-        rows = docs.select(
-            "doc_id", "text", dedup.simhash_portable("text", 16).alias("sig")
-        ).collect()
-        for r in rows:
-            assert r["sig"] == model(r["text"])
-        sigs = {r["doc_id"]: r["sig"] for r in rows}
-        assert sigs[1] == sigs[2] == sigs[3]  # distinct-token-set based
-        ham_near = bin(sigs[1] ^ sigs[5]).count("1")
-        ham_far = bin(sigs[1] ^ sigs[4]).count("1")
-        assert ham_near < ham_far
+        for n_bits in (16, 32):
+            rows = docs.select(
+                "doc_id", "text", dedup.simhash_portable("text", n_bits).alias("sig")
+            ).collect()
+            for r in rows:
+                assert r["sig"] == model(r["text"], n_bits)
+            sigs = {r["doc_id"]: r["sig"] for r in rows}
+            assert sigs[1] == sigs[2] == sigs[3]  # distinct-token-set based
+            ham_near = bin(sigs[1] ^ sigs[5]).count("1")
+            ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+            assert ham_near < ham_far
 
     def test_minhash_est_jaccard(self, spark, docs):
         pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
@@ -269,6 +278,32 @@ class TestDedup:
         # them pruned the delta doc shares nothing and is admitted
         assert loose.count() == 0
         assert pruned.count() == 1
+
+    def test_incremental_dedup_short_docs_skip_postings_at_higher_n(self, spark):
+        # with shingle_n=3 a 2-token doc has no real trigram; it must not
+        # enter the inverted index via shingles()'s whole-text fallback.
+        # "tiny  doc" (double space) vs "tiny doc" are NOT exact dups
+        # (md5(lower(trim)) keeps inner whitespace) but tokens() drops
+        # empties, so both would emit the identical fallback posting
+        # "tiny doc" -> J=1.0 -> false rejection under a >= 2 filter.
+        corpus = spark.createDataFrame(
+            [(1, "tiny  doc"), (2, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        delta = spark.createDataFrame(
+            [(10, "tiny doc"), (11, "alpha beta gamma zeta eta")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup.incremental_dedup(
+                delta, corpus, shingle_n=3, min_jaccard=0.5
+            ).collect()
+        }
+        # 10: 2 tokens < shingle_n -> no postings -> admitted (the old
+        # hardcoded >=2 filter rejected it via the fallback pseudo-match);
+        # 11 shares 1 of 5 trigrams with corpus doc 2 -> J=0.2: admitted
+        assert got == {10, 11}
 
     def test_duplicate_spans_boundaries_and_merge(self, spark):
         boiler = "b0 b1 b2 b3"  # shared 4-gram boilerplate

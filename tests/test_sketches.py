@@ -134,3 +134,18 @@ def test_kmv_union_equals_sketch_of_union(spark):
     merged = kmv_union(kmv_sketch(a, "k", 64), kmv_sketch(b, "k", 64), 64)
     direct = kmv_sketch(a.unionByName(b), "k", 64)
     assert rows_set(merged) == rows_set(direct)
+
+
+def test_kmv_k_mismatch_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    sk256 = kmv_sketch(df, "k", 256)
+    # a 256-value sketch under the default k=64 would mis-normalize the
+    # k-th-minimum formula — every entry point must refuse it
+    with pytest.raises(ValueError, match="k=64"):
+        kmv_estimate(sk256)
+    with pytest.raises(ValueError, match="k=64"):
+        kmv_union(sk256, sk256)
+    with pytest.raises(ValueError, match="k=64"):
+        kmv_jaccard(sk256, sk256)

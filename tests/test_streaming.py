@@ -382,3 +382,58 @@ def test_hll_stream_state_equals_batch_sketch(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(tmp_path / "hll_state"))
     want = hll_registers(spark.read.parquet(src), "user_id")
     assert rows_set(got) == rows_set(want)
+
+
+def test_sketch_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # foreachBatch is at-least-once: re-delivering a batch id must not
+    # cell-add the same counts twice (count-min merge is not idempotent)
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+        countmin_build,
+        countmin_merge,
+    )
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import _sketch_merge_fn
+
+    batch = load_table(spark, sf_dir, "events").select("user_id").limit(200)
+    state = str(tmp_path / "cm_state")
+    merge = _sketch_merge_fn(
+        state, lambda df: countmin_build(df, "user_id"), countmin_merge
+    )
+    merge(batch, 0)
+    once = rows_set(spark.read.parquet(state))
+    merge(batch, 0)  # replay of the same micro-batch
+    assert rows_set(spark.read.parquet(state)) == once
+    merge(batch, 1)  # a genuinely new batch still folds in
+    assert rows_set(spark.read.parquet(state)) != once
+
+
+def test_sketch_state_survives_crash_between_renames(spark, sf_dir, tmp_path):
+    # simulate a crash after the old state was renamed aside but before
+    # the new one landed: _recover must republish the old sketch
+    import os
+
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+        countmin_build,
+        countmin_merge,
+    )
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import _sketch_merge_fn
+
+    batch = load_table(spark, sf_dir, "events").select("user_id").limit(200)
+    state = str(tmp_path / "cm_state")
+    merge = _sketch_merge_fn(
+        state, lambda df: countmin_build(df, "user_id"), countmin_merge
+    )
+    merge(batch, 0)
+    published = rows_set(spark.read.parquet(state))
+    os.rename(state, state + "__prev")  # the mid-publish crash point
+    merge(batch, 1)  # replayed delivery after restart
+    after = spark.read.parquet(state)
+    assert not os.path.exists(state + "__prev")
+    # recovered state (batch 0) merged with batch 1 == batch applied twice
+    want = rows_set(
+        countmin_merge(
+            countmin_build(batch, "user_id"), countmin_build(batch, "user_id")
+        )
+    )
+    assert rows_set(after) == want and rows_set(after) != published
