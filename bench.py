@@ -79,12 +79,11 @@ HEAVY = [
     # premise); see the query docstring + BASELINE.md for the regime.
     "q_jaccard_prefix",
     "q_incremental_dedup",
-    # 16-bit portable signature, 4-bit bands: 16 buckets per band is a
-    # corpus-size-INDEPENDENT cardinality, so bucket occupancy grows
-    # linearly and in-bucket pairs quadratically — the same band-capacity
-    # lesson as SCALING.json's embed_lsh_fixed_planes row. Heavy by
-    # construction at this corpus density; the production 64-bit form
-    # (q_simhash_near_dup) has 16-bit bands and stays cheap.
+    # 32-bit portable signature (round 7; was 16) with 8-bit bands:
+    # 256 buckets per band vs 16 cut sf0.1 candidate pairs 11.0M -> 6.5M.
+    # Still heavy: the corpus's big near-dup clusters make the TRUE-pair
+    # output itself large (504k rows at sf0.1), which no recall-
+    # preserving banding can shrink.
     "q_simhash_portable",
 ]
 
@@ -133,6 +132,8 @@ EXTENDED = [
     "q_scd2_asof",
     "q_dedup_report",
     "q_incremental_mart",
+    # round 7 member
+    "q_session_window_batch",
 ]
 
 

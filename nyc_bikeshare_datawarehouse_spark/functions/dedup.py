@@ -791,6 +791,50 @@ def apply_dedup(
     return df.join(keepers, on=id_col, how="left_semi")
 
 
+def calibrate_df_cutoff(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    quantile: float = 0.999,
+    min_cutoff: int = 8,
+) -> int:
+    """Derive the absolute posting-length pruning cutoff from the
+    OBSERVED document-frequency distribution: the `quantile`-th
+    percentile of per-shingle df. Feed the result to `max_doc_count`
+    (ngram_jaccard_pairs / incremental_dedup).
+
+    Why this exists (scaling-probe lesson, BASELINE.md round 6): a fixed
+    df FRACTION is a corpus-density property — when vocabulary grows
+    with corpus size, per-shingle fractions dilute, a fixed frac stops
+    pruning, and the join reverts toward quadratic (measured alpha 1.48
+    vs 0.45 at 10x). A quantile of the df distribution self-adjusts:
+    join cost concentrates quadratically in the df tail, so pruning a
+    fixed tail FRACTION OF SHINGLES removes most of the cost at any
+    density without manual rescaling (tested at 10x in
+    tests/test_functions.py).
+
+    Cost: one pass building the same (shingle, df) frame the pruned join
+    builds anyway, aggregated to ONE row (percentile_approx) — O(1) to
+    the driver. `min_cutoff` floors the result so a tiny or df-uniform
+    corpus (quantile collapses to 1-2) doesn't prune everything."""
+    if not 0.0 < quantile < 1.0:
+        raise ValueError(f"quantile must be in (0, 1), got {quantile}")
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        )
+        .select(id_col, F.xxhash64("s").alias("sh"))
+        .dropDuplicates()
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    cut = dfreq.agg(
+        F.percentile_approx("__df", F.lit(quantile), F.lit(10000)).alias("__cut")
+    ).first()["__cut"]
+    return max(int(cut), min_cutoff)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -57,3 +57,41 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def session_window_batch(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN session_window, run in
+    batch mode — the same expression session_window_stats streams
+    (streaming/events.py:89), proving one definition serves both
+    runtimes (SURVEY §2.9's tumbling/sliding twins, completed for
+    sessions).
+
+    Boundary semantics match `sessionize` exactly, INCLUDING the edge:
+    the built-in's merge is inclusive (an event at exactly
+    last_event + gap joins the open session — pinned in
+    tests/test_operators.py), equivalent to the lag+cumsum form's
+    `gap_us > gap` new-session test. Cross-engine replays use the same
+    `> gap` SQL as q_sessionize (plans/oracles.py).
+
+    One shuffle on the grouping key; session assembly is the state-free
+    batch sort-merge inside each hash partition — no window function, no
+    second exchange.
+    """
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sw"), F.col(entity_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            entity_col,
+            F.col("sw.start").alias("session_start"),
+            "session_end",
+            "n_events",
+        )
+    )

@@ -868,6 +868,33 @@ ORACLES: dict[str, str] = {
         FROM sess
         GROUP BY user_id, session_id
     """,
+    "q_session_window_batch": """
+        -- lag+cumsum replay of Spark's BUILT-IN session_window gap rule —
+        -- the boundary is INCLUSIVE (an event at exactly last + gap merges,
+        -- pinned in tests/test_operators.py), so this is the SAME `>` test
+        -- as q_sessionize's oracle, just without the session ordinal
+        WITH lagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM lagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
     "q_funnel": """
         WITH per_user AS (
             SELECT user_id,

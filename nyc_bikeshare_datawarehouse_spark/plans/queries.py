@@ -27,7 +27,11 @@ from nyc_bikeshare_datawarehouse_spark.functions import (
 )
 from nyc_bikeshare_datawarehouse_spark.operators.asof import asof_join
 from nyc_bikeshare_datawarehouse_spark.functions.multimodal import extract_features
-from nyc_bikeshare_datawarehouse_spark.operators.sessionize import session_stats, sessionize
+from nyc_bikeshare_datawarehouse_spark.operators.sessionize import (
+    session_stats,
+    session_window_batch,
+    sessionize,
+)
 from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
 from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join
 from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot
@@ -1529,6 +1533,33 @@ def q_sessionize(spark, sf_dir):
     return session_stats(sessions, "user_id", "ts")
 
 
+def q_session_window_batch(spark, sf_dir):
+    """Spark's BUILT-IN session_window run in batch mode
+    (operators/sessionize.py `session_window_batch`) — the same
+    expression the streaming twin uses, oracle-checked against a
+    lag+cumsum ANSI replay so the built-in's gap semantics are proven
+    cross-engine (completes §2.9's session story the way the
+    tumbling/sliding twins already are). The built-in's boundary rule is
+    INCLUSIVE (an event at exactly last+gap merges — pinned in
+    tests/test_operators.py), so the oracle is q_sessionize's same
+    `gap_us > gap` SQL, minus the session ordinal.
+
+    One exchange on user_id; no window function — session assembly is
+    the sort-merge inside each hash partition, so at 100 TB this is a
+    single shuffle of (user_id, ts) pairs."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        session_window_batch(e, "user_id", "ts", "30 minutes")
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ------------------------------------------- LLM-pipeline: text & dedup
 
 def q_hash_sample(spark, sf_dir):
@@ -3012,6 +3043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
+    # --- new in r07 (no driver row yet): head of the r08 window
+    "q_session_window_batch": q_session_window_batch,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,

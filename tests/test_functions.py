@@ -477,6 +477,51 @@ class TestDedup:
         # the duplicate pair keeps jaccard 1.0 over its remaining shingles
         assert got == [(100, 101, 1.0)]
 
+    @staticmethod
+    def _topic_corpus(spark, n_topics, docs_per_topic=50):
+        # density-dilution model (SCALING.json lesson): each topic shares
+        # a 4-token boilerplate among its 50 docs, so hot-shingle df is a
+        # CONSTANT 50 docs while the corpus (and vocabulary) scale with
+        # n_topics — exactly the regime where a fixed df FRACTION stops
+        # pruning as the corpus grows
+        rows = []
+        for t in range(n_topics):
+            for d in range(docs_per_topic):
+                i = t * docs_per_topic + d
+                rows.append(
+                    (i, f"boiler{t}a boiler{t}b boiler{t}c boiler{t}d "
+                        f"u{i}a u{i}b u{i}c u{i}d")
+                )
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_calibrated_df_cutoff_survives_density_dilution(self, spark):
+        # fixed-frac pruning degenerates at 10x corpus size (per-shingle
+        # df fractions dilute below the threshold); the quantile-derived
+        # absolute cutoff keeps pruning with the SAME call at both scales
+        small = self._topic_corpus(spark, n_topics=5)     # 250 docs
+        big = self._topic_corpus(spark, n_topics=50)      # 2500 docs
+
+        def n_pairs(df, **kw):
+            return dedup.ngram_jaccard_pairs(df, min_jaccard=0.05, **kw).count()
+
+        per_topic = 50 * 49 // 2  # docs of one topic all pair via boilerplate
+        assert n_pairs(small) == 5 * per_topic
+        # fixed frac 0.15: prunes at 1x (df 50 > 0.15*250) ...
+        assert n_pairs(small, max_doc_frac=0.15) == 0
+        # ... but silently stops pruning at 10x (50 < 0.15*2500): quadratic again
+        assert n_pairs(big, max_doc_frac=0.15) == 50 * per_topic
+        # the calibrated absolute cutoff: same call, both scales, no rescaling
+        cut_small = dedup.calibrate_df_cutoff(small, quantile=0.95, min_cutoff=4)
+        cut_big = dedup.calibrate_df_cutoff(big, quantile=0.95, min_cutoff=4)
+        assert cut_small < 50 and cut_big < 50  # hot tail above cutoff at both
+        assert n_pairs(small, max_doc_count=cut_small) == 0
+        assert n_pairs(big, max_doc_count=cut_big) == 0
+
+    def test_calibrate_df_cutoff_validates_quantile(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="quantile"):
+            dedup.calibrate_df_cutoff(df, quantile=1.5)
+
 
 class TestSimilarity:
     def test_cosine_matches_numpy(self, spark):
@@ -595,6 +640,64 @@ class TestSimilarity:
         probe = emb.filter(F.col("vec_id") == 0)
         mem = similarity.ivf_topk(emb, probe, k=5, n_cells=8, nprobe=2, centers=centers)
         assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
+
+    def test_ivf_recall_vs_exact_cosine(self, spark, sf_dir, tmp_path):
+        # Retrieval QUALITY, not just determinism: recall@10 of the IVF
+        # paths against exact cosine_topk on the sf0.01 embeddings.
+        # These embeddings are near-uniform (no strong cluster structure
+        # — IVF's worst case), so the pinned floors are the measured
+        # curve for THIS corpus, recorded in BASELINE.md: mean recall
+        # 0.33/0.49/0.64/0.87/1.00 at nprobe=1/2/4/8/16 with n_cells=16.
+        pytest.importorskip("pyspark.ml")
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _, centers = similarity.ivf_fit_kmeans(emb, n_cells=16, seed=42)
+        probe_rows = emb.orderBy("vec_id").limit(200).collect()[::40]  # 5 probes
+
+        def ids(df):
+            return [r["vec_id"] for r in df.collect()]
+
+        exact = {
+            r["vec_id"]: set(
+                ids(similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == r["vec_id"]), k=10))
+            )
+            for r in probe_rows
+        }
+        mean_recall = {}
+        for nprobe in (2, 8, 16):
+            recalls = []
+            for r in probe_rows:
+                probe = emb.filter(F.col("vec_id") == r["vec_id"])
+                got = set(
+                    ids(
+                        similarity.ivf_topk(
+                            emb, probe, k=10, n_cells=16, nprobe=nprobe, centers=centers
+                        )
+                    )
+                )
+                recalls.append(len(got & exact[r["vec_id"]]) / 10)
+            mean_recall[nprobe] = sum(recalls) / len(recalls)
+        # more cells probed -> recall never degrades
+        assert mean_recall[2] <= mean_recall[8] <= mean_recall[16]
+        # measured floors (0.49 / 0.87 at nprobe=2/8, with slack for
+        # probe-subset variance); nprobe=n_cells scans everything == exact
+        assert mean_recall[8] >= 0.8
+        assert mean_recall[16] == 1.0
+        # the persisted partitioned path retrieves the same neighbors as
+        # the in-memory ANN at the same nprobe (quality transfers)
+        path = str(tmp_path / "ivf16")
+        similarity.ivf_write(emb, path, n_cells=16, centers=centers)
+        r0 = probe_rows[0]
+        pv = list(map(float, r0["embedding"]))
+        part = ids(similarity.ivf_probe_partitioned(spark, path, pv, centers, k=10, nprobe=8))
+        mem = ids(
+            similarity.ivf_topk(
+                emb, emb.filter(F.col("vec_id") == r0["vec_id"]), k=10,
+                n_cells=16, nprobe=8, centers=centers,
+            )
+        )
+        assert part == mem
 
 
 class TestMultimodal:

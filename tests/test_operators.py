@@ -99,6 +99,57 @@ class TestSessionize:
         assert stats.count() == 2
         assert all(r["n_events"] == 1 for r in stats.collect())
 
+    def test_builtin_session_window_boundary_is_inclusive(self, spark):
+        # the boundary case: an event at exactly last + gap MERGES into
+        # the open session in Spark's built-in, matching sessionize's
+        # `> gap` new-session test — pinned so the shared `>` oracle
+        # (plans/oracles.py q_session_window_batch) stays justified by
+        # observed engine behavior
+        from nyc_bikeshare_datawarehouse_spark.operators.sessionize import (
+            session_window_batch,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:30:00", 2)],
+            "user_id int, ts string, event_id int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        built_in = session_window_batch(df, "user_id", "ts", "30 minutes")
+        assert built_in.count() == 1  # inclusive boundary: one session
+        lagcum = sessionize(df, "user_id", "ts", 1800, order_tiebreak="event_id")
+        assert {r["session_id"] for r in lagcum.collect()} == {1}  # same
+
+    def test_builtin_session_window_matches_lagcumsum(self, spark):
+        # the two forms agree row for row, including a just-under-gap
+        # pair and an exact-boundary pair
+        from nyc_bikeshare_datawarehouse_spark.operators.sessionize import (
+            session_window_batch,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 1),
+                (1, "2024-01-01 00:10:00", 2),
+                (1, "2024-01-01 01:10:00", 3),
+                (2, "2024-01-01 00:00:00", 4),
+                (2, "2024-01-01 00:29:59", 5),
+                (3, "2024-01-01 00:00:00", 6),
+                (3, "2024-01-01 00:30:00", 7),  # exact boundary: merges
+            ],
+            "user_id int, ts string, event_id int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        built_in = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in session_window_batch(df, "user_id", "ts", "30 minutes").collect()
+        }
+        stats = session_stats(
+            sessionize(df, "user_id", "ts", 1800, order_tiebreak="event_id")
+        )
+        lagcum = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in stats.collect()
+        }
+        assert built_in == lagcum
+
 
 class TestWindows:
     def test_top_k_deterministic(self, spark):

@@ -92,12 +92,22 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
 
 def test_tws_running_totals_matches_batch(spark, sf_dir, tmp_path):
     # Spark 4 transformWithStateInPandas twin; needs protobuf + the
-    # RocksDB state store — skipped where the container lacks either
+    # RocksDB state store. Where the container lacks protobuf the
+    # import gate itself is the contract under test: it must fail fast
+    # at CALL time with ImportError (not crash mid-stream in a worker),
+    # so this test always runs — equivalence with protobuf, loud gate
+    # without it.
     import pytest
 
-    pytest.importorskip("google.protobuf.descriptor")
     from nyc_bikeshare_datawarehouse_spark.streaming.stateful import running_user_totals_tws
     from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            running_user_totals_tws(se.stream_events(spark, sf_dir))
+        return
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
