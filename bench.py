@@ -132,8 +132,9 @@ EXTENDED = [
     "q_scd2_asof",
     "q_dedup_report",
     "q_incremental_mart",
-    # round 7 member
+    # round 7 members
     "q_session_window_batch",
+    "q_sequence_pack",
 ]
 
 

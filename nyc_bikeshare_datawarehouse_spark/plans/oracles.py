@@ -919,6 +919,45 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY source
     """,
+    "q_sequence_pack": """
+        -- replay of operators/packing.pack_sequences: portable md5
+        -- sharding (sampling._bucket basis), then the greedy no-split
+        -- fold as a RECURSIVE CTE stepping one doc per shard per
+        -- iteration. State (seq_id, cum): a doc joins the open sequence
+        -- iff cum + tc <= 64, else seq_id+1 / cum reset; a doc opening
+        -- a sequence always enters it, even when tc > 64 (the
+        -- overflowing singleton branch).
+        WITH RECURSIVE ordered AS (
+            SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 8 AS INTEGER) AS shard,
+                   doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS INTEGER) AS n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                         AS BIGINT) % 8
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        ), pack AS (
+            SELECT shard, doc_id, n_tokens, rn,
+                   CAST(1 AS BIGINT) AS seq_id,
+                   CAST(0 AS BIGINT) AS "offset",
+                   CAST(n_tokens AS BIGINT) AS cum
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+                   CASE WHEN p.cum + o.n_tokens > 64
+                        THEN p.seq_id + 1 ELSE p.seq_id END,
+                   CASE WHEN p.cum + o.n_tokens > 64
+                        THEN 0 ELSE p.cum END,
+                   CASE WHEN p.cum + o.n_tokens > 64
+                        THEN o.n_tokens ELSE p.cum + o.n_tokens END
+            FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT shard, doc_id, n_tokens, seq_id, "offset" AS offset
+        FROM pack
+        ORDER BY shard, doc_id
+    """,
     "q_hash_sample": """
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem

@@ -1562,6 +1562,33 @@ def q_session_window_batch(spark, sf_dir):
 
 # ------------------------------------------- LLM-pipeline: text & dedup
 
+def q_sequence_pack(spark, sf_dir):
+    """Greedy no-split sequence packing (operators/packing.py) — the
+    pretraining-export last mile: every document assigned to a
+    (shard, seq_id, offset) under a 64-token budget, portable-md5
+    sharding, ascending-id greedy fold per shard. applyInPandas is the
+    legitimate grouped-Pandas case here (a running-capacity reset is not
+    a window function); the shuffle carries (shard, doc_id, n_tokens)
+    only. Oracle replays the identical fold as a DuckDB RECURSIVE CTE —
+    the first recursive-oracle query in the suite. The 64-token budget
+    exercises both branches on this corpus (tokens 10-99): docs <= 64
+    pack, docs > 64 become overflowing singleton sequences."""
+    from nyc_bikeshare_datawarehouse_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        pack_sequences(d, seq_len=64, n_shards=8)
+        .select(
+            "shard",
+            "doc_id",
+            "n_tokens",
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.col("offset").cast("long").alias("offset"),
+        )
+        .orderBy("shard", "doc_id")
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic consistent-hash sampling (operators/sampling.py):
     ~20% of lineitem selected by md5-bucket — same rows every run, every
@@ -3045,6 +3072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q22": q_tpch_q22,
     # --- new in r07 (no driver row yet): head of the r08 window
     "q_session_window_batch": q_session_window_batch,
+    "q_sequence_pack": q_sequence_pack,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,

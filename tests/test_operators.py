@@ -190,3 +190,67 @@ class TestWindows:
         df = spark.createDataFrame([(i,) for i in range(5)], "id long")
         ranked = two_phase_global_rank(df, F.lit(0), [F.col("id")], rn_col="rn", total_col="n")
         assert rows_set(ranked.select("id", "rn")) == [(i, i + 1) for i in range(5)]
+
+
+class TestPacking:
+    def _docs(self, spark, rows):
+        # text with exactly n tokens, ids chosen by the caller
+        return spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in rows],
+            "doc_id long, text string",
+        )
+
+    def test_greedy_pack_hand_computed(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.packing import pack_sequences
+
+        # single shard (n_shards=1) so the fold order is just doc_id:
+        # budget 10; docs of 4,6 fill seq 1 EXACTLY (boundary: cum+tc ==
+        # seq_len fits), 7 opens seq 2, 12 is oversized -> its own seq 3,
+        # 2 opens seq 4
+        df = self._docs(spark, [(1, 4), (2, 6), (3, 7), (4, 12), (5, 2)])
+        got = {
+            r["doc_id"]: (r["seq_id"], r["offset"], r["n_tokens"])
+            for r in pack_sequences(df, seq_len=10, n_shards=1).collect()
+        }
+        assert got == {
+            1: (1, 0, 4),
+            2: (1, 4, 6),
+            3: (2, 0, 7),
+            4: (3, 0, 12),
+            5: (4, 0, 2),
+        }
+
+    def test_pack_never_splits_and_respects_budget(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.packing import (
+            pack_sequences,
+            pack_stats,
+        )
+
+        df = self._docs(spark, [(i, 3 + (i * 7) % 40) for i in range(100)])
+        packed = pack_sequences(df, seq_len=64, n_shards=4)
+        stats = pack_stats(packed, seq_len=64).collect()
+        for r in stats:
+            # a sequence overflows ONLY as an oversized singleton
+            assert r["fill_tokens"] <= 64 or r["n_docs"] == 1
+        # every doc appears exactly once (packing is a partition of docs)
+        assert packed.count() == 100
+        assert packed.select("doc_id").distinct().count() == 100
+        # offsets are consistent: within a sequence, offset = running sum
+        rows = sorted(
+            packed.collect(), key=lambda r: (r["shard"], r["seq_id"], r["doc_id"])
+        )
+        cum, key = 0, None
+        for r in rows:
+            k = (r["shard"], r["seq_id"])
+            if k != key:
+                key, cum = k, 0
+            assert r["offset"] == cum
+            cum += r["n_tokens"]
+
+    def test_pack_validates_seq_len(self, spark):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.operators.packing import pack_sequences
+
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(self._docs(spark, [(1, 3)]), seq_len=0)
