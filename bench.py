@@ -135,6 +135,7 @@ EXTENDED = [
     # round 7 members
     "q_session_window_batch",
     "q_sequence_pack",
+    "q_hybrid_search_rrf",
 ]
 
 

@@ -919,6 +919,66 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY source
     """,
+    "q_hybrid_search_rrf": """
+        -- reciprocal-rank fusion of the BM25 lexical top-100 and the
+        -- cosine semantic top-100 (probe = embedding of vec_id 0).
+        -- Ranks are taken over the round-4 / round-6 scores both
+        -- engines already hash-agree on (q_bm25_search, q_cosine_topk),
+        -- ties by id; contributions are floor(1e9/(60+rank)) BIGINTs so
+        -- the fusion sum is exact integer arithmetic.
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), lengths AS (
+            SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lengths
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(t, x -> x IN ('spark', 'vector', 'stream'))) AS term
+                FROM toks
+            )
+            GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ), bm25 AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl / s.avgdl))
+                   ), 4) AS score
+            FROM tf
+            JOIN dfreq d USING (term)
+            JOIN lengths l ON l.doc_id = tf.doc_id
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        ), lex AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                                AS INTEGER) AS lex_rank
+            FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 100)
+        ), sem_scored AS (
+            SELECT e.vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(
+                       e.embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS sim
+            FROM embeddings e
+        ), sem AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                                AS INTEGER) AS sem_rank
+            FROM (SELECT * FROM sem_scored ORDER BY sim DESC, doc_id LIMIT 100)
+        )
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.lex_rank, sem.sem_rank,
+               CAST(COALESCE(CAST(FLOOR(1000000000 / (60 + lex.lex_rank)) AS BIGINT), 0)
+                    + COALESCE(CAST(FLOOR(1000000000 / (60 + sem.sem_rank)) AS BIGINT), 0)
+                    AS BIGINT) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 20
+    """,
     "q_sequence_pack": """
         -- replay of operators/packing.pack_sequences: portable md5
         -- sharding (sampling._bucket basis), then the greedy no-split

@@ -2300,6 +2300,71 @@ def q_bm25_search(spark, sf_dir):
     return text.bm25_scores(d, ["spark", "vector", "stream"])
 
 
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009, public): fuse the BM25 lexical top-100 (functions/text.py
+    `bm25_scores`) with the cosine semantic top-100 over the paired
+    embeddings table (vec_id = doc_id), scoring each doc
+    SUM over lists of floor(1e9 / (60 + rank)) — integer contributions,
+    so fusion is bit-exact cross-engine (no float summation order).
+    Docs absent from one list contribute 0 from it (standard RRF).
+
+    Scale shape: each list is TakeOrdered top-k BEFORE ranking, so the
+    only global window runs on an O(k) frame (k=100) — rank-fusion of
+    top-k lists, never a corpus-sized single-partition window; the BM25
+    side shuffles only query-term postings and the cosine side is a
+    1-row probe broadcast. Returns the fused top-20."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    lex_top = text.bm25_scores(d, ["spark", "vector", "stream"]).orderBy(
+        F.desc("score"), "doc_id"
+    ).limit(100)
+    w_lex = Window.orderBy(F.desc("score"), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__probe"))
+    )
+    sem_top = (
+        emb.crossJoin(probe)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(similarity.cosine("embedding", "__probe"), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(100)
+    )
+    w_sem = Window.orderBy(F.desc("sim"), "doc_id")
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(w_sem).alias("sem_rank")
+    )
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            (
+                F.coalesce(
+                    F.floor(F.lit(1_000_000_000) / (F.lit(60) + F.col("lex_rank"))),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.floor(F.lit(1_000_000_000) / (F.lit(60) + F.col("sem_rank"))),
+                    F.lit(0),
+                )
+            ).cast("long").alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+    return fused
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints per document
     (functions/text.py `winnow_fingerprints`): bigram shingle hashes, a
@@ -3073,6 +3138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r07 (no driver row yet): head of the r08 window
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
+    "q_hybrid_search_rrf": q_hybrid_search_rrf,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,

@@ -79,3 +79,25 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     ).first()
     # rsd is a relative STANDARD DEVIATION, not a bound — allow ~4 sigma
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.04
+
+
+def test_hybrid_rrf_arithmetic_and_fusion(spark, sf_dir):
+    # rrf must equal the integer contribution formula applied to the
+    # returned ranks, results must be rrf-descending, and a doc present
+    # in BOTH lists at rank r must outscore one present in a single list
+    # at the same rank (the point of fusion)
+    rows = QUERIES["q_hybrid_search_rrf"](spark, sf_dir).collect()
+    assert rows, "fusion must return results"
+
+    def contrib(rank):
+        return 10**9 // (60 + rank) if rank is not None else 0
+
+    for r in rows:
+        assert r["rrf"] == contrib(r["lex_rank"]) + contrib(r["sem_rank"])
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+    both = [r for r in rows if r["lex_rank"] is not None and r["sem_rank"] is not None]
+    # the point of fusion on this corpus (deterministic): the winner is
+    # supported by BOTH retrievers, and both-list docs dominate the top-20
+    assert rows[0]["lex_rank"] is not None and rows[0]["sem_rank"] is not None
+    assert len(both) > len(rows) // 2
