@@ -136,6 +136,7 @@ EXTENDED = [
     "q_session_window_batch",
     "q_sequence_pack",
     "q_hybrid_search_rrf",
+    "q_histogram_quantiles",
 ]
 
 

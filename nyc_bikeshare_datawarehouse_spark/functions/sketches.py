@@ -217,3 +217,115 @@ def countmin_estimate(
     return joined.groupBy(*keep).agg(
         F.min(F.coalesce(F.col("cell"), F.lit(0).cast("long"))).alias(est_col)
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Fixed-width histogram sketch over a numeric column: (bin, cnt)
+    rows, bin = floor((x - lo) / w) clamped into [0, n_bins) — the
+    quantile member of the portable sketch family (count-min = point
+    frequency, HLL/KMV = distinct, histogram = distribution). Same
+    algebra as the others: the shuffle key space is n_bins regardless of
+    data volume, map-side combine collapses each task to <= n_bins
+    partial rows, and slices merge by bin-wise addition
+    (`histogram_merge`), so per-day sketches roll up without re-reading
+    the streams — including via the streaming maintainer
+    (streaming/sketches.histogram_stream). All-integer state -> full
+    bit-exact DuckDB oracle (q_histogram_quantiles).
+
+    `(hi - lo)` must divide evenly by n_bins (integer bin width) so the
+    binning expression replays exactly in any engine."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if (hi - lo) % n_bins != 0:
+        raise ValueError(
+            f"(hi - lo) = {hi - lo} must be divisible by n_bins = {n_bins} "
+            "for an integer bin width"
+        )
+    w = (hi - lo) // n_bins
+    x = F.col(value_col)
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((x - F.lit(lo)) / F.lit(w)).cast("long")),
+    )
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bin-wise addition — the roll-up algebra (same shape as
+    countmin_merge)."""
+    return (
+        a.unionByName(b).groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    q_bps: list[int],
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from the histogram sketch, ALL-INTEGER:
+    for each quantile q (basis points), target rank k = ceil(q*N/10000)
+    computed as (q*N + 9999) div 10000, the covering bin found on the
+    running cumulative count, and the within-bin linear interpolation
+    emitted as floor-truncated 1e-4 fixed point:
+
+        est = bin_lo + floor(w * (k - cum_before - 1) * 10000
+                             / cnt_bin) / 10000
+
+    No float enters until the final /10000.0 display division, so the
+    estimate is bit-exact across engines (the oracle replays it
+    verbatim). Distributed shape: the sketch is O(n_bins); the cumsum
+    window runs on that bounded frame, and the quantile probe list is a
+    broadcast literal."""
+    if any(not 0 < q <= 10000 for q in q_bps):
+        raise ValueError(f"q_bps must be in (0, 10000], got {q_bps}")
+    w = (hi - lo) // n_bins
+    from pyspark.sql import Window
+
+    total = sketch.agg(F.sum("cnt").cast("long").alias("__n"))
+    cum = sketch.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    qs = sketch.sparkSession.createDataFrame(
+        [(int(q),) for q in q_bps], "q_bp int"
+    ).crossJoin(F.broadcast(total))
+    ranked = qs.withColumn(
+        "k", ((F.col("q_bp") * F.col("__n") + F.lit(9999)) / F.lit(10000)).cast("long")
+    )
+    # covering bin: smallest cum >= k (one row per quantile — the join is
+    # bounded by n_bins * |q_bps|, then min-reduced)
+    joined = (
+        ranked.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
+        .groupBy("q_bp", "k")
+        .agg(
+            F.min(F.struct("bin", "cnt", "cum_before")).alias("__b"),
+        )
+        .select("q_bp", "k", F.col("__b.bin").alias("bin"),
+                F.col("__b.cnt").alias("cnt"),
+                F.col("__b.cum_before").alias("cum_before"))
+    )
+    est_fp = (
+        (F.lit(lo) + F.col("bin") * F.lit(w)) * F.lit(10000)
+        + F.floor(
+            F.lit(w) * (F.col("k") - F.col("cum_before") - 1) * F.lit(10000)
+            / F.col("cnt")
+        )
+    ).cast("long")
+    return joined.select(
+        "q_bp", (est_fp / F.lit(10000.0)).alias("est")
+    ).orderBy("q_bp")

@@ -919,6 +919,43 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY source
     """,
+    "q_histogram_quantiles": """
+        -- replay of histogram_sketch + histogram_quantiles, all-integer:
+        -- width-100 bins over [0, 110000), rank k = ceil-div of q_bp*N
+        -- by 10000, covering bin = smallest cumulative >= k, estimate =
+        -- bin_lo + floor(w*(k-cum_before-1)*10000/cnt) / 10000
+        WITH sk AS (
+            SELECT LEAST(1099, GREATEST(0,
+                       CAST(FLOOR((l_extendedprice - 0) / 100) AS BIGINT))) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1
+        ), cum AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER (ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                       AS cum_before
+            FROM sk
+        ), total AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM sk
+        ), ranked AS (
+            SELECT q.q_bp, CAST((q.q_bp * t.n + 9999) // 10000 AS BIGINT) AS k
+            FROM (VALUES (5000), (9000), (9900)) AS q(q_bp)
+            CROSS JOIN total t
+        ), covering AS (
+            SELECT r.q_bp, r.k,
+                   MIN(c.bin) AS bin
+            FROM ranked r JOIN cum c ON c.cum >= r.k
+            GROUP BY r.q_bp, r.k
+        )
+        SELECT CAST(v.q_bp AS INTEGER) AS q_bp,
+               ((0 + v.bin * 100) * 10000
+                + CAST(FLOOR(100 * (v.k - c.cum_before - 1) * 10000 / c.cnt) AS BIGINT)
+               ) / 10000.0 AS est
+        FROM covering v JOIN cum c ON c.bin = v.bin
+        ORDER BY q_bp
+    """,
     "q_hybrid_search_rrf": """
         -- reciprocal-rank fusion of the BM25 lexical top-100 and the
         -- cosine semantic top-100 (probe = embedding of vec_id 0).

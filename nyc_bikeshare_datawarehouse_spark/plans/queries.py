@@ -2300,6 +2300,28 @@ def q_bm25_search(spark, sf_dir):
     return text.bm25_scores(d, ["spark", "vector", "stream"])
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Portable mergeable QUANTILE sketch (functions/sketches.py
+    `histogram_sketch` + `histogram_quantiles`) — the distribution
+    member completing the sketch family (count-min = frequency, HLL/KMV
+    = distinct): l_extendedprice binned into 1100 width-100 bins, then
+    p50/p90/p99 estimated by within-bin interpolation in ALL-INTEGER
+    arithmetic (rank = ceil-div in basis points, interpolation emitted
+    as floor-truncated 1e-4 fixed point), so the whole estimate is
+    bit-exact in the DuckDB oracle. Scale shape: the shuffle key space
+    is n_bins regardless of volume (map-side combine), the cumsum window
+    runs on the O(n_bins) sketch, and slices roll up by bin-add —
+    including over a stream (streaming/sketches.histogram_stream, proven
+    streamed ≡ batch in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = sketches.histogram_sketch(li, "l_extendedprice", 0, 110000, 1100)
+    return (
+        sketches.histogram_quantiles(sk, [5000, 9000, 9900], 0, 110000, 1100)
+        .select("q_bp", "est")
+        .orderBy("q_bp")
+    )
+
+
 def q_hybrid_search_rrf(spark, sf_dir):
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
     2009, public): fuse the BM25 lexical top-100 (functions/text.py
@@ -3139,6 +3161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
+    "q_histogram_quantiles": q_histogram_quantiles,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,

@@ -11,7 +11,11 @@ from nyc_bikeshare_datawarehouse_spark.streaming.events import (
     stream_foreach_batch,
     run_available_now,
 )
-from nyc_bikeshare_datawarehouse_spark.streaming.sketches import countmin_stream, hll_stream
+from nyc_bikeshare_datawarehouse_spark.streaming.sketches import (
+    countmin_stream,
+    histogram_stream,
+    hll_stream,
+)
 from nyc_bikeshare_datawarehouse_spark.streaming.stateful import (
     running_user_totals,
     running_user_totals_tws,
@@ -19,6 +23,7 @@ from nyc_bikeshare_datawarehouse_spark.streaming.stateful import (
 
 __all__ = [
     "countmin_stream",
+    "histogram_stream",
     "hll_stream",
     "stream_events",
     "tumbling_counts",

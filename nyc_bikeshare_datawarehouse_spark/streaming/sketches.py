@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
     countmin_build,
     countmin_merge,
+    histogram_merge,
+    histogram_sketch,
     hll_merge,
     hll_registers,
 )
@@ -136,5 +138,27 @@ def hll_stream(
         state_path,
         lambda df: hll_registers(df, key_col, b),
         hll_merge,
+    )
+    return stream_foreach_batch(stream, merge, checkpoint_path)
+
+
+def histogram_stream(
+    stream: DataFrame,
+    value_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+):
+    """Maintain a fixed-width histogram over a stream: per-batch bin
+    counts folded by bin-wise addition — the distribution sketch with
+    n_bins longs of state at any stream length. Add-merge is NOT
+    idempotent, so this leans on the same batch-id replay guard as
+    countmin_stream."""
+    merge = _sketch_merge_fn(
+        state_path,
+        lambda df: histogram_sketch(df, value_col, lo, hi, n_bins),
+        histogram_merge,
     )
     return stream_foreach_batch(stream, merge, checkpoint_path)

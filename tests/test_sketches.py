@@ -149,3 +149,62 @@ def test_kmv_k_mismatch_raises(spark):
         kmv_union(sk256, sk256)
     with pytest.raises(ValueError, match="k=64"):
         kmv_jaccard(sk256, sk256)
+
+
+def test_histogram_sketch_merge_equals_whole(spark):
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    a = spark.createDataFrame([(float(i),) for i in range(0, 500)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(300, 900)], "v double")
+    merged = histogram_merge(
+        histogram_sketch(a, "v", 0, 1000, 100), histogram_sketch(b, "v", 0, 1000, 100)
+    )
+    whole = histogram_sketch(a.unionByName(b), "v", 0, 1000, 100)
+    assert rows_set(merged) == rows_set(whole)
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = histogram_sketch(li, "l_extendedprice", 0, 110000, 1100)
+    got = {
+        r["q_bp"]: r["est"]
+        for r in histogram_quantiles(sk, [5000, 9000, 9900], 0, 110000, 1100).collect()
+    }
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    ).first()
+    # estimate error is bounded by one bin width (100) by construction
+    for q_bp, key in ((5000, "p50"), (9000, "p90"), (9900, "p99")):
+        assert abs(got[q_bp] - exact[key]) <= 100, (q_bp, got[q_bp], exact[key])
+    # values clamp into the range: out-of-range probes land in edge bins
+    tiny = spark.createDataFrame([(-5.0,), (99999999.0,)], "v double")
+    edge = histogram_sketch(tiny, "v", 0, 1000, 100)
+    assert {r["bin"] for r in edge.collect()} == {0, 99}
+
+
+def test_histogram_sketch_validates_args(spark):
+    import pytest
+
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="divisible"):
+        histogram_sketch(df, "v", 0, 1000, 3)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df, "v", 10, 10, 1)
+    with pytest.raises(ValueError, match="q_bps"):
+        histogram_quantiles(histogram_sketch(df, "v", 0, 100, 10), [0], 0, 100, 10)

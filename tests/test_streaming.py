@@ -447,3 +447,26 @@ def test_sketch_state_survives_crash_between_renames(spark, sf_dir, tmp_path):
         )
     )
     assert rows_set(after) == want and rows_set(after) != published
+
+
+def test_histogram_stream_state_equals_batch_sketch(spark, sf_dir, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import histogram_sketch
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import histogram_stream
+
+    batch = load_table(spark, sf_dir, "events").select("value")
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = histogram_stream(
+        stream, "value", str(tmp_path / "h_state"), str(tmp_path / "h_ckpt"),
+        lo=0, hi=500, n_bins=125,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "h_state"))
+    want = histogram_sketch(spark.read.parquet(src), "value", 0, 500, 125)
+    assert rows_set(got) == rows_set(want)
