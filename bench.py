@@ -137,6 +137,7 @@ EXTENDED = [
     "q_sequence_pack",
     "q_hybrid_search_rrf",
     "q_histogram_quantiles",
+    "q_bpe_merge_step",
 ]
 
 

@@ -919,6 +919,61 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY source
     """,
+    "q_bpe_merge_step": """
+        -- one BPE step, greedy non-overlap merge implemented the OTHER
+        -- way (window run-grouping, even offsets within a match run)
+        -- to cross-check the Spark fold. Symbols = chars + '</w>'.
+        WITH words AS (
+            SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                FROM documents
+            )
+            GROUP BY 1
+        ), syms AS (
+            SELECT word, freq, i AS pos,
+                   CASE WHEN i <= length(word) THEN substring(word, i, 1)
+                        ELSE '</w>' END AS sym
+            FROM words, UNNEST(range(1, length(word) + 2)) AS t(i)
+        ), pc0 AS (
+            SELECT s1.sym AS a, s2.sym AS b, SUM(s1.freq) AS cnt
+            FROM syms s1 JOIN syms s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+            GROUP BY 1, 2
+        ), chosen AS (
+            SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1
+        ), matched AS (
+            SELECT s.word, s.freq, s.pos, s.sym,
+                   (s.sym = (SELECT a FROM chosen)
+                    AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
+                        = (SELECT b FROM chosen)) AS m
+            FROM syms s
+        ), taken AS (
+            -- greedy left-to-right non-overlap == within each run of
+            -- consecutive match positions, keep the even offsets
+            SELECT word, pos
+            FROM (
+                SELECT word, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+                FROM matched WHERE m
+            )
+            QUALIFY (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0
+        ), new_syms AS (
+            SELECT s.word, s.freq,
+                   ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.pos) AS pos,
+                   CASE WHEN tk.pos IS NOT NULL
+                        THEN (SELECT a || b FROM chosen) ELSE s.sym END AS sym
+            FROM syms s
+            LEFT JOIN taken tk ON tk.word = s.word AND tk.pos = s.pos
+            LEFT JOIN taken absorbed
+                   ON absorbed.word = s.word AND absorbed.pos = s.pos - 1
+            WHERE absorbed.pos IS NULL
+        )
+        SELECT s1.sym AS a, s2.sym AS b, CAST(SUM(s1.freq) AS BIGINT) AS cnt
+        FROM new_syms s1 JOIN new_syms s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, a, b
+        LIMIT 20
+    """,
     "q_histogram_quantiles": """
         -- replay of histogram_sketch + histogram_quantiles, all-integer:
         -- width-100 bins over [0, 110000), rank k = ceil-div of q_bp*N

@@ -2300,6 +2300,32 @@ def q_bm25_search(spark, sf_dir):
     return text.bm25_scores(d, ["spark", "vector", "stream"])
 
 
+def q_bpe_merge_step(spark, sf_dir):
+    """One BPE vocabulary-induction step (functions/bpe.py, Sennrich et
+    al. 2016): word vocab with frequencies (the ONE corpus-sized
+    shuffle), char+EOW symbol sequences, argmax adjacent pair under the
+    total order (cnt DESC, a, b), greedy non-overlapping merge applied
+    as a per-row FOLD (zero extra shuffles), then the post-merge top-20
+    pair counts. The DuckDB oracle implements the same greedy
+    non-overlap rule with an INDEPENDENT algorithm — window run-grouping
+    with even-offset selection — so the fold's semantics are
+    cross-checked, not just replayed. Iterative training on top of this
+    step is `bpe.bpe_train` (pytest-verified against a pure-Python
+    reference)."""
+    from nyc_bikeshare_datawarehouse_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    symdf = bpe.with_symbols(bpe.word_vocab(d))
+    top = bpe.best_pair(bpe.pair_counts(symdf))
+    merged = bpe.apply_merge(symdf, top["a"], top["b"])
+    return (
+        bpe.pair_counts(merged)
+        .select("a", "b", "cnt")
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(20)
+    )
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Portable mergeable QUANTILE sketch (functions/sketches.py
     `histogram_sketch` + `histogram_quantiles`) — the distribution
@@ -3162,6 +3188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
     "q_histogram_quantiles": q_histogram_quantiles,
+    "q_bpe_merge_step": q_bpe_merge_step,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,
