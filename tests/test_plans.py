@@ -231,3 +231,47 @@ def test_vocab_build_windows_vocab_not_stream(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_vocab_build")
     assert plan.count("Exchange SinglePartition") <= 2  # vocab window + bounds
     assert n_exchanges(plan) >= 1  # the token-count aggregation
+
+
+def test_sequence_pack_single_shuffle_no_text(spark, sf_dir):
+    # the greedy fold runs per shard after ONE hashpartitioning exchange,
+    # and the exchanged rows carry (shard, doc_id, n_tokens) — the text
+    # column is consumed by token_count BEFORE the shuffle
+    plan = plan_of(spark, sf_dir, "q_sequence_pack")
+    assert n_exchanges(plan) == 1
+    m = re.search(r"documents\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and len(m.group(1).split(",")) == 2  # doc_id + text only
+
+
+def test_session_window_batch_single_exchange_no_window_exec(spark, sf_dir):
+    # built-in session assembly is the sort inside each hash partition:
+    # one exchange on user_id, no window function node
+    plan = plan_of(spark, sf_dir, "q_session_window_batch")
+    assert n_exchanges(plan) == 1
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
+
+
+def test_histogram_quantiles_scan_prunes_to_value_column(spark, sf_dir):
+    # the sketch reads exactly one lineitem column; the quantile probe
+    # list and the total ride broadcasts, never a corpus shuffle
+    plan = plan_of(spark, sf_dir, "q_histogram_quantiles")
+    m = re.search(r"lineitem\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and m.group(1).split(",") == ["l_extendedprice:double"]
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_hybrid_rrf_fuses_topk_lists_not_corpus(spark, sf_dir):
+    # both rankings are TakeOrdered top-k BEFORE the global-rank window,
+    # so the single-partition windows only ever see O(k) rows
+    plan = plan_of(spark, sf_dir, "q_hybrid_search_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_bpe_merge_fold_no_extra_shuffle(spark, sf_dir):
+    # word vocab agg + two pair-count aggs = hash exchanges; the merge
+    # fold itself must add none (per-row expression), and the scan reads
+    # only the text column
+    plan = plan_of(spark, sf_dir, "q_bpe_merge_step")
+    assert n_exchanges(plan) <= 2
+    m = re.search(r"documents\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and m.group(1).split(",") == ["text:string"]
