@@ -140,3 +140,46 @@ def symbol_vocab(symdf: DataFrame) -> DataFrame:
         .groupBy("sym")
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
+
+
+def encode(df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Tokenize with a LEARNED merge list: split each whitespace word
+    into chars+EOW, then apply the merges in training order — each merge
+    is the same per-row fold as training, chained as nested expressions
+    (no shuffle, no UDF; expression depth grows with len(merges), fine
+    for the tens-of-merges regime; persist the encoded output rather
+    than re-deriving for production vocab sizes). Adds `bpe_tokens`
+    (flattened subword array) and `bpe_token_count`."""
+
+    def fold(expr, a, b):
+        merged = a + b
+
+        def step(acc, s):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b))
+            )
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return F.aggregate(expr, F.array().cast("array<string>"), step)
+
+    def _encode_word(t):
+        chars = F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)), lambda i: F.substring(t, i, 1)
+            ),
+            F.array(F.lit(EOW)),
+        )
+        e = chars
+        for a, b in merges:
+            e = fold(e, a, b)
+        return e
+
+    encoded = F.flatten(F.transform(tokens(text_col), _encode_word))
+    return df.withColumn("bpe_tokens", encoded).withColumn(
+        "bpe_token_count", F.size("bpe_tokens")
+    )

@@ -96,3 +96,24 @@ class TestBpe:
         vocab = {r["sym"]: r["cnt"] for r in bpe.symbol_vocab(symdf).collect()}
         # 'a' appears twice per 'aa' occurrence (freq 2) = 4; EOW = 3 words... 2 distinct
         assert vocab["a"] == 4 and vocab["b"] == 1 and vocab[bpe.EOW] == 3
+
+    def test_encode_applies_merges_in_order(self, spark):
+        rows = [
+            (1, "low low low lower lower lowest"),
+            (2, "new newer newest new new"),
+            (3, "low new lownew"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges, _ = bpe.bpe_train(df, n_merges=6)
+        assert merges  # corpus has repeated structure to learn
+        enc = {r["doc_id"]: r for r in bpe.encode(df, merges).collect()}
+        # reference-encode with the python model's merge application
+        wf = Counter(t for _, txt in rows for t in txt.split(" ") if t)
+        _, seqs = _py_bpe(dict(wf), n_merges=6)
+        for doc_id, txt in rows:
+            want = [s for w in txt.split(" ") if w for s in seqs[w]]
+            assert list(enc[doc_id]["bpe_tokens"]) == want
+            assert enc[doc_id]["bpe_token_count"] == len(want)
+        # compression: learned merges shorten the char+EOW stream
+        raw_len = sum(len(w) + 1 for w in "low low low lower lower lowest".split())
+        assert enc[1]["bpe_token_count"] < raw_len
