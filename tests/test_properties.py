@@ -220,3 +220,66 @@ def test_mixture_upsample_matches_md5_model(spark, rows):
     got = {r["id"]: r["count"] for r in out}
     for key, bp in rows:
         assert got.get(key, 0) == py_mixture_copies(key, bp)
+
+
+# --- round 7: sequence packing and the BPE merge fold ---------------------
+
+token_counts = st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=20)
+
+
+def py_pack(counts: list[int], seq_len: int) -> list[tuple[int, int]]:
+    """Reference greedy no-split pack over docs in order: (seq_id, offset)."""
+    out, seq_id, cum = [], 1, 0
+    for tc in counts:
+        if cum > 0 and cum + tc > seq_len:
+            seq_id += 1
+            cum = 0
+        out.append((seq_id, cum))
+        cum += tc
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=token_counts, seq_len=st.sampled_from([8, 16, 40]))
+def test_pack_sequences_matches_reference(spark, counts, seq_len):
+    from nyc_bikeshare_datawarehouse_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["offset"])
+        for r in pack_sequences(df, seq_len=seq_len, n_shards=1).collect()
+    }
+    want = py_pack(counts, seq_len)
+    assert [got[i] for i in range(len(counts))] == want
+
+
+sym_lists = st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=10)
+
+
+def py_merge(s: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    syms=sym_lists,
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("a", "ab"), ("ab", "b")]),
+)
+def test_bpe_merge_fold_matches_sequential_scan(spark, syms, pair):
+    # the fold must equal the canonical left-to-right non-overlapping
+    # scan for EVERY symbol sequence, including overlap runs and pairs
+    # whose merged form collides with other symbols ('a'+'b' == 'ab')
+    from nyc_bikeshare_datawarehouse_spark.functions import bpe
+
+    df = spark.createDataFrame([(1, syms)], "id int, syms array<string>")
+    got = list(bpe.apply_merge(df, pair[0], pair[1]).first()["syms"])
+    assert got == py_merge(syms, pair[0], pair[1])
