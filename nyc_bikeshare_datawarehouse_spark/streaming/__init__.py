@@ -15,6 +15,7 @@ from nyc_bikeshare_datawarehouse_spark.streaming.sketches import (
     countmin_stream,
     histogram_stream,
     hll_stream,
+    kmv_stream,
 )
 from nyc_bikeshare_datawarehouse_spark.streaming.stateful import (
     running_user_totals,
@@ -25,6 +26,7 @@ __all__ = [
     "countmin_stream",
     "histogram_stream",
     "hll_stream",
+    "kmv_stream",
     "stream_events",
     "tumbling_counts",
     "sliding_counts",

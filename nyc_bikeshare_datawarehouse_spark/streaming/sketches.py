@@ -162,3 +162,27 @@ def histogram_stream(
         histogram_merge,
     )
     return stream_foreach_batch(stream, merge, checkpoint_path)
+
+
+def kmv_stream(
+    stream: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint_path: str,
+    k: int = 64,
+):
+    """Maintain a KMV bottom-k sketch over a stream: per-batch bottom-k
+    folded by union-then-bottom-k — distinct counting WITH set algebra
+    (union/Jaccard) at k longs of state. The union merge is idempotent,
+    but the batch-id guard still short-circuits replays."""
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+        kmv_sketch,
+        kmv_union,
+    )
+
+    merge = _sketch_merge_fn(
+        state_path,
+        lambda df: kmv_sketch(df, key_col, k),
+        lambda a, b: kmv_union(a, b, k),
+    )
+    return stream_foreach_batch(stream, merge, checkpoint_path)

@@ -470,3 +470,25 @@ def test_histogram_stream_state_equals_batch_sketch(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(tmp_path / "h_state"))
     want = histogram_sketch(spark.read.parquet(src), "value", 0, 500, 125)
     assert rows_set(got) == rows_set(want)
+
+
+def test_kmv_stream_state_equals_batch_sketch(spark, sf_dir, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import kmv_sketch
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import kmv_stream
+
+    batch = load_table(spark, sf_dir, "events").select("user_id")
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = kmv_stream(
+        stream, "user_id", str(tmp_path / "kmv_state"), str(tmp_path / "kmv_ckpt"), k=32
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "kmv_state"))
+    want = kmv_sketch(spark.read.parquet(src), "user_id", 32)
+    assert rows_set(got) == rows_set(want)
