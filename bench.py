@@ -85,6 +85,13 @@ HEAVY = [
     # output itself large (504k rows at sf0.1), which no recall-
     # preserving banding can shrink.
     "q_simhash_portable",
+    # round 7 members: containment shares q_ngram_jaccard's exact
+    # inverted-index join (same dense-vocabulary regime); fuzzy join is
+    # the Ed-Join gram-prefix candidate join + levenshtein verify
+    "q_ngram_containment",
+    "q_fuzzy_join",
+    # fuzzy edges -> iterative CC -> golden record; the CC rounds dominate
+    "q_entity_resolution",
 ]
 
 
@@ -138,6 +145,10 @@ EXTENDED = [
     "q_hybrid_search_rrf",
     "q_histogram_quantiles",
     "q_bpe_merge_step",
+    "q_concurrent_sessions",
+    "q_psi_drift",
+    "q_bigram_logprob",
+    "q_ks_drift",
 ]
 
 

@@ -1013,3 +1013,56 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for all pairs sharing >= 1 shingle:
+    |A ∩ B| / min(|A|, |B|) — the asymmetric cousin of jaccard that
+    catches SUB-document duplication (a short doc quoted inside a long
+    one scores near 1.0 here while its jaccard stays low, because the
+    union is dominated by the long doc). The standard screen for
+    quote-inclusion / boilerplate-embedding in pretraining corpora
+    (Broder's containment, public resemblance/containment literature).
+
+    Same inverted-index plan as `ngram_jaccard_pairs` (shuffles carry
+    (shingle_hash, id) only; pair counts pre-partitioned by the pair
+    before the ONE HashAggregate), only the final measure differs, so
+    every scale property (and the df-pruning guidance there) carries
+    over. Containment is floor-truncated to 4 decimals (`_trunc` rule)
+    before the threshold compare."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        )
+        .select(id_col, F.xxhash64("s").alias("sh"))
+        .dropDuplicates()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_counts = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .repartition("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pair_counts.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.floor(F.col("n_inter") / F.least("n_a", "n_b") * 10000) / 10000,
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "containment")
+    )

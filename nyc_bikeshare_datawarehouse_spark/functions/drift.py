@@ -1,0 +1,182 @@
+"""Distribution-drift metrics between two slices of a corpus.
+
+Population Stability Index (PSI) — the standard production monitor for
+"did this week's data shift against the reference week" (public modeling
+literature; widely used for training-data snapshot comparison). Bins come
+from the REFERENCE slice's own quantiles, so the metric is self-calibrating:
+
+    PSI = Σ_bins (ref_frac − cur_frac) · ln(ref_frac / cur_frac)
+
+rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+Determinism contract (driver oracle rules): bin edges are the per-tile MAX
+of an `ntile(n)` over the reference ordered by (value, tiebreak) — a total
+order, so edges are exact data values both engines agree on bit-for-bit.
+Binning is "count of edges strictly below v" against the first n−1 edges —
+a pure comparison on exact doubles. Counts are exact longs; fractions are
+Laplace-smoothed ((n_i + 1)/(N + bins), sidestepping ln(0) on empty bins)
+and only the final ln/product is floored to 6 decimals (`_trunc` rule —
+both inputs to ln are identical doubles cross-engine, so the result
+matches to the last ulp in practice, same class as q_unigram_logprob).
+
+Scale: the reference slice shuffles ONCE for the global ntile — an
+acceptable single-key sort at reference-slice size; for 100 TB references
+swap the exact ntile for per-partition quantile sketch merge
+(functions/sketches.histogram_sketch) and keep everything downstream
+identical, since the edges frame is O(bins) either way. Binning the
+current slice is a broadcast nested-loop against the O(bins) edge frame —
+the current slice never shuffles at all. Totals ride 1-row broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_edges(
+    ref: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(edge_idx, edge) — the n_bins−1 internal bin boundaries: max value
+    of each of the first n_bins−1 reference ntiles under a total order."""
+    order = [F.col(value_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.orderBy(*order)
+    return (
+        ref.withColumn("__tile", F.ntile(n_bins).over(w))
+        .groupBy("__tile")
+        .agg(F.max(value_col).alias("edge"))
+        .filter(F.col("__tile") < n_bins)
+        .select(F.col("__tile").cast("int").alias("edge_idx"), "edge")
+    )
+
+
+def _bin_counts(df: DataFrame, value_col: str, edges: DataFrame, n_bins: int) -> DataFrame:
+    """(bin, n) with every bin 0..n_bins−1 present (zero-filled).
+    bin(v) = number of edges strictly below v — a function of the value,
+    so bins are computed per DISTINCT value (pre-aggregated with its
+    multiplicity) and the broadcast edge expansion touches only the
+    distinct-value frame, not every source row."""
+    spark = df.sparkSession
+    per_value = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__mult")
+    )
+    value_bins = (
+        per_value.crossJoin(F.broadcast(edges.select("edge")))
+        .groupBy("__v", "__mult")
+        .agg(F.sum(F.when(F.col("edge") < F.col("__v"), 1).otherwise(0)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.sum("__mult").alias("n"))
+    )
+    all_bins = spark.range(n_bins).select(F.col("id").cast("bigint").alias("bin"))
+    return (
+        all_bins.join(value_bins, "bin", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+    )
+
+
+def psi_table(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-bin PSI decomposition: (bin, ref_n, cur_n, psi_contrib).
+    Total PSI = SUM(psi_contrib); emitting the decomposition keeps the
+    output explainable (which bins drove the drift) and O(bins)."""
+    edges = quantile_edges(ref, value_col, n_bins, tiebreak_col)
+    rb = _bin_counts(ref, value_col, edges, n_bins).withColumnRenamed("n", "ref_n")
+    cb = _bin_counts(cur, value_col, edges, n_bins).withColumnRenamed("n", "cur_n")
+    rt = ref.agg(F.count(F.lit(1)).alias("__rt"))
+    ct = cur.agg(F.count(F.lit(1)).alias("__ct"))
+    scale = 10 ** round_to
+    joined = (
+        rb.join(cb, "bin")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+    )
+    rp = (F.col("ref_n") + 1).cast("double") / (F.col("__rt") + n_bins).cast("double")
+    cp = (F.col("cur_n") + 1).cast("double") / (F.col("__ct") + n_bins).cast("double")
+    contrib = F.floor((rp - cp) * F.log(rp / cp) * scale) / scale
+    return joined.select(
+        F.col("bin").cast("int").alias("bin"),
+        "ref_n",
+        "cur_n",
+        contrib.alias("psi_contrib"),
+    )
+
+
+def ks_stat(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bucket=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the reference and
+    current slices: max over all values v of |F_ref(v) − F_cur(v)| — the
+    nonparametric companion to `psi_table` (no binning choice at all).
+    Returns ONE row: (ks_value = the smallest v attaining the max gap,
+    ref_n, cur_n, gap_num, ks_stat).
+
+    Exactness: CDF steps are integer cumulative counts, and the gap is
+    compared as the INTEGER |cum_ref·n_cur − cum_cur·n_ref| (cross-
+    multiplied — no float enters the argmax), so the selected row is
+    bit-deterministic cross-engine; only the final ks_stat = gap/(n_r·n_c)
+    is floored to `round_to` decimals. Long arithmetic bounds the slices
+    at ~3·10^9 rows each (gap_num ≤ n_r·n_c); beyond that switch the
+    product to decimal(38,0) on both engines.
+
+    Scale: per-side value counts are map-side-combined groupBys; the
+    merged distinct-value frame gets BOTH running sums in one pass of
+    `two_phase_cumsum` (range-bucketed, never a single-task corpus
+    window; `bucket` defaults to floor(value) — supply a tighter
+    monotone bucketing for heavily-skewed domains); the argmax is a
+    TakeOrdered(1), O(1) to the driver."""
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_cumsum
+
+    if bucket is None:
+        bucket = F.floor(F.col("__v"))
+    rc = ref.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__r")
+    )
+    cc = cur.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    merged = (
+        rc.join(cc, "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        )
+    )
+    cum = two_phase_cumsum(
+        merged, bucket, [F.col("__v")], [("__r", "__cr"), ("__c", "__cc")]
+    )
+    rt = ref.agg(F.count(F.lit(1)).alias("__nr"))
+    ct = cur.agg(F.count(F.lit(1)).alias("__nc"))
+    scale = 10 ** round_to
+    gap = F.abs(F.col("__cr") * F.col("__nc") - F.col("__cc") * F.col("__nr"))
+    return (
+        cum.crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            F.col("__v").alias("ks_value"),
+            F.col("__nr").cast("long").alias("ref_n"),
+            F.col("__nc").cast("long").alias("cur_n"),
+            gap.cast("long").alias("gap_num"),
+            (
+                F.floor(gap / (F.col("__nr") * F.col("__nc")).cast("double") * scale)
+                / scale
+            ).alias("ks_stat"),
+        )
+        .orderBy(F.col("gap_num").desc(), F.col("ks_value"))
+        .limit(1)
+    )

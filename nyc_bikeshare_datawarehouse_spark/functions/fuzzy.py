@@ -1,0 +1,138 @@
+"""Edit-distance (fuzzy) string joins via positional q-gram prefix filtering.
+
+The record-linkage primitive the dedup family lacks: match strings within
+Levenshtein distance <= k WITHOUT the all-pairs cross join. Method is
+Ed-Join (Xiao, Wang, Lin — VLDB'08, public literature), the edit-distance
+cousin of the prefix-filtered Jaccard join already in functions/dedup.py:
+
+- every string is decomposed into positional q-grams (substring, position);
+- a single edit operation can destroy at most q grams, so strings within
+  distance k share at least one gram among the first k*q + 1 grams of each,
+  under ANY fixed global gram ordering (rarest-first makes the surviving
+  candidate lists smallest);
+- matching prefix grams must also sit within k positions of each other and
+  the string lengths within k (both necessary conditions of distance <= k);
+- survivors are verified with the exact Levenshtein distance, a per-pair
+  codegen expression (`F.levenshtein`), never a Python UDF.
+
+Scale shape: the gram stream shuffles (gram_hash, id, pos, len) prefixes
+only — document-frequency, per-string rank, and prefix cut are window
+functions over that one stream (same two-exchange plan as
+dedup.prefix_jaccard_candidates). The candidate equi-join is keyed by the
+gram; hot grams are exactly the ones the rarest-first prefix refuses to
+index. Verify joins the strings back by id. Strings shorter than q
+contribute no grams and are excluded by construction (callers with
+ultra-short keys should lower q or fall back to the exact join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def positional_qgrams(col: Column | str, q: int = 2) -> Column:
+    """array<struct<g,p>> of the string's overlapping q-grams with their
+    1-based positions; empty when length(s) < q. The sequence guard rides
+    the `when` (sequence(1, 0) DESCENDS in Spark, it is not empty)."""
+    s = F.col(col) if isinstance(col, str) else col
+    n = F.length(s) - q + 1
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(F.substring(s, i, q).alias("g"), i.alias("p")),
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,p:int>>"))
+
+
+def _gram_stream(df: DataFrame, str_col: str, id_col: str, q: int) -> DataFrame:
+    """(id, g, p, len) — one row per positional gram occurrence."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(str_col)).alias("__len"),
+        F.explode(positional_qgrams(str_col, q)).alias("__gp"),
+    ).select(id_col, "__len", F.col("__gp.g").alias("__g"), F.col("__gp.p").alias("__p"))
+
+
+def fuzzy_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    str_col: str = "name",
+    left_id: str = "id_l",
+    right_id: str = "id_r",
+    k: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """(left_id, right_id, dist) for every cross pair with
+    levenshtein(left.str, right.str) <= k. LOSSLESS for strings of
+    length >= q (the Ed-Join prefix lemma; proven against brute force on
+    data in tests/test_fuzzy.py).
+
+    The global gram ordering is document frequency over the UNION of both
+    sides (ascending, ties by gram text) — both sides must rank against
+    the same ordering for the lemma to hold, which is why df is computed
+    once on the tagged union rather than per side.
+    """
+    lg = _gram_stream(left, str_col, left_id, q).withColumnRenamed(left_id, "__id")
+    rg = _gram_stream(right, str_col, right_id, q).withColumnRenamed(right_id, "__id")
+    both = lg.withColumn("__side", F.lit("l")).unionByName(
+        rg.withColumn("__side", F.lit("r"))
+    )
+    w_df = Window.partitionBy("__g")
+    w_rank = Window.partitionBy("__side", "__id").orderBy("__df", "__g", "__p")
+    prefix = (
+        both.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= k * q + 1)
+        .select("__side", "__id", "__g", "__p", "__len")
+    )
+    a = prefix.filter(F.col("__side") == "l").select(
+        F.col("__id").alias(left_id),
+        F.col("__g"),
+        F.col("__p").alias("__pa"),
+        F.col("__len").alias("__la"),
+    )
+    b = prefix.filter(F.col("__side") == "r").select(
+        F.col("__id").alias(right_id),
+        F.col("__g"),
+        F.col("__p").alias("__pb"),
+        F.col("__len").alias("__lb"),
+    )
+    cand = (
+        a.join(b, "__g")
+        .filter(
+            (F.abs(F.col("__pa") - F.col("__pb")) <= k)
+            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+        )
+        .select(left_id, right_id)
+        .distinct()
+    )
+    ln = left.select(F.col(left_id), F.col(str_col).alias("__sl"))
+    rn = right.select(F.col(right_id), F.col(str_col).alias("__sr"))
+    return (
+        cand.join(ln, left_id)
+        .join(rn, right_id)
+        .withColumn("dist", F.levenshtein("__sl", "__sr"))
+        .filter(F.col("dist") <= k)
+        .select(left_id, right_id, F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    str_col: str = "name",
+    left_id: str = "id_l",
+    right_id: str = "id_r",
+    k: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """fuzzy_pairs plus both matched strings, for human-readable output:
+    (left_id, right_id, left str as `s_l`, right str as `s_r`, dist)."""
+    pairs = fuzzy_pairs(left, right, str_col, left_id, right_id, k=k, q=q)
+    ln = left.select(F.col(left_id), F.col(str_col).alias("s_l"))
+    rn = right.select(F.col(right_id), F.col(str_col).alias("s_r"))
+    return pairs.join(ln, left_id).join(rn, right_id).select(
+        left_id, right_id, "s_l", "s_r", "dist"
+    )

@@ -502,3 +502,60 @@ def scrub_pii(
             out_col: F.regexp_replace(no_email, PHONE_PATTERN, phone_token),
         }
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document average add-one-smoothed bigram log-probability
+    against the corpus' own bigram model — the order-2 upgrade of
+    `unigram_logprob` (CCNet-style LM quality filtering, Wenzek et al.
+    2019, public): ln P(w2|w1) = ln (c(w1 w2) + 1) / (c(w1·) + V), where
+    c(w1·) counts w1 occurrences WITH a successor and V is the distinct
+    successor vocabulary. Shuffled/garbled documents score far more
+    negative than fluent ones even when their unigram mix is identical —
+    exactly what the unigram form cannot see.
+
+    Scale shape: corpus bigram counts are ONE groupBy over the bigram
+    stream (map-side partial agg); preceding-token counts derive from the
+    same stream with a second cheap agg; the per-occurrence re-join is
+    keyed on the bigram (hot collocations skew it — AQE splits those, or
+    broadcast the model when the bigram vocabulary fits, the usual call
+    at 100 TB where V ≪ corpus). V rides a 1-row broadcast. Only the
+    final AVG(ln ...) is rounded (both ln inputs are exact-int-derived
+    doubles, bit-identical cross-engine — q_unigram_logprob precedent).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at("__t", i).alias("w1"),
+                    F.element_at("__t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = bi.agg(F.countDistinct("w2").alias("__v"))
+    p = (F.col("__c2") + 1).cast("double") / (F.col("__c1") + F.col("__v")).cast(
+        "double"
+    )
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
+        )
+    )

@@ -17,6 +17,10 @@ from nyc_bikeshare_datawarehouse_spark.operators.incremental import incremental_
 from nyc_bikeshare_datawarehouse_spark.operators.bloom import bloom_build, bloom_prefilter
 from nyc_bikeshare_datawarehouse_spark.operators.layout import write_zordered, zvalue
 from nyc_bikeshare_datawarehouse_spark.operators.skew import skew_topk
+from nyc_bikeshare_datawarehouse_spark.operators.interval import (
+    concurrent_interval_counts,
+    interval_overlap_join,
+)
 
 __all__ = [
     "scd2_history",
@@ -45,4 +49,6 @@ __all__ = [
     "bloom_prefilter",
     "zvalue",
     "write_zordered",
+    "interval_overlap_join",
+    "concurrent_interval_counts",
 ]

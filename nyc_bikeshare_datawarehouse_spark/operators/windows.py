@@ -110,3 +110,50 @@ def with_date_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
         .withColumn(f"{prefix}year", F.year(c))
         .withColumn(f"{prefix}quarter", F.quarter(c))
     )
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    bucket: Column,
+    order_by: Sequence[Column],
+    values: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Distributed global running SUM over a total order — the cumulative-
+    aggregate sibling of `two_phase_global_rank`, same two-phase shape:
+    per-bucket inclusive running sums via a partitioned window (parallel,
+    one hash shuffle on the bucket key), then per-bucket totals (B rows)
+    turned into prefix offsets by the one intentionally-tiny single-task
+    window and broadcast back. Global cum = bucket offset + local cum.
+
+    `bucket` must be monotone non-decreasing along `order_by` (same
+    contract as two_phase_global_rank); `order_by` must be a TOTAL order
+    for the row-level sums to be deterministic. `values` is a list of
+    (value_col, out_col): each value column gets its own global running
+    sum in one pass — the multi-measure case (e.g. two CDFs side by side)
+    costs one shuffle total, not one per measure."""
+    b = df.withColumn("__bucket", bucket)
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b
+    for vcol, out in values:
+        local = local.withColumn(f"__loc_{out}", F.sum(vcol).over(w_local))
+    counts = b.groupBy("__bucket").agg(
+        *[F.sum(vcol).alias(f"__tot_{out}") for vcol, out in values]
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"__tot_{out}").over(w_off), F.lit(0)).alias(f"__off_{out}")
+            for _, out in values
+        ],
+    )
+    out_frame = local.join(F.broadcast(offsets), "__bucket")
+    for _, out in values:
+        out_frame = out_frame.withColumn(
+            out, (F.col(f"__off_{out}") + F.col(f"__loc_{out}")).cast("long")
+        ).drop(f"__off_{out}", f"__loc_{out}")
+    return out_frame.drop("__bucket")

@@ -2465,3 +2465,278 @@ ORACLES["q_pretraining_export"] = f"""
         ORDER BY shard, pos
 """
 
+
+
+# ---- round-7 additions: containment / fuzzy join / intervals / drift / LM ----
+
+ORACLES["q_ngram_containment"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+        FROM toks
+        WHERE len(t) >= 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           FLOOR(n_inter / LEAST(sa.n_sh, sb.n_sh) * 10000) / 10000 AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE FLOOR(n_inter / LEAST(sa.n_sh, sb.n_sh) * 10000) / 10000 >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+# Ed-Join replay: same union-wide df ordering, same (k*q+1)-gram prefixes,
+# same position/length filters, then exact levenshtein verify — the filter
+# chain is part of the checked semantics (losslessness additionally proven
+# against brute force in tests/test_fuzzy.py).
+ORACLES["q_fuzzy_join"] = """
+    WITH clean AS (
+        SELECT doc_id AS clean_id,
+               array_to_string(list_slice(list_filter(string_split(text, ' '),
+                                                      x -> x <> ''), 1, 4), ' ') AS name
+        FROM documents
+    ), dirty AS (
+        SELECT clean_id AS dirty_id,
+               substring(name, 1, CAST(clean_id % length(name) AS INTEGER))
+               || substring(name, CAST(clean_id % length(name) AS INTEGER) + 2) AS name
+        FROM clean
+    ), grams AS (
+        SELECT 'l' AS side, dirty_id AS id, name, length(name) AS len,
+               unnest(range(1, length(name))) AS p
+        FROM dirty
+        UNION ALL
+        SELECT 'r' AS side, clean_id AS id, name, length(name) AS len,
+               unnest(range(1, length(name))) AS p
+        FROM clean
+    ), occ AS (
+        SELECT side, id, len, CAST(p AS INTEGER) AS p,
+               substring(name, CAST(p AS INTEGER), 2) AS g
+        FROM grams
+    ), gdf AS (
+        SELECT g, COUNT(*) AS df FROM occ GROUP BY g
+    ), ranked AS (
+        SELECT side, id, g, p, len,
+               ROW_NUMBER() OVER (
+                   PARTITION BY side, id
+                   ORDER BY df, g, p
+               ) AS rk
+        FROM occ JOIN gdf USING (g)
+    ), prefix AS (
+        SELECT side, id, g, p, len FROM ranked WHERE rk <= 3
+    ), cand AS (
+        SELECT DISTINCT a.id AS dirty_id, b.id AS clean_id
+        FROM prefix a JOIN prefix b
+          ON a.side = 'l' AND b.side = 'r' AND a.g = b.g
+         AND abs(a.p - b.p) <= 1 AND abs(a.len - b.len) <= 1
+    )
+    SELECT c.dirty_id, c.clean_id, d.name AS s_l, cl.name AS s_r,
+           CAST(levenshtein(d.name, cl.name) AS INTEGER) AS dist
+    FROM cand c
+    JOIN dirty d ON d.dirty_id = c.dirty_id
+    JOIN clean cl ON cl.clean_id = c.clean_id
+    WHERE levenshtein(d.name, cl.name) <= 1
+    ORDER BY c.dirty_id, c.clean_id
+"""
+
+ORACLES["q_concurrent_sessions"] = """
+    WITH lagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > CAST(1800 AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM lagged
+    ), stats AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT s.user_id, s.session_id, s.session_start, s.session_end,
+           CAST((SELECT COUNT(*) FROM stats o
+                 WHERE o.user_id <> s.user_id
+                   AND o.session_start <= s.session_end
+                   AND s.session_start <= o.session_end) AS BIGINT) AS n_concurrent
+    FROM stats s
+    ORDER BY user_id, session_id
+"""
+
+ORACLES["q_psi_drift"] = """
+    WITH ref AS (
+        SELECT value, event_id FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    ), cur AS (
+        SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+    ), tiled AS (
+        SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS tile FROM ref
+    ), edges AS (
+        SELECT MAX(value) AS edge FROM tiled WHERE tile < 10 GROUP BY tile
+    ), rbin AS (
+        SELECT (SELECT COUNT(*) FROM edges e WHERE e.edge < r.value) AS bin,
+               COUNT(*) AS ref_n
+        FROM ref r GROUP BY 1
+    ), cbin AS (
+        SELECT (SELECT COUNT(*) FROM edges e WHERE e.edge < c.value) AS bin,
+               COUNT(*) AS cur_n
+        FROM cur c GROUP BY 1
+    ), bins AS (
+        SELECT CAST(unnest(range(10)) AS BIGINT) AS bin
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM ref) AS rt, (SELECT COUNT(*) FROM cur) AS ct
+    )
+    SELECT CAST(b.bin AS INTEGER) AS bin,
+           CAST(COALESCE(rbin.ref_n, 0) AS BIGINT) AS ref_n,
+           CAST(COALESCE(cbin.cur_n, 0) AS BIGINT) AS cur_n,
+           FLOOR((CAST(COALESCE(rbin.ref_n, 0) + 1 AS DOUBLE) / (rt + 10)
+                  - CAST(COALESCE(cbin.cur_n, 0) + 1 AS DOUBLE) / (ct + 10))
+                 * ln((CAST(COALESCE(rbin.ref_n, 0) + 1 AS DOUBLE) / (rt + 10))
+                      / (CAST(COALESCE(cbin.cur_n, 0) + 1 AS DOUBLE) / (ct + 10)))
+                 * 1000000) / 1000000 AS psi_contrib
+    FROM bins b
+    LEFT JOIN rbin ON rbin.bin = b.bin
+    LEFT JOIN cbin ON cbin.bin = b.bin
+    CROSS JOIN tot
+    ORDER BY bin
+"""
+
+ORACLES["q_bigram_logprob"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1
+    ), v AS (
+        SELECT COUNT(DISTINCT w2) AS v FROM bi
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 4)
+               AS avg_logprob
+    FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+ORACLES["q_ks_drift"] = """
+    WITH ref AS (
+        SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    ), cur AS (
+        SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+    ), rc AS (
+        SELECT value AS v, COUNT(*) AS r FROM ref GROUP BY value
+    ), cc AS (
+        SELECT value AS v, COUNT(*) AS c FROM cur GROUP BY value
+    ), m AS (
+        SELECT COALESCE(rc.v, cc.v) AS v,
+               COALESCE(rc.r, 0) AS r, COALESCE(cc.c, 0) AS c
+        FROM rc FULL OUTER JOIN cc ON rc.v = cc.v
+    ), cum AS (
+        SELECT v,
+               CAST(SUM(r) OVER (ORDER BY v) AS BIGINT) AS cr,
+               CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum_c
+        FROM m
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM ref) AS nr, (SELECT COUNT(*) FROM cur) AS nc
+    )
+    SELECT v AS ks_value,
+           CAST(nr AS BIGINT) AS ref_n,
+           CAST(nc AS BIGINT) AS cur_n,
+           CAST(abs(cr * nc - cum_c * nr) AS BIGINT) AS gap_num,
+           FLOOR(abs(cr * nc - cum_c * nr)
+                 / CAST(nr * nc AS DOUBLE) * 1000000) / 1000000 AS ks_stat
+    FROM cum CROSS JOIN tot
+    ORDER BY gap_num DESC, ks_value
+    LIMIT 1
+"""
+
+# Entity-resolution capstone: the Ed-Join replay (same prefixes/filters as
+# q_fuzzy_join, over the clean ∪ dirty record union) feeding a recursive-CTE
+# connected-components closure (q_dedup_clusters pattern), then golden-record
+# selection by cluster-min id.
+ORACLES["q_entity_resolution"] = """
+    WITH RECURSIVE clean AS (
+        SELECT doc_id AS id,
+               array_to_string(list_slice(list_filter(string_split(text, ' '),
+                                                      x -> x <> ''), 1, 4), ' ') AS name
+        FROM documents
+    ), dirty AS (
+        SELECT id + 1000000 AS id,
+               substring(name, 1, CAST(id % length(name) AS INTEGER))
+               || substring(name, CAST(id % length(name) AS INTEGER) + 2) AS name
+        FROM clean
+    ), recs AS (
+        SELECT * FROM clean UNION ALL SELECT * FROM dirty
+    ), grams AS (
+        SELECT 'l' AS side, id, name, length(name) AS len,
+               unnest(range(1, length(name))) AS p
+        FROM recs
+        UNION ALL
+        SELECT 'r' AS side, id, name, length(name) AS len,
+               unnest(range(1, length(name))) AS p
+        FROM recs
+    ), occ AS (
+        SELECT side, id, len, CAST(p AS INTEGER) AS p,
+               substring(name, CAST(p AS INTEGER), 2) AS g
+        FROM grams
+    ), gdf AS (
+        SELECT g, COUNT(*) AS df FROM occ GROUP BY g
+    ), ranked AS (
+        SELECT side, id, g, p, len,
+               ROW_NUMBER() OVER (
+                   PARTITION BY side, id
+                   ORDER BY df, g, p
+               ) AS rk
+        FROM occ JOIN gdf USING (g)
+    ), prefix AS (
+        SELECT side, id, g, p, len FROM ranked WHERE rk <= 3
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b
+          ON a.side = 'l' AND b.side = 'r' AND a.g = b.g
+         AND abs(a.p - b.p) <= 1 AND abs(a.len - b.len) <= 1
+         AND a.id < b.id
+    ), pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN recs ra ON ra.id = c.id_a
+        JOIN recs rb ON rb.id = c.id_b
+        WHERE levenshtein(ra.name, rb.name) <= 1
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+        SELECT id AS node, id AS lab FROM recs
+        UNION
+        SELECT e.dst AS node, r.lab
+        FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+        SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT l.node AS rec_id, r.name, l.cluster_id, g.name AS golden_name
+    FROM labels l
+    JOIN recs r ON r.id = l.node
+    JOIN recs g ON g.id = l.cluster_id
+    ORDER BY rec_id
+"""

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from nyc_bikeshare_datawarehouse_spark.functions import (
     contamination,
     dedup,
+    fuzzy,
     similarity,
     sketches,
     text,
@@ -3119,6 +3120,153 @@ def q_shard_assign(spark, sf_dir):
     )
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Exact bigram CONTAINMENT pairs (functions/dedup.py
+    `ngram_containment_pairs`): |A∩B| / min(|A|,|B|) >= 0.5 — the
+    sub-document duplication screen (short doc quoted inside a long one
+    scores ~1.0 while its jaccard stays low). Same inverted-index plan
+    as q_ngram_jaccard — (shingle_hash, id) shuffles, pair-repartitioned
+    single HashAggregate — only the measure differs."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        d, shingle_n=2, min_containment=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Ed-Join fuzzy string join (functions/fuzzy.py): repair
+    deterministically-corrupted document titles (one char deleted at
+    doc_id % len) back to the clean titles within Levenshtein <= 1 —
+    WITHOUT the all-pairs cross join. Candidates come from the rarest
+    (k·q+1)-gram prefixes under a union-wide df ordering with position
+    and length filters (lossless for len >= q, proven vs brute force in
+    tests/test_fuzzy.py); survivors verify with codegen levenshtein.
+    Shuffles carry (gram, id, pos, len) prefixes only."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
+    clean = d.select(F.col("doc_id").alias("clean_id"), title.alias("name"))
+    pos = (F.col("clean_id") % F.length("name")).cast("int") + 1
+    dirty = clean.select(
+        F.col("clean_id").alias("dirty_id"),
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), pos - 1),
+            F.substring(F.col("name"), pos + 1, F.length("name")),
+        ).alias("name"),
+    )
+    return fuzzy.fuzzy_join(
+        dirty, clean, "name", "dirty_id", "clean_id", k=1, q=2
+    ).orderBy("dirty_id", "clean_id")
+
+
+def q_concurrent_sessions(spark, sf_dir):
+    """Interval×interval overlap via time-bin blocking
+    (operators/interval.py): for every 30-min-gap session, how many
+    OTHER users' sessions overlap it in time. The general two-range
+    join the point-in-range family (q_range_bucket_join, q_asof_join)
+    can't express: both sides explode to covered hour bins, equi-join
+    on the bin, verify the exact overlap, distinct the pair ids, count.
+    Zero-overlap sessions survive via the left join back (degree 0)."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800, order_tiebreak="event_id")
+    stats = session_stats(s)
+    from nyc_bikeshare_datawarehouse_spark.operators.interval import (
+        concurrent_interval_counts,
+    )
+    return (
+        concurrent_interval_counts(
+            stats, "user_id", ["session_id"], bin_seconds=3600
+        )
+        .select(
+            "user_id", "session_id", "session_start", "session_end", "n_concurrent"
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between week-1 (reference) and week-4
+    (current) event values (functions/drift.py): decile edges from the
+    reference's own ntile quantiles under a total order, Laplace-smoothed
+    fractions, per-bin (p−q)·ln(p/q) floored to 6 decimals. The drift
+    monitor a training-data snapshot pipeline runs between crawls. Ref
+    slice shuffles once for the global ntile; the current slice only
+    meets the O(bins) broadcast edge frame — it never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    cur = ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+    from nyc_bikeshare_datawarehouse_spark.functions.drift import psi_table
+    return psi_table(ref, cur, "value", n_bins=10, tiebreak_col="event_id").orderBy(
+        "bin"
+    )
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Per-document avg add-one bigram log-probability against the
+    corpus' own bigram model (functions/text.py `bigram_logprob`) — the
+    order-2 LM quality filter: shuffled/garbled documents score far more
+    negative than fluent ones with the identical unigram mix. One
+    groupBy over the bigram stream for the model; per-occurrence re-join
+    keyed on the bigram (AQE splits hot collocations); V on a 1-row
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bigram_logprob(d).orderBy("doc_id")
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between week-1 and week-4
+    event values (functions/drift.py `ks_stat`) — the binning-free
+    companion to q_psi_drift. The argmax over CDF gaps is decided on
+    INTEGER cross-multiplied counts (no float enters the comparison);
+    the running CDFs come from ONE pass of the range-bucketed
+    two_phase_cumsum, never a single-task corpus window."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    cur = ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+    from nyc_bikeshare_datawarehouse_spark.functions.drift import ks_stat
+    return ks_stat(ref, cur, "value")
+
+
+def q_entity_resolution(spark, sf_dir):
+    """Record-linkage capstone: clean titles ∪ corrupted titles (one char
+    deleted at doc_id % len; dirty ids offset by 1,000,000) → Ed-Join
+    fuzzy edges (levenshtein <= 1, lossless gram-prefix candidates) →
+    connected components (min-label propagation, functions/dedup.py
+    `cluster_duplicates`) → golden record = the cluster-min record's
+    name. The full dedup lattice shape — candidates → verify → cluster →
+    apply — with EDIT-DISTANCE edges instead of jaccard/cosine, and an
+    end-to-end oracle (the closure replayed by a recursive CTE).
+    Shuffled pair streams are ids-only throughout."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
+    clean = d.select(F.col("doc_id").alias("rec_id"), title.alias("name"))
+    pos = (F.col("rec_id") % F.length("name")).cast("int") + 1
+    dirty = clean.select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), pos - 1),
+            F.substring(F.col("name"), pos + 1, F.length("name")),
+        ).alias("name"),
+    )
+    recs = clean.unionByName(dirty)
+    a = recs.select(F.col("rec_id").alias("id_a"), "name")
+    b = recs.select(F.col("rec_id").alias("id_b"), "name")
+    edges = fuzzy.fuzzy_pairs(a, b, "name", "id_a", "id_b", k=1, q=2).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    clusters = dedup.cluster_duplicates(
+        edges.select("id_a", "id_b"), recs.select("rec_id"), "rec_id"
+    )
+    golden = recs.select(
+        F.col("rec_id").alias("cluster_id"), F.col("name").alias("golden_name")
+    )
+    return (
+        clusters.join(recs, "rec_id")
+        .join(golden, "cluster_id")
+        .select("rec_id", "name", "cluster_id", "golden_name")
+        .orderBy("rec_id")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3189,6 +3337,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
     "q_histogram_quantiles": q_histogram_quantiles,
     "q_bpe_merge_step": q_bpe_merge_step,
+    "q_ngram_containment": q_ngram_containment,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_concurrent_sessions": q_concurrent_sessions,
+    "q_psi_drift": q_psi_drift,
+    "q_bigram_logprob": q_bigram_logprob,
+    "q_ks_drift": q_ks_drift,
+    "q_entity_resolution": q_entity_resolution,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,
