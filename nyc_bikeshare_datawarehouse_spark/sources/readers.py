@@ -208,3 +208,45 @@ def empty_frame(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Empty typed frame as a union seed (reference etl.py:108-109 built this
     from an empty RDD; this is the DataFrame-native form)."""
     return spark.createDataFrame([], schema)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text scan — one row per line (`value` string), or one row per
+    FILE with `wholetext` (the shape a document-per-file corpus lands
+    in before tokenization). `line_sep` overrides the newline delimiter
+    for corpora using e.g. NUL- or record-separator framing. Splittable
+    per-line at scale (files split on block boundaries); wholetext is
+    NOT splittable — one task per file, so shard large corpora into
+    many files before reading whole.
+
+    GOTCHA (PySpark 4, tested): the options MUST ride the `.text()`
+    keywords — `DataFrameReader.text()` re-applies its own keyword
+    defaults last, so a prior `.option("wholetext", "true")` is
+    silently overridden back to False."""
+    return spark.read.text(path, wholetext=whole_file, lineSep=line_sep)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Opaque-binary ingest via Spark's built-in `binaryFile` source —
+    the entry point of the multimodal column pipeline
+    (functions/multimodal.py): each matched file becomes one row
+    (path, modificationTime, length, content binary). `glob` filters by
+    pathGlobFilter (e.g. "*.png") at LISTING time — non-matching files
+    are never opened. Files load whole into `content`: bound per-file
+    size (spark.sql.sources.binaryFile.maxLength caps at ~2 GB) and
+    rely on many-files parallelism, not intra-file splits. Use
+    modificationTime-insensitive projections in deterministic
+    pipelines."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -125,3 +125,58 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "lang"}
     rows = {r["id"]: r["lang"] for r in merged.collect()}
     assert rows == {1: None, 2: "en"}  # old files null-fill the new column
+
+
+def test_read_text_lines_and_wholefile(spark, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(d))
+    assert lines.columns == ["value"]
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two", "solo",
+    ]
+    whole = read_text(spark, str(d), whole_file=True)
+    texts = sorted(r["value"] for r in whole.collect())
+    assert texts == ["line one\nline two\n", "solo\n"]
+
+
+def test_read_text_custom_line_sep(spark, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_text
+
+    f = tmp_path / "recs.dat"
+    f.write_text("rec1\x00rec2\x00rec3")
+    got = read_text(spark, str(f), line_sep="\x00")
+    assert sorted(r["value"] for r in got.collect()) == ["rec1", "rec2", "rec3"]
+
+
+def test_read_binary_files_glob_and_content(spark, tmp_path):
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "img1.png").write_bytes(b"\x89PNG fake")
+    (d / "img2.png").write_bytes(b"\x89PNG other")
+    (d / "notes.txt").write_bytes(b"skip me")
+    got = read_binary_files(spark, str(d), glob="*.png")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in got.collect()}
+    assert set(rows) == {"img1.png", "img2.png"}
+    assert bytes(rows["img1.png"]["content"]) == b"\x89PNG fake"
+    assert rows["img2.png"]["length"] == len(b"\x89PNG other")
+    # feeds straight into the multimodal feature extractor
+    from nyc_bikeshare_datawarehouse_spark.functions.multimodal import (
+        extract_features,
+    )
+    from pyspark.sql import functions as F
+
+    feats = extract_features(
+        got.select(
+            F.xxhash64("path").alias("asset_id"),  # FEATURE_SCHEMA wants long ids
+            F.lit("image").alias("modality"),
+            "content",
+        )
+    )
+    assert feats.count() == 2
