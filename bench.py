@@ -149,6 +149,7 @@ EXTENDED = [
     "q_psi_drift",
     "q_bigram_logprob",
     "q_ks_drift",
+    "q_dataset_card",
 ]
 
 

@@ -2740,3 +2740,34 @@ ORACLES["q_entity_resolution"] = """
     JOIN recs g ON g.id = l.cluster_id
     ORDER BY rec_id
 """
+
+ORACLES["q_dataset_card"] = """
+    WITH base AS (
+        SELECT source, lang, n_chars, doc_id,
+               md5(text) AS h,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+        FROM documents
+    ), agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               FLOOR(CAST(SUM(ntok) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_tokens,
+               FLOOR((1 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)) * 10000)
+                   / 10000 AS dup_rate
+        FROM base
+        GROUP BY source
+    ), ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM base
+    ), med AS (
+        SELECT source, n_chars AS median_chars
+        FROM ranked WHERE rn = FLOOR((n + 1) / 2)
+    )
+    SELECT agg.source, n_docs, n_langs, total_chars, avg_tokens, dup_rate,
+           median_chars
+    FROM agg JOIN med ON agg.source = med.source
+    ORDER BY agg.source
+"""

@@ -3267,6 +3267,47 @@ def q_entity_resolution(spark, sf_dir):
     )
 
 
+def q_dataset_card(spark, sf_dir):
+    """Per-source dataset card — the one-stop documentation row a corpus
+    release ships (datasheets-for-datasets practice, public literature):
+    doc/lang counts, total/median length, mean tokens, exact-dup rate.
+    Three shuffles, all keyed by `source`: one combined aggregate
+    (count/sum/countDistinct are map-side partial), and one window pass
+    for the discrete lower median under a total order (n_chars, doc_id).
+    A skewed giant source makes the median window the hot partition —
+    at 100 TB swap it for the two-phase rank or a quantile sketch; the
+    aggregate side is skew-immune (partial agg). Every output is an
+    exact integer or a floor-truncated integer ratio (`_trunc`)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.md5(F.col("text")).alias("__h"),
+        F.size(text.tokens("text")).alias("__ntok"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        _trunc(F.sum("__ntok").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_tokens"
+        ),
+        _trunc(
+            1 - F.countDistinct("__h").cast("double") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    med = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        .select("source", F.col("n_chars").alias("median_chars"))
+    )
+    return agg.join(med, "source").orderBy("source")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3344,6 +3385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bigram_logprob": q_bigram_logprob,
     "q_ks_drift": q_ks_drift,
     "q_entity_resolution": q_entity_resolution,
+    "q_dataset_card": q_dataset_card,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,

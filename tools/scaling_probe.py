@@ -60,9 +60,16 @@ SCALE_PATH = [
     # only on the suffix-disjoint corpus (claim ~1 in this regime)
     "q_span_dedup",
     "q_jaccard_prefix",
+    # round 7: Ed-Join gram prefixes — the `_k` token suffixes leave most
+    # within-title character grams shared ACROSS replicas (character
+    # space, not shingle space), so this measures the df-ordered prefix
+    # filter under gram-frequency GROWTH — the hostile regime (claim:
+    # well under 2; the rarest-gram prefix keeps hot grams unindexed)
+    "q_fuzzy_join",
+    "q_entity_resolution",
 ]
 #: oracle-exact quadratic verifiers: measured at the sf0.01 -> sf0.1 step
-EXACT = ["q_ngram_jaccard", "q_dedup_clusters"]
+EXACT = ["q_ngram_jaccard", "q_dedup_clusters", "q_ngram_containment"]
 
 
 def build_sfx(spark, replicas: int) -> str:
