@@ -20,9 +20,10 @@ only — document-frequency, per-string rank, and prefix cut are window
 functions over that one stream (same two-exchange plan as
 dedup.prefix_jaccard_candidates). The candidate equi-join is keyed by the
 gram; hot grams are exactly the ones the rarest-first prefix refuses to
-index. Verify joins the strings back by id. Strings shorter than q
-contribute no grams and are excluded by construction (callers with
-ultra-short keys should lower q or fall back to the exact join).
+index. Verify joins the strings back by id. Strings too short for the
+gram guarantee (both under q·(k+1) chars — including those under q with
+no grams at all) ride a separate length-band candidate branch, so the
+join is lossless for every input length (see fuzzy_pairs).
 """
 
 from __future__ import annotations
@@ -65,9 +66,24 @@ def fuzzy_pairs(
     q: int = 2,
 ) -> DataFrame:
     """(left_id, right_id, dist) for every cross pair with
-    levenshtein(left.str, right.str) <= k. LOSSLESS for strings of
-    length >= q (the Ed-Join prefix lemma; proven against brute force on
-    data in tests/test_fuzzy.py).
+    levenshtein(left.str, right.str) <= k. LOSSLESS for ALL strings
+    (proven against brute force + hypothesis in tests/test_fuzzy.py /
+    test_properties.py), via two candidate branches:
+
+    - gram branch (Ed-Join prefix lemma): covers every pair whose LONGER
+      string has length >= q·(k+1) — the count bound
+      |G(s)∩G(t)| >= max(|s|,|t|)−q+1−k·q then guarantees a shared gram,
+      and at most k·q of the k·q+1 rarest prefix grams can be destroyed
+      by k edits, so the prefixes must intersect (with positions within
+      k and lengths within k);
+    - short branch: pairs where BOTH strings are shorter than q·(k+1)
+      can share ZERO grams (found by hypothesis: 'aa'~'ab' at q=2,k=1
+      share no bigram), so short strings join on a length-band key
+      instead — each left length l meets right lengths l−k..l+k via an
+      explode(sequence) equi-join. Bounded: the short universe is
+      strings under q·(k+1) chars, a tiny distinct set at any corpus
+      size, and the k-band length filter is exact (|len diff| <= k is
+      necessary for distance <= k).
 
     The global gram ordering is document frequency over the UNION of both
     sides (ascending, ties by gram text) — both sides must rank against
@@ -99,15 +115,26 @@ def fuzzy_pairs(
         F.col("__p").alias("__pb"),
         F.col("__len").alias("__lb"),
     )
-    cand = (
+    cand_gram = (
         a.join(b, "__g")
         .filter(
             (F.abs(F.col("__pa") - F.col("__pb")) <= k)
             & (F.abs(F.col("__la") - F.col("__lb")) <= k)
         )
         .select(left_id, right_id)
-        .distinct()
     )
+    min_long = q * (k + 1)
+    short_l = left.filter(F.length(str_col) < min_long).select(
+        F.col(left_id), F.length(str_col).alias("__key")
+    )
+    short_r = right.filter(F.length(str_col) < min_long).select(
+        F.col(right_id),
+        F.explode(
+            F.sequence(F.length(str_col) - k, F.length(str_col) + k)
+        ).alias("__key"),
+    )
+    cand_short = short_l.join(short_r, "__key").select(left_id, right_id)
+    cand = cand_gram.unionByName(cand_short).distinct()
     ln = left.select(F.col(left_id), F.col(str_col).alias("__sl"))
     rn = right.select(F.col(right_id), F.col(str_col).alias("__sr"))
     return (

@@ -2497,7 +2497,10 @@ ORACLES["q_ngram_containment"] = """
 # Ed-Join replay: same union-wide df ordering, same (k*q+1)-gram prefixes,
 # same position/length filters, then exact levenshtein verify — the filter
 # chain is part of the checked semantics (losslessness additionally proven
-# against brute force in tests/test_fuzzy.py).
+# against brute force in tests/test_fuzzy.py). The engine's short-string
+# length-band branch (both sides under q·(k+1) chars) is provably empty
+# here — titles are 4 space-joined tokens, min length 14 — so the replay
+# omits it; the branch itself is brute-force- and hypothesis-verified.
 ORACLES["q_fuzzy_join"] = """
     WITH clean AS (
         SELECT doc_id AS clean_id,

@@ -88,3 +88,19 @@ def test_fuzzy_join_carries_strings(spark):
     rows = {(r["id_l"], r["id_r"], r["s_l"], r["s_r"], r["dist"]) for r in got.collect()}
     assert (0, 1, "hello", "hallo", 1) in rows
     assert (0, 0, "hello", "hello", 0) in rows
+
+
+def test_fuzzy_pairs_short_strings_lossless(spark):
+    # both-short pairs can share ZERO grams ('aa'~'ab' at q=2,k=1) — the
+    # hypothesis-found case the length-band branch exists for; mixes
+    # no-gram (len<q), short, boundary-length, and long strings
+    names = [(0, "aa"), (1, "ab"), (2, "a"), (3, "b"), (4, "abc"),
+             (5, "abcd"), (6, "abcde"), (7, "zz")]
+    df = spark.createDataFrame(names, ["id", "name"])
+    left = df.select(F.col("id").alias("id_l"), "name")
+    right = df.select(F.col("id").alias("id_r"), "name")
+    got = fuzzy.fuzzy_pairs(left, right, "name", "id_l", "id_r", k=1, q=2)
+    want = _brute(spark, left, right, 1)
+    assert rows_set(got) == rows_set(want)
+    pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs  # zero-shared-gram matches

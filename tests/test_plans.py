@@ -275,3 +275,62 @@ def test_bpe_merge_fold_no_extra_shuffle(spark, sf_dir):
     assert n_exchanges(plan) <= 2
     m = re.search(r"documents\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
     assert m and m.group(1).split(",") == ["text:string"]
+
+
+def test_fuzzy_join_no_cartesian_and_pruned_scan(spark, sf_dir):
+    # Ed-Join candidates ride a gram equi-join; nothing in the plan may
+    # degenerate to an all-pairs product, and the corpus scan reads only
+    # (doc_id, text)
+    plan = plan_of(spark, sf_dir, "q_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    m = re.search(r"documents\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and sorted(m.group(1).split(",")) == ["doc_id:bigint", "text:string"]
+
+
+def test_concurrent_sessions_bin_equijoin(spark, sf_dir):
+    # interval overlap goes through the time-bin equi-join — never a
+    # nested-loop over the session pairs
+    plan = plan_of(spark, sf_dir, "q_concurrent_sessions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_psi_drift_current_slice_binned_by_broadcast(spark, sf_dir):
+    # the O(bins) edge frame meets each slice via broadcast nested loop
+    # BY DESIGN (documented in functions/drift.py) — the slices themselves
+    # never shuffle for the binning
+    plan = plan_of(spark, sf_dir, "q_psi_drift")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ks_drift_takeordered_argmax(spark, sf_dir):
+    # the argmax row is a TakeOrdered(1), not a global sort; the CDF
+    # cumsum windows are bucket-partitioned (plus the one tiny offsets
+    # window over B bucket rows)
+    plan = plan_of(spark, sf_dir, "q_ks_drift")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_containment_pair_repartition(spark, sf_dir):
+    # pair counts must be pre-partitioned on the pair before the ONE
+    # HashAggregate (the q_ngram_jaccard plan discipline)
+    plan = plan_of(spark, sf_dir, "q_ngram_containment")
+    assert re.search(r"Exchange hashpartitioning\(id_a[^\n]*id_b", plan)
+
+
+def test_dataset_card_partial_agg_and_partitioned_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_dataset_card")
+    # partial aggregate before the source-keyed exchange
+    assert re.search(r"HashAggregate[^\n]*partial_", plan)
+    # the median window is partitioned by source, never a global window:
+    # every windowspecdefinition's first argument is the source key
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs and all("source" in s for s in specs)
+
+
+def test_bigram_logprob_scan_pruned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_bigram_logprob")
+    m = re.search(r"documents\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and sorted(m.group(1).split(",")) == ["doc_id:bigint", "text:string"]

@@ -283,3 +283,46 @@ def test_bpe_merge_fold_matches_sequential_scan(spark, syms, pair):
     df = spark.createDataFrame([(1, syms)], "id int, syms array<string>")
     got = list(bpe.apply_merge(df, pair[0], pair[1]).first()["syms"])
     assert got == py_merge(syms, pair[0], pair[1])
+
+
+# ---- Ed-Join fuzzy pairs: losslessness vs python levenshtein ----------------
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+# small alphabet ON PURPOSE: maximizes shared/hot grams, ties in the df
+# ordering, and accidental near-duplicates — the filter's hardest regime
+fuzzy_names = st.lists(
+    st.text(alphabet="abc", min_size=2, max_size=8), min_size=2, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(names=fuzzy_names, k=st.sampled_from([1, 2]))
+def test_fuzzy_pairs_lossless_vs_python(spark, names, k):
+    from nyc_bikeshare_datawarehouse_spark.functions.fuzzy import fuzzy_pairs
+
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    left = df.select(F.col("id").alias("id_l"), "name")
+    right = df.select(F.col("id").alias("id_r"), "name")
+    got = {
+        (r["id_l"], r["id_r"]): r["dist"]
+        for r in fuzzy_pairs(left, right, "name", "id_l", "id_r", k=k, q=2).collect()
+    }
+    want = {
+        (i, j): _py_lev(a, b)
+        for i, a in rows
+        for j, b in rows
+        if _py_lev(a, b) <= k
+    }
+    assert got == want
