@@ -150,6 +150,7 @@ EXTENDED = [
     "q_bigram_logprob",
     "q_ks_drift",
     "q_dataset_card",
+    "q_hilbert_layout",
 ]
 
 

@@ -2774,3 +2774,64 @@ ORACLES["q_dataset_card"] = """
     FROM agg JOIN med ON agg.source = med.source
     ORDER BY agg.source
 """
+
+
+def _hilbert_layout_sql(bits: int = 8) -> str:
+    """Generated level-by-level replay of the Hilbert xy→d rotation walk
+    (operators/layout.py:hilbert_value): each CTE level materializes the
+    rotated (x, y) and accumulated d, so the SQL stays linear in `bits`
+    while the engine-side expression is the same arithmetic unrolled.
+    Bit tests are (v // s) % 2 (== v & s for non-negative ints); the
+    2-bit quadrant id uses DuckDB's xor(). Every level's (x, y, d) gets
+    a UNIQUE name — re-aliasing `x AS x` in the same SELECT that also
+    reads `x` is a trap: DuckDB's lateral alias resolution makes the
+    sibling `y` expression read the NEW x (605/1024 wrong cells on a
+    32×32 probe), so the state columns are x0/x1/…, never shadowed."""
+    parts = [
+        "WITH l0 AS (\n"
+        "    SELECT o_orderkey,\n"
+        "           CAST(o_custkey % 256 AS BIGINT) AS x0,\n"
+        "           CAST(o_orderkey % 256 AS BIGINT) AS y0,\n"
+        "           CAST(o_custkey % 256 AS BIGINT) AS d1,\n"
+        "           CAST(o_orderkey % 256 AS BIGINT) AS d2,\n"
+        "           CAST(0 AS BIGINT) AS h0\n"
+        "    FROM orders\n"
+        ")"
+    ]
+    lvl = 0
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        i, j = lvl, lvl + 1
+        n1 = (1 << bits) - 1
+        rx = f"CAST((x{i} // {s}) % 2 AS BIGINT)"
+        ry = f"CAST((y{i} // {s}) % 2 AS BIGINT)"
+        parts.append(
+            f", l{j} AS (\n"
+            f"    SELECT o_orderkey, d1, d2,\n"
+            f"           CASE WHEN {ry} = 0 THEN\n"
+            f"                CASE WHEN {rx} = 1 THEN {n1} - y{i} ELSE y{i} END\n"
+            f"                ELSE x{i} END AS x{j},\n"
+            f"           CASE WHEN {ry} = 0 THEN\n"
+            f"                CASE WHEN {rx} = 1 THEN {n1} - x{i} ELSE x{i} END\n"
+            f"                ELSE y{i} END AS y{j},\n"
+            f"           h{i} + {s * s} * xor(3 * {rx}, {ry}) AS h{j}\n"
+            f"    FROM l{i}\n"
+            f")"
+        )
+        lvl += 1
+    parts.append(
+        f", ranked AS (\n"
+        f"    SELECT d1, d2,\n"
+        f"           ntile(64) OVER (ORDER BY h{lvl}, o_orderkey) AS bucket\n"
+        f"    FROM l{lvl}\n"
+        f")\n"
+        f"SELECT CAST(bucket AS INTEGER) AS bucket,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+        f"       MIN(d1) AS d1_min, MAX(d1) AS d1_max,\n"
+        f"       MIN(d2) AS d2_min, MAX(d2) AS d2_max\n"
+        f"FROM ranked GROUP BY bucket ORDER BY bucket"
+    )
+    return "".join(parts)
+
+
+ORACLES["q_hilbert_layout"] = _hilbert_layout_sql()

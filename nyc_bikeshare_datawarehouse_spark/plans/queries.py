@@ -3308,6 +3308,45 @@ def q_dataset_card(spark, sf_dir):
     return agg.join(med, "source").orderBy("source")
 
 
+def q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve clustering audit (operators/layout.py
+    `hilbert_value`) — q_zorder_layout's sibling with strictly better
+    locality: consecutive curve indices are always grid NEIGHBORS
+    (adjacency pinned against a pure-Python reference in
+    tests/test_layout.py), so each of the 64 index-contiguous cells
+    covers one connected blob and its per-dim bounding boxes stay tight
+    where z-order's big-bit jumps split a file across far-apart
+    rectangles. The quadrant-rotation walk (8 levels of conditional
+    reflect+swap) rides `with_hilbert`'s barriered per-level
+    materialization — linear expression growth; the single-expression
+    form at bits=8 is a ~4^8-node tree that stalls codegen for minutes
+    (measured; the same CollapseProject physics as dedup._materialized)
+    — and is replayed level-by-level in the generated CTE oracle.
+    Production write path: `write_hilbert` (repartitionByRange on the
+    index, no single-task sort); the global NTILE here is the
+    sequential verifier of cell assignment."""
+    from nyc_bikeshare_datawarehouse_spark.operators.layout import with_hilbert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("d1"),
+        (F.col("o_orderkey") % 256).alias("d2"),
+    )
+    hh = with_hilbert(o, F.col("d1"), F.col("d2"), bits=8, out_col="h")
+    b = hh.withColumn("bucket", F.ntile(64).over(Window.orderBy("h", "o_orderkey")))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+            F.min("d2").alias("d2_min"),
+            F.max("d2").alias("d2_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3386,6 +3425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ks_drift": q_ks_drift,
     "q_entity_resolution": q_entity_resolution,
     "q_dataset_card": q_dataset_card,
+    "q_hilbert_layout": q_hilbert_layout,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,
