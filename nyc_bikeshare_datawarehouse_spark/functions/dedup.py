@@ -1021,6 +1021,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     min_containment: float = 0.8,
+    pack_ids: bool = False,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT for all pairs sharing >= 1 shingle:
     |A ∩ B| / min(|A|, |B|) — the asymmetric cousin of jaccard that
@@ -1046,16 +1047,47 @@ def ngram_containment_pairs(
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    pair_counts = (
-        a.join(b, "sh")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .repartition("id_a", "id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = a.join(b, "sh").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if pack_ids:
+        # one 8-byte shuffle key instead of two (same ~20% measured win
+        # and the same long-cast + per-DOC range-guard discipline as
+        # ngram_jaccard_pairs — see the guard comment there)
+        pair_counts = (
+            joined.select(
+                F.shiftleft(F.col(f"a.{id_col}").cast("long"), 32)
+                .bitwiseOR(F.col(f"b.{id_col}").cast("long"))
+                .alias("__pk")
+            )
+            .repartition("__pk")
+            .groupBy("__pk")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                F.shiftright("__pk", 32).alias("id_a"),
+                F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+                "n_inter",
+            )
+        )
+    else:
+        pair_counts = (
+            joined.select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .repartition("id_a", "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    idc = F.col(id_col)
+    if pack_ids:
+        idc = F.when((idc >= 0) & (idc < (1 << 31)), idc).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_ids requires 0 <= id < 2^31, got "),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast(sizes.schema[id_col].dataType)
+        )
+    sa = sizes.select(idc.alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(idc.alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         pair_counts.join(sa, "id_a")
         .join(sb, "id_b")

@@ -180,3 +180,49 @@ def ks_stat(
         .orderBy(F.col("gap_num").desc(), F.col("ks_value"))
         .limit(1)
     )
+
+
+def psi_from_histograms(
+    ref_sketch: DataFrame,
+    cur_sketch: DataFrame,
+    n_bins: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI computed from two fixed-width histogram SKETCHES (the
+    (bin, cnt) frames of functions/sketches.histogram_sketch — including
+    states maintained incrementally by streaming/sketches'
+    foreachBatch maintainer): per-bin Laplace-smoothed
+    (p − q)·ln(p/q), same determinism contract as `psi_table`. This is
+    the STREAMING/rollup path of drift monitoring: the corpora are never
+    re-read — two O(n_bins) frames join, nothing else moves. Bins the
+    two sketches must share come from the same (lo, hi, n_bins) config;
+    missing bins count 0 on either side. Quantile-binned `psi_table`
+    and this fixed-width form answer the same question with different
+    bin semantics — use this one when the reference is a maintained
+    sketch rather than a queryable slice."""
+    spark = ref_sketch.sparkSession
+    all_bins = spark.range(n_bins).select(F.col("id").cast("bigint").alias("bin"))
+    r = all_bins.join(ref_sketch.withColumnRenamed("cnt", "ref_n"), "bin", "left")
+    c = all_bins.join(cur_sketch.withColumnRenamed("cnt", "cur_n"), "bin", "left")
+    rt = ref_sketch.agg(F.sum("cnt").alias("__rt"))
+    ct = cur_sketch.agg(F.sum("cnt").alias("__ct"))
+    scale = 10 ** round_to
+    joined = (
+        r.join(c, "bin")
+        .select(
+            "bin",
+            F.coalesce(F.col("ref_n"), F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce(F.col("cur_n"), F.lit(0)).cast("long").alias("cur_n"),
+        )
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+    )
+    rp = (F.col("ref_n") + 1).cast("double") / (F.col("__rt") + n_bins).cast("double")
+    cp = (F.col("cur_n") + 1).cast("double") / (F.col("__ct") + n_bins).cast("double")
+    contrib = F.floor((rp - cp) * F.log(rp / cp) * scale) / scale
+    return joined.select(
+        F.col("bin").cast("int").alias("bin"),
+        "ref_n",
+        "cur_n",
+        contrib.alias("psi_contrib"),
+    )

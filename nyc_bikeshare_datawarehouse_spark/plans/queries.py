@@ -3129,7 +3129,7 @@ def q_ngram_containment(spark, sf_dir):
     single HashAggregate — only the measure differs."""
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_containment_pairs(
-        d, shingle_n=2, min_containment=0.5
+        d, shingle_n=2, min_containment=0.5, pack_ids=True
     ).orderBy("id_a", "id_b")
 
 

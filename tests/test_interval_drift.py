@@ -241,3 +241,82 @@ class TestEntityResolution:
         got = {(r["rec_id"], r["cluster_id"]) for r in clusters.collect()}
         # 1-2 and 1-3 within distance 1 (transitively 2-3 at distance 2)
         assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+class TestContainmentPackIds:
+    def test_packed_equals_unpacked(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        d = load_table(spark, sf_dir, "documents").limit(150)
+        a = dedup.ngram_containment_pairs(d, min_containment=0.5, pack_ids=False)
+        b = dedup.ngram_containment_pairs(d, min_containment=0.5, pack_ids=True)
+        assert rows_set(a) == rows_set(b)
+
+    def test_packed_rejects_out_of_range_ids(self, spark):
+        import pytest
+        from pyspark.errors import PySparkRuntimeError
+        from py4j.protocol import Py4JJavaError
+
+        docs = spark.createDataFrame(
+            [(1 << 40, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+        )
+        with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+            dedup.ngram_containment_pairs(
+                docs, min_containment=0.1, pack_ids=True
+            ).collect()
+
+
+class TestPsiFromHistograms:
+    def test_identical_sketches_zero_and_streamed_state_usable(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+            histogram_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i % 64),) for i in range(512)], ["value"]
+        )
+        sk = histogram_sketch(df, "value", lo=0, hi=64, n_bins=64)
+        rows = drift.psi_from_histograms(sk, sk, n_bins=64).collect()
+        assert len(rows) == 64
+        assert all(abs(r["psi_contrib"]) == 0.0 for r in rows)
+        assert sum(r["ref_n"] for r in rows) == 512
+
+    def test_shifted_sketches_positive_psi(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+            histogram_sketch,
+        )
+
+        ref = spark.createDataFrame([(float(i % 32),) for i in range(512)], ["value"])
+        cur = spark.createDataFrame(
+            [(32.0 + float(i % 32),) for i in range(512)], ["value"]
+        )
+        rs = histogram_sketch(ref, "value", lo=0, hi=64, n_bins=64)
+        cs = histogram_sketch(cur, "value", lo=0, hi=64, n_bins=64)
+        psi = sum(
+            r["psi_contrib"]
+            for r in drift.psi_from_histograms(rs, cs, n_bins=64).collect()
+        )
+        assert psi > 0.25
+
+    def test_merged_daily_sketches_equal_full_slice(self, spark):
+        # the rollup claim: PSI(merge(day sketches), cur) == PSI(full ref, cur)
+        from nyc_bikeshare_datawarehouse_spark.functions.sketches import (
+            histogram_merge,
+            histogram_sketch,
+        )
+
+        day1 = spark.createDataFrame([(float(i % 40),) for i in range(200)], ["value"])
+        day2 = spark.createDataFrame([(float(i % 64),) for i in range(300)], ["value"])
+        full = day1.unionByName(day2)
+        cur = spark.createDataFrame([(float((i * 7) % 64),) for i in range(250)], ["value"])
+        merged = histogram_merge(
+            histogram_sketch(day1, "value", 0, 64, 64),
+            histogram_sketch(day2, "value", 0, 64, 64),
+        )
+        cs = histogram_sketch(cur, "value", 0, 64, 64)
+        a = {r["bin"]: r["psi_contrib"]
+             for r in drift.psi_from_histograms(merged, cs, 64).collect()}
+        b = {r["bin"]: r["psi_contrib"]
+             for r in drift.psi_from_histograms(
+                 histogram_sketch(full, "value", 0, 64, 64), cs, 64).collect()}
+        assert a == b

@@ -314,10 +314,10 @@ def test_ks_drift_takeordered_argmax(spark, sf_dir):
 
 
 def test_ngram_containment_pair_repartition(spark, sf_dir):
-    # pair counts must be pre-partitioned on the pair before the ONE
-    # HashAggregate (the q_ngram_jaccard plan discipline)
+    # pair counts must be pre-partitioned on the PACKED pair key before
+    # the ONE HashAggregate (the q_ngram_jaccard pack_ids discipline)
     plan = plan_of(spark, sf_dir, "q_ngram_containment")
-    assert re.search(r"Exchange hashpartitioning\(id_a[^\n]*id_b", plan)
+    assert re.search(r"Exchange hashpartitioning\(__pk", plan)
 
 
 def test_dataset_card_partial_agg_and_partitioned_window(spark, sf_dir):
@@ -334,3 +334,24 @@ def test_bigram_logprob_scan_pruned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_bigram_logprob")
     m = re.search(r"documents\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
     assert m and sorted(m.group(1).split(",")) == ["doc_id:bigint", "text:string"]
+
+
+def test_join_hint_steers_strategy_without_changing_results(spark, sf_dir):
+    # the join-strategy escape hatch when stats mislead Catalyst: hints
+    # change the PHYSICAL strategy only — results identical (the API a
+    # 100 TB deployment reaches for before any code rewrite)
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    pm = merged._jdf.queryExecution().executedPlan().toString()
+    ph = hashed._jdf.queryExecution().executedPlan().toString()
+    pb = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in pm
+    assert "ShuffledHashJoin" in ph
+    assert "BroadcastHashJoin" in pb
+    rows = [sorted(tuple(r) for r in df.collect()) for df in (merged, hashed, bcast)]
+    assert rows[0] == rows[1] == rows[2]
