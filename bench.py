@@ -151,6 +151,7 @@ EXTENDED = [
     "q_ks_drift",
     "q_dataset_card",
     "q_hilbert_layout",
+    "q_psi_histogram",
 ]
 
 

@@ -2835,3 +2835,36 @@ def _hilbert_layout_sql(bits: int = 8) -> str:
 
 
 ORACLES["q_hilbert_layout"] = _hilbert_layout_sql()
+
+ORACLES["q_psi_histogram"] = """
+    WITH ref AS (
+        SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    ), cur AS (
+        SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+    ), rs AS (
+        SELECT LEAST(63, GREATEST(0, CAST(FLOOR((value - 0) / 10) AS BIGINT))) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ref GROUP BY 1
+    ), cs AS (
+        SELECT LEAST(63, GREATEST(0, CAST(FLOOR((value - 0) / 10) AS BIGINT))) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cur GROUP BY 1
+    ), bins AS (
+        SELECT CAST(unnest(range(64)) AS BIGINT) AS bin
+    ), tot AS (
+        SELECT (SELECT SUM(cnt) FROM rs) AS rt, (SELECT SUM(cnt) FROM cs) AS ct
+    )
+    SELECT CAST(b.bin AS INTEGER) AS bin,
+           CAST(COALESCE(rs.cnt, 0) AS BIGINT) AS ref_n,
+           CAST(COALESCE(cs.cnt, 0) AS BIGINT) AS cur_n,
+           FLOOR((CAST(COALESCE(rs.cnt, 0) + 1 AS DOUBLE) / (rt + 64)
+                  - CAST(COALESCE(cs.cnt, 0) + 1 AS DOUBLE) / (ct + 64))
+                 * ln((CAST(COALESCE(rs.cnt, 0) + 1 AS DOUBLE) / (rt + 64))
+                      / (CAST(COALESCE(cs.cnt, 0) + 1 AS DOUBLE) / (ct + 64)))
+                 * 1000000) / 1000000 AS psi_contrib
+    FROM bins b
+    LEFT JOIN rs ON rs.bin = b.bin
+    LEFT JOIN cs ON cs.bin = b.bin
+    CROSS JOIN tot
+    ORDER BY bin
+"""

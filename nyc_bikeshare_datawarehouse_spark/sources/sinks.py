@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -195,3 +196,57 @@ def write_bucketed(
             fs.delete(jpath, True)
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    num_shards: int | None = None,
+    shard_by: Sequence[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines export — the interchange format training pipelines ship
+    (one JSON object per line, gzip/zstd-sharded). `num_shards`
+    repartitions to a fixed shard count (round-robin when `shard_by` is
+    None, hash-by-columns otherwise — co-locating a key into one shard);
+    omit it to keep the upstream partitioning (AQE-sized files).
+    Compression is per-file; gzip JSONL is NOT splittable — readers get
+    one task per shard, so pick num_shards >= the consuming
+    parallelism (or use zstd/none for splittable re-reads)."""
+    out = df
+    if num_shards is not None:
+        out = (
+            df.repartition(num_shards, *[F.col(c) for c in shard_by])
+            if shard_by
+            else df.repartition(num_shards)
+        )
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    sep: str = ",",
+    compression: str | None = None,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> None:
+    """CSV sink with the reference's timestamp format (etl.py:101
+    `timestampFormat 'yyyy-MM-dd HH:mm:ss'`) — interchange with
+    spreadsheet/warehouse loaders that still expect CSV. Quoting/escape
+    are Spark defaults (RFC-4180-ish); prefer parquet/JSONL for
+    anything that re-enters the engine."""
+    writer = (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("timestampFormat", timestamp_format)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)

@@ -129,3 +129,58 @@ def test_drop_table_external_keeps_data(spark, tmp_path):
     sinks.drop_table(spark, "t_external_keep")
     assert not spark.catalog.tableExists("t_external_keep")
     assert spark.read.parquet(ext).count() == 2
+
+
+def test_write_jsonl_roundtrip_sharded(spark, tmp_path):
+    import glob as g
+
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import read_jsonl
+    from nyc_bikeshare_datawarehouse_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 4) for i in range(100)],
+        "doc_id long, text string, score double",
+    )
+    path = str(tmp_path / "export")
+    write_jsonl(df, path, num_shards=4, compression="gzip")
+    files = g.glob(path + "/part-*.json.gz")
+    assert len(files) == 4
+    back = read_jsonl(spark, path, schema="doc_id long, text string, score double")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_write_jsonl_shard_by_colocates_keys(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(90)], "lang long, doc_id long"
+    )
+    path = str(tmp_path / "bylang")
+    write_jsonl(df, path, num_shards=3, shard_by=["lang"], compression=None)
+    back = spark.read.json(path).withColumn("f", F.input_file_name())
+    # every lang lands wholly inside one file
+    spread = back.groupBy("lang").agg(F.countDistinct("f").alias("nf")).collect()
+    assert all(r["nf"] == 1 for r in spread)
+
+
+def test_write_csv_roundtrip_with_timestamp_format(spark, tmp_path):
+    import datetime
+
+    from nyc_bikeshare_datawarehouse_spark.sources.sinks import write_csv
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 2, 3, 4, 5))], "id long, ts timestamp"
+    )
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    import glob as g
+
+    # header=true writes header-only files for EMPTY partitions too —
+    # scan every part, not part[0]
+    raw = "".join(open(f).read() for f in sorted(g.glob(path + "/part-*.csv")))
+    assert "2024-01-02 03:04:05" in raw  # the reference's timestampFormat
+    assert raw.splitlines()[0] == "id,ts"
