@@ -152,6 +152,8 @@ EXTENDED = [
     "q_dataset_card",
     "q_hilbert_layout",
     "q_psi_histogram",
+    "q_cohort_retention",
+    "q_token_pmi",
 ]
 
 

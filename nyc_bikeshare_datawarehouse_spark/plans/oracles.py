@@ -2868,3 +2868,55 @@ ORACLES["q_psi_histogram"] = """
     CROSS JOIN tot
     ORDER BY bin
 """
+
+ORACLES["q_cohort_retention"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                          / (CAST(7 AS BIGINT) * 86400 * 1000000)) AS BIGINT) AS week
+        FROM events
+    ), first AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id
+    ), joined AS (
+        SELECT a.user_id, f.cohort_week, a.week - f.cohort_week AS week_offset
+        FROM active a JOIN first f USING (user_id)
+    ), counts AS (
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM joined GROUP BY cohort_week, week_offset
+    ), sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY cohort_week
+    )
+    SELECT cohort_week, week_offset, n_active, cohort_size,
+           FLOOR(CAST(n_active AS DOUBLE) / cohort_size * 10000) / 10000
+               AS retention
+    FROM counts JOIN sizes USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+"""
+
+ORACLES["q_token_pmi"] = """
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), bi AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1
+    ), c2 AS (
+        SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY w2
+    ), n AS (
+        SELECT COUNT(*) AS n FROM bi
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           FLOOR(ln(CAST(c12 AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * c2))
+                 * 1000000) / 1000000 AS pmi
+    FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+"""

@@ -3368,6 +3368,96 @@ def q_psi_histogram(spark, sf_dir):
     return psi_from_histograms(rs, cs, n_bins=64).orderBy("bin")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the event stream — the classic
+    product-analytics triangle: cohort = the user's FIRST active week
+    (integer weeks since 2024-01-01), each later active week counts
+    into (cohort_week, week_offset), retention = active/cohort_size
+    floor-truncated. Three shuffles, all narrow keys: (user) for first
+    week + distinct active weeks, then (cohort, offset) counts, then a
+    broadcast-sized cohort-size join (cohorts are O(weeks), tiny at any
+    corpus size). All-integer until the final truncated ratio."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+        / (7 * 86400 * 1_000_000)
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = active.join(first, "user_id").select(
+        "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    )
+    counts = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            _trunc(F.col("n_active").cast("double") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q_token_pmi(spark, sf_dir):
+    """Top-50 adjacent-token collocations by pointwise mutual
+    information: pmi(w1,w2) = ln(c12·N / (c1·c2)) over the corpus bigram
+    stream, c1/c2 = position-specific marginals, support floor >= 5 —
+    the collocation-mining primitive (Church & Hanks 1990, public).
+    One bigram-stream groupBy + two marginal groupBys joined back on
+    single tokens (broadcast-sized vocabularies at this corpus; AQE
+    picks the strategy), N on a 1-row broadcast; the top-50 is
+    TakeOrdered under a total order, never a global sort. ln's inputs
+    are exact-int-derived doubles; pmi floor-truncated to 6."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(text.tokens("text").alias("__t")).filter(F.size("__t") >= 2)
+    bi = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at("__t", i).alias("w1"),
+                    F.element_at("__t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__bg")
+    ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = bi.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.floor(
+        F.log(
+            F.col("c12").cast("double") * F.col("n")
+            / (F.col("c1").cast("double") * F.col("c2"))
+        )
+        * 1_000_000
+    ) / 1_000_000
+    return (
+        c12.filter(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3448,6 +3538,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dataset_card": q_dataset_card,
     "q_hilbert_layout": q_hilbert_layout,
     "q_psi_histogram": q_psi_histogram,
+    "q_cohort_retention": q_cohort_retention,
+    "q_token_pmi": q_token_pmi,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,
