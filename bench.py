@@ -154,6 +154,7 @@ EXTENDED = [
     "q_psi_histogram",
     "q_cohort_retention",
     "q_token_pmi",
+    "q_ols_trend",
 ]
 
 

@@ -2920,3 +2920,28 @@ ORACLES["q_token_pmi"] = """
     ORDER BY pmi DESC, w1, w2
     LIMIT 50
 """
+
+ORACLES["q_ols_trend"] = """
+    WITH pts AS (
+        SELECT event_type,
+               CAST(FLOOR((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                          / (CAST(86400 AS BIGINT) * 1000000)) AS BIGINT) AS x,
+               CAST(FLOOR(value * 100) AS BIGINT) AS y
+        FROM events
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR(CAST(sy AS DOUBLE) / n / 100 * 10000) / 10000 AS mean_value,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) / 1000000
+               AS slope_cents_per_day
+    FROM stats
+    ORDER BY event_type
+"""

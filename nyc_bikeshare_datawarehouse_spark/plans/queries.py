@@ -3458,6 +3458,43 @@ def q_token_pmi(spark, sf_dir):
     )
 
 
+def q_ols_trend(spark, sf_dir):
+    """Per-event-type least-squares trend of value over time — closed-
+    form OLS from sufficient statistics, made ENGINE-EXACT by the
+    q_tpch_q9 integer pattern: x = integer day index, y = value in
+    integer cents (floor(v·100) cast long), so n/Σx/Σy/Σxy/Σx² are all
+    exact longs, the slope numerator n·Σxy − Σx·Σy and denominator
+    n·Σx² − (Σx)² are exact longs, and ONE floor-truncated division
+    produces the slope (cents/day, 6 dp). No float ever enters a sum —
+    the usual Σ(double) order-drift cannot occur. One groupBy keyed by
+    event_type (map-side partial agg), nothing else moves."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+        / (86400 * 1_000_000)
+    ).cast("long")
+    y = F.floor(F.col("value") * 100).cast("long")
+    stats = (
+        ev.select(F.col("event_type"), x.alias("__x"), y.alias("__y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__x").cast("long").alias("sx"),
+            F.sum("__y").cast("long").alias("sy"),
+            F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type",
+        "n",
+        _trunc(F.col("sy").cast("double") / F.col("n") / 100, 4).alias("mean_value"),
+        _trunc(num.cast("double") / den.cast("double"), 6).alias("slope_cents_per_day"),
+    ).orderBy("event_type")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3522,7 +3559,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
-    # --- new in r07 (no driver row yet): head of the r08 window
+    # --- new in r07 (no driver row yet, 18 queries): head of the r08
+    # --- window — next rotation should slide these into the first 50,
+    # --- followed by the oldest of the r05/r06 block below
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -3540,6 +3579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_psi_histogram": q_psi_histogram,
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
+    "q_ols_trend": q_ols_trend,
     # --- checked r05/r06 (newest rows current); next rotation candidates
     "q_mixture_epochs": q_mixture_epochs,
     "q_shard_assign": q_shard_assign,
