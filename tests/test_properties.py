@@ -326,3 +326,43 @@ def test_fuzzy_pairs_lossless_vs_python(spark, names, k):
         if _py_lev(a, b) <= k
     }
     assert got == want
+
+
+# ---- interval overlap join: bin blocking vs brute force ---------------------
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5000),
+              st.integers(min_value=0, max_value=3000)),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=intervals_strategy, right=intervals_strategy,
+       bin_seconds=st.sampled_from([60, 777, 3600]))
+def test_interval_overlap_matches_brute_force(spark, left, right, bin_seconds):
+    from nyc_bikeshare_datawarehouse_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    def frame(rows, idc):
+        data = [
+            (i, BASE + datetime.timedelta(seconds=s),
+             BASE + datetime.timedelta(seconds=s + d))
+            for i, (s, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"{idc} int, session_start timestamp, session_end timestamp"
+        )
+
+    l, r = frame(left, "lid"), frame(right, "rid")
+    got = {(x["lid"], x["rid"])
+           for x in interval_overlap_join(l, r, "lid", "rid",
+                                          bin_seconds=bin_seconds).collect()}
+    want = {
+        (i, j)
+        for i, (s1, d1) in enumerate(left)
+        for j, (s2, d2) in enumerate(right)
+        if s1 <= s2 + d2 and s2 <= s1 + d1
+    }
+    assert got == want

@@ -492,3 +492,36 @@ def test_kmv_stream_state_equals_batch_sketch(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(tmp_path / "kmv_state"))
     want = kmv_sketch(spark.read.parquet(src), "user_id", 32)
     assert rows_set(got) == rows_set(want)
+
+
+def test_streaming_drift_monitor_end_to_end(spark, sf_dir, tmp_path):
+    # the full streaming drift story: a stream-MAINTAINED histogram state
+    # is directly consumable by drift.psi_from_histograms — PSI against a
+    # current slice equals the all-batch computation bin for bin
+    from nyc_bikeshare_datawarehouse_spark.functions.drift import psi_from_histograms
+    from nyc_bikeshare_datawarehouse_spark.functions.sketches import histogram_sketch
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import histogram_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select("value")
+    src = str(tmp_path / "ref_src")
+    ref.repartition(3).write.parquet(src)
+    q = histogram_stream(
+        spark.readStream.schema(ref.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        "value", str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        lo=0, hi=500, n_bins=125,
+    )
+    q.awaitTermination()
+    streamed_state = spark.read.parquet(str(tmp_path / "state"))
+    cur_sketch = histogram_sketch(cur, "value", 0, 500, 125)
+    got = {r["bin"]: (r["ref_n"], r["cur_n"], r["psi_contrib"])
+           for r in psi_from_histograms(streamed_state, cur_sketch, 125).collect()}
+    want_ref = histogram_sketch(ref, "value", 0, 500, 125)
+    want = {r["bin"]: (r["ref_n"], r["cur_n"], r["psi_contrib"])
+            for r in psi_from_histograms(want_ref, cur_sketch, 125).collect()}
+    assert got == want
+    assert len(got) == 125
