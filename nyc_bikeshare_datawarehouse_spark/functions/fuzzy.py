@@ -163,3 +163,43 @@ def fuzzy_join(
     return pairs.join(ln, left_id).join(rn, right_id).select(
         left_id, right_id, "s_l", "s_r", "dist"
     )
+
+
+def fuzzy_pairs_distinct(
+    left: DataFrame,
+    right: DataFrame,
+    str_col: str = "name",
+    left_id: str = "id_l",
+    right_id: str = "id_r",
+    k: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """`fuzzy_pairs` over the DISTINCT string universe, expanded back to
+    id pairs — result-identical (tested), and THE production lever for
+    repeat-heavy corpora (BASELINE.md round-7 scaling note): real name
+    columns repeat enormously, so the gram index, candidate join, and
+    levenshtein verify all run on |distinct strings| — which grows
+    sublinearly — while the id expansion is two plain equi-joins on the
+    string. The 10× probe corpus is 100% distinct by construction (the
+    worst case, alpha 1.68); with repeats the candidate stage cost is
+    FLAT in row count. Expansion fan-out is (left multiplicity) ×
+    (right multiplicity) per matching string pair — exactly the true
+    output size, so nothing is wasted."""
+    lu = left.select(F.col(str_col).alias("__nl")).distinct()
+    ru = right.select(F.col(str_col).alias("__nr")).distinct()
+    name_pairs = fuzzy_pairs(
+        lu.select(F.col("__nl").alias("__kl"), F.col("__nl").alias(str_col)),
+        ru.select(F.col("__nr").alias("__kr"), F.col("__nr").alias(str_col)),
+        str_col,
+        "__kl",
+        "__kr",
+        k=k,
+        q=q,
+    )
+    lx = left.select(F.col(left_id), F.col(str_col).alias("__kl"))
+    rx = right.select(F.col(right_id), F.col(str_col).alias("__kr"))
+    return (
+        name_pairs.join(lx, "__kl")
+        .join(rx, "__kr")
+        .select(left_id, right_id, "dist")
+    )

@@ -104,3 +104,18 @@ def test_fuzzy_pairs_short_strings_lossless(spark):
     assert rows_set(got) == rows_set(want)
     pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
     assert (0, 1) in pairs and (2, 3) in pairs  # zero-shared-gram matches
+
+
+def test_fuzzy_pairs_distinct_equals_direct_on_repeat_heavy_data(spark):
+    # the production lever: same result as the direct form, but every
+    # expensive stage runs on |distinct strings| — here 300 rows share
+    # 6 distinct names
+    names = ["acme corp", "acme c0rp", "globex", "globexx", "initech", "zz"]
+    rows = [(i, names[i % len(names)]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    left = df.select(F.col("id").alias("id_l"), "name")
+    right = df.select(F.col("id").alias("id_r"), "name")
+    direct = fuzzy.fuzzy_pairs(left, right, "name", "id_l", "id_r", k=1, q=2)
+    dist = fuzzy.fuzzy_pairs_distinct(left, right, "name", "id_l", "id_r", k=1, q=2)
+    assert rows_set(dist) == rows_set(direct)
+    assert dist.count() > 300  # expansion produced the true multiplicities
