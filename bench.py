@@ -237,7 +237,12 @@ def main() -> None:
         extended[name] = round(run_query(spark, name, sf_dir, repeats=2), 3)
     extended_total = round(sum(extended.values()), 3)
 
-    print(json.dumps({
+    # The driver captures only a ~2000-char tail of stdout and parses the
+    # JSON line out of it: round 7's 88-query line overran the window and
+    # recorded as parsed=null. Keep the printed line compact (headline
+    # per-query detail + tier totals, < ~1 KB) and write the full
+    # per-query breakdown to BENCH_DETAIL.json for the judge.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -246,7 +251,20 @@ def main() -> None:
         "heavy_value": heavy_total,
         "extended_value": extended_total,
         "prep_sec": prep_sec,
-    }))
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "heavy_value": heavy_total,
+        "extended_value": extended_total,
+        "prep_sec": prep_sec,
+        "detail": "BENCH_DETAIL.json",
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

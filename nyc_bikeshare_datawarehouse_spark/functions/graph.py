@@ -1,0 +1,147 @@
+"""Iterative graph analytics over edge DataFrames.
+
+The reference has no graph operator; this extends the engine the same way
+the dedup connected-components loop does (functions/dedup.py
+`cluster_duplicates`): per-round join + aggregate with lineage truncated
+every iteration, state sized to the GRAPH (nodes/edges), never the corpus.
+
+PageRank here is the TextRank variant (Mihalcea & Tarau 2004, public
+literature): weighted, no dangling-mass redistribution, per-node update
+
+    S(v) = (1 - d) + d * sum_{u in In(v)} w_uv / outw_u * S(u)
+
+computed in FIXED-POINT integer arithmetic (nano-rank units, longs) so a
+10-iteration fixpoint is bit-identical across engines and across Spark's
+own nondeterministic partial-aggregation order — the q_ols_trend /
+q_tpch_q9 integer-exact pattern applied to an iterative algorithm. Float
+PageRank would amplify summation-order drift over iterations and make a
+hash oracle flaky; integer addition commutes exactly.
+
+Scale shape: per-iteration work is one shuffle join (ranks ⋈ edges on
+src) + one groupBy(dst) with map-side partial sums + one left join back
+to the node list — all keyed on node ids, state = |V| rows of two longs.
+The corpus-sized pass happens once, when the caller builds the edge
+list. At 100 TB of text the token graph is vocabulary-bounded, so the
+iterations run on megabytes while only edge construction sees the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: one rank unit == 1e9 "nano-rank"; (1-d) and d are exact rationals.
+UNIT = 1_000_000_000
+#: damping d = 0.85 as the exact pair (85, 100).
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Fixed-point weighted PageRank (TextRank formula) over an edge list.
+
+    `edges` must carry integer weights. Directed: callers wanting the
+    undirected TextRank graph union both orientations first. Returns
+    (node, score_nano) with score_nano a long in 1e-9 rank units.
+
+    Integer update (all ops exact in any engine):
+
+        contrib(u→v) = (S(u) * w_uv) div outw_u
+        S'(v)        = (1-d)*UNIT + (85 * Σ contrib) div 100
+
+    Bounds: Σ S(v) ≤ |V|·UNIT at every round (div floors), so with
+    vocabulary-scale |V| and weights < 2^32 every product stays far from
+    long overflow.
+
+    Each round is localCheckpoint'd: without lineage truncation the plan
+    doubles per iteration (same failure mode as the CC loop, see
+    functions/dedup.py `cluster_duplicates`, which also documents the
+    `reliable_checkpoint` trade-off for real clusters).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = e.join(outw, "src").localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("score_nano", F.lit(UNIT).cast("long"))
+    base = (UNIT // DAMP_DEN) * (DAMP_DEN - DAMP_NUM)  # (1-d)*UNIT exactly
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .select("dst", F.expr("(score_nano * w) div outw").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("tot"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(tot, 0L)) div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("score_nano"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def token_adjacency_edges(
+    df: DataFrame, text_col: str = "text", directed: bool = False
+) -> DataFrame:
+    """Build the token co-occurrence graph TextRank runs on: one edge per
+    distinct adjacent-token pair, weighted by corpus bigram count. The
+    single corpus-sized pass — one explode + one groupBy on the pair —
+    after which everything is vocabulary-sized.
+
+    `directed=False` (TextRank's undirected graph) emits both
+    orientations so `pagerank` sees symmetric in/out edges.
+    """
+    toks = df.select(F.filter(F.split(text_col, " "), lambda t: t != "").alias("t"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("src"),
+                    F.element_at("t", i + 1).alias("dst"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    directed_edges = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    if directed:
+        return directed_edges
+    # fold both orientations into one weight per unordered pair, then
+    # re-emit both directions (an a<->b pair must carry the SAME weight
+    # on each side for the undirected formula)
+    und = (
+        pairs.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
+    ).filter(F.col("src") != F.col("dst"))

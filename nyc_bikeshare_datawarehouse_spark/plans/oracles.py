@@ -2945,3 +2945,60 @@ ORACLES["q_ols_trend"] = """
     FROM stats
     ORDER BY event_type
 """
+
+
+def _textrank_sql(iters: int = 10, top_k: int = 20) -> str:
+    """Replay the fixed-point TextRank iteration as a generated pr0→prN
+    CTE chain (the hilbert/zorder generated-oracle pattern — DuckDB's
+    recursive CTEs restrict how the recursive term may be referenced, and
+    a fixed iteration count unrolls cleanly). Every arithmetic op is
+    integer (// is DuckDB integer division on integer operands), matching
+    functions/graph.py `pagerank` bit for bit; SUM's HUGEINT widening is
+    cast back to BIGINT inside each round."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""pr{k} AS (
+            SELECT n.node,
+                   CAST(150000000 + (85 * COALESCE(s.tot, 0)) // 100 AS BIGINT) AS score
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((p.score * e.w) // e.outw) AS tot
+                FROM pr{k - 1} p JOIN edges e ON p.node = e.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+        )""")
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), prs AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> {{'src': t[i], 'dst': t[i + 1]}})) AS p
+            FROM toks WHERE len(t) >= 2
+        ), und AS (
+            SELECT least(p.src, p.dst) AS a, greatest(p.src, p.dst) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM prs GROUP BY 1, 2
+        ), edges0 AS (
+            SELECT a AS src, b AS dst, w FROM und WHERE a <> b
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM und WHERE a <> b
+        ), outw AS (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges0 GROUP BY src
+        ), edges AS (
+            SELECT e.src, e.dst, e.w, o.outw FROM edges0 e JOIN outw o USING (src)
+        ), nodes AS (
+            SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+        ), pr0 AS (
+            SELECT node, CAST(1000000000 AS BIGINT) AS score FROM nodes
+        ),
+        {chain}
+        SELECT node AS token, score AS score_nano
+        FROM pr{iters}
+        ORDER BY score_nano DESC, token
+        LIMIT {top_k}
+    """
+
+
+ORACLES["q_textrank"] = _textrank_sql()
