@@ -539,3 +539,78 @@ def group_centroids(
         )
         .orderBy(group_col, "pos")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    tau: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    clustering embeddings and dropping, within each cluster, every vector
+    whose cosine similarity to a LOWER-id cluster-mate reaches `tau`
+    (lowest id = the deterministic "keep one representative per
+    epsilon-ball" rule). Returns every row tagged (cell, kept).
+
+    Engine-parity variant of the paper: the coarse quantizer is the
+    deterministic first-K codebook (`_centroids_frame`, the IVF seed
+    rule) instead of fitted KMeans, and per-cell assignment argmax runs
+    on ROUND(dot/|c|, 6) so the winning cell is identical in any engine
+    (ties at 6 decimals break to the lowest cell, matching a strict->
+    fold left-to-right).
+
+    Scale shape: assignment is one codegen expression per row against a
+    1-row broadcast codebook — no shuffle, no row blowup. The prune
+    self-joins WITHIN cells only, the paper's own regime: k grows with
+    corpus size so cells stay O(N/k); the join shuffles (cell) keys and
+    AQE splits hot cells. Nothing here is corpus-quadratic."""
+    cents = _centroids_frame(df, n_clusters, id_col, vec_col)
+    v = _vec(vec_col)
+    scores = F.zip_with(
+        F.col("__cents"),
+        F.sequence(F.lit(0), F.size("__cents") - 1),
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)),
+                6,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )
+    assigned = (
+        df.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col(vec_col), best["i"].alias("cell"))
+    )
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine("__va", "__vb"), 6) >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(removed.withColumn("__rm", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("__rm"), F.lit(True)).alias("kept"),
+        )
+    )

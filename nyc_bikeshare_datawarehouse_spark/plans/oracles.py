@@ -3002,3 +3002,158 @@ def _textrank_sql(iters: int = 10, top_k: int = 20) -> str:
 
 
 ORACLES["q_textrank"] = _textrank_sql()
+
+
+# SemDeDup: same deterministic codebook (first 8 vecs by id), same rounded
+# argmax (ROW_NUMBER over d DESC, cell ASC = the strict-> fold's lowest-
+# index tie rule), same rounded pairwise-cosine prune. list_dot_product /
+# list_cosine_similarity vs Spark's left-to-right fold hash-agree at
+# ROUND(,6) (q_cosine_topk precedent).
+ORACLES["q_semdedup"] = """
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), scores AS (
+        SELECT e.vec_id, c.cell,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                     / sqrt(list_dot_product(c.cv, c.cv)), 6) AS d
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cell ASC) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT b.vec_id AS removed
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])), 6) >= 0.8
+    ), removed AS (SELECT DISTINCT removed FROM pairs)
+    SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+           (r.removed IS NULL) AS kept
+    FROM assign a LEFT JOIN removed r ON a.vec_id = r.removed
+    ORDER BY a.vec_id
+"""
+
+
+# DSIR: portable md5 bucket hash (the '0x'||md5-prefix idiom), Laplace-
+# smoothed bucket log-ratios computed once per bucket (exact-int-derived
+# ln inputs), per-doc SUM floor-truncated (q_unigram_logprob precedent).
+ORACLES["q_dsir_select"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, (lang = 'en') AS tgt,
+               unnest(list_transform(range(1, len(t)), i ->
+                   CAST(('0x' || substring(md5('dsir:' || t[i] || ' ' || t[i + 1]), 1, 8))
+                        AS BIGINT) % 256)) AS b
+        FROM toks WHERE len(t) >= 2
+    ), stats AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS ct,
+               CAST(COUNT(*) AS DOUBLE) AS call
+        FROM feats GROUP BY b
+    ), tot AS (
+        SELECT CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS tt,
+               CAST(COUNT(*) AS DOUBLE) AS tall
+        FROM feats
+    ), ratio AS (
+        SELECT b, ln(((ct + 1) / (tt + 256))
+                     / ((call - ct + 1) / (tall - tt + 256))) AS r
+        FROM stats CROSS JOIN tot
+    )
+    SELECT doc_id, tgt AS is_target,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           FLOOR(SUM(r) * 10000) / 10000 AS weight
+    FROM feats JOIN ratio USING (b)
+    GROUP BY doc_id, tgt
+    ORDER BY doc_id
+"""
+
+# Naive Bayes: same add-one-smoothed class-conditional ln ratios, same
+# rule label (distinct-token ratio, exact int-derived double compare),
+# unseen tokens via the COALESCE(.,0)+1 smoothed-zero path.
+ORACLES["q_nb_quality"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), ttoks AS (
+        SELECT doc_id,
+               (CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.5) AS y,
+               unnest(t) AS tok
+        FROM toks WHERE doc_id % 5 <> 0
+    ), model AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+               CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE) AS c0
+        FROM ttoks GROUP BY tok
+    ), consts AS (
+        SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+               CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v,
+               CAST(COUNT(DISTINCT CASE WHEN y THEN doc_id END) AS DOUBLE) AS d1,
+               CAST(COUNT(DISTINCT CASE WHEN NOT y THEN doc_id END) AS DOUBLE) AS d0
+        FROM ttoks
+    ), stoks AS (
+        SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id % 5 = 0
+    ), scored AS (
+        SELECT s.doc_id,
+               ln((COALESCE(m.c1, 0) + 1) / (c.n1 + c.v))
+               - ln((COALESCE(m.c0, 0) + 1) / (c.n0 + c.v)) AS llr,
+               ln(c.d1 / c.d0) AS prior
+        FROM stoks s LEFT JOIN model m USING (tok) CROSS JOIN consts c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           FLOOR((MIN(prior) + SUM(llr)) * 10000) / 10000 AS nb_score
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+# CCNet terciles: replays q_bigram_logprob's model, then NTILE(3) per
+# language under the rounded-score + doc_id total order; group stats are
+# exact ints or min/max of the already-rounded score.
+ORACLES["q_perplexity_buckets"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1
+    ), v AS (
+        SELECT COUNT(DISTINCT w2) AS v FROM bi
+    ), lm AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 4)
+                   AS avg_logprob
+        FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+    ), bucketed AS (
+        SELECT d.lang, lm.n_bigrams, lm.avg_logprob,
+               NTILE(3) OVER (PARTITION BY d.lang
+                              ORDER BY lm.avg_logprob DESC, lm.doc_id ASC) AS bucket
+        FROM lm JOIN documents d USING (doc_id)
+    )
+    SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(avg_logprob) AS min_lp,
+           MAX(avg_logprob) AS max_lp,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+    FROM bucketed
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+"""

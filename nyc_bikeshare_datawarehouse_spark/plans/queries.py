@@ -23,6 +23,7 @@ from nyc_bikeshare_datawarehouse_spark.functions import (
     dedup,
     fuzzy,
     graph,
+    selection,
     similarity,
     sketches,
     text,
@@ -3522,6 +3523,55 @@ def q_textrank(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (functions/similarity.py `semdedup`): deterministic first-K codebook
+    assignment (1-row broadcast, codegen argmax on ROUND(dot/|c|,6)) +
+    within-cell cosine pruning at tau=0.8 keeping the lowest id per
+    epsilon-ball. Every row comes back tagged (cell, kept), so the
+    oracle checks the assignment AND the prune decision for the whole
+    table. Quadratic only within cells — the paper's regime (k scales
+    with the corpus), never across it."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(e, n_clusters=8, tau=0.8).orderBy("vec_id")
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023; functions/selection.py
+    `dsir_weights`): hashed-bigram features (portable md5 hash, 256
+    buckets), target = English docs, raw = the rest; every document
+    scored Σ ln(p_target/p_raw) over its feature occurrences. The bucket
+    model is 256 rows — broadcast by construction at any corpus size;
+    the corpus shuffles exactly twice (feature explode, per-doc sum)."""
+    d = _t(spark, sf_dir, "documents")
+    return selection.dsir_weights(d, F.col("lang") == "en").orderBy("doc_id")
+
+
+def q_nb_quality(spark, sf_dir):
+    """Multinomial Naive Bayes quality scorer (functions/selection.py
+    `nb_quality_scores`): train on the doc_id%5!=0 slice rule-labeled by
+    distinct-token ratio >= 0.5, score the held-out doc_id%5==0 slice by
+    smoothed log-odds. The model is vocabulary-sized and broadcast; the
+    exact-count arithmetic form of a fasttext-style quality filter."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    score = d.filter(F.col("doc_id") % 5 == 0)
+    tok = text.tokens("text")
+    label = F.size(F.array_distinct(tok)).cast("double") / F.size(tok) >= 0.5
+    return selection.nb_quality_scores(train, score, label).orderBy("doc_id")
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2019;
+    functions/selection.py `perplexity_buckets`): per-language terciles
+    over the corpus-self bigram-LM fluency score, reported as per
+    (lang, bucket) membership stats. NTILE rides a language-partitioned
+    window under a rounded-score total order (doc_id tiebreak), so
+    membership is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return selection.perplexity_buckets(d)
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3537,6 +3587,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first (no driver rows), then the 18 round-7 queries with no
     # --- row yet; the rest of the window refreshes the oldest r05 rows
     "q_textrank": q_textrank,
+    "q_semdedup": q_semdedup,
+    "q_dsir_select": q_dsir_select,
+    "q_nb_quality": q_nb_quality,
+    "q_perplexity_buckets": q_perplexity_buckets,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,

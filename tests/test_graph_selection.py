@@ -1,0 +1,130 @@
+"""Tests for the graph (PageRank/TextRank) and data-selection families."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.functions import graph, selection, similarity, text
+
+
+def _pagerank_reference(edges, iters=10):
+    """Pure-Python replay of the fixed-point update for a tiny graph.
+    edges: list of (src, dst, w) — directed, as fed to pagerank()."""
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    score = {n: graph.UNIT for n in nodes}
+    base = (graph.UNIT // graph.DAMP_DEN) * (graph.DAMP_DEN - graph.DAMP_NUM)
+    for _ in range(iters):
+        tot = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            tot[d] += (score[s] * w) // outw[s]
+        score = {n: base + (graph.DAMP_NUM * tot[n]) // graph.DAMP_DEN for n in nodes}
+    return score
+
+
+class TestPagerank:
+    def test_matches_pure_python_fixpoint(self, spark):
+        edges = [("a", "b", 3), ("b", "a", 3), ("b", "c", 1),
+                 ("c", "b", 1), ("c", "a", 2), ("a", "c", 2)]
+        df = spark.createDataFrame(edges, "src string, dst string, weight long")
+        got = {r["node"]: r["score_nano"] for r in graph.pagerank(df, iters=10).collect()}
+        assert got == _pagerank_reference(edges, iters=10)
+
+    def test_hub_outranks_leaf(self, spark):
+        # star graph: center receives from every leaf
+        edges = [(f"l{i}", "hub", 1) for i in range(5)] + [
+            ("hub", f"l{i}", 1) for i in range(5)
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, weight long")
+        got = {r["node"]: r["score_nano"] for r in graph.pagerank(df, iters=10).collect()}
+        assert got["hub"] > got["l0"]
+        assert len({got[f"l{i}"] for i in range(5)}) == 1  # symmetric leaves tie
+
+    def test_token_adjacency_undirected_symmetric(self, spark):
+        df = spark.createDataFrame([("a b a",)], "text string")
+        got = {(r["src"], r["dst"]): r["weight"]
+               for r in graph.token_adjacency_edges(df).collect()}
+        # "a b" + "b a" fold into one unordered pair of weight 2, re-emitted
+        # in both directions with the SAME weight
+        assert got == {("a", "b"): 2, ("b", "a"): 2}
+
+    def test_self_loops_dropped(self, spark):
+        df = spark.createDataFrame([("a a b",)], "text string")
+        got = {(r["src"], r["dst"]) for r in graph.token_adjacency_edges(df).collect()}
+        assert ("a", "a") not in got and ("a", "b") in got
+
+
+class TestSemdedup:
+    def test_exact_duplicate_pruned_lowest_id_kept(self, spark):
+        rows = [
+            (0, [1.0, 0.0]), (1, [0.0, 1.0]),     # the 2-cell codebook
+            (2, [1.0, 0.001]),                     # near-dup of 0's cell rep
+            (3, [1.0, 0.0]),                       # exact dup of 0
+            (4, [0.0, -1.0]),                      # anti-aligned: own ball
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: (r["cell"], r["kept"])
+               for r in similarity.semdedup(df, n_clusters=2, tau=0.95).collect()}
+        assert got[0] == (0, True)          # lowest id in its epsilon-ball
+        assert got[2] == (0, False)         # cos(0,2) ~ 1 > tau
+        assert got[3] == (0, False)
+        assert got[1] == (1, True)
+        assert got[4][1] is True            # cos to cellmates <= 0 < tau
+
+    def test_kept_count_monotone_in_tau(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+        e = load_table(spark, sf_dir, "embeddings")
+        loose = similarity.semdedup(e, tau=0.95).filter("kept").count()
+        tight = similarity.semdedup(e, tau=0.7).filter("kept").count()
+        assert tight <= loose
+
+
+class TestSelection:
+    @pytest.fixture()
+    def corpus(self, spark):
+        # target-looking docs share 'alpha beta'; raw docs share 'zig zag'
+        rows = [
+            (0, "alpha beta alpha beta gamma", "en"),
+            (1, "alpha beta delta alpha beta", "en"),
+            (2, "zig zag zig zag zig", "de"),
+            (3, "zig zag other zig zag", "de"),
+            (4, "alpha beta zig zag mixed", "fr"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_dsir_target_features_score_higher(self, spark, corpus):
+        out = {r["doc_id"]: r["weight"]
+               for r in selection.dsir_weights(corpus, F.col("lang") == "en").collect()}
+        # doc 4 mixes both; target-only docs must outscore raw-only docs
+        assert out[0] > out[2] and out[1] > out[3]
+        assert out[2] < 0 < out[0]
+
+    def test_nb_separates_classes(self, spark):
+        rows = [(i, "good clean prose here", ) for i in range(0, 8, 2)] + [
+            (i, "spam spam spam spam", ) for i in range(1, 8, 2)
+        ] + [(8, "good clean prose here",), (9, "spam spam spam spam",)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        train = df.filter("doc_id < 8")
+        score = df.filter("doc_id >= 8")
+        label = F.lit(True) == (F.instr("text", "spam") == 0)
+        out = {r["doc_id"]: r["nb_score"]
+               for r in selection.nb_quality_scores(train, score, label).collect()}
+        assert out[8] > 0 > out[9]
+
+    def test_perplexity_buckets_partition_language(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+        d = load_table(spark, sf_dir, "documents")
+        out = selection.perplexity_buckets(d).collect()
+        per_lang = {}
+        for r in out:
+            per_lang.setdefault(r["lang"], []).append(r)
+            assert r["min_lp"] <= r["max_lp"]
+        for lang, rows in per_lang.items():
+            assert [r["bucket"] for r in rows] == [1, 2, 3]
+            # head bucket is the most fluent: its minimum beats tail's max
+            assert rows[0]["min_lp"] >= rows[2]["max_lp"]
