@@ -614,3 +614,73 @@ def semdedup(
             F.coalesce(~F.col("__rm"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.5,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with tf-idf-weighted cosine similarity >=
+    `min_cosine` — the weighted-bag sibling of the exact n-gram Jaccard
+    family: rare shared terms count for more, repeated terms for more
+    than once (both invisible to set Jaccard).
+
+    tf = per-doc term count; idf = ln((N+1)/(df+1)) + 1 (the standard
+    smoothed form); cosine over the weighted vectors, floor-truncated to
+    4 decimals so the threshold compare is engine-exact.
+
+    Scale shape: the pair stream comes from an inverted index keyed on
+    the term, so only documents SHARING a term ever meet — never an
+    all-pairs join. `max_df` caps posting lengths (terms in more than
+    `max_df` documents are dropped from the FEATURE SPACE, norms
+    included): unlike Jaccard prefix filtering this changes the measure
+    — it is the standard stopword/df-pruning of IR practice, and the
+    oracle replays the same pruned definition exactly. With the cap,
+    per-term pair fan-out is bounded by max_df² and total work scales
+    with the corpus, not its square; max_df=None keeps the exact measure
+    (the quadratic oracle-tier form, same regime note as
+    q_ngram_jaccard)."""
+    tf = (
+        df.select(F.col(id_col), F.explode(F.filter(F.split(text_col, " "), lambda t: t != "")).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    weights = (
+        tf.join(dfreq, "__tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "__tok",
+            (
+                F.col("__tf")
+                * (F.log((F.col("__n") + 1) / (F.col("__df") + 1)) + 1)
+            ).alias("__w"),
+        )
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    )
+    a = weights.select(F.col(id_col).alias("id_a"), "__tok", F.col("__w").alias("__wa"))
+    b = weights.select(F.col(id_col).alias("id_b"), "__tok", F.col("__w").alias("__wb"))
+    dots = (
+        a.join(b, "__tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
+    sim = F.floor(F.col("__dot") / (F.col("__na") * F.col("__nb")) * 10000) / 10000
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= min_cosine)
+    )

@@ -559,3 +559,72 @@ def bigram_logprob(
             F.round(F.avg(F.log(p)), round_to).alias("avg_logprob"),
         )
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    seg_len: int = 8,
+    min_docs: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Template/boilerplate removal, the line-dedup step of public web-
+    corpus pipelines (CCNet / RefinedWeb line-level dedup): a segment
+    that recurs VERBATIM across `min_docs`+ distinct documents of the
+    same group (site/domain/source) is navigation or template text, not
+    content, and is stripped from every document while unique segments
+    keep their order. Corpora with newline structure segment on lines;
+    this corpus has none, so segments are fixed `seg_len`-token windows
+    (the operator is segmentation-agnostic).
+
+    Returns (id, group, n_segments, n_removed, clean_text).
+
+    Scale shape: one explode to segments, one groupBy on
+    (group, md5(segment)) with countDistinct(doc) — partial-agg
+    friendly, keyed on a 128-bit hash — and one hash-keyed re-join;
+    reassembly is a per-document collect of that document's OWN
+    segments (bounded by document length, never corpus-sized). Linear
+    end to end."""
+    t = tokens(text_col)
+    segs = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(t) / seg_len).cast("long") - 1),
+                lambda i: F.struct(
+                    i.alias("idx"),
+                    F.concat_ws(
+                        " ", F.slice(t, i * seg_len + 1, seg_len)
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(id_col, group_col, F.col("__s.idx").alias("__idx"), F.col("__s.seg").alias("__seg"))
+    dfc = segs.groupBy(
+        F.col(group_col).alias("__g"), F.md5("__seg").alias("__h")
+    ).agg(F.count_distinct(F.col(id_col)).alias("__cnt"))
+    flagged = segs.join(
+        dfc,
+        (F.col(group_col) == F.col("__g")) & (F.md5(F.col("__seg")) == F.col("__h")),
+    ).select(
+        id_col,
+        group_col,
+        "__idx",
+        "__seg",
+        (F.col("__cnt") >= min_docs).alias("__rm"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__idx"), F.col("__rm"), F.col("__seg")))
+    )
+    return flagged.groupBy(id_col, group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("__rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(ordered, lambda s: ~s["__rm"]), lambda s: s["__seg"]
+            ),
+        ).alias("clean_text"),
+    )

@@ -3157,3 +3157,117 @@ ORACLES["q_perplexity_buckets"] = """
     GROUP BY lang, bucket
     ORDER BY lang, bucket
 """
+
+
+# tf-idf cosine with the same max_df=64 posting cap; sklearn-style
+# smoothed idf; dot and norms from the identical weighted postings.
+# Floor-truncated similarity so the threshold compare is engine-exact.
+ORACLES["q_tfidf_cosine"] = """
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ) GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok HAVING COUNT(*) <= 64
+    ), n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), w AS (
+        SELECT tf.doc_id, tf.tok,
+               tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1) AS w
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ), norms AS (
+        SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           FLOOR(dot / (na.nrm * nb.nrm) * 10000) / 10000 AS cosine_sim
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE FLOOR(dot / (na.nrm * nb.nrm) * 10000) / 10000 >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+# Boilerplate removal: same 8-token segmentation (list slice clamps at
+# the tail exactly like Spark's slice), same (source, md5(seg))
+# distinct-doc threshold, cleaned text reassembled in segment order and
+# md5'd — every byte of every output document is checked.
+ORACLES["q_boilerplate_removal"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, lang, s['idx'] AS idx, s['seg'] AS seg
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(t) / 4.0) AS BIGINT)),
+                       i -> {'idx': i,
+                             'seg': array_to_string(t[i * 4 + 1 : i * 4 + 4], ' ')}
+                   )) AS s
+            FROM toks
+        )
+    ), dfc AS (
+        SELECT lang, md5(seg) AS h, COUNT(DISTINCT doc_id) AS cnt
+        FROM segs GROUP BY lang, md5(seg)
+    ), flagged AS (
+        SELECT s.doc_id, s.lang, s.idx, s.seg, (d.cnt >= 3) AS rm
+        FROM segs s JOIN dfc d ON s.lang = d.lang AND md5(s.seg) = d.h
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(array_to_string(list(seg ORDER BY idx) FILTER (WHERE NOT rm), ' '))
+               AS clean_md5
+    FROM flagged
+    GROUP BY doc_id, lang
+    ORDER BY doc_id
+"""
+
+
+# Navigation functions under a total (ts, event_id) order; whole-
+# partition ROWS frames made explicit because the engines' DEFAULT
+# frames differ (range-to-current vs whole partition).
+ORACLES["q_window_navigation"] = """
+    SELECT event_id, user_id,
+           FIRST_VALUE(event_type) OVER w AS first_et,
+           LAST_VALUE(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_et,
+           NTH_VALUE(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_et,
+           COALESCE(LEAD(event_type, 1) OVER w, 'none') AS next_et,
+           FLOOR(CUME_DIST() OVER w * 10000) / 10000 AS cume
+    FROM events
+    WHERE user_id % 10 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+"""
+
+# Bag-semantics set ops; both engines implement EXCEPT ALL/INTERSECT ALL
+# by per-value occurrence counts.
+ORACLES["q_bag_set_ops"] = """
+    SELECT 'except_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    ORDER BY op, o_custkey
+"""

@@ -3572,6 +3572,83 @@ def q_perplexity_buckets(spark, sf_dir):
     return selection.perplexity_buckets(d)
 
 
+def q_tfidf_cosine(spark, sf_dir):
+    """tf-idf weighted cosine pairs (functions/similarity.py
+    `tfidf_cosine_pairs`): the weighted-bag sibling of exact n-gram
+    Jaccard — rare shared terms weigh more, term repetition counts. The
+    pair stream rides the inverted index with the standard IR df-cap
+    (max_df=64 posting cutoff, replayed identically by the oracle), so
+    per-term fan-out is bounded max_df² and the plan scales with the
+    corpus, not its square."""
+    d = _t(spark, sf_dir, "documents")
+    return similarity.tfidf_cosine_pairs(d, min_cosine=0.5, max_df=64).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Per-source template stripping (functions/text.py
+    `remove_boilerplate`, the CCNet/RefinedWeb line-dedup step on
+    4-token segments): a segment recurring verbatim in >= 3 docs of one
+    language slice is template text and is removed everywhere, order
+    preserved (grouping by lang rather than source exercises the removal
+    path on this corpus — the same operator, a different group key).
+    Every byte of every cleaned document is hash-checked via md5. One
+    explode + one (group, segment-hash) countDistinct + one hash-keyed
+    re-join — linear at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.remove_boilerplate(d, seg_len=4, min_docs=3, group_col="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_segments",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def q_window_navigation(spark, sf_dir):
+    """Window navigation-function coverage in one pass: first/last/nth
+    value over explicit ROWS frames, lead with a default, cume_dist —
+    the §2.7 members not yet individually pinned. Frames are explicit on
+    both sides (engines disagree on nth_value/last_value DEFAULT frames:
+    range-to-current vs whole-partition). The order key (ts, event_id)
+    is total, so every value is engine-exact; cume_dist is floor-
+    truncated. Per-user windows partition naturally at scale."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_et"),
+        F.last("event_type").over(whole).alias("last_et"),
+        F.nth_value("event_type", 2).over(whole).alias("second_et"),
+        F.lead("event_type", 1, "none").over(w).alias("next_et"),
+        _trunc(F.cume_dist().over(w), 4).alias("cume"),
+    ).orderBy("event_id")
+
+
+def q_bag_set_ops(spark, sf_dir):
+    """Multiset EXCEPT ALL / INTERSECT ALL (Spark exceptAll /
+    intersectAll — the bag twins of r01's q_subtract/q_intersect, which
+    are DISTINCT forms): customer keys of open orders vs urgent orders,
+    duplicates preserved per bag semantics. Both engines implement bag
+    difference by occurrence count, so the multiset hash must agree.
+    Scale: hash-partitioned on the value like any distinct — one
+    shuffle each."""
+    o = _t(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent_keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ex = open_keys.exceptAll(urgent_keys).select(
+        F.lit("except_all").alias("op"), "o_custkey"
+    )
+    inter = open_keys.intersectAll(urgent_keys).select(
+        F.lit("intersect_all").alias("op"), "o_custkey"
+    )
+    return ex.unionByName(inter).orderBy("op", "o_custkey")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3591,6 +3668,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dsir_select": q_dsir_select,
     "q_nb_quality": q_nb_quality,
     "q_perplexity_buckets": q_perplexity_buckets,
+    "q_tfidf_cosine": q_tfidf_cosine,
+    "q_boilerplate_removal": q_boilerplate_removal,
+    "q_window_navigation": q_window_navigation,
+    "q_bag_set_ops": q_bag_set_ops,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,

@@ -128,3 +128,50 @@ class TestSelection:
             assert [r["bucket"] for r in rows] == [1, 2, 3]
             # head bucket is the most fluent: its minimum beats tail's max
             assert rows[0]["min_lp"] >= rows[2]["max_lp"]
+
+
+class TestTfidfCosine:
+    def test_identical_docs_similar_and_threshold_cuts(self, spark):
+        rows = [
+            (1, "rare terms shared exactly here"),
+            (2, "rare terms shared exactly here"),
+            (3, "completely unrelated other words"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+               for r in similarity.tfidf_cosine_pairs(df, min_cosine=0.5, max_df=None).collect()}
+        assert (1, 2) in got and got[(1, 2)] >= 0.999
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_max_df_drops_stopword_only_pairs(self, spark):
+        # docs share ONLY the ubiquitous token 'the' (df=3 > max_df=2)
+        rows = [(1, "the alpha"), (2, "the beta"), (3, "the gamma")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert similarity.tfidf_cosine_pairs(df, min_cosine=0.01, max_df=2).count() == 0
+        assert similarity.tfidf_cosine_pairs(df, min_cosine=0.01, max_df=None).count() == 3
+
+
+class TestBoilerplate:
+    def test_recurring_segment_stripped_order_kept(self, spark):
+        tpl = "subscribe to our newsletter now"          # 5 tokens -> seg of 5
+        rows = [
+            (1, f"unique one {tpl}", "s"),
+            (2, f"{tpl} unique two content", "s"),
+            (3, f"other text then {tpl}", "s"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # seg_len=5 aligns the template only for doc 2 (segment boundaries
+        # are positional) — use seg_len=1 so recurrence is per-token
+        out = {r["doc_id"]: r for r in text.remove_boilerplate(
+            df, seg_len=1, min_docs=3).collect()}
+        for did, kept in [(1, "unique one"), (2, "unique two content"),
+                          (3, "other text then")]:
+            assert out[did]["clean_text"] == kept
+            assert out[did]["n_removed"] == 5
+        assert out[1]["n_segments"] == 7
+
+    def test_below_threshold_untouched(self, spark):
+        rows = [(1, "a b", "s"), (2, "a b", "s")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = text.remove_boilerplate(df, seg_len=1, min_docs=3).collect()
+        assert all(r["n_removed"] == 0 for r in out)
