@@ -170,3 +170,149 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         .withColumn("frame_ms", F.col("frame_idx") * F.lit(every_ms))
         .withColumn("frame_content", F.lit(None).cast("binary"))
     )
+
+
+PHASH_SCHEMA = "asset_id long, phash long"
+
+
+def _fake_decode_gray(payload: bytes, size: int = 32):
+    """Deterministic 32×32 grayscale stand-in for a real image decode:
+    md5-keystream pixels. NOT a decoder — real deployments inject
+    `decode_fn` (e.g. PIL → grayscale ndarray); identical payloads give
+    identical pixels, which is the property the pHash plumbing tests."""
+    import numpy as np
+
+    out = bytearray()
+    counter = 0
+    seed = payload or b""
+    while len(out) < size * size:
+        out += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    arr = np.frombuffer(bytes(out[: size * size]), dtype=np.uint8)
+    return arr.reshape(size, size).astype("float64")
+
+
+def _dct2(block):
+    """Orthonormal 2-D DCT-II via explicit basis matmul (no scipy)."""
+    import numpy as np
+
+    n = block.shape[0]
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    c = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    c[0, :] /= np.sqrt(2.0)
+    return c @ block @ c.T
+
+
+def _phash64(gray) -> int:
+    """Classic 64-bit perceptual hash (public pHash recipe): 32×32 DCT,
+    keep the top-left 8×8 low-frequency block, drop the DC term, set a
+    bit where the coefficient exceeds the median of the 63 AC terms."""
+    import numpy as np
+
+    coeffs = _dct2(gray)[:8, :8].flatten()
+    ac = coeffs[1:]
+    med = float(np.median(ac))
+    bits = 0
+    for idx, v in enumerate(ac):
+        if v > med:
+            bits |= 1 << idx
+    return bits
+
+
+def phash_images(
+    df: DataFrame,
+    decode_fn: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """Per-asset 64-bit perceptual hash over Arrow-batched mapInPandas.
+
+    `decode_fn(payload) -> HxW grayscale ndarray` is the pluggable codec;
+    outputs larger than 32×32 are block-averaged down (real pHash
+    resizes). Without a codec the deterministic fake decoder keeps the
+    whole pipeline testable (same contract as `extract_features`).
+
+    Scale: pure per-row batch compute, no shuffle; the hash is 8 bytes/
+    asset, so the downstream near-dup join never touches pixels."""
+    import numpy as np
+
+    decode = decode_fn or _fake_decode_gray
+
+    def _to32(gray):
+        g = np.asarray(gray, dtype="float64")
+        h, w = g.shape
+        if (h, w) == (32, 32):
+            return g
+        th, tw = (h // 32) * 32, (w // 32) * 32
+        g = g[:th, :tw] if th and tw else np.pad(
+            g, ((0, max(0, 32 - h)), (0, max(0, 32 - w))), mode="edge"
+        )[:32, :32]
+        if g.shape == (32, 32):
+            return g
+        return g.reshape(32, th // 32, 32, tw // 32).mean(axis=(1, 3))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["content"]:
+                raw = bytes(payload) if payload is not None else b""
+                gray = _to32(decode(raw))
+                # long is signed; fold bit 63 through the sign
+                h = _phash64(gray)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "phash": hashes})
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate pairs by pHash Hamming distance via banded
+    LSH: 8 bands of 8 bits — pigeonhole-LOSSLESS for distances <= 7
+    (at most 7 differing bits cannot touch all 8 bands), so every pair
+    within `max_hamming` <= 7 is found without an all-pairs join.
+
+    Scale: the band join shuffles (band_idx, band_value) keys — 9 bytes
+    — and verifies candidates with one xor+bit_count; identical-hash
+    cliques are the only quadratic risk, exactly as in SimHash banding."""
+    if max_hamming > 7:
+        raise ValueError("8x8 banding is lossless only for max_hamming <= 7")
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    bands = h.select(
+        "id",
+        "h",
+        F.explode(
+            # literal per-band expressions (shiftright needs an int, not a
+            # lambda-bound Column)
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.shiftright("h", band * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("v"),
+                    )
+                    for band in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "h", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("h").alias("ha"), "band", "v"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("h").alias("hb"), "band", "v"
+    )
+    cand = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "id_a", "id_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

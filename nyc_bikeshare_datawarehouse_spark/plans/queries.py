@@ -29,6 +29,7 @@ from nyc_bikeshare_datawarehouse_spark.functions import (
     text,
 )
 from nyc_bikeshare_datawarehouse_spark.operators.asof import asof_join
+from nyc_bikeshare_datawarehouse_spark.functions import multimodal
 from nyc_bikeshare_datawarehouse_spark.functions.multimodal import extract_features
 from nyc_bikeshare_datawarehouse_spark.operators.sessionize import (
     session_stats,
@@ -3649,6 +3650,33 @@ def q_bag_set_ops(spark, sf_dir):
     return ex.unionByName(inter).orderBy("op", "o_custkey")
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Image near-dup by 64-bit perceptual hash (functions/multimodal.py
+    `phash_images` + `phash_near_dup`): Arrow-batched pHash (32×32 DCT,
+    median-thresholded low-frequency bits) over binary content, then the
+    8×8-bit banded join — pigeonhole-lossless at hamming <= 7 — with an
+    xor+bit_count verify. Rows-only check (a 2-D DCT has no SQL form;
+    the hash math is pinned against a pure-Python replay in
+    tests/test_graph_selection.py); content is synthesized
+    deterministically from the documents' sorted distinct-token
+    fingerprint, so the corpus' token-set duplicate clusters (444 pairs
+    at sf0.01) MUST surface as hamming-0 pairs through the banded join.
+    Pixels never shuffle — only 8-byte hashes do."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(text.tokens("text")))),
+            "utf-8",
+        ).alias("content"),
+    )
+    hashes = multimodal.phash_images(assets)
+    return multimodal.phash_near_dup(hashes, max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3672,6 +3700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_boilerplate_removal": q_boilerplate_removal,
     "q_window_navigation": q_window_navigation,
     "q_bag_set_ops": q_bag_set_ops,
+    "q_phash_neardup": q_phash_neardup,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,

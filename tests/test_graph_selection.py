@@ -175,3 +175,47 @@ class TestBoilerplate:
         df = spark.createDataFrame(rows, "doc_id long, text string, source string")
         out = text.remove_boilerplate(df, seg_len=1, min_docs=3).collect()
         assert all(r["n_removed"] == 0 for r in out)
+
+
+class TestPhash:
+    def test_spark_matches_pure_python(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.functions import multimodal as mm
+        payloads = [b"alpha", b"beta", b"alpha"]
+        df = spark.createDataFrame(
+            [(i, "image", p) for i, p in enumerate(payloads)],
+            "asset_id long, modality string, content binary",
+        )
+        got = {r["asset_id"]: r["phash"] for r in mm.phash_images(df).collect()}
+        for i, p in enumerate(payloads):
+            expect = mm._phash64(mm._fake_decode_gray(p))
+            expect = expect - (1 << 64) if expect >= (1 << 63) else expect
+            assert got[i] == expect
+        assert got[0] == got[2] != got[1]
+
+    def test_banding_lossless_vs_brute_force(self, spark):
+        import itertools
+        base = 0x0123456789ABCDEF
+        # neighbors at controlled hamming distances 0..8
+        hashes = [(0, base)]
+        for k in range(1, 9):
+            h = base
+            for bit in range(k):
+                h ^= 1 << (bit * 7)      # spread flips across bands
+            hashes.append((k, h))
+        df = spark.createDataFrame(hashes, "asset_id long, phash long")
+        from nyc_bikeshare_datawarehouse_spark.functions.multimodal import phash_near_dup
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in phash_near_dup(df, max_hamming=6).collect()}
+        brute = {}
+        for (ia, ha), (ib, hb) in itertools.combinations(hashes, 2):
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                brute[(min(ia, ib), max(ia, ib))] = d
+        assert got == brute
+        assert (0, 6) in got and (0, 7) not in got  # threshold edge
+
+    def test_max_hamming_above_banding_guarantee_rejected(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.functions.multimodal import phash_near_dup
+        df = spark.createDataFrame([(0, 1)], "asset_id long, phash long")
+        with pytest.raises(ValueError):
+            phash_near_dup(df, max_hamming=8)
