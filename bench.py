@@ -155,6 +155,19 @@ EXTENDED = [
     "q_cohort_retention",
     "q_token_pmi",
     "q_ols_trend",
+    # round 8 members
+    "q_textrank",
+    "q_semdedup",
+    "q_dsir_select",
+    "q_nb_quality",
+    "q_perplexity_buckets",
+    "q_tfidf_cosine",
+    "q_boilerplate_removal",
+    "q_window_navigation",
+    "q_bag_set_ops",
+    "q_phash_neardup",
+    "q_bfs_hops",
+    "q_attribution",
 ]
 
 

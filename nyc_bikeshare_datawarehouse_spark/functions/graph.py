@@ -145,3 +145,38 @@ def token_adjacency_edges(
     ).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
     ).filter(F.col("src") != F.col("dst"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimum hop count from any seed node via iterative min-plus
+    relaxation — the frontier-expansion sibling of the CC min-label loop
+    (functions/dedup.py `cluster_duplicates`): each round extends every
+    known distance across one edge and keeps the per-node minimum, so
+    after k rounds distances <= k are exact. Returns (node, hops) for
+    nodes reached within `max_hops`.
+
+    All-integer state ⇒ bit-exact in any engine; per-round work is one
+    join keyed on the node + one min-aggregate, state = reached nodes
+    only (at 100 TB: frontier-sized, not graph-sized, until saturation).
+    Lineage is truncated per round like every iterative operator here."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        ext = dist.join(e, dist.node == e.src).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

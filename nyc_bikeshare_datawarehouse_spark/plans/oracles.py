@@ -3271,3 +3271,75 @@ ORACLES["q_bag_set_ops"] = """
     )
     ORDER BY op, o_custkey
 """
+
+
+def _bfs_hops_sql(max_hops: int = 4) -> str:
+    """Generated d0→dN CTE chain replaying the min-plus relaxation;
+    all-integer state, edges identical to the TextRank graph (undirected
+    distinct pairs, self-loops dropped)."""
+    rounds = []
+    for k in range(1, max_hops + 1):
+        rounds.append(f"""d{k} AS (
+            SELECT node, MIN(hops) AS hops FROM (
+                SELECT node, hops FROM d{k - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.hops + 1 AS hops
+                FROM d{k - 1} d JOIN edges e ON d.node = e.src
+            ) GROUP BY node
+        )""")
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), prs AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> {{'src': t[i], 'dst': t[i + 1]}})) AS p
+            FROM toks WHERE len(t) >= 2
+        ), und AS (
+            SELECT DISTINCT least(p.src, p.dst) AS a, greatest(p.src, p.dst) AS b
+            FROM prs WHERE p.src <> p.dst
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM und
+            UNION ALL
+            SELECT b AS src, a AS dst FROM und
+        ), d0 AS (
+            SELECT MIN(src) AS node, 0 AS hops FROM edges
+        ),
+        {chain}
+        SELECT node AS token, CAST(hops AS INTEGER) AS hops
+        FROM d{max_hops}
+        ORDER BY hops, token
+    """
+
+
+ORACLES["q_bfs_hops"] = _bfs_hops_sql()
+
+# Attribution: MIN/MAX of (ep, id, type) structs over an epoch-keyed
+# RANGE frame — field-wise struct comparison and the -1 PRECEDING bound
+# behave identically in both engines; NULL (non-touch) rows are ignored
+# by MIN/MAX per aggregate semantics.
+ORACLES["q_attribution"] = """
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep
+        FROM events
+    ), marked AS (
+        SELECT event_id, user_id, event_type, ep,
+               MIN(CASE WHEN event_type IN ('view', 'click')
+                        THEN {'ep': ep, 'id': event_id, 'et': event_type} END)
+                   OVER w AS ft,
+               MAX(CASE WHEN event_type IN ('view', 'click')
+                        THEN {'ep': ep, 'id': event_id, 'et': event_type} END)
+                   OVER w AS lt
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                     RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ep AS purchase_ep,
+           ft['id'] AS first_touch_id, ft['et'] AS first_touch_type,
+           lt['id'] AS last_touch_id, lt['et'] AS last_touch_type
+    FROM marked
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+"""

@@ -3677,6 +3677,70 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_bfs_hops(spark, sf_dir):
+    """Minimum hop distances from a seed over the token co-occurrence
+    graph (functions/graph.py `bfs_hops`, 4 rounds of integer min-plus
+    relaxation — the frontier-expansion iterative pattern next to CC's
+    min-label and PageRank's fixed-point). Seed = the lexicographically
+    first token (data-derived, no literal coupling to the corpus). The
+    oracle replays the rounds as a generated d0→d4 CTE chain; integer
+    state is bit-exact under any aggregation order."""
+    d = _t(spark, sf_dir, "documents")
+    edges = graph.token_adjacency_edges(d).select("src", "dst")
+    seeds = edges.agg(F.min("src").alias("node"))
+    return (
+        graph.bfs_hops(edges, seeds, max_hops=4)
+        .select(F.col("node").alias("token"), F.col("hops").cast("int").alias("hops"))
+        .orderBy("hops", "token")
+    )
+
+
+def q_attribution(spark, sf_dir):
+    """First/last-touch marketing attribution inside a 24-hour lookback:
+    for every purchase, the earliest and latest view/click of the same
+    user in [t-86400s, t-1s], carried as MIN/MAX over an epoch-keyed
+    RANGE frame of (ep, id, type) structs — lexicographic struct order
+    makes 'earliest/latest touch' one window aggregate, no join back,
+    no per-conversion scan. Both engines compare structs field-wise and
+    both exclude the purchase's own second via the -1 bound. Per-user
+    windows partition naturally at scale (hot users are bounded by their
+    own event counts, the usual AQE-skew case)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "__ep", F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+    )
+    touch = F.col("event_type").isin("view", "click")
+    tstruct = F.when(
+        touch,
+        F.struct(
+            F.col("__ep").alias("ep"),
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("et"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__ep")
+        .rangeBetween(-86400, -1)
+    )
+    out = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("__ep").alias("purchase_ep"),
+        F.min(tstruct).over(w).alias("__ft"),
+        F.max(tstruct).over(w).alias("__lt"),
+    ).filter(F.col("event_type") == "purchase")
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_ep",
+        F.col("__ft.id").alias("first_touch_id"),
+        F.col("__ft.et").alias("first_touch_type"),
+        F.col("__lt.id").alias("last_touch_id"),
+        F.col("__lt.et").alias("last_touch_type"),
+    ).orderBy("event_id")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3701,6 +3765,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_navigation": q_window_navigation,
     "q_bag_set_ops": q_bag_set_ops,
     "q_phash_neardup": q_phash_neardup,
+    "q_bfs_hops": q_bfs_hops,
+    "q_attribution": q_attribution,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,

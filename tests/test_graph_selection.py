@@ -219,3 +219,19 @@ class TestPhash:
         df = spark.createDataFrame([(0, 1)], "asset_id long, phash long")
         with pytest.raises(ValueError):
             phash_near_dup(df, max_hamming=8)
+
+
+class TestBfs:
+    def test_path_graph_hops(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+        both = edges + [(d, s) for s, d in edges]
+        df = spark.createDataFrame(both, "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r["node"]: r["hops"] for r in graph.bfs_hops(df, seeds, max_hops=3).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e,f unreached in 3
+
+    def test_multi_seed_takes_minimum(self, spark):
+        df = spark.createDataFrame([("a", "b"), ("c", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+        got = {r["node"]: r["hops"] for r in graph.bfs_hops(df, seeds, max_hops=2).collect()}
+        assert got == {"a": 0, "c": 0, "b": 1}
