@@ -92,9 +92,11 @@ def dsir_weights(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).cast("double").alias("__ct"),
         F.count(F.lit(1)).cast("double").alias("__call"),
     )
-    totals = feats.agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).cast("double").alias("__Tt"),
-        F.count(F.lit(1)).cast("double").alias("__Tall"),
+    # totals derive from the bucket stats (Σ over 256 rows), NOT from a
+    # second corpus pass — one fewer full scan+explode at any size
+    totals = stats.agg(
+        F.sum("__ct").alias("__Tt"),
+        F.sum("__call").alias("__Tall"),
     )
     # raw = the NON-target remainder, so the two distributions are disjoint
     ratio = (

@@ -3671,7 +3671,11 @@ def q_phash_neardup(spark, sf_dir):
             "utf-8",
         ).alias("content"),
     )
-    hashes = multimodal.phash_images(assets)
+    # the band join references the hash frame from BOTH sides and Spark
+    # does not reuse diverged non-broadcast subplans (CLAUDE.md rule):
+    # without this checkpoint every pixel decodes + DCTs twice. The
+    # materialized state is 8 bytes/asset.
+    hashes = multimodal.phash_images(assets).localCheckpoint(eager=True)
     return multimodal.phash_near_dup(hashes, max_hamming=6).orderBy(
         "id_a", "id_b"
     )

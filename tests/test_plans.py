@@ -355,3 +355,58 @@ def test_join_hint_steers_strategy_without_changing_results(spark, sf_dir):
     assert "BroadcastHashJoin" in pb
     rows = [sorted(tuple(r) for r in df.collect()) for df in (merged, hashed, bcast)]
     assert rows[0] == rows[1] == rows[2]
+
+
+def test_dsir_bucket_model_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_dsir_select")
+    # the 256-row bucket log-ratio table and the 1-row totals must reach
+    # the feature stream as broadcasts — never a corpus-side shuffle join
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals crossJoin
+    # corpus shuffles: feature explode agg + per-doc sum (+AQE reuse), no more
+    assert n_exchanges(plan) <= 4
+
+
+def test_semdedup_codebook_broadcast_pairs_within_cells(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_semdedup")
+    # the first-K codebook attaches via 1-row broadcast crossJoin; the
+    # within-cell prune shuffles (cell) keys only
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan  # never an all-pairs product
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_attribution")
+    # both touches resolve inside ONE user-partitioned window — one
+    # exchange for the window, no self-join back to events
+    assert plan.count("SortMergeJoin") == 0 and plan.count("BroadcastHashJoin") == 0
+    assert n_exchanges(plan) == 1
+
+
+def test_textrank_iterations_read_checkpoints(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_textrank")
+    # the 10 rank rounds must NOT accumulate lineage: the final plan reads
+    # the last checkpointed round, not a 10x-nested join tree
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Generate explode") == 0  # edge build not re-run
+
+
+def test_phash_near_dup_decodes_pixels_once(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_phash_neardup")
+    # the band self-join reads BOTH sides from the checkpointed 8-byte
+    # hash frame: zero Pandas stages in the join plan (without the
+    # checkpoint the diverged subplan decoded+DCT'd every pixel twice)
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_tfidf_runtime_reuses_postings_exchanges(spark, sf_dir):
+    # the weighted-postings frame feeds norms AND both join sides; the
+    # initial plan triples the subtree but AQE must dedup the identical
+    # shuffles at runtime — this is what keeps tfidf at ~one corpus scan
+    df = QUERIES["q_tfidf_cosine"](spark, sf_dir)
+    df.collect()  # a .write would execute a COPY of the plan; collect
+    # finalizes THIS queryExecution so the adaptive plan is inspectable
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3

@@ -29,6 +29,9 @@ def test_contract_shape():
         "q_pca_variance",
         # iterative seeded KMeans fit + persisted-layout lifecycle: no SQL form
         "q_ann_ivf_partitioned",
+        # 2-D DCT perceptual hash: no SQL engine replays the DCT; the hash
+        # math is pinned against a pure-Python replay instead
+        "q_phash_neardup",
     }
 
 
