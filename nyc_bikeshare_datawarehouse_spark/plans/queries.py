@@ -3789,7 +3789,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (first 32 fill the window)
+    # --- r05-era rows, stalest tier (the first 20 fill the 50-query
+    # --- window after the 12 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,

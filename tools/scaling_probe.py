@@ -67,6 +67,18 @@ SCALE_PATH = [
     # well under 2; the rarest-gram prefix keeps hot grams unindexed)
     "q_fuzzy_join",
     "q_entity_resolution",
+    # round 8: TextRank's corpus pass is one bigram groupBy and its
+    # iterations are vocabulary-sized (vocab grows 10x on the suffixed
+    # corpus — the probe times edge-build + 10 rounds together, claim ~1);
+    # tfidf's df-capped postings pair within replicas only (claim ~1);
+    # boilerplate removal is explode + hash-keyed count + re-join
+    # (claim ~1). SemDeDup is deliberately absent: at FIXED n_clusters
+    # its within-cell prune is quadratic in cell size — the paper's
+    # regime scales k with the corpus, which a fixed-param query cannot
+    # show (documented in functions/similarity.py `semdedup`).
+    "q_textrank",
+    "q_tfidf_cosine",
+    "q_boilerplate_removal",
 ]
 #: oracle-exact quadratic verifiers: measured at the sf0.01 -> sf0.1 step
 EXACT = ["q_ngram_jaccard", "q_dedup_clusters", "q_ngram_containment"]
