@@ -3343,3 +3343,44 @@ ORACLES["q_attribution"] = """
     WHERE event_type = 'purchase'
     ORDER BY event_id
 """
+
+
+# VARIANT extraction: same typed $.k path, DuckDB's JSON machinery
+# instead of Spark's variant binary — values must agree exactly.
+ORACLES["q_variant_extract"] = """
+    WITH k AS (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM k GROUP BY event_type
+    ORDER BY event_type
+"""
+
+# UDTF chunker: replay the row-at-a-time Python expansion with list ops
+# — same 8-token windows, same md5 per chunk.
+ORACLES["q_udtf_chunks"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s['idx'] AS INTEGER) AS chunk_idx,
+           CAST(s['n'] AS INTEGER) AS n_tokens,
+           s['h'] AS chunk_md5
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                   i -> {'idx': i,
+                         'n': len(t[i * 8 + 1 : i * 8 + 8]),
+                         'h': md5(array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))}
+               )) AS s
+        FROM toks
+    )
+    ORDER BY doc_id, chunk_idx
+"""

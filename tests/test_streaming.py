@@ -525,3 +525,32 @@ def test_streaming_drift_monitor_end_to_end(spark, sf_dir, tmp_path):
             for r in psi_from_histograms(want_ref, cur_sketch, 125).collect()}
     assert got == want
     assert len(got) == 125
+
+
+def test_streaming_attribution_matches_batch_window(spark, sf_dir):
+    from nyc_bikeshare_datawarehouse_spark.streaming.attribution import (
+        streaming_attribution,
+    )
+    from nyc_bikeshare_datawarehouse_spark.plans.queries import QUERIES
+
+    stream = se.stream_events(spark, sf_dir)
+    q = (
+        streaming_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("t_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = [
+        "event_id", "user_id", "purchase_ep",
+        "first_touch_id", "first_touch_type",
+        "last_touch_id", "last_touch_type",
+    ]
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_attr").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in QUERIES["q_attribution"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
