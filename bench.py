@@ -168,6 +168,10 @@ EXTENDED = [
     "q_phash_neardup",
     "q_bfs_hops",
     "q_attribution",
+    "q_variant_extract",
+    "q_udtf_chunks",
+    "q_hard_negatives",
+    "q_token_entropy",
 ]
 
 

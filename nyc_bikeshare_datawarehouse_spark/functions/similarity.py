@@ -684,3 +684,79 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= min_cosine)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (public recipe:
+    nearest different-label neighbors make the most informative
+    negatives): per anchor, the top-`k` most-cosine-similar vectors with
+    a DIFFERENT label, candidates bounded to the anchor's coarse cell
+    (same deterministic first-K codebook + rounded-argmax assignment as
+    `semdedup` — the standard ANN-bounded mining loop, exact within the
+    cell). Returns (id, neg_id, label, neg_label, cosine_sim, rank).
+
+    Scale shape: assignment is a per-row codegen argmax against a 1-row
+    broadcast codebook; the candidate join pairs WITHIN cells only
+    (grow n_clusters with the corpus); ranking is a per-anchor window —
+    partitions are anchor-sized, never corpus-sized."""
+    cents = _centroids_frame(df, n_clusters, id_col, vec_col)
+    v = _vec(vec_col)
+    scores = F.zip_with(
+        F.col("__cents"),
+        F.sequence(F.lit(0), F.size("__cents") - 1),
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)),
+                6,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )
+    assigned = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.col(label_col), best["i"].alias("cell")
+    )
+    a = assigned.select(
+        "cell",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__va"),
+        F.col(label_col).alias("label"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("__vb"),
+        F.col(label_col).alias("neg_label"),
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("label") != F.col("neg_label"))
+        .select(
+            "id",
+            "neg_id",
+            "label",
+            "neg_label",
+            F.round(cosine("__va", "__vb"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.col("neg_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

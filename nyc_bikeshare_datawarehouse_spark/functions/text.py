@@ -628,3 +628,42 @@ def remove_boilerplate(
             ),
         ).alias("clean_text"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = ln(n) − (Σ c·ln c)/n — the information-density quality signal
+    (low entropy ⇒ repetitive/template text, the Gopher-family screen
+    orthogonal to the LM-score filters). Exact integer counts feed ln;
+    only the final value is floor-truncated (engine-parity rule).
+
+    One explode + per-(doc,token) count + per-doc fold: two shuffles on
+    the doc key, no corpus-level state at all — embarrassingly linear."""
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    scale = 10 ** round_to
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            (
+                F.floor(
+                    (
+                        F.log(F.sum("__c"))
+                        - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
+                    )
+                    * scale
+                )
+                / scale
+            ).alias("entropy"),
+        )
+    )

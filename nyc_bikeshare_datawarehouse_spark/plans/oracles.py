@@ -3384,3 +3384,65 @@ ORACLES["q_udtf_chunks"] = """
     )
     ORDER BY doc_id, chunk_idx
 """
+
+
+# Hard negatives: same codebook/assignment CTEs as q_semdedup, then
+# within-cell different-label pairs ranked per anchor (ROW_NUMBER under
+# the rounded-cosine + neg_id total order = the Spark window).
+ORACLES["q_hard_negatives"] = """
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), scores AS (
+        SELECT e.vec_id, c.cell,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                     / sqrt(list_dot_product(c.cv, c.cv)), 6) AS d
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cell ASC) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS neg_id,
+               ea.label AS label, eb.label AS neg_label,
+               ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6)
+                   AS cosine_sim
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ea.label <> eb.label
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY cosine_sim DESC, neg_id)
+                       AS INTEGER) AS rank
+        FROM pairs
+    )
+    SELECT id, neg_id, label, neg_label, cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY id, rank
+"""
+
+# Shannon entropy from exact token counts; ln inputs are exact-int-
+# derived doubles, final value floor-truncated (engine-parity rule).
+ORACLES["q_token_entropy"] = """
+    WITH counts AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ) GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           FLOOR((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) * 10000) / 10000
+               AS entropy
+    FROM counts GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -3792,6 +3792,31 @@ def q_udtf_chunks(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (functions/similarity.py
+    `hard_negatives`): per anchor, the top-3 most-similar DIFFERENT-
+    label vectors, candidates bounded to the anchor's coarse cell (the
+    semdedup codebook assignment) — the ANN-bounded mining loop of
+    contrastive training pipelines. Pairing is within-cell only;
+    ranking is a per-anchor window. Output = every (anchor, negative,
+    rank) triple, oracle-replayed end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(e, k=3, n_clusters=8).select(
+        "id", "neg_id", "label", "neg_label", "cosine_sim", "rank"
+    ).orderBy("id", "rank")
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution
+    (functions/text.py `token_entropy`): ln(n) − (Σ c·ln c)/n — the
+    information-density screen that flags template/repetitive documents
+    independently of the LM-score filters. Exact integer counts into
+    ln, one floor-truncated output value; two doc-keyed shuffles,
+    embarrassingly linear."""
+    d = _t(spark, sf_dir, "documents")
+    return text.token_entropy(d).orderBy("doc_id")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3820,6 +3845,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_attribution": q_attribution,
     "q_variant_extract": q_variant_extract,
     "q_udtf_chunks": q_udtf_chunks,
+    "q_hard_negatives": q_hard_negatives,
+    "q_token_entropy": q_token_entropy,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -3838,8 +3865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 18 fill the 50-query
-    # --- window after the 14 round-8 + 18 round-7 entries above)
+    # --- r05-era rows, stalest tier (the first 16 fill the 50-query
+    # --- window after the 16 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
