@@ -235,3 +235,33 @@ class TestBfs:
         seeds = spark.createDataFrame([("a",), ("c",)], "node string")
         got = {r["node"]: r["hops"] for r in graph.bfs_hops(df, seeds, max_hops=2).collect()}
         assert got == {"a": 0, "c": 0, "b": 1}
+
+
+class TestHardNegativesEntropy:
+    def test_hard_negatives_exclude_same_label_and_rank(self, spark):
+        rows = [
+            (0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1),   # codebook (2 cells)
+            (2, [0.99, 0.1], 0),                       # cell 0, label 0
+            (3, [0.98, 0.15], 1),                      # cell 0, label 1
+            (4, [0.97, 0.2], 1),                       # cell 0, label 1
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        got = similarity.hard_negatives(df, k=2, n_clusters=2).collect()
+        by_anchor = {}
+        for r in got:
+            assert r["label"] != r["neg_label"]
+            by_anchor.setdefault(r["id"], []).append((r["rank"], r["neg_id"]))
+        # anchor 2 (label 0) ranks its two different-label cellmates
+        assert sorted(by_anchor[2]) == [(1, 3), (2, 4)]
+        # ranks are dense from 1 and capped at k
+        for ranks in by_anchor.values():
+            assert [r for r, _ in sorted(ranks)] == list(range(1, len(ranks) + 1))
+
+    def test_token_entropy_extremes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in text.token_entropy(df).collect()}
+        assert got[1]["entropy"] == 0.0                  # all same token
+        assert abs(got[2]["entropy"] - math.log(4)) < 1e-3  # uniform: ln k
+        assert got[2]["distinct_tokens"] == 4 and got[2]["n_tokens"] == 4
