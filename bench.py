@@ -89,6 +89,9 @@ HEAVY = [
     # inverted-index join (same dense-vocabulary regime); fuzzy join is
     # the Ed-Join gram-prefix candidate join + levenshtein verify
     "q_ngram_containment",
+    # its df-pruned scale twin (round 8): 26.8s -> 2.3s at sf0.1; output
+    # differs by design (containment over the kept-shingle universe)
+    "q_containment_pruned",
     "q_fuzzy_join",
     # fuzzy edges -> iterative CC -> golden record; the CC rounds dominate
     "q_entity_resolution",

@@ -1022,6 +1022,7 @@ def ngram_containment_pairs(
     shingle_n: int = 2,
     min_containment: float = 0.8,
     pack_ids: bool = False,
+    max_doc_count: int | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT for all pairs sharing >= 1 shingle:
     |A ∩ B| / min(|A|, |B|) — the asymmetric cousin of jaccard that
@@ -1045,6 +1046,20 @@ def ngram_containment_pairs(
         .select(id_col, F.xxhash64("s").alias("sh"))
         .dropDuplicates()
     )
+    if max_doc_count is not None:
+        # df-pruning, the jaccard-lattice scale lever (see
+        # ngram_jaccard_pairs): a shingle in d docs contributes d² pairs
+        # to ONE join partition, so dropping df > cutoff shingles shrinks
+        # the worst partition quadratically. Containment is then measured
+        # over the KEPT-shingle universe — sizes too — which the oracle
+        # replays exactly (same rule as the pruned jaccard lattice).
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_count)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     joined = a.join(b, "sh").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -3446,3 +3446,36 @@ ORACLES["q_token_entropy"] = """
     FROM counts GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+# Pruned containment: same df>64 shingle drop BEFORE sizes and the
+# pair join — containment over the kept-shingle universe, exactly the
+# engine's pruned definition (pruned-jaccard-lattice rule).
+ORACLES["q_containment_pruned"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+        FROM toks
+        WHERE len(t) >= 2
+    ), hot AS (
+        SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 64
+    ), sh AS (
+        SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           FLOOR(n_inter / LEAST(sa.n_sh, sb.n_sh) * 10000) / 10000 AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE FLOOR(n_inter / LEAST(sa.n_sh, sb.n_sh) * 10000) / 10000 >= 0.5
+    ORDER BY id_a, id_b
+"""

@@ -3817,6 +3817,21 @@ def q_token_entropy(spark, sf_dir):
     return text.token_entropy(d).orderBy("doc_id")
 
 
+def q_containment_pruned(spark, sf_dir):
+    """The 100 TB form of the containment screen: df-pruning
+    (max_doc_count=64 posting cutoff, the absolute-count calibration the
+    jaccard lattice standardized on) drops hot shingles BEFORE the
+    inverted-index self-join — the worst join partition shrinks
+    quadratically — and containment is measured over the kept-shingle
+    universe, which the oracle replays exactly. The exact twin
+    (q_ngram_containment, the most expensive heavy member at 25s/sf0.1)
+    stays as ground truth; this is the plan you'd run at scale."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        d, shingle_n=2, min_containment=0.5, pack_ids=True, max_doc_count=64
+    ).orderBy("id_a", "id_b")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3847,6 +3862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_udtf_chunks": q_udtf_chunks,
     "q_hard_negatives": q_hard_negatives,
     "q_token_entropy": q_token_entropy,
+    "q_containment_pruned": q_containment_pruned,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -3865,8 +3881,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 16 fill the 50-query
-    # --- window after the 16 round-8 + 18 round-7 entries above)
+    # --- r05-era rows, stalest tier (the first 15 fill the 50-query
+    # --- window after the 17 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
