@@ -175,6 +175,8 @@ EXTENDED = [
     "q_udtf_chunks",
     "q_hard_negatives",
     "q_token_entropy",
+    "q_skyline",
+    "q_markov_transitions",
 ]
 
 

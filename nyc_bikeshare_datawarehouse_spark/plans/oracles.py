@@ -3479,3 +3479,47 @@ ORACLES["q_containment_pruned"] = """
     WHERE FLOOR(n_inter / LEAST(sa.n_sh, sb.n_sh) * 10000) / 10000 >= 0.5
     ORDER BY id_a, id_b
 """
+
+
+# Skyline: one plain running max replays the two-phase form (x ASC,
+# y DESC, id ASC total order; strict-preceding ROWS frame) — a row is
+# on the front iff its y beats every strictly-preceding y.
+ORACLES["q_skyline"] = """
+    WITH pts AS (
+        SELECT l_partkey,
+               CAST(MIN(FLOOR(l_extendedprice * 100)) AS BIGINT) AS min_price_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM lineitem GROUP BY l_partkey
+    ), marked AS (
+        SELECT *,
+               MAX(n_orders) OVER (ORDER BY min_price_cents ASC, n_orders DESC,
+                                   l_partkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM pts
+    )
+    SELECT l_partkey, min_price_cents, n_orders
+    FROM marked
+    WHERE prev_max IS NULL OR n_orders > prev_max
+    ORDER BY min_price_cents, l_partkey
+"""
+
+# Markov transitions: LEAD under the (ts, event_id) total order, exact
+# pair counts, floor-truncated row-conditional probabilities.
+ORACLES["q_markov_transitions"] = """
+    WITH pairs AS (
+        SELECT event_type AS src,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+        FROM events
+    ), counts AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    ), totals AS (
+        SELECT src, SUM(n) AS t FROM counts GROUP BY src
+    )
+    SELECT c.src, c.dst, c.n,
+           FLOOR(c.n / t.t * 10000) / 10000 AS p
+    FROM counts c JOIN totals t USING (src)
+    ORDER BY c.src, c.dst
+"""

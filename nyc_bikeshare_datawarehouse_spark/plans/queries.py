@@ -38,6 +38,7 @@ from nyc_bikeshare_datawarehouse_spark.operators.sessionize import (
 )
 from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
 from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join
+from nyc_bikeshare_datawarehouse_spark.operators.skyline import skyline_2d
 from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot
 from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_global_rank, with_date_parts
 from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
@@ -3832,6 +3833,63 @@ def q_containment_pruned(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_skyline(spark, sf_dir):
+    """2-D skyline / Pareto front (operators/skyline.py `skyline_2d`):
+    parts that are undominated on (min price-cents, order-line count)
+    — cheapest-and-most-demanded. The running max rides the
+    two-phase bucketed form (no single-task corpus sort); both measures
+    are exact integers, so the front is engine-exact. Output = the
+    skyline rows only, with the dominating stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.groupBy("l_partkey").agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("min_price_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    out = skyline_2d(
+        pts,
+        "min_price_cents",
+        "n_orders",
+        "l_partkey",
+        bucket=F.floor(F.col("min_price_cents") / 100000),
+    )
+    return (
+        out.filter("skyline")
+        .select("l_partkey", "min_price_cents", "n_orders")
+        .orderBy("min_price_cents", "l_partkey")
+    )
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov model of the event stream: per-user
+    consecutive event-type transitions (lag window under the (ts,
+    event_id) total order), counted and normalized into exact-count +
+    floor-truncated row probabilities — the "what happens after X"
+    path-analysis primitive. One user-partitioned window + one tiny
+    (5×5-bounded) aggregate; linear at any scale."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("__t"))
+    return (
+        counts.join(totals, "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            _trunc(F.col("n") / F.col("__t"), 4).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3863,6 +3921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hard_negatives": q_hard_negatives,
     "q_token_entropy": q_token_entropy,
     "q_containment_pruned": q_containment_pruned,
+    "q_skyline": q_skyline,
+    "q_markov_transitions": q_markov_transitions,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -3881,8 +3941,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 15 fill the 50-query
-    # --- window after the 17 round-8 + 18 round-7 entries above)
+    # --- r05-era rows, stalest tier (the first 13 fill the 50-query
+    # --- window after the 19 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,

@@ -265,3 +265,37 @@ class TestHardNegativesEntropy:
         assert got[1]["entropy"] == 0.0                  # all same token
         assert abs(got[2]["entropy"] - math.log(4)) < 1e-3  # uniform: ln k
         assert got[2]["distinct_tokens"] == 4 and got[2]["n_tokens"] == 4
+
+
+class TestSkyline:
+    def test_matches_brute_force_dominance(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.skyline import skyline_2d
+        pts = [(i, (i * 37) % 11, (i * 53) % 13) for i in range(40)]
+        df = spark.createDataFrame(pts, "pid long, x long, y long")
+        got = {r["pid"] for r in skyline_2d(df, "x", "y", "pid",
+                                            bucket=F.floor(F.col("x") / 3)).collect()
+               if r["skyline"]}
+        def dominated(a):
+            return any(
+                (b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2]))
+                for b in pts if b is not a
+            )
+        want_front = {a[0] for a in pts if not dominated(a)}
+        # exact-duplicate (x, y) points collapse to the lowest id
+        seen = {}
+        for pid, x, y in sorted(pts):
+            seen.setdefault((x, y), pid)
+        want = {seen[(x, y)] for pid, x, y in pts if pid in want_front and seen[(x, y)] == pid}
+        assert got == want
+
+    def test_bucket_boundary_crossing(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.skyline import skyline_2d
+        # the dominator sits in an EARLIER bucket than its victim
+        df = spark.createDataFrame(
+            [(1, 0, 10), (2, 100, 5), (3, 100, 12)],
+            "pid long, x long, y long",
+        )
+        got = {r["pid"]: r["skyline"]
+               for r in skyline_2d(df, "x", "y", "pid",
+                                   bucket=F.floor(F.col("x") / 10)).collect()}
+        assert got == {1: True, 2: False, 3: True}
