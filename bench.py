@@ -177,6 +177,8 @@ EXTENDED = [
     "q_token_entropy",
     "q_skyline",
     "q_markov_transitions",
+    "q_ewma_trend",
+    "q_period_over_period",
 ]
 
 

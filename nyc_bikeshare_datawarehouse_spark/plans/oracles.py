@@ -3523,3 +3523,44 @@ ORACLES["q_markov_transitions"] = """
     FROM counts c JOIN totals t USING (src)
     ORDER BY c.src, c.dst
 """
+
+
+# EWMA: same integer fold, list_reduce with first element as init —
+# (a+b)//2 on non-negative BIGINTs == Spark's floor((a+b)/2).
+ORACLES["q_ewma_trend"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(arg_max(cents, day) AS BIGINT) AS last_day_cents,
+           CAST(list_reduce(list(cents ORDER BY day),
+                            (acc, x) -> (acc + x) // 2) AS BIGINT) AS ewma_cents
+    FROM daily GROUP BY event_type
+    ORDER BY event_type
+"""
+
+# Month-over-month: integer-cent monthly totals, LAG, exact delta +
+# floor-truncated ratio.
+ORACLES["q_period_over_period"] = """
+    WITH monthly AS (
+        SELECT r.r_name AS region, date_trunc('month', o.o_orderdate) AS month,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, date_trunc('month', o.o_orderdate)
+    )
+    SELECT region, month, rev_cents,
+           rev_cents - LAG(rev_cents, 1) OVER w AS delta_cents,
+           FLOOR(CAST(rev_cents AS DOUBLE)
+                 / LAG(rev_cents, 1) OVER w * 10000) / 10000 AS ratio
+    FROM monthly
+    WINDOW w AS (PARTITION BY region ORDER BY month)
+    ORDER BY region, month
+"""

@@ -3890,6 +3890,85 @@ def q_markov_transitions(spark, sf_dir):
     )
 
 
+def q_ewma_trend(spark, sf_dir):
+    """Per-type exponentially-weighted moving average of daily revenue
+    (α=1/2) in FIXED-POINT integer arithmetic: daily integer-cent
+    totals folded left-to-right with s ← ⌊(s + y)/2⌋ — the time-series
+    smoothing primitive, engine-exact because every step is integer
+    (floor((a+b)/2) ≡ DuckDB's (a+b)//2 on non-negative values; the
+    fold replays via list_reduce). The day series is ~30 elements per
+    group, collected into ONE in-row array — never a corpus-sized
+    window — so groups scale independently."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("__day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("__cents")
+        )
+    )
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__day").alias("d"), F.col("__cents").alias("c")))
+        ),
+        lambda s: s["c"],
+    )
+    folded = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: F.floor((acc + x) / 2).cast("long"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max(F.struct("__day", "__cents"))["__cents"].alias("last_day_cents"),
+            folded.alias("ewma_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_period_over_period(spark, sf_dir):
+    """Month-over-month revenue growth per region — the classic BI
+    period-over-period: monthly integer-cent totals, LAG under the
+    (region, month) order, exact delta plus a floor-truncated growth
+    ratio. One broadcast-dim star join + one region-partitioned
+    month-sized window; the scale posture of q_agg_monthly carries
+    over."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.trunc("o_orderdate", "month").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("month")
+    prev = F.lag("rev_cents", 1).over(w)
+    return monthly.select(
+        "region",
+        "month",
+        "rev_cents",
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+        _trunc(F.col("rev_cents") / prev, 4).alias("ratio"),
+    ).orderBy("region", "month")
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -3923,6 +4002,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_containment_pruned": q_containment_pruned,
     "q_skyline": q_skyline,
     "q_markov_transitions": q_markov_transitions,
+    "q_ewma_trend": q_ewma_trend,
+    "q_period_over_period": q_period_over_period,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -3941,8 +4022,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 13 fill the 50-query
-    # --- window after the 19 round-8 + 18 round-7 entries above)
+    # --- r05-era rows, stalest tier (the first 11 fill the 50-query
+    # --- window after the 21 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
