@@ -366,3 +366,76 @@ def test_interval_overlap_matches_brute_force(spark, left, right, bin_seconds):
         if s1 <= s2 + d2 and s2 <= s1 + d1
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- graph
+
+def py_pagerank(edges: list[tuple[str, str, int]], iters: int) -> dict[str, int]:
+    from nyc_bikeshare_datawarehouse_spark.functions import graph as g
+
+    outw: dict[str, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    score = {n: g.UNIT for n in nodes}
+    base = (g.UNIT // g.DAMP_DEN) * (g.DAMP_DEN - g.DAMP_NUM)
+    for _ in range(iters):
+        tot = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            tot[d] += (score[s] * w) // outw[s]
+        score = {n: base + (g.DAMP_NUM * tot[n]) // g.DAMP_DEN for n in nodes}
+    return score
+
+
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 9)),
+        min_size=1, max_size=12,
+    ),
+    iters=st.sampled_from([1, 3, 7]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_reference_on_random_graphs(spark, raw, iters):
+    from nyc_bikeshare_datawarehouse_spark.functions import graph as g
+
+    # dedupe parallel edges (the engine takes a weighted edge LIST; the
+    # reference folds duplicates identically, so keep them — but drop
+    # self-loop-only graphs where outw exists and rank is still defined)
+    edges = [(f"n{s}", f"n{d}", w) for s, d, w in raw]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["score_nano"] for r in g.pagerank(df, iters=iters).collect()}
+    # reference must fold duplicate (src,dst) pairs the same way the
+    # engine's groupBy would NOT (pagerank takes edges as-is): feed raw
+    want = py_pagerank(edges, iters)
+    assert got == want
+    # conservation bound: total rank never exceeds |V| * UNIT
+    assert sum(got.values()) <= len(want) * g.UNIT
+
+
+def py_bfs(edges: list[tuple[str, str]], seeds: set[str], k: int) -> dict[str, int]:
+    dist = {s: 0 for s in seeds}
+    for _ in range(k):
+        nxt = dict(dist)
+        for s, d in edges:
+            if s in dist and dist[s] + 1 < nxt.get(d, 1 << 30):
+                nxt[d] = dist[s] + 1
+        dist = nxt
+    return dist
+
+
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=15
+    ),
+    k=st.sampled_from([1, 2, 4]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_matches_reference_on_random_graphs(spark, raw, k):
+    from nyc_bikeshare_datawarehouse_spark.functions import graph as g
+
+    edges = [(f"n{s}", f"n{d}") for s, d in raw]
+    seeds = {edges[0][0]}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r["node"]: r["hops"] for r in g.bfs_hops(df, sdf, max_hops=k).collect()}
+    assert got == py_bfs(edges, seeds, k)
