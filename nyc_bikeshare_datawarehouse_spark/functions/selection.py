@@ -199,18 +199,42 @@ def perplexity_buckets(
     1 = head (most fluent). Returns per (lang, bucket) membership stats;
     callers keep head/middle and drop tail, the published recipe.
 
-    NTILE over (lang) is a per-language window — partitions are language-
-    sized; at 100 TB shard the window further by (lang, hash-salt) and
-    take per-shard quantile boundaries from approx percentiles instead
-    (the two-phase q_skew_topk pattern); the tercile MEMBERSHIP this
-    returns is identical where boundaries agree."""
+    The tercile assignment is computed from the two-phase grouped rank
+    (`two_phase_group_rank`): rows are numbered inside (lang,
+    score-bucket) partitions in parallel, offsets prefix-summed over
+    the bounded counts table, and the exact integer NTILE formula
+    applied to (rank, total) — bucket membership identical to SQL
+    NTILE at any scale, with no whole-language single-task window."""
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import (
+        two_phase_group_rank,
+    )
+
     scores = bigram_logprob(df, text_col=text_col, id_col=id_col)
     langs = df.select(F.col(id_col), F.col(lang_col))
-    w = Window.partitionBy(lang_col).orderBy(
-        F.desc("avg_logprob"), F.col(id_col).asc()
+    # NTILE over a whole language is the r01 single-task anti-pattern:
+    # rank per language via the two-phase grouped form instead (rows
+    # numbered within (lang, score-bucket) partitions; the prefix-sum
+    # window runs over the bounded counts table only), then derive the
+    # exact SQL NTILE assignment — first (n mod k) buckets one larger —
+    # from (rank, group total) with integer arithmetic.
+    ranked = two_phase_group_rank(
+        scores.join(langs, id_col),
+        [lang_col],
+        bucket=F.floor(-F.col("avg_logprob") * 10000),
+        order_by=[F.desc("avg_logprob"), F.col(id_col).asc()],
     )
-    bucketed = scores.join(langs, id_col).withColumn(
-        "bucket", F.ntile(n_buckets).over(w)
+    k = F.lit(n_buckets)
+    r = F.col("__n") % k
+    qd = F.floor(F.col("__n") / k).cast("long")
+    big = (qd + 1) * r  # rows living in the (n mod k) larger buckets
+    bucketed = ranked.withColumn(
+        "bucket",
+        F.when(
+            F.col("__rn") <= big,
+            F.floor((F.col("__rn") - 1) / (qd + 1)) + 1,
+        )
+        .otherwise(r + F.floor((F.col("__rn") - big - 1) / qd) + 1)
+        .cast("int"),
     )
     return (
         bucketed.groupBy(lang_col, "bucket")

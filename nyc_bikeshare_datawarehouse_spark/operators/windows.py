@@ -157,3 +157,49 @@ def two_phase_cumsum(
             out, (F.col(f"__off_{out}") + F.col(f"__loc_{out}")).cast("long")
         ).drop(f"__off_{out}", f"__loc_{out}")
     return out_frame.drop("__bucket")
+
+
+def two_phase_group_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket: Column,
+    order_by: Sequence[Column],
+    rn_col: str = "__rn",
+    total_col: str = "__n",
+) -> DataFrame:
+    """Per-GROUP global row_number without a per-group single-task sort —
+    the grouped sibling of `two_phase_global_rank`: a plain
+    `Window.partitionBy(group)` funnels each group through ONE task,
+    which at 100 TB is the r01 scale-killer whenever groups are
+    macroscopic (languages, sources, days). Here rows are numbered
+    within (group, bucket) partitions — fully parallel — and the
+    per-(group, bucket) counts (a bounded-size table) are prefix-summed
+    into offsets by a window PARTITIONED BY GROUP over that tiny table,
+    then broadcast back.
+
+    `bucket` must be monotone non-decreasing along `order_by` within
+    every group (same contract as two_phase_global_rank). Output adds
+    `rn_col` (1-based rank within the group) and `total_col` (group row
+    count) — the pair NTILE/percent_rank/terciles derive from."""
+    g = list(group_cols)
+    b = df.withColumn("__gbucket", bucket)
+    w_local = Window.partitionBy(*g, "__gbucket").orderBy(*order_by)
+    local = b.withColumn("__local_rn", F.row_number().over(w_local))
+    counts = b.groupBy(*g, "__gbucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(*g)
+        .orderBy("__gbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*g)
+    offsets = counts.select(
+        *g,
+        "__gbucket",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_tot).alias(total_col),
+    )
+    return (
+        local.join(F.broadcast(offsets), [*g, "__gbucket"])
+        .withColumn(rn_col, (F.col("__off") + F.col("__local_rn")).cast("long"))
+        .drop("__gbucket", "__local_rn", "__off")
+    )

@@ -3567,9 +3567,11 @@ def q_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail bucketing (Wenzek et al. 2019;
     functions/selection.py `perplexity_buckets`): per-language terciles
     over the corpus-self bigram-LM fluency score, reported as per
-    (lang, bucket) membership stats. NTILE rides a language-partitioned
-    window under a rounded-score total order (doc_id tiebreak), so
-    membership is engine-exact."""
+    (lang, bucket) membership stats. The tercile assignment derives
+    from the two-phase grouped rank (operators/windows.py
+    `two_phase_group_rank` — no whole-language single-task window) via
+    the exact integer NTILE formula, so membership is engine-exact and
+    the plan survives macroscopic language partitions."""
     d = _t(spark, sf_dir, "documents")
     return selection.perplexity_buckets(d)
 
