@@ -179,6 +179,7 @@ EXTENDED = [
     "q_markov_transitions",
     "q_ewma_trend",
     "q_period_over_period",
+    "q_dq_report",
 ]
 
 

@@ -3564,3 +3564,49 @@ ORACLES["q_period_over_period"] = """
     WINDOW w AS (PARTITION BY region ORDER BY month)
     ORDER BY region, month
 """
+
+
+# Data-quality expectation suite: every check is an exact COUNT shape
+# (uniqueness gap, null counts, left-join orphan counts, range/
+# consistency violations, cardinality delta) unioned into one report.
+ORACLES["q_dq_report"] = """
+    WITH rows_ AS (
+        SELECT 'orders' AS table_name, 'pk_unique' AS expectation,
+               CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'custkey_not_null', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'fk_orderkey_in_orders', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders', 'fk_custkey_in_customer', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem', 'quantity_in_1_50', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'documents', 'n_chars_matches_text', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'region', 'cardinality_is_5', CAST(COUNT(*) AS BIGINT),
+               CAST(abs(COUNT(*) - 5) AS BIGINT)
+        FROM region
+        UNION ALL
+        SELECT 'events', 'value_non_negative', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+        FROM events
+    )
+    SELECT table_name, expectation, total, violations,
+           (violations = 0) AS passed
+    FROM rows_
+    ORDER BY table_name, expectation
+"""
