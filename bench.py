@@ -180,6 +180,7 @@ EXTENDED = [
     "q_ewma_trend",
     "q_period_over_period",
     "q_dq_report",
+    "q_spatial_join",
 ]
 
 

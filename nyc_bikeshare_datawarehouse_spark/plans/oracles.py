@@ -3610,3 +3610,27 @@ ORACLES["q_dq_report"] = """
     FROM rows_
     ORDER BY table_name, expectation
 """
+
+
+# Spatial join: brute-force pairs + the SAME haversine formula (libm
+# trig parity, q_unigram_logprob-class; distance floor-truncated before
+# the compare) — the blocking join must be lossless vs this.
+ORACLES["q_spatial_join"] = """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey % 100) / 10.0 AS lat,
+               ((c_custkey * 7) % 100) / 10.0 AS lon
+        FROM customer
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               FLOOR(2 * 6371.0 * asin(sqrt(
+                   sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+                   + cos(radians(a.lat)) * cos(radians(b.lat))
+                   * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+               )) * 10000) / 10000 AS dist_km
+        FROM pts a JOIN pts b ON a.id < b.id
+    )
+    SELECT id_a, id_b, dist_km
+    FROM pairs WHERE dist_km <= 50.0
+    ORDER BY id_a, id_b
+"""

