@@ -181,6 +181,7 @@ EXTENDED = [
     "q_period_over_period",
     "q_dq_report",
     "q_spatial_join",
+    "q_basket_rules",
 ]
 
 

@@ -3634,3 +3634,36 @@ ORACLES["q_spatial_join"] = """
     FROM pairs WHERE dist_km <= 50.0
     ORDER BY id_a, id_b
 """
+
+
+# Basket rules: identical pair/item supports (distinct parts per order,
+# unordered pairs), confidence and lift floor-truncated; the basket-
+# array pair explode is replayed as an items self-join on the order.
+ORACLES["q_basket_rules"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lineitem
+    ), pair_support AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    ), item_support AS (
+        SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM items GROUP BY l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           FLOOR(CAST(p.n_both AS DOUBLE) / sa.n_item * 10000) / 10000
+               AS confidence_ab,
+           FLOOR(CAST(p.n_both AS DOUBLE) * n.n
+                 / (sa.n_item * sb.n_item) * 10000) / 10000 AS lift
+    FROM pair_support p
+    JOIN item_support sa ON sa.part = p.part_a
+    JOIN item_support sb ON sb.part = p.part_b
+    CROSS JOIN n
+    ORDER BY p.n_both DESC, p.part_a, p.part_b
+    LIMIT 100
+"""

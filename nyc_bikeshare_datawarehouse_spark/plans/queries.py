@@ -4050,6 +4050,61 @@ def q_spatial_join(spark, sf_dir):
     )
 
 
+def q_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets (the
+    relational sibling of q_token_pmi's collocations; Agrawal et al.'s
+    support/confidence/lift, public): per-order distinct-part baskets
+    (bounded ~13 parts), unordered part pairs exploded FROM each basket
+    array — pair fan-out is Σ|basket|², bounded by basket size, never
+    corpus-quadratic — then exact support counts and floor-truncated
+    confidence(a→b) and lift. Top rules by support with a total order.
+    One groupBy(order) + one groupBy(pair) + a broadcast-size support
+    join; basket mining at 100 TB is exactly this shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b"))
+    pair_support = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    item_support = baskets.select(
+        F.explode("parts").alias("part")
+    ).groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    sa = item_support.select(F.col("part").alias("part_a"), F.col("n_item").alias("__na"))
+    sb = item_support.select(F.col("part").alias("part_b"), F.col("n_item").alias("__nb"))
+    return (
+        pair_support.filter(F.col("n_both") >= 3)
+        .join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            _trunc(F.col("n_both") / F.col("__na"), 4).alias("confidence_ab"),
+            _trunc(
+                F.col("n_both") * F.col("__n") / (F.col("__na") * F.col("__nb")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -4087,6 +4142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_period_over_period": q_period_over_period,
     "q_dq_report": q_dq_report,
     "q_spatial_join": q_spatial_join,
+    "q_basket_rules": q_basket_rules,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -4105,8 +4161,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 9 fill the 50-query
-    # --- window after the 23 round-8 + 18 round-7 entries above)
+    # --- r05-era rows, stalest tier (the first 8 fill the 50-query
+    # --- window after the 24 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
