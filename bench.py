@@ -182,6 +182,7 @@ EXTENDED = [
     "q_dq_report",
     "q_spatial_join",
     "q_basket_rules",
+    "q_udaf_geomean",
 ]
 
 

@@ -3667,3 +3667,15 @@ ORACLES["q_basket_rules"] = """
     ORDER BY p.n_both DESC, p.part_a, p.part_b
     LIMIT 100
 """
+
+
+# UDAF geometric mean: exp(avg(ln x)) — the truncation absorbs the
+# np-vs-SQL summation-order ulps (q_unigram_logprob class).
+ORACLES["q_udaf_geomean"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(exp(AVG(ln(value))) * 10000) / 10000 AS geo_mean
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
