@@ -183,6 +183,7 @@ EXTENDED = [
     "q_spatial_join",
     "q_basket_rules",
     "q_udaf_geomean",
+    "q_sliding_distinct",
 ]
 
 

@@ -3679,3 +3679,21 @@ ORACLES["q_udaf_geomean"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# Sliding distinct: same 2-window membership expansion, COUNT(DISTINCT)
+# per window — all exact integers.
+ORACLES["q_sliding_distinct"] = """
+    WITH ev AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, user_id FROM events
+    ), expanded AS (
+        SELECT CAST(g.s AS TIMESTAMP) AS window_start, user_id
+        FROM ev, LATERAL unnest([h - INTERVAL 1 HOUR, h]) AS g(s)
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+"""

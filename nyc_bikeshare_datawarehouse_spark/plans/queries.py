@@ -4129,6 +4129,26 @@ def q_udaf_geomean(spark, sf_dir):
     )
 
 
+def q_sliding_distinct(spark, sf_dir):
+    """DISTINCT aggregate inside sliding time windows (2 h / 1 h slide):
+    concurrent-unique-user counts per window — the "active users" shape
+    that the plain sliding counts (q_sliding_windows) cannot answer.
+    Spark's window() generator explodes each event into its 2 member
+    windows, then countDistinct per window; distinct state per window is
+    bounded by the window's own population, and windows scale
+    independently at 100 TB (the usual time-partitioned posture)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+        .orderBy("window_start")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -4168,6 +4188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_spatial_join": q_spatial_join,
     "q_basket_rules": q_basket_rules,
     "q_udaf_geomean": q_udaf_geomean,
+    "q_sliding_distinct": q_sliding_distinct,
     "q_session_window_batch": q_session_window_batch,
     "q_sequence_pack": q_sequence_pack,
     "q_hybrid_search_rrf": q_hybrid_search_rrf,
@@ -4186,8 +4207,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 7 fill the 50-query
-    # --- window after the 25 round-8 + 18 round-7 entries above)
+    # --- r05-era rows, stalest tier (the first 6 fill the 50-query
+    # --- window after the 26 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
