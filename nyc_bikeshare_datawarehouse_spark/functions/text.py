@@ -587,20 +587,26 @@ def remove_boilerplate(
     segments (bounded by document length, never corpus-sized). Linear
     end to end."""
     t = tokens(text_col)
+    # sequence(0, -1) DESCENDS ([0,-1], pinned gotcha): a zero-token doc
+    # would emit two phantom '' segments while SQL range(0,0) is empty.
+    # Guard on size >= 1 so empty/whitespace-only docs explode to zero
+    # rows in both engines (the _bigram_buckets guard pattern).
+    seg_windows = F.when(
+        F.size(t) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(t) / seg_len).cast("long") - 1),
+            lambda i: F.struct(
+                i.alias("idx"),
+                F.concat_ws(
+                    " ", F.slice(t, i * seg_len + 1, seg_len)
+                ).alias("seg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<idx:long,seg:string>>"))
     segs = df.select(
         F.col(id_col),
         F.col(group_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.ceil(F.size(t) / seg_len).cast("long") - 1),
-                lambda i: F.struct(
-                    i.alias("idx"),
-                    F.concat_ws(
-                        " ", F.slice(t, i * seg_len + 1, seg_len)
-                    ).alias("seg"),
-                ),
-            )
-        ).alias("__s"),
+        F.explode(seg_windows).alias("__s"),
     ).select(id_col, group_col, F.col("__s.idx").alias("__idx"), F.col("__s.seg").alias("__seg"))
     dfc = segs.groupBy(
         F.col(group_col).alias("__g"), F.md5("__seg").alias("__h")

@@ -23,7 +23,13 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def geometric_mean(v: pd.Series) -> float:
-    """Geometric mean of positive values: exp(mean(ln x)), computed over
-    the SORTED values for a deterministic summation order."""
+    """Geometric mean over the POSITIVE domain: exp(mean(ln x)), computed
+    over the SORTED values for a deterministic summation order. A zero
+    input annihilates the product (ln 0 -> -inf -> exp -> 0.0) — that is
+    the defined semantics, but callers should pre-filter to value > 0
+    (the declared query does) because SQL engines hard-error on ln(0);
+    errstate keeps the -inf branch from spraying RuntimeWarnings into
+    stdout (the driver parses bench output from a ~2 KB tail)."""
     arr = np.sort(v.to_numpy(dtype="float64"))
-    return float(np.exp(np.mean(np.log(arr))))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(np.exp(np.mean(np.log(arr))))

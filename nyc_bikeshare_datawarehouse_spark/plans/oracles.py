@@ -3670,12 +3670,14 @@ ORACLES["q_basket_rules"] = """
 
 
 # UDAF geometric mean: exp(avg(ln x)) — the truncation absorbs the
-# np-vs-SQL summation-order ulps (q_unigram_logprob class).
+# np-vs-SQL summation-order ulps (q_unigram_logprob class). Domain is
+# value > 0 in both engines: DuckDB ln(0) hard-errors, numpy -> -inf.
 ORACLES["q_udaf_geomean"] = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            FLOOR(exp(AVG(ln(value))) * 10000) / 10000 AS geo_mean
     FROM events
+    WHERE value > 0
     GROUP BY event_type
     ORDER BY event_type
 """

@@ -2891,11 +2891,17 @@ def q_zorder_layout(spark, sf_dir):
     dim (single-column sort leaves the other dim's ranges useless;
     tests/test_layout.py measures the actual skip rate from written
     footers). The z-arithmetic (bits*dims shift-or terms, pure codegen)
-    is replayed term-by-term in the generated oracle. The global
-    NTILE here is the sequential VERIFIER of cell assignment; the
-    production write path is `write_zordered`'s repartitionByRange on z
-    — sampled range boundaries, no single-task sort."""
+    is replayed term-by-term in the generated oracle. Cell assignment
+    is the DISTRIBUTED two-phase NTILE (`operators/windows.
+    two_phase_ntile`, range-bucketed on z's high bits — 256 balanced
+    buckets, one hash shuffle + a broadcast of 256 offsets) while the
+    oracle keeps the sequential NTILE: a green row proves the
+    distributed tile rule ≡ SQL's, the q_shard_assign evidence pattern
+    (r08 verdict #1 — the global `ntile().over(Window.orderBy)` this
+    replaces funneled every row through ONE task). The production
+    write path is `write_zordered`'s repartitionByRange on z."""
     from nyc_bikeshare_datawarehouse_spark.operators.layout import zvalue
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_ntile
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -2903,7 +2909,11 @@ def q_zorder_layout(spark, sf_dir):
         (F.col("o_orderkey") % 1024).alias("d2"),
     )
     zz = o.withColumn("z", zvalue([F.col("d1"), F.col("d2")], bits=10))
-    b = zz.withColumn("bucket", F.ntile(64).over(Window.orderBy("z", "o_orderkey")))
+    # z ∈ [0, 2^20): high 8 bits as the range bucket (monotone in z)
+    b = two_phase_ntile(
+        zz, 64, F.shiftright(F.col("z"), 12),
+        [F.col("z"), F.col("o_orderkey")], tile_col="bucket",
+    )
     return (
         b.groupBy("bucket")
         .agg(
@@ -3328,9 +3338,12 @@ def q_hilbert_layout(spark, sf_dir):
     (measured; the same CollapseProject physics as dedup._materialized)
     — and is replayed level-by-level in the generated CTE oracle.
     Production write path: `write_hilbert` (repartitionByRange on the
-    index, no single-task sort); the global NTILE here is the
-    sequential verifier of cell assignment."""
+    index, no single-task sort). Cell assignment is the distributed
+    two-phase NTILE (high 8 bits of h as the range bucket); the
+    sequential NTILE lives in the oracle — r08 verdict #1, the
+    q_shard_assign evidence pattern."""
     from nyc_bikeshare_datawarehouse_spark.operators.layout import with_hilbert
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_ntile
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -3338,7 +3351,11 @@ def q_hilbert_layout(spark, sf_dir):
         (F.col("o_orderkey") % 256).alias("d2"),
     )
     hh = with_hilbert(o, F.col("d1"), F.col("d2"), bits=8, out_col="h")
-    b = hh.withColumn("bucket", F.ntile(64).over(Window.orderBy("h", "o_orderkey")))
+    # h ∈ [0, 2^16): high 8 bits as the range bucket (monotone in h)
+    b = two_phase_ntile(
+        hh, 64, F.shiftright(F.col("h"), 8),
+        [F.col("h"), F.col("o_orderkey")], tile_col="bucket",
+    )
     return (
         b.groupBy("bucket")
         .agg(
@@ -4112,8 +4129,11 @@ def q_udaf_geomean(spark, sf_dir):
     groupBy — the aggregate member of the UDF/UDAF/UDTF trio. Values
     sort inside the UDAF so the float reduction is order-deterministic;
     the oracle replays exp(avg(ln x)) and the floor-truncation absorbs
-    the cross-engine summation-order ulps (q_unigram_logprob class)."""
-    e = _t(spark, sf_dir, "events")
+    the cross-engine summation-order ulps (q_unigram_logprob class).
+    The domain is value > 0 in BOTH engines: DuckDB's ln(0) hard-errors
+    while numpy returns -inf, so an unfiltered zero (6 exist at sf0.1)
+    is an SF-fragile oracle break — the ADVICE r08 finding."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     from nyc_bikeshare_datawarehouse_spark.functions.udafs import geometric_mean
 
     # a GROUPED_AGG pandas UDF cannot share agg() with JVM aggregates

@@ -176,6 +176,18 @@ class TestBoilerplate:
         out = text.remove_boilerplate(df, seg_len=1, min_docs=3).collect()
         assert all(r["n_removed"] == 0 for r in out)
 
+    def test_empty_doc_emits_no_phantom_segments(self, spark):
+        # sequence(0, -1) DESCENDS in Spark: without the size>=1 guard a
+        # zero-token doc produced two phantom '' segments while SQL
+        # range(0,0) is empty (ADVICE r08). Empty/whitespace-only docs
+        # must vanish from the output in both engines.
+        rows = [(1, "", "s"), (2, "   ", "s"), (3, "real content here", "s")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["doc_id"]: r for r in
+               text.remove_boilerplate(df, seg_len=2, min_docs=3).collect()}
+        assert set(out) == {3}
+        assert out[3]["n_segments"] == 2 and out[3]["n_removed"] == 0
+
 
 class TestPhash:
     def test_spark_matches_pure_python(self, spark):

@@ -191,6 +191,31 @@ class TestWindows:
         ranked = two_phase_global_rank(df, F.lit(0), [F.col("id")], rn_col="rn", total_col="n")
         assert rows_set(ranked.select("id", "rn")) == [(i, i + 1) for i in range(5)]
 
+    def test_two_phase_ntile_matches_builtin(self, spark):
+        from pyspark.sql import Window
+
+        from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_ntile
+
+        # every remainder regime: N not divisible by n (uneven head
+        # tiles), N divisible (q exact), and N < n (q = 0 edge — the
+        # division-by-q branch must never evaluate)
+        for n_rows, n_tiles in [(37, 5), (40, 8), (3, 7), (64, 64), (100, 1)]:
+            df = spark.createDataFrame(
+                [((i * 29) % n_rows, i) for i in range(n_rows)], "v long, id long"
+            ).repartition(4)
+            got = {
+                r["id"]: r["tile"]
+                for r in two_phase_ntile(
+                    df, n_tiles, F.floor(F.col("v") / 7), [F.col("v"), F.col("id")]
+                ).collect()
+            }
+            w = Window.orderBy("v", "id")
+            expected = {
+                r["id"]: r["t"]
+                for r in df.select("id", F.ntile(n_tiles).over(w).alias("t")).collect()
+            }
+            assert got == expected, (n_rows, n_tiles)
+
 
 class TestPacking:
     def _docs(self, spark, rows):

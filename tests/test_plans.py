@@ -211,6 +211,19 @@ def test_shard_assign_big_side_window_is_partitioned(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 2
 
 
+def test_layout_queries_window_is_partitioned(spark, sf_dir):
+    # r08 verdict #1: the corpus-side NTILE must ride the 256-bucket
+    # two-phase rank (hash-partitioned row_number), never a global
+    # `ntile().over(Window.orderBy)` that funnels every row through one
+    # task; the only single-partition stages consume the 256-row
+    # bucket-counts frame (offsets window + totals agg)
+    for q in ("q_zorder_layout", "q_hilbert_layout"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "ntile" not in plan.lower(), q
+        assert "Exchange hashpartitioning(__bucket" in plan, q
+        assert plan.count("Exchange SinglePartition") <= 2, q
+
+
 def test_hll_registers_single_bounded_aggregation(spark, sf_dir):
     # one groupBy over <= 64 register keys; zero-fill joins the tiny
     # range frame -- no exchange on the orders side beyond the register agg
