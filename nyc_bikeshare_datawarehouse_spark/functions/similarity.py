@@ -629,8 +629,17 @@ def tfidf_cosine_pairs(
     than once (both invisible to set Jaccard).
 
     tf = per-doc term count; idf = ln((N+1)/(df+1)) + 1 (the standard
-    smoothed form); cosine over the weighted vectors, floor-truncated to
-    4 decimals so the threshold compare is engine-exact.
+    smoothed form). Weights are FIXED-POINT: wi = floor(tf·idf·1e4) as
+    an integer, so dot products and squared norms are EXACT integer sums
+    (decimal(38,0), overflow-proof) whose value cannot depend on Spark's
+    partial-aggregation order — the q_tpch_q9 integer-cents pattern.
+    The ADVICE r08 finding this closes: thresholding a floor-truncated
+    SUM(double) can flip row MEMBERSHIP across engines or runs on an
+    ulp straddle; with integer sums every downstream float op
+    (sqrt/divide/floor) is a deterministic scalar function of exact
+    integers, identical in both engines. Cosine is floor-truncated to 4
+    decimals as before; the 1e-4 weight quantization IS the measure's
+    definition, replayed identically by the oracle.
 
     Scale shape: the pair stream comes from an inverted index keyed on
     the term, so only documents SHARING a term ever meet — never an
@@ -658,14 +667,17 @@ def tfidf_cosine_pairs(
         .select(
             F.col(id_col),
             "__tok",
-            (
+            # fixed-point weight: floor is per-row (order-free); the
+            # decimal(19,0) cast keeps the pairwise products exact
+            F.floor(
                 F.col("__tf")
                 * (F.log((F.col("__n") + 1) / (F.col("__df") + 1)) + 1)
-            ).alias("__w"),
+                * 10000
+            ).cast("decimal(19,0)").alias("__w"),
         )
     )
     norms = weights.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+        F.sum(F.col("__w") * F.col("__w")).alias("__norm2")
     )
     a = weights.select(F.col(id_col).alias("id_a"), "__tok", F.col("__w").alias("__wa"))
     b = weights.select(F.col(id_col).alias("id_b"), "__tok", F.col("__w").alias("__wb"))
@@ -675,9 +687,15 @@ def tfidf_cosine_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
     )
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
-    sim = F.floor(F.col("__dot") / (F.col("__na") * F.col("__nb")) * 10000) / 10000
+    na = norms.select(
+        F.col(id_col).alias("id_a"), F.sqrt(F.col("__norm2").cast("double")).alias("__na")
+    )
+    nb = norms.select(
+        F.col(id_col).alias("id_b"), F.sqrt(F.col("__norm2").cast("double")).alias("__nb")
+    )
+    sim = F.floor(
+        F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb")) * 10000
+    ) / 10000
     return (
         dots.join(na, "id_a")
         .join(nb, "id_b")

@@ -3160,8 +3160,10 @@ ORACLES["q_perplexity_buckets"] = """
 
 
 # tf-idf cosine with the same max_df=64 posting cap; sklearn-style
-# smoothed idf; dot and norms from the identical weighted postings.
-# Floor-truncated similarity so the threshold compare is engine-exact.
+# smoothed idf. Weights are FIXED-POINT (floor(tf*idf*1e4) as BIGINT,
+# the Spark side's decimal(19,0)) so dots and squared norms are exact
+# integer sums (HUGEINT here ≡ decimal(38,0) there) — no summation-order
+# ulps anywhere near the floor-truncated >= threshold (ADVICE r08).
 ORACLES["q_tfidf_cosine"] = """
     WITH tf AS (
         SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
@@ -3176,12 +3178,16 @@ ORACLES["q_tfidf_cosine"] = """
         SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
     ), w AS (
         SELECT tf.doc_id, tf.tok,
-               tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1) AS w
+               CAST(FLOOR(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1) * 10000)
+                    AS BIGINT) AS w
         FROM tf JOIN dfreq USING (tok) CROSS JOIN n
     ), norms AS (
-        SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
     ), dots AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(CAST(a.w AS HUGEINT) * b.w) AS DOUBLE) AS dot
         FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )

@@ -13,8 +13,9 @@ each micro-batch (sorted here), and the equivalence with the batch
 window query holds for in-order delivery — late data past a batch
 boundary attributes against the state as of its arrival, the standard
 streaming-watermark trade documented for every streaming twin in this
-package. State is pruned to the 24-hour horizon as each batch is
-processed, so it cannot grow past one user's window volume.
+package. State is pruned to the 24-hour horizon at every batch against
+the batch's max epoch (purchase or not — a touches-only user cannot
+accumulate state), so it is bounded by one user's 24-hour touch volume.
 """
 
 from __future__ import annotations
@@ -55,8 +56,15 @@ def _update(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator
     out: list[tuple] = []
     rows = pd.concat(list(batches), ignore_index=True)
     rows = rows.sort_values(["__ep", "event_id"])
+    # `start` is the first live index — advanced monotonically instead of
+    # repeated pop(0) (which was O(n²) on long histories); the dead
+    # prefix is dropped once, by a single slice, before state.update.
+    start = 0
+    max_ep: int | None = None
     for ep, eid, et in zip(rows["__ep"], rows["event_id"], rows["ets_type"]):
         ep, eid = int(ep), int(eid)
+        if max_ep is None or ep > max_ep:
+            max_ep = ep
         if et in _TOUCH_TYPES:
             eps.append(ep)
             ids.append(eid)
@@ -67,16 +75,24 @@ def _update(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator
         # prune to the horizon (safe: rows arrive in ep order, so no
         # later purchase can need an older touch)
         lo = ep - LOOKBACK_S
-        while eps and eps[0] < lo:
-            eps.pop(0)
-            ids.pop(0)
-            ets.pop(0)
-        window = [i for i in range(len(eps)) if eps[i] < ep]
+        while start < len(eps) and eps[start] < lo:
+            start += 1
+        window = [i for i in range(start, len(eps)) if eps[i] < ep]
         if window:
             f, l = window[0], window[-1]
             out.append((eid, user_id, ep, ids[f], ets[f], ids[l], ets[l]))
         else:
             out.append((eid, user_id, ep, None, None, None, None))
+    # Prune against the batch's max epoch REGARDLESS of purchases: a user
+    # emitting only views/clicks must not accumulate state without bound
+    # (ADVICE r08). Safe under the in-order contract — any future
+    # purchase has ep' >= max_ep, so its horizon starts no earlier.
+    if max_ep is not None:
+        lo = max_ep - LOOKBACK_S
+        while start < len(eps) and eps[start] < lo:
+            start += 1
+    if start:
+        eps, ids, ets = eps[start:], ids[start:], ets[start:]
     state.update((eps, ids, ets))
     if out:
         yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
