@@ -10,10 +10,13 @@ Design (the part that must be real at 100 TB):
   `mapInPandas`** operators: Spark streams record batches into Python, the
   heavy codec work happens per batch (not per row), and the output schema
   is fixed up front so Catalyst can plan around the op.
-- The codec layer itself (PIL/ffmpeg/librosa) is NOT in this environment,
+- The general codec layer (PIL/ffmpeg/librosa) is NOT in this environment,
   so `decode_fn=None` uses a deterministic fake decoder (metadata-derived)
-  and real deployments inject the codec callable. The Spark-side contract —
-  schemas, batching, partition sizing — is identical either way.
+  and real deployments inject the codec callable. One REAL format is
+  decodable stdlib-only: uncompressed BMP (`bmp_decode`/`bmp_encode`/
+  `bmp_resize`), so the real-bytes branch executes and is tested even
+  here. The Spark-side contract — schemas, batching, partition sizing —
+  is identical either way.
 
 Partitioning guidance: binary-heavy tables should be written with
 `maxRecordsPerFile` tuned so files stay ~128-256 MB, and processed with
@@ -93,6 +96,114 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# ------------------------------------------------------------- BMP codec
+# Stdlib decoder/encoder for uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+# 24-bit color or 8-bit palette) — one REAL image format decodable with
+# struct+numpy alone, so the real-bytes branch of resize_images /
+# phash_images executes in containers without PIL (r08 verdict #5). PIL
+# remains the preferred import-gated path for every other format;
+# payloads starting with b"BM" route here.
+
+
+def bmp_encode(pixels) -> bytes:
+    """Encode an (H,W) grayscale or (H,W,3) RGB uint8-ish array as a
+    24-bit uncompressed BMP (BI_RGB, bottom-up, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(pixels)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H,W) or (H,W,3) pixels, got {a.shape}")
+    a = np.clip(np.round(a.astype("float64")), 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    pad = (-(w * 3)) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        body += a[y, :, ::-1].tobytes() + b"\x00" * pad  # RGB -> BGR
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + info + body)
+
+
+def bmp_decode(payload: bytes):
+    """Decode an uncompressed BMP (24-bit BI_RGB or 8-bit palette,
+    BITMAPINFOHEADER or larger, bottom-up or top-down) to an (H,W,3)
+    uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (BITMAPCOREHEADER)")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression} (BI_RGB only)")
+    top_down, h = h < 0, abs(h)
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        idx = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, :w]
+        img = pal[idx]
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp} (8/24 only)")
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def bmp_decode_gray(payload: bytes):
+    """BMP → float64 grayscale via BT.601 luma — the injectable REAL
+    `decode_fn` for `phash_images` in PIL-less containers."""
+    img = bmp_decode(payload).astype("float64")
+    return img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+
+
+def _nn_resize(img, width: int, height: int):
+    """Nearest-neighbor index resize (floor sampling, the toy-codec rule)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[ys][:, xs]
+
+
+def bmp_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Stdlib real-codec resize: BMP decode → nearest-neighbor → BMP."""
+    return bmp_encode(_nn_resize(bmp_decode(payload), width, height))
+
+
+def _default_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Default `resize_images` codec: BMP payloads take the stdlib codec;
+    everything else takes the import-gated PIL path."""
+    if payload[:2] == b"BM":
+        return bmp_resize(payload, width, height)
+    return _pil_resize(payload, width, height)
+
+
 def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
     """Real codec path, import-gated: PIL decode → resize → PNG re-encode.
     Raises NotImplementedError where PIL is not installed (this container);
@@ -121,12 +232,14 @@ def resize_images(
     """Image resize operator over Arrow-batched mapInPandas.
 
     `codec_fn(payload, width, height) -> bytes` is the pluggable codec
-    (real codecs parse their own headers); the default is the import-gated
-    PIL path, which raises NotImplementedError at EXECUTION time where PIL
-    is absent — the plan (schema, batch shape) is constructible either way.
-    Image rows get resized content and meta.width/height rewritten to the
-    target; null-content and non-image rows pass through unchanged."""
-    codec = codec_fn or _pil_resize
+    (real codecs parse their own headers); the default routes BMP payloads
+    through the stdlib `bmp_resize` codec (real bytes, works everywhere)
+    and everything else through the import-gated PIL path, which raises
+    NotImplementedError at EXECUTION time where PIL is absent — the plan
+    (schema, batch shape) is constructible either way. Image rows get
+    resized content and meta.width/height rewritten to the target;
+    null-content and non-image rows pass through unchanged."""
+    codec = codec_fn or _default_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -541,9 +541,25 @@ def group_centroids(
     )
 
 
+def semdedup_cell_count(n_rows: int, min_clusters: int = 8) -> int:
+    """Corpus-derived SemDeDup/IVF cluster count: k = max(min, ⌊√N⌋) —
+    the standard IVF calibration. Assignment scans all k centroids per
+    row (N·k) while the within-cell prune pairs cell-mates (k·(N/k)² =
+    N²/k); k = √N balances both at O(N^1.5), the best a flat (one-level)
+    quantizer can do — a frozen k degenerates the prune quadratically as
+    N grows (r08 verdict #3), and k ≫ √N just moves the quadratic into
+    the assignment scan. Sub-N^1.5 needs a hierarchical quantizer
+    (two-level √k·√k assignment), the documented next lever. floor(sqrt)
+    so the oracle replays it as GREATEST(min, FLOOR(sqrt(COUNT(*)))) —
+    IEEE sqrt is correctly rounded, so the floors agree for any N<2^53."""
+    import math
+
+    return max(min_clusters, math.isqrt(n_rows))
+
+
 def semdedup(
     df: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     tau: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -563,9 +579,15 @@ def semdedup(
 
     Scale shape: assignment is one codegen expression per row against a
     1-row broadcast codebook — no shuffle, no row blowup. The prune
-    self-joins WITHIN cells only, the paper's own regime: k grows with
-    corpus size so cells stay O(N/k); the join shuffles (cell) keys and
-    AQE splits hot cells. Nothing here is corpus-quadratic."""
+    self-joins WITHIN cells only, the paper's own regime: with
+    `n_clusters=None` (the production setting) k is DERIVED from the
+    corpus count (`semdedup_cell_count`: max(8, floor(sqrt(N))), the
+    standard IVF rule) so assignment (N·k) and within-cell pairing
+    (N²/k) balance at O(N^1.5); a fixed k degenerates the prune
+    quadratically as N grows (r08 verdict #3). The join shuffles (cell)
+    keys and AQE splits hot cells. Nothing here is corpus-quadratic."""
+    if n_clusters is None:
+        n_clusters = semdedup_cell_count(df.count())
     cents = _centroids_frame(df, n_clusters, id_col, vec_col)
     v = _vec(vec_col)
     scores = F.zip_with(
@@ -707,7 +729,7 @@ def tfidf_cosine_pairs(
 def hard_negatives(
     df: DataFrame,
     k: int = 3,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -721,9 +743,13 @@ def hard_negatives(
     cell). Returns (id, neg_id, label, neg_label, cosine_sim, rank).
 
     Scale shape: assignment is a per-row codegen argmax against a 1-row
-    broadcast codebook; the candidate join pairs WITHIN cells only
-    (grow n_clusters with the corpus); ranking is a per-anchor window —
-    partitions are anchor-sized, never corpus-sized."""
+    broadcast codebook; the candidate join pairs WITHIN cells only —
+    with `n_clusters=None` the cell count is corpus-derived
+    (`semdedup_cell_count`, the IVF sqrt(N) balance rule); ranking
+    is a per-anchor window — partitions are anchor-sized, never
+    corpus-sized."""
+    if n_clusters is None:
+        n_clusters = semdedup_cell_count(df.count())
     cents = _centroids_frame(df, n_clusters, id_col, vec_col)
     v = _vec(vec_col)
     scores = F.zip_with(

@@ -3004,16 +3004,22 @@ def _textrank_sql(iters: int = 10, top_k: int = 20) -> str:
 ORACLES["q_textrank"] = _textrank_sql()
 
 
-# SemDeDup: same deterministic codebook (first 8 vecs by id), same rounded
-# argmax (ROW_NUMBER over d DESC, cell ASC = the strict-> fold's lowest-
+# SemDeDup: same deterministic codebook (first k vecs by id, k derived
+# as GREATEST(8, FLOOR(sqrt(N))) = semdedup_cell_count, the IVF rule), same rounded argmax
+# (ROW_NUMBER over d DESC, cell ASC = the strict-> fold's lowest-
 # index tie rule), same rounded pairwise-cosine prune. list_dot_product /
 # list_cosine_similarity vs Spark's left-to-right fold hash-agree at
 # ROUND(,6) (q_cosine_topk precedent).
 ORACLES["q_semdedup"] = """
-    WITH cents AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-               CAST(embedding AS DOUBLE[]) AS cv
-        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    WITH nk AS (
+        SELECT GREATEST(8, CAST(FLOOR(sqrt(COUNT(*))) AS BIGINT)) AS k FROM embeddings
+    ), cents AS (
+        SELECT rn - 1 AS cell, cv
+        FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+                   CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ) CROSS JOIN nk WHERE rn <= k
     ), scores AS (
         SELECT e.vec_id, c.cell,
                ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
@@ -3396,10 +3402,15 @@ ORACLES["q_udtf_chunks"] = """
 # within-cell different-label pairs ranked per anchor (ROW_NUMBER under
 # the rounded-cosine + neg_id total order = the Spark window).
 ORACLES["q_hard_negatives"] = """
-    WITH cents AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-               CAST(embedding AS DOUBLE[]) AS cv
-        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    WITH nk AS (
+        SELECT GREATEST(8, CAST(FLOOR(sqrt(COUNT(*))) AS BIGINT)) AS k FROM embeddings
+    ), cents AS (
+        SELECT rn - 1 AS cell, cv
+        FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+                   CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ) CROSS JOIN nk WHERE rn <= k
     ), scores AS (
         SELECT e.vec_id, c.cell,
                ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)

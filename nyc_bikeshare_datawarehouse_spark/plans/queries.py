@@ -3550,10 +3550,13 @@ def q_semdedup(spark, sf_dir):
     within-cell cosine pruning at tau=0.8 keeping the lowest id per
     epsilon-ball. Every row comes back tagged (cell, kept), so the
     oracle checks the assignment AND the prune decision for the whole
-    table. Quadratic only within cells — the paper's regime (k scales
-    with the corpus), never across it."""
+    table. k is CORPUS-DERIVED (`semdedup_cell_count`: max(8,
+    floor(sqrt(N))), replayed by the oracle as GREATEST(8,
+    FLOOR(sqrt(COUNT(*)))) — the IVF rule balancing the N·k assignment
+    scan against the N²/k within-cell prune at O(N^1.5)), the paper's
+    own regime, now practiced by the declared query (r08 verdict #3)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.semdedup(e, n_clusters=8, tau=0.8).orderBy("vec_id")
+    return similarity.semdedup(e, n_clusters=None, tau=0.8).orderBy("vec_id")
 
 
 def q_dsir_select(spark, sf_dir):
@@ -3817,12 +3820,14 @@ def q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining (functions/similarity.py
     `hard_negatives`): per anchor, the top-3 most-similar DIFFERENT-
     label vectors, candidates bounded to the anchor's coarse cell (the
-    semdedup codebook assignment) — the ANN-bounded mining loop of
-    contrastive training pipelines. Pairing is within-cell only;
-    ranking is a per-anchor window. Output = every (anchor, negative,
-    rank) triple, oracle-replayed end to end."""
+    semdedup codebook assignment, k corpus-derived as max(8,
+    floor(sqrt(N))) like q_semdedup) — the ANN-bounded mining loop of contrastive
+    training pipelines. Pairing is within-cell only (cells stay ~64
+    vectors at any corpus size); ranking is a per-anchor window.
+    Output = every (anchor, negative, rank) triple, oracle-replayed
+    end to end."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.hard_negatives(e, k=3, n_clusters=8).select(
+    return similarity.hard_negatives(e, k=3, n_clusters=None).select(
         "id", "neg_id", "label", "neg_label", "cosine_sim", "rank"
     ).orderBy("id", "rank")
 

@@ -804,6 +804,81 @@ class TestMultimodal:
         assert out[2]["content_uri"] == "s3://bucket/v.mp4"
 
 
+class TestBmpCodec:
+    """The stdlib REAL-bytes codec path (r08 verdict #5): actual encoded
+    BMP payloads through decode / resize_images / phash_images, no PIL."""
+
+    def test_roundtrip_rgb_with_and_without_padding(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for w in (4, 5):  # stride pad 0 and 3
+            img = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+            got = multimodal.bmp_decode(multimodal.bmp_encode(img))
+            assert got.dtype == np.uint8 and (got == img).all()
+
+    def test_grayscale_encode_and_luma_decode(self):
+        import numpy as np
+
+        g = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        payload = multimodal.bmp_encode(g)
+        assert payload[:2] == b"BM"
+        # gray encode replicates channels; BT.601 luma recovers the value
+        back = multimodal.bmp_decode_gray(payload)
+        assert np.allclose(back, g.astype("float64"))
+
+    def test_8bit_palette_and_topdown_decode(self):
+        import struct
+
+        import numpy as np
+
+        # hand-crafted 2x2 8-bit palette BMP, TOP-DOWN (negative height):
+        # palette: 0 -> red, 1 -> green; pixels [[0,1],[1,0]]
+        pal = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])  # BGRA entries
+        rows = bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0])  # stride-4 padded
+        off = 14 + 40 + len(pal)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 8, 0, len(rows), 0, 0, 2, 0)
+        img = multimodal.bmp_decode(hdr + info + pal + rows)
+        want = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 255, 0], [255, 0, 0]]], dtype=np.uint8
+        )
+        assert (img == want).all()
+
+    def test_resize_images_on_real_bmp_bytes(self, spark):
+        import numpy as np
+
+        src = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(multimodal.bmp_encode(src)), None,
+              ("image/bmp", 4, 4, None, None))],
+            multimodal.ASSET_SCHEMA,
+        )
+        (row,) = multimodal.resize_images(df, 2, 2).collect()
+        out = multimodal.bmp_decode(bytes(row["content"]))
+        # floor nearest-neighbor picks source rows/cols 0 and 2
+        assert (out == src[[0, 2]][:, [0, 2]]).all()
+        assert (row["meta"]["width"], row["meta"]["height"]) == (2, 2)
+        assert bytes(row["content"])[:2] == b"BM"
+
+    def test_phash_images_on_real_bmp_bytes(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        gray = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        payload = multimodal.bmp_encode(gray)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(payload), None, ("image/bmp", 32, 32, None, None))],
+            multimodal.ASSET_SCHEMA,
+        )
+        (row,) = multimodal.phash_images(
+            df, decode_fn=multimodal.bmp_decode_gray
+        ).collect()
+        want = multimodal._phash64(multimodal.bmp_decode_gray(payload))
+        want = want - (1 << 64) if want >= (1 << 63) else want
+        assert row["phash"] == want
+
+
 class TestRoundFiveTextOps:
     def test_bm25_scores_hand_computed(self, spark):
         df = spark.createDataFrame(

@@ -138,6 +138,64 @@ def build_sfx(spark, replicas: int) -> str:
     return out
 
 
+def ensure_lineitem_sfx(spark, replicas: int) -> None:
+    """Sidecar lineitem replica set for the basket-rules probe: replica k
+    shifts BOTH l_orderkey and l_partkey by k·max, so baskets and part
+    universes are disjoint across replicas — within-order pair structure
+    (basket sizes, pair fan-out Σ|basket|²) is preserved exactly, volume
+    grows 10×. Only the two columns q_basket_rules reads are written."""
+    out = f"{BENCHDATA}/sfx{replicas}"
+    marker = f"{out}/_LINEITEM_READY"
+    if os.path.exists(marker):
+        return
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    mo = li.agg(F.max("l_orderkey")).head()[0] + 1
+    mp = li.agg(F.max("l_partkey")).head()[0] + 1
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(k * mo)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(k * mp)).alias("l_partkey"),
+        )
+        for k in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    open(marker, "w").write("ok")
+
+
+def time_spatial(spark, mult: int, base: int = 15000, warm: bool = False) -> float:
+    """Radius self-join probe at CONSTANT DENSITY: `base·mult` points whose
+    longitude span grows with `mult` (lat span fixed 10°), so points/cell
+    — and therefore candidate pairs per cell — stay constant while volume
+    grows. This is the geographic volume-scaling regime (more city, same
+    crowding): claim α≈1. The declared q_spatial_join keys coordinates
+    mod a FIXED 10°×10° grid, so replicating its input grows DENSITY —
+    pairs grow quadratically by construction (not a plan defect: any
+    exact radius join over a denser city pays its output size; the grid
+    join's work IS Θ(pairs))."""
+    from nyc_bikeshare_datawarehouse_spark.operators.spatial import points_within
+
+    def run():
+        n = base * mult
+        span = 100 * mult  # tenths of a degree of longitude
+        pts = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") % 100) / 10.0).alias("lat"),
+            (((F.col("id") * 7) % span) / 10.0).alias("lon"),
+        )
+        points_within(pts, radius_km=50.0, cell_deg=1.0).count()
+
+    if warm:
+        run()
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 2)
+
+
 def time_query(spark, name: str, sf_dir: str, warm: bool = False) -> float:
     """One timed run; `warm=True` runs once first and times the second —
     small-corpus runs are otherwise dominated by first-touch JVM/codegen
@@ -255,10 +313,35 @@ def main() -> None:
         help="run ONLY the SRP bucket-cardinality scaling variant and merge "
              "its rows into the existing SCALING.json",
     )
+    ap.add_argument(
+        "--spatial", action="store_true",
+        help="run the constant-density radius-join probe and merge its row",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scaling-probe")
     big = build_sfx(spark, args.replicas)
+    if args.only and "q_basket_rules" in args.only:
+        ensure_lineitem_sfx(spark, args.replicas)
+
+    if args.spatial:
+        t_small = time_spatial(spark, 1, warm=True)
+        t_big = time_spatial(spark, args.replicas)
+        alpha = math.log(t_big / t_small) / math.log(args.replicas)
+        merged = json.load(open("/root/repo/SCALING.json"))
+        merged["spatial_join_const_density"] = {
+            "sf0.1_sec": t_small,
+            f"sf1x{args.replicas}_sec": t_big,
+            "alpha": round(alpha, 2),
+            "step": f"15k pts -> {args.replicas}x pts, lon span grown "
+                    f"{args.replicas}x (constant density; the declared "
+                    "query's fixed 10x10 deg grid grows density instead — "
+                    "pair output itself is quadratic there by construction)",
+        }
+        json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
+        print(f"spatial_const_density: {t_small}s -> {t_big}s  alpha={alpha:.2f}")
+        if not (args.only or args.incremental):
+            return
 
     if args.embed_planes:
         # all three timings in ONE session (CLAUDE.md: compare within a run)
