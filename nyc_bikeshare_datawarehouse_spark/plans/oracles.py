@@ -2677,6 +2677,81 @@ ORACLES["q_ks_drift"] = """
 # q_fuzzy_join, over the clean ∪ dirty record union) feeding a recursive-CTE
 # connected-components closure (q_dedup_clusters pattern), then golden-record
 # selection by cluster-min id.
+# Distinct-universe entity resolution: the same Ed-Join prefix rule and
+# recursive-CTE closure as q_entity_resolution, but grams/candidates/
+# levenshtein run over DISTINCT names (the Spark side's production
+# lever), expanded back to the 4x-replicated id space by name equi-joins.
+ORACLES["q_entity_resolution_distinct"] = """
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               array_to_string(list_slice(list_filter(string_split(text, ' '),
+                                                      x -> x <> ''), 1, 4), ' ') AS name
+        FROM documents
+    ), dirtyb AS (
+        SELECT doc_id,
+               substring(name, 1, CAST(doc_id % length(name) AS INTEGER))
+               || substring(name, CAST(doc_id % length(name) AS INTEGER) + 2) AS name
+        FROM base
+    ), recs AS (
+        SELECT doc_id * 8 + r AS id, name
+        FROM base, LATERAL unnest([0, 1, 2, 3]) AS t(r)
+        UNION ALL
+        SELECT doc_id * 8 + r + 4 AS id, name
+        FROM dirtyb, LATERAL unnest([0, 1, 2, 3]) AS t(r)
+    ), names AS (
+        SELECT DISTINCT name FROM recs
+    ), occ AS (
+        SELECT side, name, length(name) AS len, CAST(p AS INTEGER) AS p,
+               substring(name, CAST(p AS INTEGER), 2) AS g
+        FROM (
+            SELECT 'l' AS side, name, unnest(range(1, length(name))) AS p FROM names
+            UNION ALL
+            SELECT 'r' AS side, name, unnest(range(1, length(name))) AS p FROM names
+        )
+    ), gdf AS (
+        SELECT g, COUNT(*) AS df FROM occ GROUP BY g
+    ), ranked AS (
+        SELECT side, name, g, p, len,
+               ROW_NUMBER() OVER (
+                   PARTITION BY side, name
+                   ORDER BY df, g, p
+               ) AS rk
+        FROM occ JOIN gdf USING (g)
+    ), prefix AS (
+        SELECT side, name, g, p, len FROM ranked WHERE rk <= 3
+    ), candn AS (
+        SELECT DISTINCT a.name AS na, b.name AS nb
+        FROM prefix a JOIN prefix b
+          ON a.side = 'l' AND b.side = 'r' AND a.g = b.g
+         AND abs(a.p - b.p) <= 1 AND abs(a.len - b.len) <= 1
+    ), npairs AS (
+        SELECT na, nb FROM candn WHERE levenshtein(na, nb) <= 1
+    ), pairs AS (
+        SELECT ra.id AS id_a, rb.id AS id_b
+        FROM npairs p
+        JOIN recs ra ON ra.name = p.na
+        JOIN recs rb ON rb.name = p.nb
+        WHERE ra.id < rb.id
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+        SELECT id AS node, id AS lab FROM recs
+        UNION
+        SELECT e.dst AS node, r.lab
+        FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+        SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT l.node AS rec_id, r.name, l.cluster_id, g.name AS golden_name
+    FROM labels l
+    JOIN recs r ON r.id = l.node
+    JOIN recs g ON g.id = l.cluster_id
+    ORDER BY rec_id
+"""
+
+
 ORACLES["q_entity_resolution"] = """
     WITH RECURSIVE clean AS (
         SELECT doc_id AS id,

@@ -3282,6 +3282,57 @@ def q_entity_resolution(spark, sf_dir):
     )
 
 
+def q_entity_resolution_distinct(spark, sf_dir):
+    """Record linkage via the DISTINCT-STRING-UNIVERSE lever
+    (functions/fuzzy.py `fuzzy_pairs_distinct`) on a repeat-heavy corpus
+    — the scale twin of q_entity_resolution, the suite's worst honest
+    exponent (alpha 1.65 on the 100%-distinct probe corpus). Real name
+    columns repeat enormously; here each clean/corrupted title is
+    replicated 4x (rec_id = doc_id*8 + copy), so the gram index,
+    candidate join, and levenshtein verify all run on |distinct names| =
+    rows/4 while the id expansion is two equi-joins on the name whose
+    fan-out equals the true output. Same funnel as the exact form —
+    Ed-Join edges -> min-label connected components -> golden record —
+    and the oracle replays the distinct-universe candidate rule plus the
+    recursive-CTE closure end to end."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
+    base = d.select("doc_id", title.alias("name"))
+    pos = (F.col("doc_id") % F.length("name")).cast("int") + 1
+    dirty = base.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), pos - 1),
+            F.substring(F.col("name"), pos + 1, F.length("name")),
+        ).alias("name"),
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    clean_recs = base.select("doc_id", "name", reps).select(
+        (F.col("doc_id") * 8 + F.col("r")).alias("rec_id"), "name"
+    )
+    dirty_recs = dirty.select("doc_id", "name", reps).select(
+        (F.col("doc_id") * 8 + F.col("r") + 4).alias("rec_id"), "name"
+    )
+    recs = clean_recs.unionByName(dirty_recs)
+    a = recs.select(F.col("rec_id").alias("id_a"), "name")
+    b = recs.select(F.col("rec_id").alias("id_b"), "name")
+    edges = fuzzy.fuzzy_pairs_distinct(
+        a, b, "name", "id_a", "id_b", k=1, q=2
+    ).filter(F.col("id_a") < F.col("id_b"))
+    clusters = dedup.cluster_duplicates(
+        edges.select("id_a", "id_b"), recs.select("rec_id"), "rec_id"
+    )
+    golden = recs.select(
+        F.col("rec_id").alias("cluster_id"), F.col("name").alias("golden_name")
+    )
+    return (
+        clusters.join(recs, "rec_id")
+        .join(golden, "cluster_id")
+        .select("rec_id", "name", "cluster_id", "golden_name")
+        .orderBy("rec_id")
+    )
+
+
 def q_dataset_card(spark, sf_dir):
     """Per-source dataset card — the one-stop documentation row a corpus
     release ships (datasheets-for-datasets practice, public literature):
@@ -4185,9 +4236,11 @@ def q_sliding_distinct(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-8 rotation: round-8 additions
-    # --- first (no driver rows), then the 18 round-7 queries with no
-    # --- row yet; the rest of the window refreshes the oldest r05 rows
+    # --- driver window (first 50), round-9 rotation: round-9 additions
+    # --- first (no driver rows), then the 44 r05-stale rows (the only
+    # --- queries whose newest driver row predates r06), topped up from
+    # --- the r06 tier
+    "q_entity_resolution_distinct": q_entity_resolution_distinct,
     "q_textrank": q_textrank,
     "q_semdedup": q_semdedup,
     "q_dsir_select": q_dsir_select,

@@ -317,12 +317,73 @@ def main() -> None:
         "--spatial", action="store_true",
         help="run the constant-density radius-join probe and merge its row",
     )
+    ap.add_argument(
+        "--er-lever", action="store_true",
+        help="time the exact vs distinct-universe entity-resolution funnel "
+             "on the SAME repeat-heavy (4x-replicated) sf0.1 corpus",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scaling-probe")
     big = build_sfx(spark, args.replicas)
     if args.only and "q_basket_rules" in args.only:
         ensure_lineitem_sfx(spark, args.replicas)
+
+    if args.er_lever:
+        from nyc_bikeshare_datawarehouse_spark.functions import dedup, fuzzy, text
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        def run(distinct: bool) -> float:
+            d = load_table(spark, SF01, "documents")
+            title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
+            base = d.select("doc_id", title.alias("name"))
+            pos = (F.col("doc_id") % F.length("name")).cast("int") + 1
+            dirty = base.select(
+                "doc_id",
+                F.concat(
+                    F.substring(F.col("name"), F.lit(1), pos - 1),
+                    F.substring(F.col("name"), pos + 1, F.length("name")),
+                ).alias("name"),
+            )
+            reps = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+            recs = base.select("doc_id", "name", reps).select(
+                (F.col("doc_id") * 8 + F.col("r")).alias("rec_id"), "name"
+            ).unionByName(
+                dirty.select("doc_id", "name", reps).select(
+                    (F.col("doc_id") * 8 + F.col("r") + 4).alias("rec_id"), "name"
+                )
+            )
+            a = recs.select(F.col("rec_id").alias("id_a"), "name")
+            b = recs.select(F.col("rec_id").alias("id_b"), "name")
+            fn = fuzzy.fuzzy_pairs_distinct if distinct else fuzzy.fuzzy_pairs
+            edges = fn(a, b, "name", "id_a", "id_b", k=1, q=2).filter(
+                F.col("id_a") < F.col("id_b")
+            )
+            t0 = time.time()
+            dedup.cluster_duplicates(
+                edges.select("id_a", "id_b"), recs.select("rec_id"), "rec_id"
+            ).count()
+            return round(time.time() - t0, 2)
+
+        run(True)  # warm JVM/codegen once
+        t_distinct = run(True)
+        t_exact = run(False)
+        merged = json.load(open("/root/repo/SCALING.json"))
+        merged["entity_resolution_distinct_lever"] = {
+            "exact_sec": t_exact,
+            "distinct_sec": t_distinct,
+            "speedup": round(t_exact / t_distinct, 2),
+            "step": "SAME 4x-replicated sf0.1 corpus (40k records, 10k "
+                    "distinct names): full funnel with fuzzy_pairs vs "
+                    "fuzzy_pairs_distinct — gram index, candidate join and "
+                    "verify run on the distinct universe, id expansion is "
+                    "two name equi-joins (q_entity_resolution_distinct)",
+        }
+        json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
+        print(f"er lever: exact {t_exact}s vs distinct {t_distinct}s "
+              f"({t_exact / t_distinct:.1f}x)")
+        if not (args.only or args.incremental or args.spatial):
+            return
 
     if args.spatial:
         t_small = time_spatial(spark, 1, warm=True)
