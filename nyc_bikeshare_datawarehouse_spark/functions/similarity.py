@@ -24,7 +24,8 @@ results are reproducible across runs and cluster layouts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def _vec(col) -> Column:
@@ -633,6 +634,134 @@ def semdedup(
         .select(
             F.col(id_col),
             F.col("cell").cast("int").alias("cell"),
+            F.coalesce(~F.col("__rm"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def _argmax_rounded(vec_col, cents: Column) -> Column:
+    """Engine-parity argmax cell index: scores are ROUND(dot/|c|, 6) so
+    the winner is identical in any engine, ties break to the lowest
+    index (strict > fold) — the semdedup assignment rule, shared by both
+    levels of the hierarchical quantizer."""
+    v = _vec(vec_col)
+    scores = F.zip_with(
+        cents,
+        F.sequence(F.lit(0), F.size(cents) - 1),
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)),
+                6,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )
+    return best["i"]
+
+
+def two_level_cell_counts(n_rows: int, cell_size: int = 64) -> int:
+    """Per-level fan-out `s` for the two-level quantizer: total cells
+    s² ≈ max(4, N div cell_size), so cells hold ~cell_size vectors at
+    any corpus size. s = max(2, floor(sqrt(max(4, N div cell_size)))) —
+    integer arithmetic the oracle replays verbatim."""
+    import math
+
+    return max(2, math.isqrt(max(4, n_rows // cell_size)))
+
+
+def semdedup_two_level(
+    df: DataFrame,
+    tau: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_size: int = 64,
+) -> DataFrame:
+    """SemDeDup behind a TWO-LEVEL (hierarchical) deterministic quantizer
+    — the documented next lever past the flat sqrt(N) rule: a flat
+    quantizer pays N·k to assign, so k is capped at sqrt(N) and the
+    within-cell prune costs N^1.5. A two-level tree assigns in
+    N·2s = O(N·sqrt(k)) — coarse argmax over s centroids, then fine
+    argmax over the coarse cell's own s sub-centroids — which makes
+    k = s² = N/cell_size AFFORDABLE: cells stay ~cell_size vectors and
+    the prune is O(N·cell_size) linear. Total O(N^1.25), vs the flat
+    form's O(N^1.5); deeper trees push the exponent toward N·log N (the
+    standard tree-quantizer / IVF-HNSW coarse-layer story).
+
+    Determinism contract (both levels oracle-replayable): coarse
+    centroids = first s vectors by id; fine centroids of a coarse cell =
+    its first s members by id (a partitioned window, never a global
+    one); both argmaxes on ROUND(dot/|c|, 6) with ties to the lowest
+    index. Returns every row tagged (coarse, fine, kept) where kept
+    follows the same lowest-id epsilon-ball rule as `semdedup`.
+
+    Scale shape: coarse assignment is per-row codegen against a 1-row
+    broadcast; fine codebooks are s rows of s vectors, broadcast-joined
+    on the coarse cell; the prune shuffles (coarse, fine) keys only."""
+    s = two_level_cell_counts(df.count(), cell_size)
+    cents1 = _centroids_frame(df, s, id_col, vec_col)
+    coarse = (
+        df.crossJoin(F.broadcast(cents1))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            _argmax_rounded(vec_col, F.col("__cents")).alias("c1"),
+        )
+    )
+    # fine codebook per coarse cell: its first s members by id — a
+    # PARTITIONED window (parallel), then an s-row broadcast frame of
+    # (c1, array<array<double>>) in member-id order
+    w = Window.partitionBy("c1").orderBy(id_col)
+    seeds = (
+        coarse.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= s)
+        .groupBy("c1")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), _vec(vec_col).alias("v"))
+                )
+            ).alias("__s")
+        )
+        .select("c1", F.transform("__s", lambda x: x["v"]).alias("__cents2"))
+    )
+    assigned = (
+        coarse.join(F.broadcast(seeds), "c1")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "c1",
+            _argmax_rounded(vec_col, F.col("__cents2")).alias("c2"),
+        )
+    )
+    a = assigned.select(
+        "c1", "c2", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "c1", "c2", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    removed = (
+        a.join(b, ["c1", "c2"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine("__va", "__vb"), 6) >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(removed.withColumn("__rm", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("c1").cast("int").alias("coarse"),
+            F.col("c2").cast("int").alias("fine"),
             F.coalesce(~F.col("__rm"), F.lit(True)).alias("kept"),
         )
     )

@@ -3122,6 +3122,76 @@ ORACLES["q_semdedup"] = """
 """
 
 
+# Hierarchical SemDeDup: both quantizer levels replayed — coarse = first
+# s vectors by id, fine = each coarse cell's first s members by id
+# (f = per-cell ROW_NUMBER - 1, the Spark array position), both argmaxes
+# ROUND(,6) with ties to the lowest index, then the same within-(c1,c2)
+# rounded-cosine prune. s = GREATEST(2, FLOOR(sqrt(GREATEST(4, N//64)))).
+ORACLES["q_semdedup_hier"] = """
+    WITH ns AS (
+        SELECT GREATEST(2, CAST(FLOOR(sqrt(GREATEST(4, COUNT(*) // 64)))
+                                AS BIGINT)) AS s
+        FROM embeddings
+    ), cents1 AS (
+        SELECT rn - 1 AS c, cv
+        FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+                   CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ) CROSS JOIN ns WHERE rn <= s
+    ), s1 AS (
+        SELECT e.vec_id, c.c,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                     / sqrt(list_dot_product(c.cv, c.cv)), 6) AS d
+        FROM embeddings e CROSS JOIN cents1 c
+    ), a1 AS (
+        SELECT vec_id, c AS c1 FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c ASC) AS rn
+            FROM s1
+        ) WHERE rn = 1
+    ), seeds AS (
+        SELECT c1, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c1 ORDER BY vec_id) - 1 AS f
+        FROM a1
+    ), cents2 AS (
+        SELECT sd.c1, sd.f AS c, CAST(e.embedding AS DOUBLE[]) AS cv
+        FROM seeds sd JOIN embeddings e USING (vec_id)
+        CROSS JOIN ns WHERE sd.f < ns.s
+    ), s2 AS (
+        SELECT a.vec_id, a.c1, c.c,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                     / sqrt(list_dot_product(c.cv, c.cv)), 6) AS d
+        FROM a1 a
+        JOIN embeddings e USING (vec_id)
+        JOIN cents2 c ON c.c1 = a.c1
+    ), a2 AS (
+        SELECT vec_id, c1, c AS c2 FROM (
+            SELECT vec_id, c1, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c ASC) AS rn
+            FROM s2
+        ) WHERE rn = 1
+    ), prs AS (
+        SELECT b.vec_id AS removed
+        FROM a2 a JOIN a2 b ON a.c1 = b.c1 AND a.c2 = b.c2
+                           AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])), 6)
+              >= 0.8
+    ), removed AS (SELECT DISTINCT removed FROM prs)
+    SELECT a.vec_id,
+           CAST(a.c1 AS INTEGER) AS coarse,
+           CAST(a.c2 AS INTEGER) AS fine,
+           (r.removed IS NULL) AS kept
+    FROM a2 a LEFT JOIN removed r ON a.vec_id = r.removed
+    ORDER BY a.vec_id
+"""
+
+
 # DSIR: portable md5 bucket hash (the '0x'||md5-prefix idiom), Laplace-
 # smoothed bucket log-ratios computed once per bucket (exact-int-derived
 # ln inputs), per-doc SUM floor-truncated (q_unigram_logprob precedent).
@@ -3772,6 +3842,29 @@ ORACLES["q_udaf_geomean"] = """
     WHERE value > 0
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+
+# Exact quantiles: sequential verifier — rank = GREATEST(1, ceil(q*N))
+# in basis-point integer arithmetic (ROUND before CAST: DuckDB CAST
+# rounds, Python int(round()) matches), value looked up in the fully
+# sorted ROW_NUMBER order. Ties are benign: rank selection by value.
+ORACLES["q_exact_quantiles"] = """
+    WITH cnt AS (
+        SELECT COUNT(*) AS n FROM events WHERE value IS NOT NULL
+    ), qs AS (
+        SELECT q,
+               GREATEST(1, (CAST(ROUND(q * 10000) AS BIGINT) * n + 9999)
+                           // 10000) AS rank
+        FROM (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+        CROSS JOIN cnt
+    ), ranked AS (
+        SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT qs.q, CAST(qs.rank AS BIGINT) AS rank, r.value
+    FROM qs JOIN ranked r ON r.rn = qs.rank
+    ORDER BY qs.q
 """
 
 

@@ -3610,6 +3610,21 @@ def q_semdedup(spark, sf_dir):
     return similarity.semdedup(e, n_clusters=None, tau=0.8).orderBy("vec_id")
 
 
+def q_semdedup_hier(spark, sf_dir):
+    """Hierarchical SemDeDup (functions/similarity.py
+    `semdedup_two_level`): the same epsilon-ball prune as q_semdedup
+    behind a TWO-LEVEL deterministic quantizer — coarse argmax over s
+    first-by-id centroids, then fine argmax over the coarse cell's own
+    first-s members, s = max(2, floor(sqrt(max(4, N div 64)))) so total
+    cells s² track N/64 and cells stay ~64 vectors. Assignment costs
+    N·2s = O(N^1.25) where the flat sqrt(N) rule pays O(N^1.5) — the
+    tree-quantizer lever the flat form's docstring promises. Both
+    argmax levels, the per-cell seed windows, and the prune are
+    replayed by the oracle end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_two_level(e, tau=0.8).orderBy("vec_id")
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023; functions/selection.py
     `dsir_weights`): hashed-bigram features (portable md5 hash, 256
@@ -4205,6 +4220,29 @@ def q_udaf_geomean(spark, sf_dir):
     )
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT global quantiles without a global sort
+    (operators/quantiles.py `exact_quantiles_frame`): value at rank
+    ceil(q·N) for q in {.25, .5, .75, .9} over events.value, found by
+    iterative range partitioning — each round ONE map-side-combined
+    histogram aggregate over the candidate slice, the driver keeps
+    O(1024) bucket counts and recurses into the bucket holding the
+    target rank; the terminal slice resolves with a TakeOrdered. The
+    sort-free exact-selection primitive: log_B(N) cheap scans instead
+    of a corpus shuffle, where Spark's own `percentile` aggregate
+    buffers every value of the group (unbounded state for a global
+    quantile). The oracle replays rank = GREATEST(1,
+    ceil(q·N)) against a fully sorted ROW_NUMBER — sequential
+    verifier in the oracle, distributed selection in the engine, the
+    q_shard_assign evidence pattern."""
+    from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+        exact_quantiles_frame,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return exact_quantiles_frame(e, "value", [0.25, 0.5, 0.75, 0.9]).orderBy("q")
+
+
 def q_sliding_distinct(spark, sf_dir):
     """DISTINCT aggregate inside sliding time windows (2 h / 1 h slide):
     concurrent-unique-user counts per window — the "active users" shape
@@ -4241,6 +4279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- queries whose newest driver row predates r06), topped up from
     # --- the r06 tier
     "q_entity_resolution_distinct": q_entity_resolution_distinct,
+    "q_semdedup_hier": q_semdedup_hier,
+    "q_exact_quantiles": q_exact_quantiles,
     "q_textrank": q_textrank,
     "q_semdedup": q_semdedup,
     "q_dsir_select": q_dsir_select,

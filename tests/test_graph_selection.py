@@ -83,6 +83,58 @@ class TestSemdedup:
         tight = similarity.semdedup(e, tau=0.7).filter("kept").count()
         assert tight <= loose
 
+    def test_two_level_matches_pure_python_replay(self, spark):
+        # full replay of the hierarchical quantizer + prune in numpy:
+        # coarse = first s by id, fine = per-cell first s members by id,
+        # both argmaxes on round(dot/|c|, 6) with ties to lowest index,
+        # kept = no >= tau cosine to a lower-id (c1, c2)-mate
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        n, dim, tau = 300, 8, 0.8
+        vecs = rng.standard_normal((n, dim))
+        vecs[50] = vecs[10]  # force an exact duplicate
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: (r["coarse"], r["fine"], r["kept"])
+               for r in similarity.semdedup_two_level(df, tau=tau).collect()}
+
+        import math
+        s = max(2, math.isqrt(max(4, n // 64)))
+        assert s == similarity.two_level_cell_counts(n)
+
+        def argmax6(v, cents):
+            best_d, best_i = float("-inf"), -1
+            for i, c in enumerate(cents):
+                d = round(float(v @ c) / float(np.sqrt(c @ c)), 6)
+                if d > best_d:
+                    best_d, best_i = d, i
+            return best_i
+
+        c1 = {i: argmax6(vecs[i], vecs[:s]) for i in range(n)}
+        fine_cents = {}
+        for cell in set(c1.values()):
+            members = sorted(i for i in range(n) if c1[i] == cell)[:s]
+            fine_cents[cell] = [vecs[i] for i in members]
+        c2 = {i: argmax6(vecs[i], fine_cents[c1[i]]) for i in range(n)}
+        removed = set()
+        for j in range(n):
+            for i in range(j):
+                if (c1[i], c2[i]) == (c1[j], c2[j]):
+                    cos = round(
+                        float(vecs[i] @ vecs[j])
+                        / float(np.sqrt(vecs[i] @ vecs[i]) * np.sqrt(vecs[j] @ vecs[j])),
+                        6,
+                    )
+                    if cos >= tau:
+                        removed.add(j)
+                        break
+        want = {i: (c1[i], c2[i], i not in removed) for i in range(n)}
+        assert got == want
+        assert got[50][2] is False  # the planted duplicate is pruned
+
 
 class TestSelection:
     @pytest.fixture()

@@ -217,6 +217,44 @@ class TestWindows:
             assert got == expected, (n_rows, n_tiles)
 
 
+class TestExactQuantiles:
+    def test_matches_sorted_ranks_with_forced_recursion(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_rank_values,
+        )
+
+        # 5000 values with 5-way ties; n_buckets=8 + max_slice=50 force
+        # 3+ narrowing rounds and tie-heavy bucket edges
+        vals = [(i * 37 % 1000) * 0.5 for i in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "value double").repartition(7)
+        ranks = [1, 2500, 2501, 4999, 5000]
+        got = exact_rank_values(df, "value", ranks, n_buckets=8, max_slice=50)
+        s = sorted(vals)
+        assert got == {r: s[r - 1] for r in ranks}
+
+    def test_all_tied_column_short_circuits(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_rank_values,
+        )
+
+        df = spark.createDataFrame([(3.5,)] * 100, "value double")
+        got = exact_rank_values(df, "value", [1, 50, 100], n_buckets=4, max_slice=10)
+        assert got == {1: 3.5, 50: 3.5, 100: 3.5}
+
+    def test_quantiles_frame_rank_rule_and_nulls(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_quantiles_frame,
+        )
+
+        # 10 non-null values 1..10 plus nulls (excluded); ceil(q*N) ranks
+        rows = [(float(i),) for i in range(1, 11)] + [(None,), (None,)]
+        df = spark.createDataFrame(rows, "value double")
+        got = {r["q"]: (r["rank"], r["value"])
+               for r in exact_quantiles_frame(df, "value", [0.25, 0.5, 0.9, 1.0],
+                                              n_buckets=4, max_slice=3).collect()}
+        assert got == {0.25: (3, 3.0), 0.5: (5, 5.0), 0.9: (9, 9.0), 1.0: (10, 10.0)}
+
+
 class TestPacking:
     def _docs(self, spark, rows):
         # text with exactly n tokens, ids chosen by the caller
