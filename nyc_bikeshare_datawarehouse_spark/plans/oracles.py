@@ -3831,6 +3831,71 @@ ORACLES["q_basket_rules"] = """
 """
 
 
+# Leakage-safe split: the q_dedup_clusters_pruned closure (df-pruned
+# jaccard -> recursive-CTE components) extended with the md5 bucket
+# split keyed on CLUSTER id and a cluster-size leak flag.
+ORACLES["q_leakage_safe_split"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+        FROM toks
+        WHERE len(t) >= 2
+    ), nd AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM toks WHERE len(t) >= 2
+    ), hot AS (
+        SELECT s FROM sh0, nd GROUP BY s, nd.n HAVING COUNT(*) > n * 0.05
+    ), sh AS (
+        SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), prs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM prs
+    ), reach AS (
+        SELECT doc_id AS node, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS node, r.lab
+        FROM reach r JOIN edges e ON e.src = r.node
+    ), clusters AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id
+        FROM reach
+        GROUP BY node
+    ), csize AS (
+        SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CASE WHEN b.bucket < 8000 THEN 'train'
+                WHEN b.bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           (s.sz > 1) AS leak_risk
+    FROM clusters c
+    JOIN csize s USING (cluster_id)
+    JOIN (
+        SELECT cluster_id,
+               CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS bucket
+        FROM (SELECT DISTINCT cluster_id FROM (
+            SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+        ))
+    ) b USING (cluster_id)
+    ORDER BY c.doc_id
+"""
+
+
 # UDAF geometric mean: exp(avg(ln x)) — the truncation absorbs the
 # np-vs-SQL summation-order ulps (q_unigram_logprob class). Domain is
 # value > 0 in both engines: DuckDB ln(0) hard-errors, numpy -> -inf.

@@ -1978,6 +1978,37 @@ def q_dedup_clusters_pruned(spark, sf_dir):
     return dedup.cluster_duplicates(pairs, d, "doc_id")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split KEY is the near-dup
+    CLUSTER id, not the document id — every member of an epsilon-ball
+    lands in the same split, so near-duplicates can never straddle the
+    train/test boundary (the dedup-before-split rule of public LLM data
+    practice; a doc-keyed split leaks template/boilerplate variants
+    across it). Clusters ride the df-pruned jaccard lattice (the
+    q_dedup_clusters_pruned scale plan, labels checkpointed per round),
+    the 80/10/10 assignment is the engine's deterministic md5 bucket
+    rule on cluster_id (operators/sampling.split — stable under data
+    growth), and leak_risk flags multi-member clusters (exactly the
+    rows a doc-keyed split could have torn apart). Cluster size is a
+    window over cluster_id, not an aggregate joined back (the diverged-
+    subplan pin)."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import split
+
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    pairs = dedup.ngram_jaccard_pairs(
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_frac=0.05,
+        pack_ids=True,
+    )
+    clusters = dedup.cluster_duplicates(pairs, d, "doc_id")
+    out = split(clusters, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    sz = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return (
+        out.select("doc_id", "cluster_id", "split", (sz > 1).alias("leak_risk"))
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_apply(spark, sf_dir):
     """The APPLY stage that closes the dedup pipeline (candidates →
     verify → cluster → APPLY): exact-dedup clusters (min doc_id per
@@ -4281,6 +4312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_entity_resolution_distinct": q_entity_resolution_distinct,
     "q_semdedup_hier": q_semdedup_hier,
     "q_exact_quantiles": q_exact_quantiles,
+    "q_leakage_safe_split": q_leakage_safe_split,
     "q_textrank": q_textrank,
     "q_semdedup": q_semdedup,
     "q_dsir_select": q_dsir_select,

@@ -217,6 +217,35 @@ class TestWindows:
             assert got == expected, (n_rows, n_tiles)
 
 
+class TestLeakageSafeSplit:
+    def test_no_cluster_straddles_splits_and_full_coverage(self, spark, sf_dir):
+        from nyc_bikeshare_datawarehouse_spark.plans.queries import QUERIES
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        out = QUERIES["q_leakage_safe_split"](spark, sf_dir)
+        # THE property: a cluster maps to exactly one split — no near-dup
+        # pair can straddle train/test
+        straddles = (
+            out.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter("k > 1")
+            .count()
+        )
+        assert straddles == 0
+        # total coverage: every document assigned exactly once
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert out.count() == n_docs
+        assert out.select("doc_id").distinct().count() == n_docs
+        # leak_risk marks exactly the multi-member clusters
+        risky = out.filter("leak_risk").select("cluster_id").distinct()
+        multi = (
+            out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+            .filter("n > 1").select("cluster_id")
+        )
+        assert risky.exceptAll(multi).count() == 0
+        assert multi.exceptAll(risky).count() == 0
+
+
 class TestExactQuantiles:
     def test_matches_sorted_ranks_with_forced_recursion(self, spark):
         from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
