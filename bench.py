@@ -184,6 +184,13 @@ EXTENDED = [
     "q_basket_rules",
     "q_udaf_geomean",
     "q_sliding_distinct",
+    # round 9 members
+    "q_entity_resolution_distinct",
+    "q_semdedup_hier",
+    "q_exact_quantiles",
+    "q_leakage_safe_split",
+    "q_temperature_mix",
+    "q_winsorize",
 ]
 
 

@@ -706,24 +706,31 @@ def semdedup_two_level(
 
     Scale shape: coarse assignment is per-row codegen against a 1-row
     broadcast; fine codebooks are s rows of s vectors, broadcast-joined
-    on the coarse cell; the prune shuffles (coarse, fine) keys only."""
+    on the coarse cell; the prune shuffles (coarse, fine) keys with the
+    vectors exactly once. The coarse argmax is computed INLINE in two
+    passes — once slim for seed selection (the per-cell window shuffles
+    (id, c1) pairs only, never vectors; the ≤ s² seed vectors re-attach
+    by a broadcast semi of seed ids), once fused into the fine
+    assignment — a deliberate 2× on the compute constant that keeps the
+    pre-prune pipeline completely shuffle-free for the fat vector
+    column (materializing (id, c1) instead would force a corpus-wide
+    vector join; the fat-column rule: ids shuffle, vectors don't)."""
     s = two_level_cell_counts(df.count(), cell_size)
     cents1 = _centroids_frame(df, s, id_col, vec_col)
-    coarse = (
-        df.crossJoin(F.broadcast(cents1))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            _argmax_rounded(vec_col, F.col("__cents")).alias("c1"),
-        )
+    coarse_slim = df.crossJoin(F.broadcast(cents1)).select(
+        F.col(id_col),
+        _argmax_rounded(vec_col, F.col("__cents")).alias("c1"),
     )
     # fine codebook per coarse cell: its first s members by id — a
-    # PARTITIONED window (parallel), then an s-row broadcast frame of
-    # (c1, array<array<double>>) in member-id order
+    # PARTITIONED window (parallel) over the SLIM (id, c1) stream;
+    # vectors join back only for the ≤ s·s seed rows (broadcast)
     w = Window.partitionBy("c1").orderBy(id_col)
+    seed_ids = coarse_slim.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= s
+    )
     seeds = (
-        coarse.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= s)
+        df.select(id_col, vec_col)
+        .join(F.broadcast(seed_ids.select(id_col, "c1")), id_col)
         .groupBy("c1")
         .agg(
             F.array_sort(
@@ -735,7 +742,13 @@ def semdedup_two_level(
         .select("c1", F.transform("__s", lambda x: x["v"]).alias("__cents2"))
     )
     assigned = (
-        coarse.join(F.broadcast(seeds), "c1")
+        df.crossJoin(F.broadcast(cents1))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            _argmax_rounded(vec_col, F.col("__cents")).alias("c1"),
+        )
+        .join(F.broadcast(seeds), "c1")
         .select(
             F.col(id_col),
             F.col(vec_col),

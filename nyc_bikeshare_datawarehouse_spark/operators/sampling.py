@@ -90,6 +90,52 @@ def mixture_upsample(
     return df.withColumn(epoch_col, F.explode(seq))
 
 
+def temperature_mix_weights(
+    df: DataFrame, group_col: str, weight_col: str = "weight_bp"
+) -> DataFrame:
+    """Temperature-balanced mixture weights at alpha = 0.5 — the public
+    multilingual-LM data-balancing recipe (sampling probability ∝ n^alpha
+    with alpha < 1 upweights low-resource domains; alpha = 0.5 is the
+    classic exponential-smoothing setting). Returns one row per group:
+    (group, n_docs, weight_bp) where weight_bp is the EPOCH weight in
+    basis points for `mixture_upsample`:
+
+        epochs_g = N · n_g^(alpha-1) / Σ_m n_m^alpha
+                 ≈ floor(10000 · N · s_g / (n_g · S)) / 10000,
+        s_g = floor(sqrt(n_g) · 10000)  (exact long),  S = Σ s_m (exact)
+
+    so the mixed corpus keeps its total size in expectation while the
+    per-group shares move from n_g/N to n_g^0.5/Σ n^0.5.
+
+    Engine parity: alpha is FIXED at 0.5 because IEEE sqrt is correctly
+    rounded (bit-identical everywhere) while a general pow(n, alpha) is
+    not — the same reason the graph family uses integer fixed-point.
+    sqrt is quantized per group BEFORE summation, so S is an exact
+    integer sum (no float summation-order ulps); the single double
+    division runs on exact integer operands in both engines. The group
+    totals ride a window over the group-count frame (O(#groups) rows —
+    the bounded single-task exception), not an aggregate joined back, so
+    the corpus-side groupBy executes once."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    s = F.floor(F.sqrt(F.col("n_docs")) * _MOD).cast("long")
+    w_all = Window.partitionBy(F.lit(1))
+    sc = counts.withColumn("__s", s)
+    return sc.select(
+        group_col,
+        "n_docs",
+        F.floor(
+            F.lit(float(_MOD))
+            * F.sum("n_docs").over(w_all)
+            * F.col("__s")
+            / (F.col("n_docs") * F.sum("__s").over(w_all))
+        )
+        .cast("long")
+        .alias(weight_col),
+    )
+
+
 def shard_assign(
     df: DataFrame,
     key_col: str,

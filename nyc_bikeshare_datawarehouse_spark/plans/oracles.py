@@ -3910,6 +3910,72 @@ ORACLES["q_udaf_geomean"] = """
 """
 
 
+# Temperature mix: quantized-sqrt weights (s = floor(sqrt(n)*1e4) per
+# group BEFORE summation, so S is an exact integer sum — no float
+# summation-order ulps), one double division on exact integer operands,
+# then the mixture_upsample integer epoch rule (md5 bucket fractional
+# accept). alpha fixed at 0.5: IEEE sqrt is correctly rounded, pow is not.
+ORACLES["q_temperature_mix"] = """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ), sc AS (
+        SELECT lang, n_docs,
+               CAST(FLOOR(sqrt(n_docs) * 10000) AS BIGINT) AS s
+        FROM counts
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
+        FROM sc
+    ), w AS (
+        SELECT lang,
+               CAST(FLOOR(10000.0 * nn * s / (n_docs * ss)) AS BIGINT) AS weight_bp
+        FROM sc CROSS JOIN tot
+    ), m AS (
+        SELECT d.doc_id, d.lang, w.weight_bp,
+               (w.weight_bp // 10000)
+               + CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 10000 < (w.weight_bp % 10000)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w USING (lang)
+    )
+    SELECT doc_id, lang, weight_bp, CAST(t.e AS INTEGER) AS epoch
+    FROM m, LATERAL unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS t(e)
+    ORDER BY doc_id, epoch
+"""
+
+
+# Winsorization: exact p05/p95 bounds from the sorted ROW_NUMBER (the
+# sequential verifier of exact_rank_values), clip, integer-cent report;
+# the mean mirrors Spark's floor(double-division of exact longs).
+ORACLES["q_winsorize"] = """
+    WITH cnt AS (
+        SELECT COUNT(*) AS n FROM events WHERE value IS NOT NULL
+    ), rk AS (
+        SELECT GREATEST(1, (500 * n + 9999) // 10000) AS r05,
+               GREATEST(1, (9500 * n + 9999) // 10000) AS r95
+        FROM cnt
+    ), ranked AS (
+        SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
+        FROM events WHERE value IS NOT NULL
+    ), bounds AS (
+        SELECT (SELECT value FROM ranked, rk WHERE rn = r05) AS lo,
+               (SELECT value FROM ranked, rk WHERE rn = r95) AS hi
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           CAST(FLOOR(
+               CAST(SUM(CAST(FLOOR(LEAST(GREATEST(value, lo), hi) * 100) AS BIGINT))
+                    AS DOUBLE) / COUNT(*)
+           ) AS BIGINT) AS mean_cents
+    FROM events, bounds
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 # Exact quantiles: sequential verifier — rank = GREATEST(1, ceil(q*N))
 # in basis-point integer arithmetic (ROUND before CAST: DuckDB CAST
 # rounds, Python int(round()) matches), value looked up in the fully

@@ -2984,6 +2984,70 @@ def q_mixture_epochs(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-balanced corpus mixing (operators/sampling.py
+    `temperature_mix_weights` + `mixture_upsample`): per-language epoch
+    weights ∝ n^0.5 normalized to keep total size (the public
+    multilingual-LM exponential-smoothing recipe, alpha fixed at 0.5
+    because IEEE sqrt is correctly rounded where pow is not), then each
+    doc replicated floor(w) times plus one md5-bucket-decided extra.
+    Low-resource languages get >1 epoch, the head language < 1 — and the
+    weights are DERIVED from the corpus (one lang-sized aggregate +
+    O(#langs) window) instead of hand-tuned. Oracle replays the
+    quantized-sqrt weight formula and the integer epoch rule."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
+        mixture_upsample,
+        temperature_mix_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = temperature_mix_weights(d, "lang")
+    mixed = d.join(F.broadcast(w), "lang")
+    return (
+        mixture_upsample(mixed, "doc_id", "weight_bp")
+        .select("doc_id", "lang", "weight_bp", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def q_winsorize(spark, sf_dir):
+    """Exact-quantile winsorization (operators/quantiles.py composed):
+    events.value clipped to its EXACT [p05, p95] — boundaries from
+    `exact_rank_values` (sort-free iterative selection, value at
+    ceil(q·N)) — then a per-event-type robustness report in integer
+    cents: row counts clipped at each side and the clipped mean as
+    floor(sum_cents / n). The standard outlier-robust preprocessing
+    step, with the clip points exact (approx-quantile clip points move
+    between runs; these are oracle-checkable constants of the data).
+    Plan: 2-3 histogram-aggregate scans to find each boundary, one
+    aggregate for the report — no sort, no window over the corpus."""
+    from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+        exact_rank_values,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    n = e.filter(F.col("value").isNotNull()).count()
+    r05 = max(1, (500 * n + 9999) // 10000)
+    r95 = max(1, (9500 * n + 9999) // 10000)
+    vals = exact_rank_values(e, "value", [r05, r95])
+    lo, hi = vals[r05], vals[r95]
+    clipped = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") < lo).cast("long")).cast("long").alias("n_clip_lo"),
+            F.sum((F.col("value") > hi).cast("long")).cast("long").alias("n_clip_hi"),
+            F.floor(
+                F.sum(F.floor(clipped * 100).cast("long"))
+                / F.count(F.lit(1))
+            ).cast("long").alias("mean_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental delta-vs-corpus dedup (functions/dedup.py
     `incremental_dedup`): docs with doc_id % 5 == 0 play the daily
@@ -4305,14 +4369,64 @@ def q_sliding_distinct(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-9 rotation: round-9 additions
-    # --- first (no driver rows), then the 44 r05-stale rows (the only
-    # --- queries whose newest driver row predates r06), topped up from
-    # --- the r06 tier
+    # --- driver window (first 50), round-9 rotation: the 6 round-9
+    # --- additions (no driver rows yet), then the 44 queries whose newest
+    # --- driver row predates r06 (the last r05-stale tier) — exactly 50.
+    # --- After r09 no query's newest row predates r06.
     "q_entity_resolution_distinct": q_entity_resolution_distinct,
     "q_semdedup_hier": q_semdedup_hier,
     "q_exact_quantiles": q_exact_quantiles,
     "q_leakage_safe_split": q_leakage_safe_split,
+    "q_temperature_mix": q_temperature_mix,
+    "q_winsorize": q_winsorize,
+    "q_top_ngrams": q_top_ngrams,
+    "q_embed_quantize": q_embed_quantize,
+    "q_robust_outliers": q_robust_outliers,
+    "q_curation_pipeline": q_curation_pipeline,
+    "q_unigram_logprob": q_unigram_logprob,
+    "q_length_histogram": q_length_histogram,
+    "q_bm25_search": q_bm25_search,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_embed_centroids": q_embed_centroids,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q20": q_tpch_q20,
+    "q_stratified_sample": q_stratified_sample,
+    "q_scd1_merge": q_scd1_merge,
+    "q_cdc_changed_rows": q_cdc_changed_rows,
+    "q_scd2_history": q_scd2_history,
+    "q_quality_profile": q_quality_profile,
+    "q_minhash_portable": q_minhash_portable,
+    "q_collect_agg": q_collect_agg,
+    "q_token_budget": q_token_budget,
+    "q_chunk_spans": q_chunk_spans,
+    "q_late_data": q_late_data,
+    "q_dedup_pipeline": q_dedup_pipeline,
+    "q_multimodal_features": q_multimodal_features,
+    "q_dedup_exact": q_dedup_exact,
+    "q_fingerprint_dedup": q_fingerprint_dedup,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
+    "q_cosine_topk": q_cosine_topk,
+    "q_text_tokens": q_text_tokens,
+    "q_text_stats": q_text_stats,
+    "q_lang_stats": q_lang_stats,
+    "q_regexp_funcs": q_regexp_funcs,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_hash_sample": q_hash_sample,
+    "q_dedup_apply": q_dedup_apply,
+    "q_train_split": q_train_split,
+    "q_posexplode": q_posexplode,
+    "q_epoch_arith": q_epoch_arith,
+    "q_sql_surrogate_keys": q_sql_surrogate_keys,
+    "q_sessionize": q_sessionize,
+    "q_pca_variance": q_pca_variance,
+    "q_mixture_epochs": q_mixture_epochs,
+    "q_shard_assign": q_shard_assign,
+    # --- r06-fresh remainder, then r08-refreshed rows, then the r07/r08
+    # --- tiers (newest driver rows, back of the rotation)
     "q_textrank": q_textrank,
     "q_semdedup": q_semdedup,
     "q_dsir_select": q_dsir_select,
@@ -4357,62 +4471,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_token_pmi": q_token_pmi,
     "q_ols_trend": q_ols_trend,
-    # --- r05-era rows, stalest tier (the first 6 fill the 50-query
-    # --- window after the 26 round-8 + 18 round-7 entries above)
     "q_contamination": q_contamination,
     "q_decontaminate": q_decontaminate,
     "q_repetition_stats": q_repetition_stats,
     "q_pii_scrub": q_pii_scrub,
     "q_stream_dedup_batch": q_stream_dedup_batch,
     "q_bucketed_join": q_bucketed_join,
-    "q_top_ngrams": q_top_ngrams,
-    "q_embed_quantize": q_embed_quantize,
-    "q_robust_outliers": q_robust_outliers,
-    "q_curation_pipeline": q_curation_pipeline,
-    "q_unigram_logprob": q_unigram_logprob,
-    "q_length_histogram": q_length_histogram,
-    "q_bm25_search": q_bm25_search,
-    "q_winnow_fingerprints": q_winnow_fingerprints,
-    "q_embed_centroids": q_embed_centroids,
-    "q_tpch_q2": q_tpch_q2,
-    "q_tpch_q9": q_tpch_q9,
-    "q_tpch_q11": q_tpch_q11,
-    "q_tpch_q16": q_tpch_q16,
-    "q_tpch_q20": q_tpch_q20,
-    "q_stratified_sample": q_stratified_sample,
-    "q_scd1_merge": q_scd1_merge,
-    "q_cdc_changed_rows": q_cdc_changed_rows,
-    "q_scd2_history": q_scd2_history,
-    "q_quality_profile": q_quality_profile,
-    "q_minhash_portable": q_minhash_portable,
-    "q_collect_agg": q_collect_agg,
-    "q_token_budget": q_token_budget,
-    "q_chunk_spans": q_chunk_spans,
-    "q_late_data": q_late_data,
-    "q_dedup_pipeline": q_dedup_pipeline,
-    "q_multimodal_features": q_multimodal_features,
-    # --- r05-era remainder: head of the r09 window
-    "q_dedup_exact": q_dedup_exact,
-    "q_fingerprint_dedup": q_fingerprint_dedup,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
-    "q_cosine_topk": q_cosine_topk,
-    "q_text_tokens": q_text_tokens,
-    "q_text_stats": q_text_stats,
-    "q_lang_stats": q_lang_stats,
-    "q_regexp_funcs": q_regexp_funcs,
-    "q_dedup_keep_best": q_dedup_keep_best,
-    "q_hash_sample": q_hash_sample,
-    "q_dedup_apply": q_dedup_apply,
-    "q_train_split": q_train_split,
-    "q_posexplode": q_posexplode,
-    "q_epoch_arith": q_epoch_arith,
-    "q_sql_surrogate_keys": q_sql_surrogate_keys,
-    "q_sessionize": q_sessionize,
-    "q_pca_variance": q_pca_variance,
-    # --- newest row r06
-    "q_mixture_epochs": q_mixture_epochs,
-    "q_shard_assign": q_shard_assign,
     "q_countmin_topk": q_countmin_topk,
     "q_bloom_join": q_bloom_join,
     "q_jaccard_prefix": q_jaccard_prefix,
@@ -4461,7 +4525,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_agg_monthly": q_agg_monthly,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
-    # --- newest row r07 (just checked, back of the rotation)
     "q_embed_near_dup": q_embed_near_dup,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q6": q_tpch_q6,

@@ -165,3 +165,31 @@ def test_shard_assign_validates_size(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         shard_assign(df, "id", shard_size=0)
+
+
+def test_temperature_mix_weights_hand_computed(spark):
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
+        temperature_mix_weights,
+    )
+
+    # n=100 vs n=400: s = floor(sqrt(n)*1e4) = 100_000 / 200_000,
+    # N=500, S=300_000 -> w = floor(1e4*500*s / (n*3e5)) = 16666 / 8333
+    rows = [(i, "lo") for i in range(100)] + [(1000 + i, "hi") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["lang"]: (r["n_docs"], r["weight_bp"])
+           for r in temperature_mix_weights(df, "lang").collect()}
+    assert got == {"lo": (100, 16666), "hi": (400, 8333)}
+    # expected total size preserved within rounding: sum(n*w)/1e4 ~ N
+    total = sum(n * w for n, w in got.values()) / 10000
+    assert abs(total - 500) < 1  # only floor rounding lost
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
+        temperature_mix_weights,
+    )
+
+    rows = [(i, "head") for i in range(900)] + [(2000 + i, "tail") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["lang"]: r["weight_bp"] for r in temperature_mix_weights(df, "lang").collect()}
+    assert got["tail"] > 10000 > got["head"]  # tail > 1 epoch, head < 1
