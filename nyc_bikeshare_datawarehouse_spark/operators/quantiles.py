@@ -40,66 +40,87 @@ def exact_rank_values(
 ) -> dict[int, float]:
     """Exact value at each 1-based `rank` of `col`'s ascending order.
 
-    Driver-side state is O(n_buckets) counts per round — the bounded-
-    collect class (sketch states); the corpus is only ever scanned by
-    map-side-combined aggregates and one final TakeOrdered per rank
-    group. NULLs are excluded (SQL ORDER BY semantics for rank
-    selection over non-null values)."""
+    Rounds are SHARED across ranks: the worklist holds (slice, offset,
+    ranks-in-slice) groups, so every rank rides the same first full-scan
+    histogram and only diverges once targets land in different buckets —
+    q quantiles cost ~log_B(N) scans TOTAL, not per quantile. Driver-
+    side state is O(n_buckets) counts per round — the bounded-collect
+    class (sketch states); the corpus is only ever scanned by map-side-
+    combined aggregates plus one final TakeOrdered per resolved rank.
+    NULLs are excluded (SQL ORDER BY semantics for rank selection over
+    non-null values)."""
     c = F.col(col) if isinstance(col, str) else col
     vals = df.select(c.alias("__v")).filter(F.col("__v").isNotNull())
     out: dict[int, float] = {}
-    for rank in ranks:
-        lo, hi, offset = None, None, 0  # [lo, hi] candidate value range
-        pred = F.lit(True)
-        while True:
-            sl = vals.filter(pred)
-            stats = sl.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("__v").alias("lo"),
-                F.max("__v").alias("hi"),
-            ).head()
-            n, lo, hi = stats["n"], stats["lo"], stats["hi"]
-            if n == 0:
-                raise ValueError(f"rank {rank} out of range (empty slice)")
-            if lo == hi:
-                out[rank] = float(lo)  # the whole slice is one tied value
-                break
-            if n <= max_slice:
-                # terminal: TakeOrdered (rank-offset) rows, keep the last
-                k = rank - offset
+    # worklist groups: (predicate, offset = rows strictly before slice,
+    # ranks awaiting resolution inside the slice)
+    work: list[tuple[Column, int, list[int]]] = [
+        (F.lit(True), 0, sorted(set(ranks)))
+    ]
+    while work:
+        pred, offset, group = work.pop()
+        sl = vals.filter(pred)
+        stats = sl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        ).head()
+        n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+        if n == 0:
+            raise ValueError(f"ranks {group} out of range (empty slice)")
+        if lo == hi:
+            for rank in group:  # the whole slice is one tied value
+                out[rank] = float(lo)
+            continue
+        if n <= max_slice:
+            # terminal: TakeOrdered (rank-offset) rows per rank, keep the
+            # last — per-partition heaps, O(k) network each
+            for rank in group:
                 row = (
                     sl.orderBy("__v")
-                    .limit(k)
+                    .limit(rank - offset)
                     .agg(F.max("__v").alias("v"))
                     .head()
                 )
                 out[rank] = float(row["v"])
-                break
-            width = (hi - lo) / n_buckets
-            # The narrowing predicate is the SAME bucket expression the
-            # counts grouped on (literal lo/width of this round), not
-            # reconstructed range bounds — a 1-ulp floor straddle at a
-            # bucket edge would otherwise desynchronize offset and slice.
-            bucket = F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)).cast("int"),
-            )
-            counts = dict(
-                (r["b"], r["n"])
-                for r in sl.groupBy(bucket.alias("b"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            cum = offset
-            for b in range(n_buckets):
-                nb = counts.get(b, 0)
-                if cum + nb >= rank:
-                    pred = pred & (bucket == F.lit(b))
-                    offset = cum
+            continue
+        width = (hi - lo) / n_buckets
+        # The narrowing predicate is the SAME bucket expression the
+        # counts grouped on (literal lo/width of this round), not
+        # reconstructed range bounds — a 1-ulp floor straddle at a
+        # bucket edge would otherwise desynchronize offset and slice.
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)).cast("int"),
+        )
+        counts = dict(
+            (r["b"], r["n"])
+            for r in sl.groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        # one cumulative walk assigns EVERY pending rank to its bucket
+        by_bucket: dict[int, tuple[int, list[int]]] = {}
+        cum, b, it = offset, 0, iter(group)
+        rank = next(it)
+        while True:
+            nb = counts.get(b, 0)
+            while cum + nb >= rank:
+                off_b, rks = by_bucket.setdefault(b, (cum, []))
+                rks.append(rank)
+                nxt = next(it, None)
+                if nxt is None:
+                    rank = None
                     break
-                cum += nb
-            else:  # pragma: no cover - rank <= n guaranteed above
+                rank = nxt
+            if rank is None:
+                break
+            cum += nb
+            b += 1
+            if b >= n_buckets:  # pragma: no cover - rank <= n guaranteed
                 raise AssertionError("rank walked past every bucket")
+        for b, (off_b, rks) in by_bucket.items():
+            work.append((pred & (bucket == F.lit(b)), off_b, rks))
     return out
 
 

@@ -2687,6 +2687,7 @@ ORACLES["q_entity_resolution_distinct"] = """
                array_to_string(list_slice(list_filter(string_split(text, ' '),
                                                       x -> x <> ''), 1, 4), ' ') AS name
         FROM documents
+        WHERE doc_id % 2 = 0
     ), dirtyb AS (
         SELECT doc_id,
                substring(name, 1, CAST(doc_id % length(name) AS INTEGER))
