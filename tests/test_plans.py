@@ -211,6 +211,26 @@ def test_shard_assign_big_side_window_is_partitioned(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 2
 
 
+def test_temperature_mix_weights_broadcast_one_corpus_exchange(spark, sf_dir):
+    # the lang-sized weight frame broadcasts onto the corpus; the only
+    # corpus exchange is the per-lang count aggregate (the totals window
+    # runs over the O(#langs) count frame)
+    plan = plan_of(spark, sf_dir, "q_temperature_mix")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert n_exchanges(plan) <= 2  # lang-count agg (+ its window regroup)
+
+
+def test_semdedup_hier_codebooks_broadcast_vectors_shuffle_once(spark, sf_dir):
+    # both quantizer levels attach as broadcasts (1-row coarse codebook,
+    # s-row fine codebooks, s^2-row seed-id semi); the ONLY exchange that
+    # carries the vector column is the within-(c1,c2) prune join
+    plan = plan_of(spark, sf_dir, "q_semdedup_hier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("embedding") > 0
+    vec_exchanges = len(re.findall(r"Exchange hashpartitioning\([^\n]*embedding", plan))
+    assert vec_exchanges <= 2  # the prune's two sides, nothing upstream
+
+
 def test_layout_queries_window_is_partitioned(spark, sf_dir):
     # r08 verdict #1: the corpus-side NTILE must ride the 256-bucket
     # two-phase rank (hash-partitioned row_number), never a global
