@@ -191,6 +191,7 @@ EXTENDED = [
     "q_leakage_safe_split",
     "q_temperature_mix",
     "q_winsorize",
+    "q_grouped_median",
 ]
 
 

@@ -124,6 +124,155 @@ def exact_rank_values(
     return out
 
 
+def exact_group_quantile(
+    df: DataFrame,
+    group_col: str,
+    col: str | Column,
+    q_bp: int = 5000,
+    n_buckets: int = 256,
+    max_slice: int = 65536,
+) -> DataFrame:
+    """EXACT per-group quantile (rank = ceil(q·n_g), q in basis points)
+    for EVERY group in ONE set of shared scans — the grouped sibling of
+    `exact_rank_values`.
+
+    Why not a window: `Window.partitionBy(group)` funnels each group
+    through ONE sort task — the r01 scale-killer for macroscopic groups
+    (languages, sources, days). Why not a per-group loop: G groups would
+    pay G·log(N) scans. Here every round is ONE aggregate
+    `groupBy(group, bucket)` with PER-GROUP histogram parameters carried
+    by a broadcast O(G)-row state frame, so all groups narrow
+    simultaneously and total scans stay ~log_B(max_g n_g) regardless of
+    G. Each round also collects per-bucket min/max/count, so the next
+    round's parameters need no extra pass.
+
+    Determinism: the membership test for round r replays round r's
+    EXACT bucket expression (stored (lo, width, chosen-bucket) chain —
+    the same no-ulp-desync rule as exact_rank_values); all parameters
+    are exact aggregate outputs. Terminal slices resolve with one
+    TakeOrdered per group (bounded by G). Returns (group, n, rank,
+    value) with rank = GREATEST(1, ceil(q_bp·n/10000))."""
+    c = F.col(col) if isinstance(col, str) else col
+    spark = df.sparkSession
+    vals = df.select(F.col(group_col).alias("__g"), c.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    stats = vals.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()
+    B = n_buckets
+
+    def bucket_expr(lo, width):
+        return F.least(
+            F.lit(B - 1),
+            F.floor((F.col("__v") - lo) / width).cast("int"),
+        )
+
+    state = {}
+    for r in stats:
+        n = r["n"]
+        rank = max(1, (q_bp * n + 9999) // 10000)
+        state[r["__g"]] = {
+            "n": n, "rank": rank, "offset": 0,
+            "lo": float(r["lo"]), "hi": float(r["hi"]),
+            "chain": [],  # [(hist_lo, hist_width, chosen_bucket), ...]
+        }
+    resolved: dict = {}
+
+    def chain_pred(g, chain):
+        pred = F.col("__g") == F.lit(g)
+        for lo, w, b in chain:
+            pred = pred & (bucket_expr(F.lit(lo), F.lit(w)) == F.lit(b))
+        return pred
+
+    while True:
+        pending = {
+            g: s for g, s in state.items()
+            if g not in resolved and s["lo"] != s["hi"] and s["n"] > max_slice
+        }
+        for g, s in state.items():
+            if g in resolved or g in pending:
+                continue
+            if s["lo"] == s["hi"]:
+                resolved[g] = s["lo"]  # one tied value fills the slice
+            else:
+                row = (  # terminal: TakeOrdered (rank-offset), keep last
+                    vals.filter(chain_pred(g, s["chain"]))
+                    .orderBy("__v")
+                    .limit(s["rank"] - s["offset"])
+                    .agg(F.max("__v").alias("v"))
+                    .head()
+                )
+                resolved[g] = float(row["v"])
+        if not pending:
+            break
+        # ONE shared histogram scan: per-group params via broadcast state
+        depth = len(next(iter(pending.values()))["chain"])
+        gstate = spark.createDataFrame(
+            [
+                (
+                    g,
+                    [lo for lo, _, _ in s["chain"]],
+                    [w for _, w, _ in s["chain"]],
+                    [b for _, _, b in s["chain"]],
+                    s["lo"],
+                    (s["hi"] - s["lo"]) / B,
+                )
+                for g, s in pending.items()
+            ],
+            "__g string, __los array<double>, __ws array<double>, "
+            "__bs array<int>, __clo double, __cw double",
+        )
+        joined = vals.join(F.broadcast(gstate), "__g")
+        # Python-level loop, not F.forall: a HOF lambda whose body mixes
+        # lambda-bound gstate arrays with the join's other side trips
+        # Catalyst's attribute binding ([INTERNAL_ERROR_ATTRIBUTE_NOT_
+        # FOUND] __v not in gstate output) — depth is a small uniform
+        # int, so per-level literal expressions are also cheaper
+        for i in range(1, depth + 1):
+            joined = joined.filter(
+                bucket_expr(
+                    F.element_at("__los", F.lit(i)),
+                    F.element_at("__ws", F.lit(i)),
+                )
+                == F.element_at("__bs", F.lit(i))
+            )
+        cur_bucket = bucket_expr(F.col("__clo"), F.col("__cw"))
+        rows = (
+            joined.groupBy("__g", cur_bucket.alias("__b"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("__v").alias("lo"),
+                F.max("__v").alias("hi"),
+            )
+            .collect()
+        )
+        per_group: dict = {}
+        for r in rows:
+            per_group.setdefault(r["__g"], {})[r["__b"]] = r
+        for g, s in pending.items():
+            hist_lo, hist_w = s["lo"], (s["hi"] - s["lo"]) / B
+            cum = s["offset"]
+            for b in range(B):
+                r = per_group[g].get(b)
+                nb = r["n"] if r else 0
+                if cum + nb >= s["rank"]:
+                    s["chain"].append((hist_lo, hist_w, b))
+                    s["offset"] = cum
+                    s["n"], s["lo"], s["hi"] = nb, float(r["lo"]), float(r["hi"])
+                    break
+                cum += nb
+            else:  # pragma: no cover - rank <= n guaranteed
+                raise AssertionError("rank walked past every bucket")
+    totals = {r["__g"]: r["n"] for r in stats}
+    return spark.createDataFrame(
+        [(g, totals[g], state[g]["rank"], resolved[g]) for g in sorted(state)],
+        f"{group_col} string, n long, rank long, value double",
+    )
+
+
 def exact_quantiles_frame(
     df: DataFrame,
     col: str | Column,

@@ -3977,6 +3977,30 @@ ORACLES["q_winsorize"] = """
 """
 
 
+# Grouped exact median: per-group sequential verifier — rank =
+# GREATEST(1, ceil(n_g/2)) against a PARTITIONed ROW_NUMBER.
+ORACLES["q_grouped_median"] = """
+    WITH cnt AS (
+        SELECT event_type, COUNT(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ), ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT c.event_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(GREATEST(1, (5000 * c.n + 9999) // 10000) AS BIGINT) AS rank,
+           r.value
+    FROM cnt c
+    JOIN ranked r
+      ON r.event_type = c.event_type
+     AND r.rn = GREATEST(1, (5000 * c.n + 9999) // 10000)
+    ORDER BY c.event_type
+"""
+
+
 # Exact quantiles: sequential verifier — rank = GREATEST(1, ceil(q*N))
 # in basis-point integer arithmetic (ROUND before CAST: DuckDB CAST
 # rounds, Python int(round()) matches), value looked up in the fully

@@ -4341,6 +4341,28 @@ def q_exact_quantiles(spark, sf_dir):
     return exact_quantiles_frame(e, "value", [0.25, 0.5, 0.75, 0.9]).orderBy("q")
 
 
+def q_grouped_median(spark, sf_dir):
+    """EXACT per-group median without per-group sort tasks
+    (operators/quantiles.py `exact_group_quantile`): value at rank
+    ceil(n_g/2) of events.value per event_type. A
+    `Window.partitionBy(group)` funnels each macroscopic group through
+    ONE task and Spark's `percentile` buffers the group's values; here
+    every narrowing round is ONE `groupBy(group, bucket)` aggregate
+    whose per-group histogram parameters ride a broadcast O(G)-row
+    state frame — all groups narrow simultaneously, total scans
+    ~log_B(max n_g) regardless of G, terminal slices resolve with one
+    TakeOrdered each. The oracle is the sequential verifier: per-group
+    ROW_NUMBER at the same ceil rank."""
+    from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+        exact_group_quantile,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return exact_group_quantile(
+        e, "event_type", "value", q_bp=5000, max_slice=512
+    ).orderBy("event_type")
+
+
 def q_sliding_distinct(spark, sf_dir):
     """DISTINCT aggregate inside sliding time windows (2 h / 1 h slide):
     concurrent-unique-user counts per window — the "active users" shape
@@ -4372,16 +4394,19 @@ def q_sliding_distinct(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-9 rotation: the 6 round-9
-    # --- additions (no driver rows yet), then the 44 queries whose newest
-    # --- driver row predates r06 (the last r05-stale tier) — exactly 50.
-    # --- After r09 no query's newest row predates r06.
+    # --- driver window (first 50), round-9 rotation: the 7 round-9
+    # --- additions (no driver rows yet), then the r05-stale tier (the
+    # --- queries whose newest driver row predates r06). 7 + 44 = 51, so
+    # --- the LAST stale row (q_pca_variance — rows-only, the weakest
+    # --- refresh) sits at 51 and waits for r10; every other r05 row
+    # --- refreshes this round.
     "q_entity_resolution_distinct": q_entity_resolution_distinct,
     "q_semdedup_hier": q_semdedup_hier,
     "q_exact_quantiles": q_exact_quantiles,
     "q_leakage_safe_split": q_leakage_safe_split,
     "q_temperature_mix": q_temperature_mix,
     "q_winsorize": q_winsorize,
+    "q_grouped_median": q_grouped_median,
     "q_top_ngrams": q_top_ngrams,
     "q_embed_quantize": q_embed_quantize,
     "q_robust_outliers": q_robust_outliers,

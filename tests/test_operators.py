@@ -270,6 +270,33 @@ class TestExactQuantiles:
         got = exact_rank_values(df, "value", [1, 50, 100], n_buckets=4, max_slice=10)
         assert got == {1: 3.5, 50: 3.5, 100: 3.5}
 
+    def test_grouped_median_matches_per_group_sort(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_group_quantile,
+        )
+
+        # 3 groups, wildly different sizes/ranges + ties; max_slice=20 and
+        # n_buckets=4 force several SHARED narrowing rounds where groups
+        # resolve at different depths
+        rows = (
+            [("a", float((i * 13) % 97)) for i in range(500)]
+            + [("b", float((i * 7) % 11) * 100.0) for i in range(81)]
+            + [("c", 42.0)] * 30  # all tied -> lo==hi short circuit
+        )
+        df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+        got = {r["g"]: (r["n"], r["rank"], r["value"])
+               for r in exact_group_quantile(
+                   df, "g", "v", q_bp=5000, n_buckets=4, max_slice=20
+               ).collect()}
+        from collections import defaultdict
+        byg = defaultdict(list)
+        for g, v in rows:
+            byg[g].append(v)
+        for g, vs in byg.items():
+            n = len(vs)
+            rank = max(1, (5000 * n + 9999) // 10000)
+            assert got[g] == (n, rank, sorted(vs)[rank - 1]), g
+
     def test_quantiles_frame_rank_rule_and_nulls(self, spark):
         from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
             exact_quantiles_frame,
