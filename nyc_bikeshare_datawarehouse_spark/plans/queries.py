@@ -1991,7 +1991,12 @@ def q_leakage_safe_split(spark, sf_dir):
     growth), and leak_risk flags multi-member clusters (exactly the
     rows a doc-keyed split could have torn apart). Cluster size is a
     window over cluster_id, not an aggregate joined back (the diverged-
-    subplan pin)."""
+    subplan pin). Known trade, documented: cluster-keyed assignment is
+    NOT stable under corpus growth — a new document that bridges two
+    clusters merges their ids, and the merged cluster re-hashes, so its
+    members can switch splits. That is the price of the no-leakage
+    invariant (doc-keyed splits are stable but leak near-dups); pin the
+    split at a corpus snapshot, as public LLM data pipelines do."""
     from nyc_bikeshare_datawarehouse_spark.operators.sampling import split
 
     d = _t(spark, sf_dir, "documents")

@@ -439,3 +439,25 @@ def test_bfs_matches_reference_on_random_graphs(spark, raw, k):
     sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
     got = {r["node"]: r["hops"] for r in g.bfs_hops(df, sdf, max_hops=k).collect()}
     assert got == py_bfs(edges, seeds, k)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=300,
+    ),
+    ranks=st.lists(st.integers(1, 300), min_size=1, max_size=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_rank_values_matches_sorted(spark, vals, ranks):
+    from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+        exact_rank_values,
+    )
+
+    ranks = sorted({min(r, len(vals)) for r in ranks})
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    # tiny buckets/slice force the shared narrowing worklist on every run
+    got = exact_rank_values(df, "v", ranks, n_buckets=4, max_slice=8)
+    s = sorted(vals)
+    assert got == {r: s[r - 1] for r in ranks}
