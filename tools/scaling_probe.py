@@ -318,6 +318,11 @@ def main() -> None:
         help="run the constant-density radius-join probe and merge its row",
     )
     ap.add_argument(
+        "--quantiles", action="store_true",
+        help="probe exact_rank_values on synthetic value columns at 1x/10x "
+             "(events are not part of the sfx replica set)",
+    )
+    ap.add_argument(
         "--er-lever", action="store_true",
         help="time the exact vs distinct-universe entity-resolution funnel "
              "on the SAME repeat-heavy (4x-replicated) sf0.1 corpus",
@@ -328,6 +333,40 @@ def main() -> None:
     big = build_sfx(spark, args.replicas)
     if args.only and "q_basket_rules" in args.only:
         ensure_lineitem_sfx(spark, args.replicas)
+
+    if args.quantiles:
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_rank_values,
+        )
+
+        def run_q(n: int) -> float:
+            vals = spark.range(n).select(
+                ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v")
+            )
+            ranks = [max(1, n // 4), max(1, n // 2), max(1, (3 * n) // 4)]
+            t0 = time.time()
+            exact_rank_values(vals, "v", ranks)
+            return round(time.time() - t0, 2)
+
+        base_n = 10_000_000
+        run_q(base_n)  # warm
+        t_small = run_q(base_n)
+        t_big = run_q(base_n * args.replicas)
+        alpha = math.log(t_big / t_small) / math.log(args.replicas)
+        merged = json.load(open("/root/repo/SCALING.json"))
+        merged["exact_rank_values"] = {
+            "sf0.1_sec": t_small,
+            f"sf1x{args.replicas}_sec": t_big,
+            "alpha": round(alpha, 2),
+            "step": f"10M -> {args.replicas * 10}M synthetic doubles, 3 ranks "
+                    "shared; rounds are full-scan histogram aggregates so the "
+                    "claim is alpha ~1 with a log_B(N) round count (one extra "
+                    "round per 1024x growth)",
+        }
+        json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
+        print(f"exact_rank_values: {t_small}s -> {t_big}s  alpha={alpha:.2f}")
+        if not (args.only or args.incremental or args.spatial or args.er_lever):
+            return
 
     if args.er_lever:
         from nyc_bikeshare_datawarehouse_spark.functions import dedup, fuzzy, text
