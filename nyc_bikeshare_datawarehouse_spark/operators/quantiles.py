@@ -208,8 +208,11 @@ def exact_group_quantile(
                 resolved[g] = float(row["v"])
         if not pending:
             break
-        # ONE shared histogram scan: per-group params via broadcast state
+        # ONE shared histogram scan: per-group params via broadcast state.
+        # Depth is uniform: every still-pending group narrowed exactly
+        # once per round (resolve or append — no third path).
         depth = len(next(iter(pending.values()))["chain"])
+        assert all(len(s["chain"]) == depth for s in pending.values())
         gstate = spark.createDataFrame(
             [
                 (
