@@ -192,6 +192,7 @@ EXTENDED = [
     "q_temperature_mix",
     "q_winsorize",
     "q_grouped_median",
+    "q_rendezvous_shards",
 ]
 
 

@@ -90,6 +90,41 @@ def mixture_upsample(
     return df.withColumn(epoch_col, F.explode(seq))
 
 
+def rendezvous_shard(key_col: str | Column, n_shards: int, out_col: str = "shard") -> Column:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1996)
+    shard assignment: shard = argmax_s md5(key ‖ ':' ‖ s) — the stable
+    alternative to `hash mod N`. Growing N→N+1 re-evaluates one more
+    candidate, so EXACTLY the keys whose new candidate wins move — an
+    expected 1/(N+1) of them, every one INTO the new shard (mod-N
+    resharding moves ~half of all keys and scatters them). That is the
+    property that makes incremental corpus resharding, cache routing,
+    and shard-count growth O(moved) instead of O(corpus).
+
+    One codegen expression per row (n_shards md5s folded by a strict->
+    max, ties to the lowest shard id — md5-collision-improbable but
+    deterministic); no shuffle, no state. Engine-portable: the oracle
+    replays it as ROW_NUMBER over the same '0x'||md5-prefix longs."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
+    cands = F.array(*[
+        F.struct(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", k, F.lit(str(s)))), 1, 15),
+                16, 10,
+            ).cast("long").alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ])
+    best = F.aggregate(
+        cands,
+        F.struct(F.lit(-1).cast("long").alias("h"), F.lit(-1).alias("s")),
+        lambda acc, x: F.when(x["h"] > acc["h"], x).otherwise(acc),
+    )
+    return best["s"].alias(out_col)
+
+
 def temperature_mix_weights(
     df: DataFrame, group_col: str, weight_col: str = "weight_bp"
 ) -> DataFrame:

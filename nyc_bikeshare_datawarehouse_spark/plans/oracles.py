@@ -3977,6 +3977,45 @@ ORACLES["q_winsorize"] = """
 """
 
 
+# Rendezvous sharding: both argmax assignments replayed — per (doc,
+# shard) candidate longs from the '0x'||md5-prefix idiom, winner =
+# ROW_NUMBER over (h DESC, s ASC), matching the strict-> fold's
+# lowest-id tie rule.
+ORACLES["q_rendezvous_shards"] = """
+    WITH c8 AS (
+        SELECT d.doc_id, CAST(t.s AS INTEGER) AS s,
+               CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                           CAST(t.s AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents d, LATERAL unnest(range(0, 8)) AS t(s)
+    ), a8 AS (
+        SELECT doc_id, s AS shard8 FROM (
+            SELECT doc_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, s ASC) AS rn
+            FROM c8
+        ) WHERE rn = 1
+    ), c9 AS (
+        SELECT d.doc_id, CAST(t.s AS INTEGER) AS s,
+               CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                           CAST(t.s AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents d, LATERAL unnest(range(0, 9)) AS t(s)
+    ), a9 AS (
+        SELECT doc_id, s AS shard9 FROM (
+            SELECT doc_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, s ASC) AS rn
+            FROM c9
+        ) WHERE rn = 1
+    )
+    SELECT a8.doc_id, a8.shard8, a9.shard9,
+           (a8.shard8 <> a9.shard9) AS moved
+    FROM a8 JOIN a9 USING (doc_id)
+    ORDER BY a8.doc_id
+"""
+
+
 # Grouped exact median: per-group sequential verifier — rank =
 # GREATEST(1, ceil(n_g/2)) against a PARTITIONed ROW_NUMBER.
 ORACLES["q_grouped_median"] = """

@@ -4346,6 +4346,29 @@ def q_exact_quantiles(spark, sf_dir):
     return exact_quantiles_frame(e, "value", [0.25, 0.5, 0.75, 0.9]).orderBy("q")
 
 
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (HRW) sharding under shard-count GROWTH
+    (operators/sampling.py `rendezvous_shard`): every document assigned
+    under 8 shards AND under 9, with the moved flag — the resharding
+    story `hash mod N` cannot tell: HRW moves an expected 1/9 of keys
+    and EVERY moved key lands in the new shard (pytest pins the exact
+    only-into-the-new-shard invariant; the oracle replays both argmax
+    assignments for the whole corpus). Per-row codegen, no shuffle —
+    at 100 TB a reshard touches only the moved slice."""
+    d = _t(spark, sf_dir, "documents")
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import rendezvous_shard
+
+    return (
+        d.select(
+            "doc_id",
+            rendezvous_shard("doc_id", 8, "shard8"),
+            rendezvous_shard("doc_id", 9, "shard9"),
+        )
+        .withColumn("moved", F.col("shard8") != F.col("shard9"))
+        .orderBy("doc_id")
+    )
+
+
 def q_grouped_median(spark, sf_dir):
     """EXACT per-group median without per-group sort tasks
     (operators/quantiles.py `exact_group_quantile`): value at rank
@@ -4399,12 +4422,12 @@ def q_sliding_distinct(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-9 rotation: the 7 round-9
+    # --- driver window (first 50), round-9 rotation: the 8 round-9
     # --- additions (no driver rows yet), then the r05-stale tier (the
-    # --- queries whose newest driver row predates r06). 7 + 44 = 51, so
-    # --- the LAST stale row (q_pca_variance — rows-only, the weakest
-    # --- refresh) sits at 51 and waits for r10; every other r05 row
-    # --- refreshes this round.
+    # --- queries whose newest driver row predates r06). 8 + 44 = 52, so
+    # --- the two LAST stale rows (q_sessionize, q_pca_variance — the
+    # --- latter rows-only, the weakest refresh) sit at 51-52 and wait
+    # --- for r10; every other r05 row refreshes this round.
     "q_entity_resolution_distinct": q_entity_resolution_distinct,
     "q_semdedup_hier": q_semdedup_hier,
     "q_exact_quantiles": q_exact_quantiles,
@@ -4412,6 +4435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_temperature_mix": q_temperature_mix,
     "q_winsorize": q_winsorize,
     "q_grouped_median": q_grouped_median,
+    "q_rendezvous_shards": q_rendezvous_shards,
     "q_top_ngrams": q_top_ngrams,
     "q_embed_quantize": q_embed_quantize,
     "q_robust_outliers": q_robust_outliers,

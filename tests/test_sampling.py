@@ -193,3 +193,30 @@ def test_temperature_mix_upweights_low_resource(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string")
     got = {r["lang"]: r["weight_bp"] for r in temperature_mix_weights(df, "lang").collect()}
     assert got["tail"] > 10000 > got["head"]  # tail > 1 epoch, head < 1
+
+
+def test_rendezvous_moves_only_into_the_new_shard(spark):
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import rendezvous_shard
+
+    df = spark.range(3000).select(F.col("id"))
+    out = df.select(
+        "id",
+        rendezvous_shard("id", 8, "s8"),
+        rendezvous_shard("id", 9, "s9"),
+    ).collect()
+    moved = [r for r in out if r["s8"] != r["s9"]]
+    # THE rendezvous invariant (exact, not statistical): a key moves iff
+    # the NEW shard's candidate hash beats its old winner — so every
+    # moved key lands in shard 8 (the added one)
+    assert all(r["s9"] == 8 for r in moved)
+    # expected moved fraction 1/9 ~ 11.1%; generous band for 3000 keys
+    assert 0.07 < len(moved) / len(out) < 0.16
+    # balance: every shard under 9 is populated
+    assert {r["s9"] for r in out} == set(range(9))
+
+
+def test_rendezvous_shard_validates(spark):
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import rendezvous_shard
+
+    with pytest.raises(ValueError):
+        rendezvous_shard("id", 0)
