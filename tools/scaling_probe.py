@@ -348,11 +348,27 @@ def main() -> None:
             exact_rank_values(vals, "v", ranks)
             return round(time.time() - t0, 2)
 
+        def run_gq(n: int) -> float:
+            from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+                exact_group_quantile,
+            )
+
+            vals = spark.range(n).select(
+                (F.col("id") % 7).cast("string").alias("g"),
+                ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"),
+            )
+            t0 = time.time()
+            exact_group_quantile(vals, "g", "v", q_bp=5000).count()
+            return round(time.time() - t0, 2)
+
         base_n = 10_000_000
         run_q(base_n)  # warm
         t_small = run_q(base_n)
         t_big = run_q(base_n * args.replicas)
         alpha = math.log(t_big / t_small) / math.log(args.replicas)
+        tg_small = run_gq(base_n)
+        tg_big = run_gq(base_n * args.replicas)
+        g_alpha = math.log(tg_big / tg_small) / math.log(args.replicas)
         merged = json.load(open("/root/repo/SCALING.json"))
         merged["exact_rank_values"] = {
             "sf0.1_sec": t_small,
@@ -363,8 +379,18 @@ def main() -> None:
                     "claim is alpha ~1 with a log_B(N) round count (one extra "
                     "round per 1024x growth)",
         }
+        merged["exact_group_quantile"] = {
+            "sf0.1_sec": tg_small,
+            f"sf1x{args.replicas}_sec": tg_big,
+            "alpha": round(g_alpha, 2),
+            "step": f"10M -> {args.replicas * 10}M synthetic doubles across 7 "
+                    "groups, per-group median; every round is one shared "
+                    "groupBy(group, bucket) aggregate — same log-round claim "
+                    "as the global form, independent of group count",
+        }
         json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
         print(f"exact_rank_values: {t_small}s -> {t_big}s  alpha={alpha:.2f}")
+        print(f"exact_group_quantile: {tg_small}s -> {tg_big}s  alpha={g_alpha:.2f}")
         if not (args.only or args.incremental or args.spatial or args.er_lever):
             return
 
