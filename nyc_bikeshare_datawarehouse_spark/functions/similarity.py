@@ -590,31 +590,13 @@ def semdedup(
     if n_clusters is None:
         n_clusters = semdedup_cell_count(df.count())
     cents = _centroids_frame(df, n_clusters, id_col, vec_col)
-    v = _vec(vec_col)
-    scores = F.zip_with(
-        F.col("__cents"),
-        F.sequence(F.lit(0), F.size("__cents") - 1),
-        lambda c, i: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(v, c, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)),
-                6,
-            ).alias("d"),
-            i.alias("i"),
-        ),
-    )
-    best = F.aggregate(
-        scores,
-        F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")),
-        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
-    )
     assigned = (
         df.crossJoin(F.broadcast(cents))
-        .select(F.col(id_col), F.col(vec_col), best["i"].alias("cell"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            _argmax_rounded(vec_col, F.col("__cents")).alias("cell"),
+        )
     )
     a = assigned.select(
         F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
@@ -893,28 +875,11 @@ def hard_negatives(
     if n_clusters is None:
         n_clusters = semdedup_cell_count(df.count())
     cents = _centroids_frame(df, n_clusters, id_col, vec_col)
-    v = _vec(vec_col)
-    scores = F.zip_with(
-        F.col("__cents"),
-        F.sequence(F.lit(0), F.size("__cents") - 1),
-        lambda c, i: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-                )
-                / F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)),
-                6,
-            ).alias("d"),
-            i.alias("i"),
-        ),
-    )
-    best = F.aggregate(
-        scores,
-        F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")),
-        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
-    )
     assigned = df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col(vec_col), F.col(label_col), best["i"].alias("cell")
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        _argmax_rounded(vec_col, F.col("__cents")).alias("cell"),
     )
     a = assigned.select(
         "cell",

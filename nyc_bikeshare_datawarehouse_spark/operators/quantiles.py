@@ -34,9 +34,10 @@ from pyspark.sql import functions as F
 def exact_rank_values(
     df: DataFrame,
     col: str | Column,
-    ranks: Sequence[int],
+    ranks: Sequence[int] | None = None,
     n_buckets: int = 1024,
     max_slice: int = 65536,
+    quantiles_bp: Sequence[int] | None = None,
 ) -> dict[int, float]:
     """Exact value at each 1-based `rank` of `col`'s ascending order.
 
@@ -48,15 +49,24 @@ def exact_rank_values(
     class (sketch states); the corpus is only ever scanned by map-side-
     combined aggregates plus one final TakeOrdered per resolved rank.
     NULLs are excluded (SQL ORDER BY semantics for rank selection over
-    non-null values)."""
+    non-null values).
+
+    Pass `quantiles_bp` (basis points) instead of absolute `ranks` to
+    have ranks derived as GREATEST(1, ceil(q·N/10000)) from the FIRST
+    round's own count — callers then skip a dedicated count() scan.
+    With absolute `ranks`, a rank past the column's row count raises
+    ValueError (the first round knows N)."""
+    if (ranks is None) == (quantiles_bp is None):
+        raise ValueError("pass exactly one of ranks / quantiles_bp")
     c = F.col(col) if isinstance(col, str) else col
     vals = df.select(c.alias("__v")).filter(F.col("__v").isNotNull())
     out: dict[int, float] = {}
     # worklist groups: (predicate, offset = rows strictly before slice,
     # ranks awaiting resolution inside the slice)
     work: list[tuple[Column, int, list[int]]] = [
-        (F.lit(True), 0, sorted(set(ranks)))
+        (F.lit(True), 0, sorted(set(ranks)) if ranks is not None else [])
     ]
+    first_round = True
     while work:
         pred, offset, group = work.pop()
         sl = vals.filter(pred)
@@ -66,6 +76,12 @@ def exact_rank_values(
             F.max("__v").alias("hi"),
         ).head()
         n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+        if first_round:
+            first_round = False
+            if quantiles_bp is not None:
+                group = sorted({max(1, (bp * n + 9999) // 10000) for bp in quantiles_bp})
+            if n == 0 or (group and group[-1] > n):
+                raise ValueError(f"ranks {group} out of range (column has {n} rows)")
         if n == 0:
             raise ValueError(f"ranks {group} out of range (empty slice)")
         if lo == hi:
@@ -151,11 +167,15 @@ def exact_group_quantile(
     the same no-ulp-desync rule as exact_rank_values); all parameters
     are exact aggregate outputs. Terminal slices resolve with one
     TakeOrdered per group (bounded by G). Returns (group, n, rank,
-    value) with rank = GREATEST(1, ceil(q_bp·n/10000))."""
+    value) with rank = GREATEST(1, ceil(q_bp·n/10000)). The group
+    column keeps its input type; NULL group keys are excluded (like
+    NULL values — rank selection needs an equatable key; aggregate
+    NULLs into a sentinel first if they must participate)."""
     c = F.col(col) if isinstance(col, str) else col
     spark = df.sparkSession
+    g_type = df.select(F.col(group_col).alias("__g")).schema["__g"].dataType.simpleString()
     vals = df.select(F.col(group_col).alias("__g"), c.alias("__v")).filter(
-        F.col("__v").isNotNull()
+        F.col("__v").isNotNull() & F.col("__g").isNotNull()
     )
     stats = vals.groupBy("__g").agg(
         F.count(F.lit(1)).alias("n"),
@@ -225,7 +245,7 @@ def exact_group_quantile(
                 )
                 for g, s in pending.items()
             ],
-            "__g string, __los array<double>, __ws array<double>, "
+            f"__g {g_type}, __los array<double>, __ws array<double>, "
             "__bs array<int>, __clo double, __cw double",
         )
         joined = vals.join(F.broadcast(gstate), "__g")
@@ -272,7 +292,7 @@ def exact_group_quantile(
     totals = {r["__g"]: r["n"] for r in stats}
     return spark.createDataFrame(
         [(g, totals[g], state[g]["rank"], resolved[g]) for g in sorted(state)],
-        f"{group_col} string, n long, rank long, value double",
+        f"{group_col} {g_type}, n long, rank long, value double",
     )
 
 

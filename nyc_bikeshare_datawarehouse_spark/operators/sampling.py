@@ -103,10 +103,15 @@ def rendezvous_shard(key_col: str | Column, n_shards: int, out_col: str = "shard
     One codegen expression per row (n_shards md5s folded by a strict->
     max, ties to the lowest shard id — md5-collision-improbable but
     deterministic); no shuffle, no state. Engine-portable: the oracle
-    replays it as ROW_NUMBER over the same '0x'||md5-prefix longs."""
+    replays it as ROW_NUMBER over the same '0x'||md5-prefix longs.
+    NULL keys coalesce to a sentinel so they shard deterministically
+    (concat_ws would otherwise silently hash the bare shard index,
+    while the SQL `||` idiom would go NULL — an engine divergence);
+    mirror COALESCE(key, '\\x00null') in any oracle over nullable keys."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
+    raw = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("string")
+    k = F.coalesce(raw, F.lit("\x00null"))
     cands = F.array(*[
         F.struct(
             F.conv(
@@ -157,6 +162,10 @@ def temperature_mix_weights(
     s = F.floor(F.sqrt(F.col("n_docs")) * _MOD).cast("long")
     w_all = Window.partitionBy(F.lit(1))
     sc = counts.withColumn("__s", s)
+    # denominator multiplies in DOUBLE: n_docs*S as long*long wraps
+    # silently past 2^63 (n~1e10 groups in a large corpus) while DuckDB
+    # errors — double*long is correctly rounded identically in both
+    # engines and the final floor absorbs the ulp (numerator already is)
     return sc.select(
         group_col,
         "n_docs",
@@ -164,7 +173,7 @@ def temperature_mix_weights(
             F.lit(float(_MOD))
             * F.sum("n_docs").over(w_all)
             * F.col("__s")
-            / (F.col("n_docs") * F.sum("__s").over(w_all))
+            / (F.col("n_docs").cast("double") * F.sum("__s").over(w_all))
         )
         .cast("long")
         .alias(weight_col),

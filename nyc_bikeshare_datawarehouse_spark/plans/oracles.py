@@ -3889,9 +3889,7 @@ ORACLES["q_leakage_safe_split"] = """
         SELECT cluster_id,
                CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
                     AS BIGINT) % 10000 AS bucket
-        FROM (SELECT DISTINCT cluster_id FROM (
-            SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
-        ))
+        FROM (SELECT DISTINCT cluster_id FROM clusters)
     ) b USING (cluster_id)
     ORDER BY c.doc_id
 """
@@ -3929,7 +3927,8 @@ ORACLES["q_temperature_mix"] = """
         FROM sc
     ), w AS (
         SELECT lang,
-               CAST(FLOOR(10000.0 * nn * s / (n_docs * ss)) AS BIGINT) AS weight_bp
+               CAST(FLOOR(10000.0 * nn * s
+                          / (CAST(n_docs AS DOUBLE) * ss)) AS BIGINT) AS weight_bp
         FROM sc CROSS JOIN tot
     ), m AS (
         SELECT d.doc_id, d.lang, w.weight_bp,

@@ -3031,11 +3031,10 @@ def q_winsorize(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "events")
-    n = e.filter(F.col("value").isNotNull()).count()
-    r05 = max(1, (500 * n + 9999) // 10000)
-    r95 = max(1, (9500 * n + 9999) // 10000)
-    vals = exact_rank_values(e, "value", [r05, r95])
-    lo, hi = vals[r05], vals[r95]
+    # quantiles_bp: ranks derive from the selection's OWN first-round
+    # count — no dedicated count() scan
+    vals = exact_rank_values(e, "value", quantiles_bp=[500, 9500])
+    lo, hi = vals[min(vals)], vals[max(vals)]
     clipped = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
     return (
         e.filter(F.col("value").isNotNull())

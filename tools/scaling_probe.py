@@ -399,7 +399,10 @@ def main() -> None:
         from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
 
         def run(distinct: bool) -> float:
-            d = load_table(spark, SF01, "documents")
+            # SAME construction as q_entity_resolution_distinct, including
+            # its even-doc_id halving — the probe must measure the funnel
+            # that ships, not a cousin of it
+            d = load_table(spark, SF01, "documents").filter(F.col("doc_id") % 2 == 0)
             title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
             base = d.select("doc_id", title.alias("name"))
             pos = (F.col("doc_id") % F.length("name")).cast("int") + 1
@@ -438,11 +441,12 @@ def main() -> None:
             "exact_sec": t_exact,
             "distinct_sec": t_distinct,
             "speedup": round(t_exact / t_distinct, 2),
-            "step": "SAME 4x-replicated sf0.1 corpus (40k records, 10k "
+            "step": "SAME corpus as the DECLARED q_entity_resolution_distinct "
+                    "(even doc_ids x8 replication at sf0.1 — 20k records, 5k "
                     "distinct names): full funnel with fuzzy_pairs vs "
                     "fuzzy_pairs_distinct — gram index, candidate join and "
                     "verify run on the distinct universe, id expansion is "
-                    "two name equi-joins (q_entity_resolution_distinct)",
+                    "two name equi-joins",
         }
         json.dump(merged, open("/root/repo/SCALING.json", "w"), indent=2)
         print(f"er lever: exact {t_exact}s vs distinct {t_distinct}s "
