@@ -184,7 +184,9 @@ EXTENDED = [
     "q_basket_rules",
     "q_udaf_geomean",
     "q_sliding_distinct",
-    # round 9 members
+    # round 9 members (legacy_extended cuts HERE: the r08 membership's
+    # subtotal is emitted separately so cross-round extended tracking
+    # survives tier growth — append new members below, never above)
     "q_entity_resolution_distinct",
     "q_semdedup_hier",
     "q_exact_quantiles",
@@ -279,6 +281,12 @@ def main() -> None:
     for name in EXTENDED:
         extended[name] = round(run_query(spark, name, sf_dir, repeats=1), 3)
     extended_total = round(sum(extended.values()), 3)
+    # cross-round comparable: subtotal over the FROZEN r08 membership
+    # (prefix up to the round-9 marker). Methodology note: r08 itself was
+    # best-of-2, rounds 9+ are single-run, so expect ~15% noise inflation
+    # vs the r08 absolute — track round-over-round from r09 on.
+    n_legacy = EXTENDED.index("q_entity_resolution_distinct")
+    legacy_extended = round(sum(extended[n] for n in EXTENDED[:n_legacy]), 3)
 
     # The driver captures only a ~2000-char tail of stdout and parses the
     # JSON line out of it: round 7's 88-query line overran the window and
@@ -293,6 +301,7 @@ def main() -> None:
         "sf": sf,
         "heavy_value": heavy_total,
         "extended_value": extended_total,
+        "legacy_extended": legacy_extended,
         "prep_sec": prep_sec,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
@@ -305,6 +314,7 @@ def main() -> None:
         "sf": sf,
         "heavy_value": heavy_total,
         "extended_value": extended_total,
+        "legacy_extended": legacy_extended,
         "prep_sec": prep_sec,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")))

@@ -56,7 +56,7 @@ def _gram_stream(df: DataFrame, str_col: str, id_col: str, q: int) -> DataFrame:
     ).select(id_col, "__len", F.col("__gp.g").alias("__g"), F.col("__gp.p").alias("__p"))
 
 
-def fuzzy_pairs(
+def fuzzy_pairs_exhaustive(
     left: DataFrame,
     right: DataFrame,
     str_col: str = "name",
@@ -64,11 +64,17 @@ def fuzzy_pairs(
     right_id: str = "id_r",
     k: int = 1,
     q: int = 2,
+    length_banded: bool = False,
 ) -> DataFrame:
     """(left_id, right_id, dist) for every cross pair with
-    levenshtein(left.str, right.str) <= k. LOSSLESS for ALL strings
-    (proven against brute force + hypothesis in tests/test_fuzzy.py /
-    test_properties.py), via two candidate branches:
+    levenshtein(left.str, right.str) <= k, running the gram index over
+    EVERY input row (no distinct-universe collapse). Through round 9
+    this WAS `fuzzy_pairs`; it is now the probe/exhaustive twin —
+    `fuzzy_pairs` defaults to the distinct-universe + banded + q=3 scale
+    path (r09 verdict: alpha 1.68/1.65 at the 10x probe for this form).
+    LOSSLESS for ALL strings (proven against brute force + hypothesis in
+    tests/test_fuzzy.py / test_properties.py), via two candidate
+    branches:
 
     - gram branch (Ed-Join prefix lemma): covers every pair whose LONGER
       string has length >= q·(k+1) — the count bound
@@ -89,7 +95,14 @@ def fuzzy_pairs(
     sides (ascending, ties by gram text) — both sides must rank against
     the same ordering for the lemma to hold, which is why df is computed
     once on the tagged union rather than per side.
-    """
+
+    `length_banded=True` adds the string LENGTH to the gram-branch join
+    key: the left prefix stream explodes each row to its k+1..k-1 target
+    lengths (2k+1 rows) and the equi-join key becomes (gram, length), so
+    a hot gram's candidate volume is Σ_l |a@(g,·)|·|b@(g,l)| instead of
+    |a@g|·|b@g| — the |len diff| <= k necessary condition enforced AT
+    the shuffle instead of after it. Lossless by construction (the
+    exploded range IS the filter's accept set)."""
     lg = _gram_stream(left, str_col, left_id, q).withColumnRenamed(left_id, "__id")
     rg = _gram_stream(right, str_col, right_id, q).withColumnRenamed(right_id, "__id")
     both = lg.withColumn("__side", F.lit("l")).unionByName(
@@ -115,14 +128,24 @@ def fuzzy_pairs(
         F.col("__p").alias("__pb"),
         F.col("__len").alias("__lb"),
     )
-    cand_gram = (
-        a.join(b, "__g")
-        .filter(
-            (F.abs(F.col("__pa") - F.col("__pb")) <= k)
-            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+    if length_banded:
+        a_banded = a.withColumn(
+            "__lb", F.explode(F.sequence(F.col("__la") - k, F.col("__la") + k))
         )
-        .select(left_id, right_id)
-    )
+        cand_gram = (
+            a_banded.join(b, ["__g", "__lb"])
+            .filter(F.abs(F.col("__pa") - F.col("__pb")) <= k)
+            .select(left_id, right_id)
+        )
+    else:
+        cand_gram = (
+            a.join(b, "__g")
+            .filter(
+                (F.abs(F.col("__pa") - F.col("__pb")) <= k)
+                & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+            )
+            .select(left_id, right_id)
+        )
     min_long = q * (k + 1)
     short_l = left.filter(F.length(str_col) < min_long).select(
         F.col(left_id), F.length(str_col).alias("__key")
@@ -146,6 +169,58 @@ def fuzzy_pairs(
     )
 
 
+def fuzzy_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    str_col: str = "name",
+    left_id: str = "id_l",
+    right_id: str = "id_r",
+    k: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """THE default fuzzy join (round 10): `fuzzy_pairs_exhaustive`'s exact
+    semantics — (left_id, right_id, dist) for every cross pair within
+    levenshtein <= k — through the three scale levers stacked by default:
+
+    - DISTINCT string universe: the gram index, candidate join, and
+      levenshtein verify run on |distinct strings| (sublinear growth on
+      real name columns); id expansion is two plain equi-joins whose
+      fan-out equals the true output size, so nothing is wasted;
+    - length-banded candidate join: (gram, length) equi-key instead of
+      gram-then-filter — hot grams stop pairing across incompatible
+      lengths at the shuffle (see fuzzy_pairs_exhaustive);
+    - q=3 grams: trigram posting lists are far sparser than bigram on
+      natural text (931 distinct bigrams vs ~10k trigrams on the probe
+      corpus), shrinking the hot-gram candidate volume superlinearly;
+      the short-string branch threshold grows to q·(k+1) = 6 chars —
+      still a tiny distinct universe.
+
+    Result-identical to the exhaustive twin for any (k, q) — both are
+    lossless candidate schemes over the same exact verify (proven
+    against brute force + hypothesis in tests/test_fuzzy.py /
+    test_properties.py). Use `fuzzy_pairs_exhaustive` only as the
+    scaling probe / small-input baseline."""
+    lu = left.select(F.col(str_col).alias("__nl")).distinct()
+    ru = right.select(F.col(str_col).alias("__nr")).distinct()
+    name_pairs = fuzzy_pairs_exhaustive(
+        lu.select(F.col("__nl").alias("__kl"), F.col("__nl").alias(str_col)),
+        ru.select(F.col("__nr").alias("__kr"), F.col("__nr").alias(str_col)),
+        str_col,
+        "__kl",
+        "__kr",
+        k=k,
+        q=q,
+        length_banded=True,
+    )
+    lx = left.select(F.col(left_id), F.col(str_col).alias("__kl"))
+    rx = right.select(F.col(right_id), F.col(str_col).alias("__kr"))
+    return (
+        name_pairs.join(lx, "__kl")
+        .join(rx, "__kr")
+        .select(left_id, right_id, "dist")
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -153,7 +228,7 @@ def fuzzy_join(
     left_id: str = "id_l",
     right_id: str = "id_r",
     k: int = 1,
-    q: int = 2,
+    q: int = 3,
 ) -> DataFrame:
     """fuzzy_pairs plus both matched strings, for human-readable output:
     (left_id, right_id, left str as `s_l`, right str as `s_r`, dist)."""
@@ -174,32 +249,7 @@ def fuzzy_pairs_distinct(
     k: int = 1,
     q: int = 2,
 ) -> DataFrame:
-    """`fuzzy_pairs` over the DISTINCT string universe, expanded back to
-    id pairs — result-identical (tested), and THE production lever for
-    repeat-heavy corpora (BASELINE.md round-7 scaling note): real name
-    columns repeat enormously, so the gram index, candidate join, and
-    levenshtein verify all run on |distinct strings| — which grows
-    sublinearly — while the id expansion is two plain equi-joins on the
-    string. The 10× probe corpus is 100% distinct by construction (the
-    worst case, alpha 1.68); with repeats the candidate stage cost is
-    FLAT in row count. Expansion fan-out is (left multiplicity) ×
-    (right multiplicity) per matching string pair — exactly the true
-    output size, so nothing is wasted."""
-    lu = left.select(F.col(str_col).alias("__nl")).distinct()
-    ru = right.select(F.col(str_col).alias("__nr")).distinct()
-    name_pairs = fuzzy_pairs(
-        lu.select(F.col("__nl").alias("__kl"), F.col("__nl").alias(str_col)),
-        ru.select(F.col("__nr").alias("__kr"), F.col("__nr").alias(str_col)),
-        str_col,
-        "__kl",
-        "__kr",
-        k=k,
-        q=q,
-    )
-    lx = left.select(F.col(left_id), F.col(str_col).alias("__kl"))
-    rx = right.select(F.col(right_id), F.col(str_col).alias("__kr"))
-    return (
-        name_pairs.join(lx, "__kl")
-        .join(rx, "__kr")
-        .select(left_id, right_id, "dist")
-    )
+    """Round-7..9 name for the distinct-universe lever. Since round 10
+    the lever IS `fuzzy_pairs`' default path (plus banding); this alias
+    stays for API stability and keeps its historical q=2 default."""
+    return fuzzy_pairs(left, right, str_col, left_id, right_id, k=k, q=q)

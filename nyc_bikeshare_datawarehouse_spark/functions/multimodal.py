@@ -27,7 +27,11 @@ bounded number of payloads in memory.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Callable, Iterator
+import io
+import math
+import struct
+import wave
+from collections.abc import Callable, Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -429,3 +433,112 @@ def phash_near_dup(
     return cand.select(
         "id_a", "id_b", dist.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------------- WAV audio
+# Stdlib codec for mono 16-bit PCM WAV (`wave` + `struct`) — the audio
+# analog of the BMP branch: one REAL audio container decodable without
+# librosa/ffmpeg, so the audio path of the modality set executes and is
+# tested even in this environment. Compressed formats remain the
+# import-gated deployment concern, exactly like PIL for images.
+# Features are integer-exact on purpose (isqrt RMS, signbit crossings,
+# lag-1 autocorrelation as the spectral-tilt proxy): per-row integer
+# arithmetic is bit-stable across engines, runs, and partitionings, so
+# the rows-only gate's run-twice check and the pure-Python pytest replay
+# (tests/test_functions.py) pin the math exactly.
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, sample_rate int, n_samples long, duration_ms long, "
+    "rms long, zero_crossings long, ac_lag1 long, peak int"
+)
+
+
+def wav_encode(samples: Sequence[int], rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV bytes from int samples (each in [-32768, 32767])."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple[int, list[int]]:
+    """(sample_rate, samples) from mono 16-bit PCM WAV bytes."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("only mono 16-bit PCM WAV is supported stdlib-side")
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    return rate, list(struct.unpack(f"<{n}h", raw))
+
+
+def text_pcm_samples(payload: bytes, limit: int = 2048) -> list[int]:
+    """Deterministic sample synth from arbitrary bytes (the corpus
+    stand-in for real recordings, same role as the md5 fake feature):
+    each byte becomes one centered 16-bit level, (b - 128) << 8."""
+    b = (payload or b"\x00")[:limit]
+    return [(x - 128) * 256 for x in b]
+
+
+def synth_wav(df: DataFrame, rate: int = 8000, limit: int = 2048) -> DataFrame:
+    """(asset_id, content: arbitrary bytes) -> (asset_id, modality
+    'audio', content: real WAV bytes) via Arrow-batched mapInPandas —
+    the encode half of the audio round-trip, so downstream operators
+    exercise a true container parse, not a fake."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                wav_encode(text_pcm_samples(
+                    bytes(p) if p is not None else b"", limit), rate)
+                for p in pdf["content"]
+            ]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": "audio",
+                "content": out,
+            })
+
+    return df.mapInPandas(run, schema="asset_id long, modality string, content binary")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-asset audio features from WAV content via mapInPandas:
+    duration_ms (exact n·1000 div rate), RMS (isqrt of the mean square —
+    integer), zero crossings (signbit changes), lag-1 autocorrelation
+    mean (integer spectral-tilt proxy: high for low-frequency content,
+    negative for alternating/noisy signals), and peak amplitude. The
+    numpy batch path accumulates in int64 (max |s|²·n ≈ 2^41 « 2^63);
+    the pytest replay recomputes pure-Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "sample_rate", "n_samples", "duration_ms",
+                "rms", "zero_crossings", "ac_lag1", "peak",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                rate, samples = wav_decode(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                n = int(s.size)
+                sq = int((s * s).sum())
+                rows["asset_id"].append(aid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate if rate else 0)
+                rows["rms"].append(math.isqrt(sq // n) if n else 0)
+                rows["zero_crossings"].append(
+                    int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if n > 1 else 0
+                )
+                rows["ac_lag1"].append(
+                    int((s[:-1] * s[1:]).sum()) // (n - 1) if n > 1 else 0
+                )
+                rows["peak"].append(int(np.abs(s).max()) if n else 0)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

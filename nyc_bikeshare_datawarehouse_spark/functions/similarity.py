@@ -552,7 +552,10 @@ def semdedup_cell_count(n_rows: int, min_clusters: int = 8) -> int:
     the assignment scan. Sub-N^1.5 needs a hierarchical quantizer
     (two-level √k·√k assignment), the documented next lever. floor(sqrt)
     so the oracle replays it as GREATEST(min, FLOOR(sqrt(COUNT(*)))) —
-    IEEE sqrt is correctly rounded, so the floors agree for any N<2^53."""
+    IEEE sqrt is correctly rounded, so math.isqrt and FLOOR(sqrt) agree
+    for N below ~2^52 (above that, sqrt(k²−1) with k>2^26 rounds UP to k
+    and the double floor overshoots isqrt by one — no practical impact
+    at any corpus this engine counts rows for)."""
     import math
 
     return max(min_clusters, math.isqrt(n_rows))

@@ -25,10 +25,21 @@ ever needs the VALUE at a rank, which is tie-order independent.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _non_null_vals(df: DataFrame, c: Column) -> DataFrame:
+    """Project `c` as __v and drop NULLs — and, for float/double columns,
+    NaNs too: NaN is not NULL, survives isNotNull(), and poisons min/max
+    (max returns NaN, bucket width becomes NaN, every row buckets NULL)."""
+    vals = df.select(c.alias("__v"))
+    if vals.schema["__v"].dataType.simpleString() in ("float", "double"):
+        return vals.filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    return vals.filter(F.col("__v").isNotNull())
 
 
 def exact_rank_values(
@@ -58,8 +69,10 @@ def exact_rank_values(
     ValueError (the first round knows N)."""
     if (ranks is None) == (quantiles_bp is None):
         raise ValueError("pass exactly one of ranks / quantiles_bp")
+    if not (ranks if ranks is not None else quantiles_bp):
+        raise ValueError("ranks / quantiles_bp must be non-empty")
     c = F.col(col) if isinstance(col, str) else col
-    vals = df.select(c.alias("__v")).filter(F.col("__v").isNotNull())
+    vals = _non_null_vals(df, c)
     out: dict[int, float] = {}
     # worklist groups: (predicate, offset = rows strictly before slice,
     # ranks awaiting resolution inside the slice)
@@ -89,16 +102,14 @@ def exact_rank_values(
                 out[rank] = float(lo)
             continue
         if n <= max_slice:
-            # terminal: TakeOrdered (rank-offset) rows per rank, keep the
-            # last — per-partition heaps, O(k) network each
+            # terminal: ONE TakeOrdered of (max pending rank - offset)
+            # rows resolves EVERY rank in the slice — per-partition
+            # heaps, O(k ≤ max_slice) doubles over the network, one job
+            # per slice instead of one per rank
+            k = group[-1] - offset
+            top = sorted(r["__v"] for r in sl.orderBy("__v").limit(k).collect())
             for rank in group:
-                row = (
-                    sl.orderBy("__v")
-                    .limit(rank - offset)
-                    .agg(F.max("__v").alias("v"))
-                    .head()
-                )
-                out[rank] = float(row["v"])
+                out[rank] = float(top[rank - offset - 1])
             continue
         width = (hi - lo) / n_buckets
         # The narrowing predicate is the SAME bucket expression the
@@ -177,6 +188,8 @@ def exact_group_quantile(
     vals = df.select(F.col(group_col).alias("__g"), c.alias("__v")).filter(
         F.col("__v").isNotNull() & F.col("__g").isNotNull()
     )
+    if vals.schema["__v"].dataType.simpleString() in ("float", "double"):
+        vals = vals.filter(~F.isnan("__v"))  # NaN poisons min/max, see _non_null_vals
     stats = vals.groupBy("__g").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("__v").alias("lo"),
@@ -309,9 +322,12 @@ def exact_quantiles_frame(
     `exact_rank_values`; N counts non-null values."""
     c = F.col(col) if isinstance(col, str) else col
     spark = df.sparkSession
-    n = df.filter(c.isNotNull()).count()
-    # ceil(q*N) in exact integer arithmetic: q scaled to basis points
-    ranks = {q: max(1, (int(round(q * 10000)) * n + 9999) // 10000) for q in quantiles}
+    n = _non_null_vals(df, c).count()
+    # ceil(q*N) in exact integer arithmetic: q scaled to basis points.
+    # Half-UP (floor(x+0.5)), not Python round()'s banker's rounding —
+    # matches DuckDB ROUND (half away from zero) for non-negative q, so a
+    # caller-supplied q landing exactly on .5 bp agrees with the oracle.
+    ranks = {q: max(1, (int(math.floor(q * 10000 + 0.5)) * n + 9999) // 10000) for q in quantiles}
     vals = exact_rank_values(df, c, sorted(set(ranks.values())), n_buckets, max_slice)
     rows = [(float(q), int(r), vals[r]) for q, r in sorted(ranks.items())]
     return spark.createDataFrame(rows, "q double, rank long, value double")

@@ -235,3 +235,33 @@ def split(df: DataFrame, key_col: str, weights: dict[str, float], split_col: str
     for name, b_lo, b_hi in reversed(bounds):
         expr = F.when((bucket >= b_lo) & (bucket < b_hi), name).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def cluster_keyed_split(
+    clusters: DataFrame,
+    doc_col: str,
+    cluster_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+    risk_col: str = "leak_risk",
+) -> DataFrame:
+    """Leakage-safe split+flag from a PRECOMPUTED cluster frame
+    (doc_col, cluster_col): the split key is the cluster id, so every
+    member of a near-dup cluster lands in the same split, and
+    `risk_col` flags multi-member clusters — exactly the rows a
+    doc-keyed split could tear across the train/test boundary.
+
+    This is the LINEAR stage of the leakage-safe split: one md5-bucket
+    projection plus one cluster-keyed window. In a real pipeline the
+    dedup stage materializes clusters ONCE; re-running the whole
+    candidate→verify→CC lattice inline per split request (the fused
+    q_leakage_safe_split form, kept for its end-to-end oracle) inherits
+    the pair-verify growth (alpha 1.46 at the r09 10x probe) for no new
+    information."""
+    from pyspark.sql import Window
+
+    out = split(clusters, cluster_col, weights, split_col=split_col)
+    sz = F.count(F.lit(1)).over(Window.partitionBy(cluster_col))
+    return out.select(
+        doc_col, cluster_col, split_col, (sz > 1).alias(risk_col)
+    )

@@ -111,8 +111,10 @@ def two_phase_ntile(
         otherwise       ->  tile = rem + (r-1 - rem*(q+1)) div q + 1
 
     (q = 0 ⇒ N < n ⇒ rem = N and the first branch always applies, so the
-    division by q is never evaluated on that edge.) All arithmetic is on
-    longs — bit-identical to the sequential NTILE the oracle runs.
+    division by q is never evaluated on that edge.) q/head/tile ride
+    double division, but every intermediate is integer-valued and exact
+    while N < 2^53 — so within that bound the result is bit-identical to
+    the sequential NTILE the oracle runs.
     `bucket` / `order_by` carry the two_phase_global_rank contract
     (bucket monotone non-decreasing along the total order)."""
     if n_tiles < 1:

@@ -3895,6 +3895,94 @@ ORACLES["q_leakage_safe_split"] = """
 """
 
 
+# Linear leakage-safe split: PRECOMPUTED clusters (exact-dedup keepers,
+# the q_dedup_apply lattice) -> md5-bucket split on cluster_id + the
+# multi-member leak flag. No pair verify / CC in either engine.
+ORACLES["q_leakage_split_precomputed"] = """
+    WITH hashed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+    ), reps AS (
+        SELECT h, MIN(doc_id) AS cluster_id FROM hashed GROUP BY h
+    ), clusters AS (
+        SELECT hashed.doc_id, reps.cluster_id FROM hashed JOIN reps USING (h)
+    ), flagged AS (
+        SELECT doc_id, cluster_id,
+               CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS bucket,
+               COUNT(*) OVER (PARTITION BY cluster_id) > 1 AS leak_risk
+        FROM clusters
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           leak_risk
+    FROM flagged
+    ORDER BY doc_id
+"""
+
+
+# SQL warehouse demo: the identical star-view derivation + five-question
+# multi-CTE replayed verbatim (integer rules throughout; the only float is
+# the prcp literal, used solely as a wet/dry predicate).
+ORACLES["q_sql_warehouse"] = """
+    WITH trips AS (
+        SELECT o_orderkey AS trip_id,
+               CAST(o_orderdate AS DATE) AS start_date,
+               (o_orderkey % 3540) + 60 AS duration_sec,
+               o_orderkey % 3 AS gender
+        FROM orders
+    ), dim_dt AS (
+        SELECT DISTINCT start_date AS d, year(start_date) AS year,
+               month(start_date) AS month
+        FROM trips
+    ), weatherf AS (
+        SELECT d, (day(d) % 4) * 0.25 AS prcp FROM dim_dt
+    ), monthly AS (
+        SELECT dd.year, dd.month,
+               CAST(dd.year AS VARCHAR) || '-' ||
+                   LPAD(CAST(dd.month AS VARCHAR), 2, '0') AS ym,
+               COUNT(*) AS trips
+        FROM trips t JOIN dim_dt dd ON dd.d = t.start_date
+        GROUP BY dd.year, dd.month
+    ), yearly AS (
+        SELECT dd.year, COUNT(*) AS trips,
+               CAST(FLOOR(SUM(t.duration_sec) / 3600) AS BIGINT) AS hours
+        FROM trips t JOIN dim_dt dd ON dd.d = t.start_date
+        GROUP BY dd.year
+    ), by_gender AS (
+        SELECT gender, COUNT(*) AS trips FROM trips GROUP BY gender
+    ), ranked AS (
+        SELECT ym, trips,
+               ROW_NUMBER() OVER (ORDER BY trips DESC, ym) AS rk_hi,
+               ROW_NUMBER() OVER (ORDER BY trips ASC,  ym) AS rk_lo
+        FROM monthly
+    ), weather AS (
+        SELECT CASE WHEN w.prcp > 0 THEN 'wet' ELSE 'dry' END AS cond,
+               COUNT(*) AS trips, COUNT(DISTINCT w.d) AS days
+        FROM trips t JOIN weatherf w ON w.d = t.start_date
+        GROUP BY CASE WHEN w.prcp > 0 THEN 'wet' ELSE 'dry' END
+    )
+    SELECT * FROM (
+        SELECT 'trips_month' AS metric, ym AS k, trips AS v FROM monthly
+        UNION ALL
+        SELECT 'trips_year', CAST(year AS VARCHAR), trips FROM yearly
+        UNION ALL
+        SELECT 'hours_year', CAST(year AS VARCHAR), hours FROM yearly
+        UNION ALL
+        SELECT 'trips_gender', CAST(gender AS VARCHAR), trips FROM by_gender
+        UNION ALL
+        SELECT 'peak_month', ym, trips FROM ranked WHERE rk_hi = 1
+        UNION ALL
+        SELECT 'low_month', ym, trips FROM ranked WHERE rk_lo = 1
+        UNION ALL
+        SELECT 'trips_per_day_' || cond, cond,
+               CAST(FLOOR(trips / days) AS BIGINT) FROM weather
+    )
+    ORDER BY metric, k
+"""
+
+
 # UDAF geometric mean: exp(avg(ln x)) — the truncation absorbs the
 # np-vs-SQL summation-order ulps (q_unigram_logprob class). Domain is
 # value > 0 in both engines: DuckDB ln(0) hard-errors, numpy -> -inf.

@@ -1749,6 +1749,88 @@ def q_sql_parameterized(spark, sf_dir):
     )
 
 
+def q_sql_warehouse(spark, sf_dir):
+    """The reference's SQL-first user story closed end-to-end (VERDICT
+    r09 #10): star tables registered as TEMP VIEWS, then ONE multi-CTE
+    `spark.sql` statement answers all five analytical questions the
+    reference README poses (README.md data-usage list): trips per month
+    and per year, usage by gender, total riding hours per year, the
+    highest/lowest-trip months, and the weather effect on usage — as a
+    tidy long-format (metric, k, v) result with a total order.
+
+    The star tables are synthesized reference-shaped from `orders`
+    (trip = order: start date, duration/gender/station derived by
+    deterministic integer rules; daily weather = day-of-month rule on
+    the date dim), so the whole derivation replays in the DuckDB
+    oracle. Peak/low month ranking is a ROW_NUMBER over the ~80-row
+    monthly aggregate (O(k) frame — the allowed single-partition class);
+    every other CTE is a map-side-combinable aggregate. The SQL itself
+    runs through the same Catalyst pipeline as the DataFrame surface —
+    views add no materialization."""
+    o = _t(spark, sf_dir, "orders")
+    trips = o.select(
+        F.col("o_orderkey").alias("trip_id"),
+        F.to_date("o_orderdate").alias("start_date"),
+        ((F.col("o_orderkey") % 3540) + 60).cast("long").alias("duration_sec"),
+        (F.col("o_orderkey") % 3).cast("int").alias("gender"),
+        (F.col("o_custkey") % 50).cast("int").alias("start_station_id"),
+    )
+    trips.createOrReplaceTempView("v_trip_fact")
+    dim_dt = (
+        trips.select(F.col("start_date").alias("d"))
+        .distinct()
+        .select("d", F.year("d").alias("year"), F.month("d").alias("month"))
+    )
+    dim_dt.createOrReplaceTempView("v_dim_datetime")
+    dim_dt.select(
+        "d", ((F.dayofmonth("d") % 4) * F.lit(0.25)).alias("prcp")
+    ).createOrReplaceTempView("v_weather_fact")
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT dd.year, dd.month,
+                   CAST(dd.year AS STRING) || '-' ||
+                       LPAD(CAST(dd.month AS STRING), 2, '0') AS ym,
+                   COUNT(*) AS trips
+            FROM v_trip_fact t JOIN v_dim_datetime dd ON dd.d = t.start_date
+            GROUP BY dd.year, dd.month
+        ), yearly AS (
+            SELECT dd.year, COUNT(*) AS trips,
+                   CAST(FLOOR(SUM(t.duration_sec) / 3600) AS BIGINT) AS hours
+            FROM v_trip_fact t JOIN v_dim_datetime dd ON dd.d = t.start_date
+            GROUP BY dd.year
+        ), by_gender AS (
+            SELECT gender, COUNT(*) AS trips FROM v_trip_fact GROUP BY gender
+        ), ranked_months AS (
+            SELECT ym, trips,
+                   ROW_NUMBER() OVER (ORDER BY trips DESC, ym) AS rk_hi,
+                   ROW_NUMBER() OVER (ORDER BY trips ASC,  ym) AS rk_lo
+            FROM monthly
+        ), weather AS (
+            SELECT CASE WHEN w.prcp > 0 THEN 'wet' ELSE 'dry' END AS cond,
+                   COUNT(*) AS trips, COUNT(DISTINCT w.d) AS days
+            FROM v_trip_fact t JOIN v_weather_fact w ON w.d = t.start_date
+            GROUP BY CASE WHEN w.prcp > 0 THEN 'wet' ELSE 'dry' END
+        )
+        SELECT 'trips_month' AS metric, ym AS k, trips AS v FROM monthly
+        UNION ALL
+        SELECT 'trips_year', CAST(year AS STRING), trips FROM yearly
+        UNION ALL
+        SELECT 'hours_year', CAST(year AS STRING), hours FROM yearly
+        UNION ALL
+        SELECT 'trips_gender', CAST(gender AS STRING), trips FROM by_gender
+        UNION ALL
+        SELECT 'peak_month', ym, trips FROM ranked_months WHERE rk_hi = 1
+        UNION ALL
+        SELECT 'low_month', ym, trips FROM ranked_months WHERE rk_lo = 1
+        UNION ALL
+        SELECT 'trips_per_day_' || cond, cond,
+               CAST(FLOOR(trips / days) AS BIGINT) FROM weather
+        ORDER BY metric, k
+        """
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """The language-ID heuristic itself, hash-checked cross-engine
     (q_lang_stats only aggregates the STORED lang; this validates the
@@ -1996,8 +2078,16 @@ def q_leakage_safe_split(spark, sf_dir):
     clusters merges their ids, and the merged cluster re-hashes, so its
     members can switch splits. That is the price of the no-leakage
     invariant (doc-keyed splits are stable but leak near-dups); pin the
-    split at a corpus snapshot, as public LLM data pipelines do."""
-    from nyc_bikeshare_datawarehouse_spark.operators.sampling import split
+    split at a corpus snapshot, as public LLM data pipelines do.
+
+    This FUSED form recomputes clusters inline (alpha 1.46 at the 10x
+    probe — it inherits the pair-verify growth) and exists for the
+    end-to-end oracle; the production path is
+    q_leakage_split_precomputed: clusters materialized once by the
+    dedup stage, split+flag linear."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
+        cluster_keyed_split,
+    )
 
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
@@ -2006,12 +2096,36 @@ def q_leakage_safe_split(spark, sf_dir):
         pack_ids=True,
     )
     clusters = dedup.cluster_duplicates(pairs, d, "doc_id")
-    out = split(clusters, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    sz = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
-    return (
-        out.select("doc_id", "cluster_id", "split", (sz > 1).alias("leak_risk"))
-        .orderBy("doc_id")
+    return cluster_keyed_split(
+        clusters, "doc_id", "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
+
+
+def q_leakage_split_precomputed(spark, sf_dir):
+    """The LINEAR leakage-safe split (operators/sampling.py
+    `cluster_keyed_split`): clusters come from a PRECOMPUTED frame —
+    here the exact-dedup clusters (keeper = min doc_id per normalized
+    text hash, the q_dedup_apply lattice), standing in for whatever
+    cluster table the dedup stage materialized — and the query itself
+    is one md5-bucket projection + one cluster-keyed window + flag.
+    No pair verify, no CC iteration: the stage a real pipeline runs per
+    split request is linear in the corpus (probe target alpha ≈ 1.0),
+    while q_leakage_safe_split keeps the fused candidates→CC→split form
+    for its end-to-end oracle."""
+    from nyc_bikeshare_datawarehouse_spark.operators.sampling import (
+        cluster_keyed_split,
     )
+
+    d = _t(spark, sf_dir, "documents")
+    ex = dedup.exact_dedup(d)  # text_hash, keep_id, n_copies
+    clusters = (
+        d.select("doc_id", dedup.normalized_hash("text").alias("text_hash"))
+        .join(ex.select("text_hash", F.col("keep_id").alias("cluster_id")), "text_hash")
+        .select("doc_id", "cluster_id")
+    )
+    return cluster_keyed_split(
+        clusters, "doc_id", "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
 
 
 def q_dedup_apply(spark, sf_dir):
@@ -2256,6 +2370,27 @@ def q_multimodal_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("content"),
     )
     return extract_features(assets).select("asset_id", "modality", "n_bytes", "sha")
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio modality end-to-end (functions/multimodal.py `synth_wav` +
+    `audio_features`): document bytes → REAL mono 16-bit PCM WAV via the
+    stdlib `wave` codec → Arrow-batched feature extraction (duration,
+    integer RMS, zero crossings, lag-1 autocorrelation spectral proxy,
+    peak) — the audio leg of the modality set, stdlib-real the same way
+    BMP is for images (r09 verdict missing #2). Rows-only check (a WAV
+    container parse has no SQL form); every feature is per-row integer
+    arithmetic, so the gate's run-twice determinism is bit-level and the
+    math is pinned against an independent pure-Python replay in
+    tests/test_functions.py. Payloads are ≤2 KB and stay inside the two
+    Arrow stages; nothing but 8-column feature rows comes back out."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    wavs = multimodal.synth_wav(assets, rate=8000, limit=2048)
+    return multimodal.audio_features(wavs).orderBy("asset_id")
 
 
 def q_token_budget(spark, sf_dir):
@@ -3251,11 +3386,13 @@ def q_fuzzy_join(spark, sf_dir):
     """Ed-Join fuzzy string join (functions/fuzzy.py): repair
     deterministically-corrupted document titles (one char deleted at
     doc_id % len) back to the clean titles within Levenshtein <= 1 —
-    WITHOUT the all-pairs cross join. Candidates come from the rarest
-    (k·q+1)-gram prefixes under a union-wide df ordering with position
-    and length filters (lossless for len >= q, proven vs brute force in
-    tests/test_fuzzy.py); survivors verify with codegen levenshtein.
-    Shuffles carry (gram, id, pos, len) prefixes only."""
+    WITHOUT the all-pairs cross join. Rides fuzzy_pairs' round-10 scale
+    defaults — distinct-string universe, q=3 grams, (gram, length)
+    banded candidate key — with candidates from the rarest (k·q+1)-gram
+    prefixes under a union-wide df ordering (lossless, proven vs brute
+    force in tests/test_fuzzy.py); survivors verify with codegen
+    levenshtein. Shuffles carry (gram, name-key, pos, len) prefixes
+    only; the exhaustive per-row twin remains as the scaling probe."""
     d = _t(spark, sf_dir, "documents")
     title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
     clean = d.select(F.col("doc_id").alias("clean_id"), title.alias("name"))
@@ -3268,7 +3405,7 @@ def q_fuzzy_join(spark, sf_dir):
         ).alias("name"),
     )
     return fuzzy.fuzzy_join(
-        dirty, clean, "name", "dirty_id", "clean_id", k=1, q=2
+        dirty, clean, "name", "dirty_id", "clean_id", k=1
     ).orderBy("dirty_id", "clean_id")
 
 
@@ -3343,7 +3480,9 @@ def q_ks_drift(spark, sf_dir):
 def q_entity_resolution(spark, sf_dir):
     """Record-linkage capstone: clean titles ∪ corrupted titles (one char
     deleted at doc_id % len; dirty ids offset by 1,000,000) → Ed-Join
-    fuzzy edges (levenshtein <= 1, lossless gram-prefix candidates) →
+    fuzzy edges (levenshtein <= 1, lossless gram-prefix candidates via
+    fuzzy_pairs' round-10 scale defaults: distinct universe + q=3 +
+    length-banded key) →
     connected components (min-label propagation, functions/dedup.py
     `cluster_duplicates`) → golden record = the cluster-min record's
     name. The full dedup lattice shape — candidates → verify → cluster →
@@ -3364,7 +3503,7 @@ def q_entity_resolution(spark, sf_dir):
     recs = clean.unionByName(dirty)
     a = recs.select(F.col("rec_id").alias("id_a"), "name")
     b = recs.select(F.col("rec_id").alias("id_b"), "name")
-    edges = fuzzy.fuzzy_pairs(a, b, "name", "id_a", "id_b", k=1, q=2).filter(
+    edges = fuzzy.fuzzy_pairs(a, b, "name", "id_a", "id_b", k=1).filter(
         F.col("id_a") < F.col("id_b")
     )
     clusters = dedup.cluster_duplicates(
@@ -3382,10 +3521,11 @@ def q_entity_resolution(spark, sf_dir):
 
 
 def q_entity_resolution_distinct(spark, sf_dir):
-    """Record linkage via the DISTINCT-STRING-UNIVERSE lever
-    (functions/fuzzy.py `fuzzy_pairs_distinct`) on a repeat-heavy corpus
-    — the scale twin of q_entity_resolution, the suite's worst honest
-    exponent (alpha 1.65 on the 100%-distinct probe corpus). Real name
+    """Record linkage via the DISTINCT-STRING-UNIVERSE lever — since
+    round 10 fuzzy_pairs' DEFAULT path (here pinned at q=2 to keep the
+    historical bench series comparable) — on a repeat-heavy corpus:
+    the scale twin of q_entity_resolution, which was the suite's worst
+    honest exponent (alpha 1.65 on the 100%-distinct probe). Real name
     columns repeat enormously; here each clean/corrupted title is
     replicated 4x (rec_id = doc_id*8 + copy), so the gram index,
     candidate join, and levenshtein verify all run on |distinct names| =
@@ -3418,7 +3558,7 @@ def q_entity_resolution_distinct(spark, sf_dir):
     recs = clean_recs.unionByName(dirty_recs)
     a = recs.select(F.col("rec_id").alias("id_a"), "name")
     b = recs.select(F.col("rec_id").alias("id_b"), "name")
-    edges = fuzzy.fuzzy_pairs_distinct(
+    edges = fuzzy.fuzzy_pairs(
         a, b, "name", "id_a", "id_b", k=1, q=2
     ).filter(F.col("id_a") < F.col("id_b"))
     clusters = dedup.cluster_duplicates(
@@ -4421,7 +4561,13 @@ def q_sliding_distinct(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-9 rotation: the 8 round-9
+    # --- driver window (first 50), round-10 rotation: round-10
+    # --- additions first (no driver rows yet), then the stalest tier
+    # --- (r05 pair, then the r06 cohort) — see the window note below.
+    "q_leakage_split_precomputed": q_leakage_split_precomputed,
+    "q_audio_features": q_audio_features,
+    "q_sql_warehouse": q_sql_warehouse,
+    # --- round-9 rotation tier (kept below the r10 additions): the 8 round-9
     # --- additions (no driver rows yet), then the r05-stale tier (the
     # --- queries whose newest driver row predates r06). 8 + 44 = 52, so
     # --- the two LAST stale rows (q_sessionize, q_pca_variance — the

@@ -106,16 +106,56 @@ def test_fuzzy_pairs_short_strings_lossless(spark):
     assert (0, 1) in pairs and (2, 3) in pairs  # zero-shared-gram matches
 
 
-def test_fuzzy_pairs_distinct_equals_direct_on_repeat_heavy_data(spark):
-    # the production lever: same result as the direct form, but every
-    # expensive stage runs on |distinct strings| — here 300 rows share
-    # 6 distinct names
+def test_fuzzy_pairs_distinct_equals_exhaustive_on_repeat_heavy_data(spark):
+    # the production lever (fuzzy_pairs' default since round 10): same
+    # result as the exhaustive per-row form, but every expensive stage
+    # runs on |distinct strings| — here 300 rows share 6 distinct names
     names = ["acme corp", "acme c0rp", "globex", "globexx", "initech", "zz"]
     rows = [(i, names[i % len(names)]) for i in range(300)]
     df = spark.createDataFrame(rows, ["id", "name"])
     left = df.select(F.col("id").alias("id_l"), "name")
     right = df.select(F.col("id").alias("id_r"), "name")
-    direct = fuzzy.fuzzy_pairs(left, right, "name", "id_l", "id_r", k=1, q=2)
-    dist = fuzzy.fuzzy_pairs_distinct(left, right, "name", "id_l", "id_r", k=1, q=2)
-    assert rows_set(dist) == rows_set(direct)
-    assert dist.count() > 300  # expansion produced the true multiplicities
+    exhaustive = fuzzy.fuzzy_pairs_exhaustive(
+        left, right, "name", "id_l", "id_r", k=1, q=2
+    )
+    dflt = fuzzy.fuzzy_pairs(left, right, "name", "id_l", "id_r", k=1, q=2)
+    alias = fuzzy.fuzzy_pairs_distinct(left, right, "name", "id_l", "id_r", k=1, q=2)
+    assert rows_set(dflt) == rows_set(exhaustive)
+    assert rows_set(alias) == rows_set(exhaustive)
+    assert dflt.count() > 300  # expansion produced the true multiplicities
+
+
+def test_fuzzy_pairs_default_q3_banded_lossless(spark):
+    # the round-10 default (q=3, banded, distinct universe) vs brute
+    # force on the handcrafted hard set — incl. strings under the q=3
+    # short-branch threshold (q·(k+1) = 6 chars) and zero-shared-gram
+    # short pairs
+    names = [
+        (0, "banana"), (1, "banane"), (2, "banan"), (3, "bananas"),
+        (4, "bandana"), (5, "cherry"), (6, "cherry"), (7, "xbanana"),
+        (8, "zz"), (9, "orange"), (10, "aa"), (11, "ab"), (12, "abcde"),
+        (13, "abcd"), (14, "a"),
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    left = df.select(F.col("id").alias("id_l"), "name")
+    right = df.select(F.col("id").alias("id_r"), "name")
+    got = fuzzy.fuzzy_pairs(left, right, "name", "id_l", "id_r", k=1)
+    want = _brute(spark, left, right, 1)
+    assert rows_set(got) == rows_set(want)
+
+
+def test_fuzzy_exhaustive_banded_equals_unbanded(spark, sf_dir):
+    # the (gram, length) banded candidate key is lossless by
+    # construction — pinned on the corpus-title shape
+    d = load_table(spark, sf_dir, "documents")
+    title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
+    clean = d.select(F.col("doc_id").alias("id_r"), title.alias("name"))
+    dirty = clean.select(F.col("id_r").alias("id_l"), "name")
+    banded = fuzzy.fuzzy_pairs_exhaustive(
+        dirty, clean, "name", "id_l", "id_r", k=1, q=3, length_banded=True
+    )
+    plain = fuzzy.fuzzy_pairs_exhaustive(
+        dirty, clean, "name", "id_l", "id_r", k=1, q=3, length_banded=False
+    )
+    assert rows_set(banded) == rows_set(plain)
+    assert banded.count() > 0

@@ -310,6 +310,39 @@ class TestExactQuantiles:
                                               n_buckets=4, max_slice=3).collect()}
         assert got == {0.25: (3, 3.0), 0.5: (5, 5.0), 0.9: (9, 9.0), 1.0: (10, 10.0)}
 
+    def test_nan_excluded_like_null(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_group_quantile,
+            exact_rank_values,
+        )
+
+        # NaN is not NULL: unguarded it survives isNotNull, max() returns
+        # NaN, width goes NaN, every row buckets NULL -> AssertionError.
+        rows = [(float(i),) for i in range(1, 101)] + [(float("nan"),)] * 5 + [(None,)]
+        df = spark.createDataFrame(rows, "value double").repartition(3)
+        got = exact_rank_values(df, "value", [1, 50, 100], n_buckets=4, max_slice=10)
+        assert got == {1: 1.0, 50: 50.0, 100: 100.0}
+
+        gdf = spark.createDataFrame(
+            [("a", v) for (v,) in rows], "g string, v double"
+        )
+        row = exact_group_quantile(gdf, "g", "v", q_bp=5000, n_buckets=4,
+                                   max_slice=10).head()
+        assert (row["n"], row["rank"], row["value"]) == (100, 50, 50.0)
+
+    def test_empty_ranks_rejected(self, spark):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_rank_values,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "value double")
+        with pytest.raises(ValueError, match="non-empty"):
+            exact_rank_values(df, "value", [])
+        with pytest.raises(ValueError, match="non-empty"):
+            exact_rank_values(df, "value", quantiles_bp=[])
+
 
 class TestPacking:
     def _docs(self, spark, rows):

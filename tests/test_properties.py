@@ -307,18 +307,29 @@ fuzzy_names = st.lists(
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(names=fuzzy_names, k=st.sampled_from([1, 2]))
-def test_fuzzy_pairs_lossless_vs_python(spark, names, k):
-    from nyc_bikeshare_datawarehouse_spark.functions.fuzzy import fuzzy_pairs
+@given(names=fuzzy_names, k=st.sampled_from([1, 2]), q=st.sampled_from([2, 3]),
+       form=st.sampled_from(["default", "exhaustive", "exhaustive_banded"]))
+def test_fuzzy_pairs_lossless_vs_python(spark, names, k, q, form):
+    # duplicate names in the list exercise the default form's distinct-
+    # universe collapse + id re-expansion; the exhaustive twins run with
+    # and without the (gram, length) banded candidate key
+    from nyc_bikeshare_datawarehouse_spark.functions.fuzzy import (
+        fuzzy_pairs,
+        fuzzy_pairs_exhaustive,
+    )
 
     rows = [(i, s) for i, s in enumerate(names)]
     df = spark.createDataFrame(rows, "id int, name string")
     left = df.select(F.col("id").alias("id_l"), "name")
     right = df.select(F.col("id").alias("id_r"), "name")
-    got = {
-        (r["id_l"], r["id_r"]): r["dist"]
-        for r in fuzzy_pairs(left, right, "name", "id_l", "id_r", k=k, q=2).collect()
-    }
+    if form == "default":
+        res = fuzzy_pairs(left, right, "name", "id_l", "id_r", k=k, q=q)
+    else:
+        res = fuzzy_pairs_exhaustive(
+            left, right, "name", "id_l", "id_r", k=k, q=q,
+            length_banded=(form == "exhaustive_banded"),
+        )
+    got = {(r["id_l"], r["id_r"]): r["dist"] for r in res.collect()}
     want = {
         (i, j): _py_lev(a, b)
         for i, a in rows
