@@ -835,6 +835,65 @@ def calibrate_df_cutoff(
     return max(int(cut), min_cutoff)
 
 
+def calibrated_df_cutoff(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    median_bp: int = 9000,
+    min_cutoff: int = 8,
+) -> int:
+    """ORACLE-PORTABLE absolute pruning cutoff derived from corpus stats
+    (r09 verdict #8): cutoff = max(min_cutoff, median_bp·median(df) div
+    10000), where median(df) is the exact discrete median of the
+    per-shingle document-frequency distribution.
+
+    Why median-anchored instead of a df FRACTION of doc count (the fixed
+    `max_doc_frac` rule) or a tail quantile of the df distribution:
+
+    - a fixed FRACTION is density-fragile — when vocabulary grows with
+      the corpus (the suffix-disjoint 10x probe), per-shingle dfs stay
+      constant while doc count grows, the frac threshold runs away, and
+      pruning deactivates (measured alpha 1.47 vs 0.45, SCALING.json);
+      the MEDIAN df is a per-shingle density stat, so it stays put under
+      vocabulary growth (pruning survives) and scales 1:1 with df under
+      same-vocabulary growth (identical to the frac rule there);
+    - a tail quantile (calibrate_df_cutoff, percentile_approx) prunes a
+      fixed fraction OF SHINGLES — right for Zipfian text, but on a
+      dense bounded-vocabulary corpus the hot mass is most of the
+      vocabulary, the 99.9th percentile is ~max(df), and nothing prunes;
+      it is also approx, hence not oracle-replayable.
+
+    Exactness: the median rides operators/quantiles.exact_rank_values
+    (value AT a rank — tie-order independent, integer rank arithmetic),
+    so a SQL oracle replays it verbatim as ROW_NUMBER-ORDER-BY-df at
+    rank GREATEST(1, (5000·n + 9999) // 10000), then
+    GREATEST(min_cutoff, (median_bp · m) // 10000). Cost: the same
+    (shingle, df) build the pruned join runs anyway + O(log) bounded-
+    state aggregate scans; nothing corpus-sized reaches the driver."""
+    from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+        exact_rank_values,
+    )
+
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        )
+        .select(id_col, F.xxhash64("s").alias("sh"))
+        .dropDuplicates()
+    )
+    # materialize the vocab-sized df frame ONCE: exact_rank_values runs
+    # 2+ jobs over it, and without the checkpoint each would re-execute
+    # the corpus-scale shingle build (the diverged-subplan rule)
+    dfreq = (
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=True)
+    )
+    med = int(next(iter(exact_rank_values(dfreq, "__df", quantiles_bp=[5000]).values())))
+    return max(min_cutoff, (median_bp * med) // 10000)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1609,10 +1609,20 @@ ORACLES: dict[str, str] = {
                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
             FROM toks
             WHERE len(t) >= 2
-        ), nd AS (
-            SELECT COUNT(DISTINCT doc_id) AS n FROM toks WHERE len(t) >= 2
+        ), dfreq AS (
+            SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s
+        ), med AS (
+            -- exact discrete median of the df distribution: value at rank
+            -- GREATEST(1, ceil(n/2)) — the engine's calibrated_df_cutoff
+            -- rank rule verbatim (ties irrelevant: value AT a rank)
+            SELECT df AS m
+            FROM (SELECT df, ROW_NUMBER() OVER (ORDER BY df) AS rk FROM dfreq),
+                 (SELECT COUNT(*) AS n FROM dfreq)
+            WHERE rk = GREATEST(1, (5000 * n + 9999) // 10000)
+        ), cut AS (
+            SELECT GREATEST(8, (9000 * m) // 10000) AS c FROM med
         ), hot AS (
-            SELECT s FROM sh0, nd GROUP BY s, nd.n HAVING COUNT(*) > n * 0.05
+            SELECT s FROM dfreq, cut WHERE df > c
         ), sh AS (
             SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
         ), sizes AS (
@@ -3844,10 +3854,17 @@ ORACLES["q_leakage_safe_split"] = """
                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
         FROM toks
         WHERE len(t) >= 2
-    ), nd AS (
-        SELECT COUNT(DISTINCT doc_id) AS n FROM toks WHERE len(t) >= 2
+    ), dfreq AS (
+        SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s
+    ), med AS (
+        SELECT df AS m
+        FROM (SELECT df, ROW_NUMBER() OVER (ORDER BY df) AS rk FROM dfreq),
+             (SELECT COUNT(*) AS n FROM dfreq)
+        WHERE rk = GREATEST(1, (5000 * n + 9999) // 10000)
+    ), cut AS (
+        SELECT GREATEST(8, (9000 * m) // 10000) AS c FROM med
     ), hot AS (
-        SELECT s FROM sh0, nd GROUP BY s, nd.n HAVING COUNT(*) > n * 0.05
+        SELECT s FROM dfreq, cut WHERE df > c
     ), sh AS (
         SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
     ), sizes AS (

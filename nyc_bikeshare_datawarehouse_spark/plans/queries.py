@@ -2043,18 +2043,23 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_dedup_clusters_pruned(spark, sf_dir):
     """The 100 TB form of duplicate clustering: document-frequency pruning
-    (`max_doc_frac=0.05`) drops hot stopword shingles BEFORE the
-    inverted-index self-join — a shingle in f·N docs contributes (f·N)^2
-    candidate pairs to one partition, so the worst partition shrinks
-    quadratically — then the verified pairs feed the same
-    connected-components loop as q_dedup_clusters. The oracle mirrors the
-    pruning exactly (document frequency over distinct (doc, shingle),
-    jaccard over the kept-shingle universe), proving the scale form is
-    correct, not just the exact form."""
+    drops hot stopword shingles BEFORE the inverted-index self-join — a
+    shingle in d docs contributes d² candidate pairs to one partition,
+    so the worst partition shrinks quadratically — then the verified
+    pairs feed the same connected-components loop as q_dedup_clusters.
+    Since round 10 the cutoff is CALIBRATED from corpus stats
+    (dedup.calibrated_df_cutoff: 0.9 × exact median per-shingle df —
+    density-proof, unlike the fixed doc-count FRACTION it replaces,
+    which deactivated under vocabulary growth: alpha 1.47 vs ~const-
+    density 0.45 at the 10x probe, r09 verdict #8). The oracle mirrors
+    the calibration AND the pruning exactly (ROW_NUMBER median at the
+    same rank rule, jaccard over the kept-shingle universe), proving the
+    scale form is correct, not just the exact form."""
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    cut = dedup.calibrated_df_cutoff(d2, "text", "doc_id", shingle_n=2)
     pairs = dedup.ngram_jaccard_pairs(
-        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_frac=0.05,
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_count=cut,
         pack_ids=True,
     )
     return dedup.cluster_duplicates(pairs, d, "doc_id")
@@ -2091,8 +2096,9 @@ def q_leakage_safe_split(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    cut = dedup.calibrated_df_cutoff(d2, "text", "doc_id", shingle_n=2)
     pairs = dedup.ngram_jaccard_pairs(
-        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_frac=0.05,
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_count=cut,
         pack_ids=True,
     )
     clusters = dedup.cluster_duplicates(pairs, d, "doc_id")
@@ -4561,222 +4567,222 @@ def q_sliding_distinct(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-10 rotation: round-10
-    # --- additions first (no driver rows yet), then the stalest tier
-    # --- (r05 pair, then the r06 cohort) — see the window note below.
+    # --- stalest-first rotation (r09 verdict #7 discipline): the driver
+    # --- checks the FIRST 50 keys each round. Order: round-10 additions
+    # --- (no driver rows yet), then ascending by newest driver row
+    # --- (r05 pair, r06 cohort, ...). Window cut after 50: the 5
+    # --- overflow r06 rows sit at 51-55 for round 11. Regenerate with
+    # --- the same rule next round: new queries first, then stalest.
     "q_leakage_split_precomputed": q_leakage_split_precomputed,
     "q_audio_features": q_audio_features,
     "q_sql_warehouse": q_sql_warehouse,
-    # --- round-9 rotation tier (kept below the r10 additions): the 8 round-9
-    # --- additions (no driver rows yet), then the r05-stale tier (the
-    # --- queries whose newest driver row predates r06). 8 + 44 = 52, so
-    # --- the two LAST stale rows (q_sessionize, q_pca_variance — the
-    # --- latter rows-only, the weakest refresh) sit at 51-52 and wait
-    # --- for r10; every other r05 row refreshes this round.
-    "q_entity_resolution_distinct": q_entity_resolution_distinct,
-    "q_semdedup_hier": q_semdedup_hier,
-    "q_exact_quantiles": q_exact_quantiles,
-    "q_leakage_safe_split": q_leakage_safe_split,
-    "q_temperature_mix": q_temperature_mix,
-    "q_winsorize": q_winsorize,
-    "q_grouped_median": q_grouped_median,
-    "q_rendezvous_shards": q_rendezvous_shards,
-    "q_top_ngrams": q_top_ngrams,
-    "q_embed_quantize": q_embed_quantize,
-    "q_robust_outliers": q_robust_outliers,
-    "q_curation_pipeline": q_curation_pipeline,
-    "q_unigram_logprob": q_unigram_logprob,
-    "q_length_histogram": q_length_histogram,
-    "q_bm25_search": q_bm25_search,
-    "q_winnow_fingerprints": q_winnow_fingerprints,
-    "q_embed_centroids": q_embed_centroids,
-    "q_tpch_q2": q_tpch_q2,
-    "q_tpch_q9": q_tpch_q9,
-    "q_tpch_q11": q_tpch_q11,
-    "q_tpch_q16": q_tpch_q16,
-    "q_tpch_q20": q_tpch_q20,
-    "q_stratified_sample": q_stratified_sample,
-    "q_scd1_merge": q_scd1_merge,
-    "q_cdc_changed_rows": q_cdc_changed_rows,
-    "q_scd2_history": q_scd2_history,
-    "q_quality_profile": q_quality_profile,
-    "q_minhash_portable": q_minhash_portable,
-    "q_collect_agg": q_collect_agg,
-    "q_token_budget": q_token_budget,
-    "q_chunk_spans": q_chunk_spans,
-    "q_late_data": q_late_data,
-    "q_dedup_pipeline": q_dedup_pipeline,
-    "q_multimodal_features": q_multimodal_features,
-    "q_dedup_exact": q_dedup_exact,
-    "q_fingerprint_dedup": q_fingerprint_dedup,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
-    "q_cosine_topk": q_cosine_topk,
-    "q_text_tokens": q_text_tokens,
-    "q_text_stats": q_text_stats,
-    "q_lang_stats": q_lang_stats,
-    "q_regexp_funcs": q_regexp_funcs,
-    "q_dedup_keep_best": q_dedup_keep_best,
-    "q_hash_sample": q_hash_sample,
-    "q_dedup_apply": q_dedup_apply,
-    "q_train_split": q_train_split,
-    "q_posexplode": q_posexplode,
-    "q_epoch_arith": q_epoch_arith,
-    "q_sql_surrogate_keys": q_sql_surrogate_keys,
-    "q_sessionize": q_sessionize,
+    # --- newest driver row: r05
     "q_pca_variance": q_pca_variance,
-    "q_mixture_epochs": q_mixture_epochs,
-    "q_shard_assign": q_shard_assign,
-    # --- r06-fresh remainder, then r08-refreshed rows, then the r07/r08
-    # --- tiers (newest driver rows, back of the rotation)
-    "q_textrank": q_textrank,
-    "q_semdedup": q_semdedup,
-    "q_dsir_select": q_dsir_select,
-    "q_nb_quality": q_nb_quality,
-    "q_perplexity_buckets": q_perplexity_buckets,
-    "q_tfidf_cosine": q_tfidf_cosine,
-    "q_boilerplate_removal": q_boilerplate_removal,
-    "q_window_navigation": q_window_navigation,
-    "q_bag_set_ops": q_bag_set_ops,
-    "q_phash_neardup": q_phash_neardup,
-    "q_bfs_hops": q_bfs_hops,
-    "q_attribution": q_attribution,
-    "q_variant_extract": q_variant_extract,
-    "q_udtf_chunks": q_udtf_chunks,
-    "q_hard_negatives": q_hard_negatives,
-    "q_token_entropy": q_token_entropy,
-    "q_containment_pruned": q_containment_pruned,
-    "q_skyline": q_skyline,
-    "q_markov_transitions": q_markov_transitions,
-    "q_ewma_trend": q_ewma_trend,
-    "q_period_over_period": q_period_over_period,
-    "q_dq_report": q_dq_report,
-    "q_spatial_join": q_spatial_join,
-    "q_basket_rules": q_basket_rules,
-    "q_udaf_geomean": q_udaf_geomean,
-    "q_sliding_distinct": q_sliding_distinct,
-    "q_session_window_batch": q_session_window_batch,
-    "q_sequence_pack": q_sequence_pack,
-    "q_hybrid_search_rrf": q_hybrid_search_rrf,
-    "q_histogram_quantiles": q_histogram_quantiles,
-    "q_bpe_merge_step": q_bpe_merge_step,
-    "q_ngram_containment": q_ngram_containment,
-    "q_fuzzy_join": q_fuzzy_join,
-    "q_concurrent_sessions": q_concurrent_sessions,
-    "q_psi_drift": q_psi_drift,
-    "q_bigram_logprob": q_bigram_logprob,
-    "q_ks_drift": q_ks_drift,
-    "q_entity_resolution": q_entity_resolution,
-    "q_dataset_card": q_dataset_card,
-    "q_hilbert_layout": q_hilbert_layout,
-    "q_psi_histogram": q_psi_histogram,
-    "q_cohort_retention": q_cohort_retention,
-    "q_token_pmi": q_token_pmi,
-    "q_ols_trend": q_ols_trend,
-    "q_contamination": q_contamination,
-    "q_decontaminate": q_decontaminate,
-    "q_repetition_stats": q_repetition_stats,
-    "q_pii_scrub": q_pii_scrub,
-    "q_stream_dedup_batch": q_stream_dedup_batch,
-    "q_bucketed_join": q_bucketed_join,
-    "q_countmin_topk": q_countmin_topk,
-    "q_bloom_join": q_bloom_join,
-    "q_jaccard_prefix": q_jaccard_prefix,
-    "q_span_dedup": q_span_dedup,
-    "q_zorder_layout": q_zorder_layout,
-    "q_hll_registers": q_hll_registers,
-    "q_group_quota": q_group_quota,
-    "q_vocab_build": q_vocab_build,
-    "q_incremental_dedup": q_incremental_dedup,
-    "q_gap_fill": q_gap_fill,
-    "q_sliding_windows": q_sliding_windows,
-    "q_simhash_portable": q_simhash_portable,
-    "q_pretraining_export": q_pretraining_export,
-    "q_kmv_sketch": q_kmv_sketch,
-    "q_span_scrub": q_span_scrub,
-    "q_lang_id": q_lang_id,
-    "q_sql_parameterized": q_sql_parameterized,
-    "q_rolling_time_window": q_rolling_time_window,
-    "q_histogram2d": q_histogram2d,
-    "q_doc_features": q_doc_features,
-    "q_scd2_asof": q_scd2_asof,
-    "q_dedup_report": q_dedup_report,
-    "q_skew_topk": q_skew_topk,
-    "q_weighted_sample": q_weighted_sample,
-    "q_incremental_mart": q_incremental_mart,
-    "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
+    "q_sessionize": q_sessionize,
+    # --- newest driver row: r06
+    "q_agg_monthly": q_agg_monthly,
     "q_ann_ivf_partitioned": q_ann_ivf_partitioned,
-    "q_window_running": q_window_running,
-    "q_project_cast_alias": q_project_cast_alias,
+    "q_anti_orphans": q_anti_orphans,
+    "q_bloom_join": q_bloom_join,
+    "q_countmin_topk": q_countmin_topk,
+    "q_date_parts": q_date_parts,
+    "q_dedup_report": q_dedup_report,
+    "q_distinct_dim": q_distinct_dim,
+    "q_doc_features": q_doc_features,
+    "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
     "q_filter_conj": q_filter_conj,
     "q_filter_notnull": q_filter_notnull,
-    "q_subtract": q_subtract,
-    "q_union_dedup": q_union_dedup,
-    "q_union_byname": q_union_byname,
-    "q_literal_lookup": q_literal_lookup,
-    "q_intersect": q_intersect,
-    "q_distinct_dim": q_distinct_dim,
-    "q_date_parts": q_date_parts,
+    "q_gap_fill": q_gap_fill,
     "q_generate_series": q_generate_series,
-    "q_unpivot": q_unpivot,
-    "q_star_join": q_star_join,
+    "q_group_quota": q_group_quota,
+    "q_histogram2d": q_histogram2d,
+    "q_hll_registers": q_hll_registers,
+    "q_incremental_dedup": q_incremental_dedup,
+    "q_incremental_mart": q_incremental_mart,
+    "q_intersect": q_intersect,
+    "q_jaccard_prefix": q_jaccard_prefix,
+    "q_kmv_sketch": q_kmv_sketch,
+    "q_lang_id": q_lang_id,
     "q_left_join_multikey": q_left_join_multikey,
-    "q_anti_orphans": q_anti_orphans,
-    "q_semi_active": q_semi_active,
+    "q_literal_lookup": q_literal_lookup,
+    "q_mixture_epochs": q_mixture_epochs,
+    "q_pretraining_export": q_pretraining_export,
+    "q_project_cast_alias": q_project_cast_alias,
+    "q_rolling_time_window": q_rolling_time_window,
+    "q_scd2_asof": q_scd2_asof,
     "q_self_role_join": q_self_role_join,
-    "q_agg_monthly": q_agg_monthly,
+    "q_semi_active": q_semi_active,
+    "q_shard_assign": q_shard_assign,
+    "q_simhash_portable": q_simhash_portable,
+    "q_skew_topk": q_skew_topk,
+    "q_sliding_windows": q_sliding_windows,
+    "q_span_dedup": q_span_dedup,
+    "q_span_scrub": q_span_scrub,
+    "q_sql_parameterized": q_sql_parameterized,
+    "q_star_join": q_star_join,
+    "q_subtract": q_subtract,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
-    "q_embed_near_dup": q_embed_near_dup,
-    "q_tpch_q4": q_tpch_q4,
-    "q_tpch_q6": q_tpch_q6,
-    "q_tpch_q10": q_tpch_q10,
-    "q_tpch_q13": q_tpch_q13,
-    "q_case_buckets": q_case_buckets,
-    "q_stats_agg": q_stats_agg,
-    "q_rollup": q_rollup,
-    "q_cube": q_cube,
-    "q_full_outer_join": q_full_outer_join,
-    "q_cross_join": q_cross_join,
-    "q_percentiles": q_percentiles,
-    "q_salted_join_equiv": q_salted_join_equiv,
-    "q_correlated_subquery": q_correlated_subquery,
-    "q_lateral_topn": q_lateral_topn,
-    "q_count_quality": q_count_quality,
-    "q_topk": q_topk,
-    "q_pivot_flags": q_pivot_flags,
+    "q_union_byname": q_union_byname,
+    "q_union_dedup": q_union_dedup,  # <- driver window cut (50)
+    "q_unpivot": q_unpivot,
+    "q_vocab_build": q_vocab_build,
+    "q_weighted_sample": q_weighted_sample,
+    "q_window_running": q_window_running,
+    "q_zorder_layout": q_zorder_layout,
+    # --- newest driver row: r07
+    "q_ann_ivf": q_ann_ivf,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentiles": q_approx_percentiles,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_tpch_q5": q_tpch_q5,
-    "q_tpch_q7": q_tpch_q7,
-    "q_tpch_q8": q_tpch_q8,
-    "q_tpch_q12": q_tpch_q12,
-    "q_tpch_q14": q_tpch_q14,
-    "q_near_dup_minhash": q_near_dup_minhash,
-    "q_simhash_near_dup": q_simhash_near_dup,
-    "q_ann_ivf": q_ann_ivf,
-    "q_text_pipeline": q_text_pipeline,
+    "q_array_stats": q_array_stats,
+    "q_asof_join": q_asof_join,
+    "q_case_buckets": q_case_buckets,
+    "q_correlated_subquery": q_correlated_subquery,
+    "q_count_quality": q_count_quality,
+    "q_cross_join": q_cross_join,
+    "q_cube": q_cube,
+    "q_date_arith": q_date_arith,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_full_outer_join": q_full_outer_join,
     "q_funnel": q_funnel,
-    "q_window_rank": q_window_rank,
-    "q_window_range_frame": q_window_range_frame,
-    "q_ntile_percent_rank": q_ntile_percent_rank,
-    "q_string_null_funcs": q_string_null_funcs,
+    "q_grouping_sets": q_grouping_sets,
     "q_json_extract": q_json_extract,
     "q_json_struct": q_json_struct,
-    "q_array_stats": q_array_stats,
+    "q_lateral_topn": q_lateral_topn,
     "q_map_funcs": q_map_funcs,
-    "q_grouping_sets": q_grouping_sets,
-    "q_date_arith": q_date_arith,
-    "q_tumbling_hour": q_tumbling_hour,
-    "q_asof_join": q_asof_join,
+    "q_near_dup_minhash": q_near_dup_minhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_ntile_percent_rank": q_ntile_percent_rank,
+    "q_percentiles": q_percentiles,
+    "q_pivot_flags": q_pivot_flags,
     "q_range_bucket_join": q_range_bucket_join,
+    "q_rollup": q_rollup,
+    "q_salted_join_equiv": q_salted_join_equiv,
+    "q_simhash_near_dup": q_simhash_near_dup,
+    "q_stats_agg": q_stats_agg,
+    "q_string_null_funcs": q_string_null_funcs,
+    "q_text_pipeline": q_text_pipeline,
+    "q_topk": q_topk,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q14": q_tpch_q14,
     "q_tpch_q15": q_tpch_q15,
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
+    "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tumbling_hour": q_tumbling_hour,
+    "q_window_range_frame": q_window_range_frame,
+    "q_window_rank": q_window_rank,
+    # --- newest driver row: r08
+    "q_attribution": q_attribution,
+    "q_bag_set_ops": q_bag_set_ops,
+    "q_basket_rules": q_basket_rules,
+    "q_bfs_hops": q_bfs_hops,
+    "q_bigram_logprob": q_bigram_logprob,
+    "q_boilerplate_removal": q_boilerplate_removal,
+    "q_bpe_merge_step": q_bpe_merge_step,
+    "q_bucketed_join": q_bucketed_join,
+    "q_cohort_retention": q_cohort_retention,
+    "q_concurrent_sessions": q_concurrent_sessions,
+    "q_containment_pruned": q_containment_pruned,
+    "q_contamination": q_contamination,
+    "q_dataset_card": q_dataset_card,
+    "q_decontaminate": q_decontaminate,
+    "q_dq_report": q_dq_report,
+    "q_dsir_select": q_dsir_select,
+    "q_entity_resolution": q_entity_resolution,
+    "q_ewma_trend": q_ewma_trend,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_hard_negatives": q_hard_negatives,
+    "q_hilbert_layout": q_hilbert_layout,
+    "q_histogram_quantiles": q_histogram_quantiles,
+    "q_hybrid_search_rrf": q_hybrid_search_rrf,
+    "q_ks_drift": q_ks_drift,
+    "q_markov_transitions": q_markov_transitions,
+    "q_nb_quality": q_nb_quality,
+    "q_ngram_containment": q_ngram_containment,
+    "q_ols_trend": q_ols_trend,
+    "q_period_over_period": q_period_over_period,
+    "q_perplexity_buckets": q_perplexity_buckets,
+    "q_phash_neardup": q_phash_neardup,
+    "q_pii_scrub": q_pii_scrub,
+    "q_psi_drift": q_psi_drift,
+    "q_psi_histogram": q_psi_histogram,
+    "q_repetition_stats": q_repetition_stats,
+    "q_semdedup": q_semdedup,
+    "q_sequence_pack": q_sequence_pack,
+    "q_session_window_batch": q_session_window_batch,
+    "q_skyline": q_skyline,
+    "q_sliding_distinct": q_sliding_distinct,
+    "q_spatial_join": q_spatial_join,
+    "q_stream_dedup_batch": q_stream_dedup_batch,
+    "q_textrank": q_textrank,
+    "q_tfidf_cosine": q_tfidf_cosine,
+    "q_token_entropy": q_token_entropy,
+    "q_token_pmi": q_token_pmi,
+    "q_udaf_geomean": q_udaf_geomean,
+    "q_udtf_chunks": q_udtf_chunks,
+    "q_variant_extract": q_variant_extract,
+    "q_window_navigation": q_window_navigation,
+    # --- newest driver row: r09
+    "q_bm25_search": q_bm25_search,
+    "q_cdc_changed_rows": q_cdc_changed_rows,
+    "q_chunk_spans": q_chunk_spans,
+    "q_collect_agg": q_collect_agg,
+    "q_cosine_topk": q_cosine_topk,
+    "q_curation_pipeline": q_curation_pipeline,
+    "q_dedup_apply": q_dedup_apply,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_dedup_pipeline": q_dedup_pipeline,
+    "q_embed_centroids": q_embed_centroids,
+    "q_embed_quantize": q_embed_quantize,
+    "q_entity_resolution_distinct": q_entity_resolution_distinct,
+    "q_epoch_arith": q_epoch_arith,
+    "q_exact_quantiles": q_exact_quantiles,
+    "q_fingerprint_dedup": q_fingerprint_dedup,
+    "q_grouped_median": q_grouped_median,
+    "q_hash_sample": q_hash_sample,
+    "q_lang_stats": q_lang_stats,
+    "q_late_data": q_late_data,
+    "q_leakage_safe_split": q_leakage_safe_split,
+    "q_length_histogram": q_length_histogram,
+    "q_minhash_portable": q_minhash_portable,
+    "q_multimodal_features": q_multimodal_features,
+    "q_posexplode": q_posexplode,
+    "q_quality_profile": q_quality_profile,
+    "q_regexp_funcs": q_regexp_funcs,
+    "q_rendezvous_shards": q_rendezvous_shards,
+    "q_robust_outliers": q_robust_outliers,
+    "q_scd1_merge": q_scd1_merge,
+    "q_scd2_history": q_scd2_history,
+    "q_semdedup_hier": q_semdedup_hier,
+    "q_sql_surrogate_keys": q_sql_surrogate_keys,
+    "q_stratified_sample": q_stratified_sample,
+    "q_temperature_mix": q_temperature_mix,
+    "q_text_stats": q_text_stats,
+    "q_text_tokens": q_text_tokens,
+    "q_token_budget": q_token_budget,
+    "q_top_ngrams": q_top_ngrams,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q9": q_tpch_q9,
+    "q_train_split": q_train_split,
+    "q_unigram_logprob": q_unigram_logprob,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_winsorize": q_winsorize,
 }
 
 

@@ -522,6 +522,46 @@ class TestDedup:
         with pytest.raises(ValueError, match="quantile"):
             dedup.calibrate_df_cutoff(df, quantile=1.5)
 
+    def test_calibrated_df_cutoff_median_rule_pinned(self, spark):
+        # known df distribution by construction: two-token docs yield
+        # exactly one shingle each; shingle i appears in i docs, i=1..21,
+        # so dfs are {1..21}, exact median = value at rank ceil(21/2)=11,
+        # cutoff = max(8, 9000*11 // 10000) = 9 — the rule the pruned
+        # queries' oracles replay verbatim (ROW_NUMBER at the same rank)
+        rows = []
+        for i in range(1, 22):
+            for d in range(i):
+                rows.append((i * 100 + d, f"a{i} b{i}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert dedup.calibrated_df_cutoff(df) == 9
+        # min_cutoff floor: all-distinct shingles -> median df 1 ->
+        # 9000*1//10000 = 0 -> floored at 8
+        flat = spark.createDataFrame(
+            [(i, f"x{i} y{i}") for i in range(20)], "doc_id long, text string"
+        )
+        assert dedup.calibrated_df_cutoff(flat) == 8
+
+    def test_calibrated_df_cutoff_survives_density_dilution(self, spark):
+        # the round-10 default rule under the same dilution scenario as
+        # the quantile test above: per-shingle dfs are scale-invariant in
+        # the topic corpus (each topic's boilerplate df stays 50), so the
+        # median-anchored cutoff stays put and pruning survives 10x
+        # vocabulary growth with the SAME call
+        small = self._topic_corpus(spark, n_topics=5)     # 250 docs
+        big = self._topic_corpus(spark, n_topics=50)      # 2500 docs
+        cut_small = dedup.calibrated_df_cutoff(small)
+        cut_big = dedup.calibrated_df_cutoff(big)
+        assert cut_small == cut_big  # density stat, not corpus-size stat
+        assert cut_small < 50  # hot boilerplate (df 50) stays above it
+
+        def n_pairs(df, cut):
+            return dedup.ngram_jaccard_pairs(
+                df, min_jaccard=0.05, max_doc_count=cut
+            ).count()
+
+        assert n_pairs(small, cut_small) == 0
+        assert n_pairs(big, cut_big) == 0
+
     def test_minhash_lsh_recall_vs_exact_jaccard(self, spark):
         # Candidate-generation QUALITY for the text near-dup family,
         # measured the same way the IVF recall test measures ANN: exact
