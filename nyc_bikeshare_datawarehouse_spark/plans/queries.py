@@ -2399,6 +2399,36 @@ def q_audio_features(spark, sf_dir):
     return multimodal.audio_features(wavs).orderBy("asset_id")
 
 
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup by 64-bit energy-difference fingerprint
+    (functions/multimodal.py `audio_fingerprint`, Haitsma-Kalker sign
+    signature) through the SAME hash-agnostic banded Hamming join as
+    the image path (`phash_near_dup`, 8×8-bit bands — pigeonhole-
+    lossless to distance 7): content is synthesized WAV from each
+    document's sorted distinct-token fingerprint, so the corpus'
+    token-set duplicate clusters MUST surface as hamming-0 pairs (444
+    pairs at sf0.01 — the same construction-guaranteed recall pin as
+    q_phash_neardup). Rows-only check (a WAV parse + frame-energy walk
+    has no SQL form; the fingerprint math is pinned against a pure-
+    Python replay in tests/test_functions.py). Fingerprints are
+    localCheckpointed before banding (the band join references the
+    frame from both sides — without it every WAV decodes twice); only
+    8-byte fingerprints shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(text.tokens("text")))),
+            "utf-8",
+        ).alias("content"),
+    )
+    wavs = multimodal.synth_wav(assets, rate=8000, limit=2048)
+    fps = multimodal.audio_fingerprint(wavs).localCheckpoint(eager=True)
+    return multimodal.phash_near_dup(
+        fps, max_hamming=4, id_col="asset_id", hash_col="afp"
+    ).orderBy("id_a", "id_b")
+
+
 def q_token_budget(spark, sf_dir):
     """Token-budget curation (functions/text.py `with_token_budget`): per
     language, keep documents in (n_chars DESC, doc_id ASC) priority order
@@ -4570,12 +4600,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (r09 verdict #7 discipline): the driver
     # --- checks the FIRST 50 keys each round. Order: round-10 additions
     # --- (no driver rows yet), then ascending by newest driver row
-    # --- (r05 pair, r06 cohort, ...). Window cut after 50: the 5
-    # --- overflow r06 rows sit at 51-55 for round 11. Regenerate with
+    # --- (r05 pair, r06 cohort, ...). Window cut after 50: the 6
+    # --- overflow r06 rows sit at 51-56 for round 11. Regenerate with
     # --- the same rule next round: new queries first, then stalest.
     "q_leakage_split_precomputed": q_leakage_split_precomputed,
     "q_audio_features": q_audio_features,
     "q_sql_warehouse": q_sql_warehouse,
+    "q_audio_neardup": q_audio_neardup,
     # --- newest driver row: r05
     "q_pca_variance": q_pca_variance,
     "q_sessionize": q_sessionize,
@@ -4623,8 +4654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_subtract": q_subtract,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
-    "q_union_byname": q_union_byname,
-    "q_union_dedup": q_union_dedup,  # <- driver window cut (50)
+    "q_union_byname": q_union_byname,  # <- driver window cut (50)
+    "q_union_dedup": q_union_dedup,
     "q_unpivot": q_unpivot,
     "q_vocab_build": q_vocab_build,
     "q_weighted_sample": q_weighted_sample,

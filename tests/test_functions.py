@@ -1183,3 +1183,36 @@ class TestWavAudio:
         assert row["ac_lag1"] < 0
         assert row["peak"] == 20000
         assert row["duration_ms"] == 100 * 1000 // 16000
+
+
+class TestAudioFingerprint:
+    def test_fingerprint_matches_pure_python_replay(self, spark):
+        texts = [(1, "hello world hello"), (2, "a b c " * 100), (3, "zz")]
+        df = spark.createDataFrame(texts, "asset_id long, text string")
+        assets = df.select("asset_id", F.encode("text", "utf-8").alias("content"))
+        wavs = multimodal.synth_wav(assets, rate=8000, limit=2048)
+        got = {r["asset_id"]: r["afp"] for r in
+               multimodal.audio_fingerprint(wavs).collect()}
+        for aid, txt in texts:
+            samples = multimodal.text_pcm_samples(txt.encode("utf-8"), 2048)
+            assert got[aid] == multimodal._audio_fp64(samples), aid
+
+    def test_neardup_finds_identical_audio_via_banded_join(self, spark):
+        # identical samples -> identical fingerprint -> hamming 0 through
+        # the hash-agnostic banded join; a very different stream must not
+        # pair at max_hamming=4
+        quiet = [100] * 400
+        loud_ramp = [((i * 37) % 200 - 100) * 300 for i in range(400)]
+        rows = [
+            (1, bytearray(multimodal.wav_encode(quiet, 8000))),
+            (2, bytearray(multimodal.wav_encode(quiet, 8000))),
+            (3, bytearray(multimodal.wav_encode(loud_ramp, 8000))),
+        ]
+        df = spark.createDataFrame(rows, "asset_id long, content binary")
+        fps = multimodal.audio_fingerprint(df).localCheckpoint(eager=True)
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 multimodal.phash_near_dup(
+                     fps, max_hamming=4, id_col="asset_id", hash_col="afp"
+                 ).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -32,6 +32,9 @@ def test_contract_shape():
         # 2-D DCT perceptual hash: no SQL engine replays the DCT; the hash
         # math is pinned against a pure-Python replay instead
         "q_phash_neardup",
+        # WAV container parse + frame-energy walk: no SQL form; feature and
+        # fingerprint math pinned against pure-Python replays instead
+        "q_audio_features", "q_audio_neardup",
     }
 
 
