@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; the LSH/ANN lattices, approx
-    sketches, composed text pipeline, and applyInPandas PCA are
-    intentionally absent (non-SQL-expressible -> rows-only checks)."""
+    sketches, composed text pipeline, applyInPandas PCA, the image-DCT
+    pHash, and the WAV audio codecs are intentionally absent
+    (non-SQL-expressible -> rows-only checks, each pinned against a
+    pure-Python replay in pytest)."""
     return dict(ORACLES)

@@ -195,6 +195,11 @@ EXTENDED = [
     "q_winsorize",
     "q_grouped_median",
     "q_rendezvous_shards",
+    # round 10 members
+    "q_leakage_split_precomputed",
+    "q_audio_features",
+    "q_audio_neardup",
+    "q_sql_warehouse",
 ]
 
 
