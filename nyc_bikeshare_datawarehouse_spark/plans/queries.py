@@ -3558,10 +3558,12 @@ def q_entity_resolution(spark, sf_dir):
 
 def q_entity_resolution_distinct(spark, sf_dir):
     """Record linkage via the DISTINCT-STRING-UNIVERSE lever — since
-    round 10 fuzzy_pairs' DEFAULT path (here pinned at q=2 to keep the
-    historical bench series comparable) — on a repeat-heavy corpus:
-    the scale twin of q_entity_resolution, which was the suite's worst
-    honest exponent (alpha 1.65 on the 100%-distinct probe). Real name
+    round 10 fuzzy_pairs' DEFAULT path, ridden here at full defaults
+    (q=3 + banded; the q=2 pin was dropped late in round 10 once the
+    probe showed it was the last alpha > 1.3 in the suite — bench
+    per-query history crosses that boundary, noted in BASELINE.md) —
+    on a repeat-heavy corpus: the scale twin of q_entity_resolution,
+    which was the suite's worst honest exponent (1.65). Real name
     columns repeat enormously; here each clean/corrupted title is
     replicated 4x (rec_id = doc_id*8 + copy), so the gram index,
     candidate join, and levenshtein verify all run on |distinct names| =
@@ -3595,7 +3597,7 @@ def q_entity_resolution_distinct(spark, sf_dir):
     a = recs.select(F.col("rec_id").alias("id_a"), "name")
     b = recs.select(F.col("rec_id").alias("id_b"), "name")
     edges = fuzzy.fuzzy_pairs(
-        a, b, "name", "id_a", "id_b", k=1, q=2
+        a, b, "name", "id_a", "id_b", k=1
     ).filter(F.col("id_a") < F.col("id_b"))
     clusters = dedup.cluster_duplicates(
         edges.select("id_a", "id_b"), recs.select("rec_id"), "rec_id"
