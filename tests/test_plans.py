@@ -443,3 +443,13 @@ def test_tfidf_runtime_reuses_postings_exchanges(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 3
+
+
+def test_audio_neardup_decodes_wav_once(spark, sf_dir):
+    # same pin as the pHash path: the band self-join reads BOTH sides
+    # from the checkpointed 8-byte fingerprint frame — zero Pandas
+    # stages in the join plan (without the checkpoint the diverged
+    # subplan would synth + decode every WAV twice)
+    plan = plan_of(spark, sf_dir, "q_audio_neardup")
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan
