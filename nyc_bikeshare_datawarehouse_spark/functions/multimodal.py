@@ -466,13 +466,18 @@ def wav_encode(samples: Sequence[int], rate: int = 8000) -> bytes:
 
 def wav_decode(payload: bytes) -> tuple[int, list[int]]:
     """(sample_rate, samples) from mono 16-bit PCM WAV bytes."""
+    rate, raw = _wav_frames(payload)
+    return rate, list(struct.unpack(f"<{len(raw) // 2}h", raw))
+
+
+def _wav_frames(payload: bytes) -> tuple[int, bytes]:
+    """(sample_rate, raw little-endian int16 frame bytes) — the container
+    parse shared by the list decoder and the numpy batch paths (which
+    frombuffer the frames instead of building 10M-element Python lists)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         if w.getsampwidth() != 2 or w.getnchannels() != 1:
             raise ValueError("only mono 16-bit PCM WAV is supported stdlib-side")
-        rate = w.getframerate()
-        n = w.getnframes()
-        raw = w.readframes(n)
-    return rate, list(struct.unpack(f"<{n}h", raw))
+        return w.getframerate(), w.readframes(w.getnframes())
 
 
 def text_pcm_samples(payload: bytes, limit: int = 2048) -> list[int]:
@@ -523,8 +528,8 @@ def audio_features(df: DataFrame) -> DataFrame:
                 "rms", "zero_crossings", "ac_lag1", "peak",
             )}
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
-                rate, samples = wav_decode(bytes(payload))
-                s = np.asarray(samples, dtype=np.int64)
+                rate, raw = _wav_frames(bytes(payload))
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 n = int(s.size)
                 sq = int((s * s).sum())
                 rows["asset_id"].append(aid)
@@ -584,8 +589,8 @@ def audio_fingerprint(df: DataFrame, n_frames: int = 65) -> DataFrame:
         for pdf in batches:
             fps = []
             for payload in pdf["content"]:
-                _, samples = wav_decode(bytes(payload))
-                s = np.asarray(samples, dtype=np.int64)
+                _, raw = _wav_frames(bytes(payload))
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 n = int(s.size)
                 bits = 0
                 bounds = [j * n // n_frames for j in range(n_frames + 1)]
