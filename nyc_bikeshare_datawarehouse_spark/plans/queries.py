@@ -4599,12 +4599,10 @@ def q_sliding_distinct(spark, sf_dir):
 # stronger signal than a determinism re-check). The r04/r05-fresh rows sit
 # at the back, stale-first, so next round's rotation continues from here.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- stalest-first rotation (r09 verdict #7 discipline): the driver
-    # --- checks the FIRST 50 keys each round. Order: round-10 additions
-    # --- (no driver rows yet), then ascending by newest driver row
-    # --- (r05 pair, r06 cohort, ...). Window cut after 50: the 6
-    # --- overflow r06 rows sit at 51-56 for round 11. Regenerate with
-    # --- the same rule next round: new queries first, then stalest.
+    # --- stalest-first rotation (tools/rotate_queries.py): the driver
+    # --- checks the FIRST 50 keys each round. New queries (no driver
+    # --- rows) first, then ascending by newest driver row.
+    # --- new this round (no driver rows)
     "q_leakage_split_precomputed": q_leakage_split_precomputed,
     "q_audio_features": q_audio_features,
     "q_sql_warehouse": q_sql_warehouse,
