@@ -453,3 +453,17 @@ def test_audio_neardup_decodes_wav_once(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_audio_neardup")
     assert plan.count("MapInPandas") == 0
     assert "Scan ExistingRDD" in plan
+
+
+def test_sql_warehouse_runtime_reuses_cte_exchanges(spark, sf_dir):
+    # the trips view feeds 4 joins and the monthly CTE feeds 3 output
+    # branches; the initial plan instantiates each subtree separately
+    # (13 exchanges) and AQE must dedup the identical shuffles at
+    # runtime — the same guarantee pinned for tfidf. The ranked_months
+    # windows are O(#months) frames (the allowed single-partition class,
+    # see the query docstring).
+    df = QUERIES["q_sql_warehouse"](spark, sf_dir)
+    df.collect()  # finalizes THIS queryExecution (the .write-copy trap)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 4
