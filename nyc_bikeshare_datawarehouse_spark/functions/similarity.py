@@ -92,6 +92,29 @@ def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def srp_planes_for(n_rows: int, bands: int = 4, base_planes: int = 16,
+                   base_rows: int = 5000) -> int:
+    """Corpus-calibrated SRP plane count — the LSH sibling of
+    dedup.calibrated_df_cutoff: with P planes over B bands the band key
+    is P/B bits → 2^(P/B) possible buckets, a corpus-size-INDEPENDENT
+    cardinality, so at fixed P bucket occupancy grows linearly and the
+    within-bucket pair count quadratically (measured: alpha 1.27 fixed
+    16-plane vs ~1.0 scaled, SCALING.json embed_lsh_{fixed,scaled}_planes).
+    Rule: +1 bit per band per corpus DOUBLING past `base_rows`, i.e.
+    planes = base + B·max(0, ceil(log2(n/base)))  — expected occupancy
+    stays constant. The recall trade is the standard LSH bits/bands one:
+    stricter bands only make CANDIDATES rarer; verified pairs stay exact.
+    Not wired into the declared q_embed_near_dup: its generated-
+    hyperplane oracle embeds the plane count STRUCTURALLY (one SQL
+    expression per plane), so a data-dependent count has no static SQL
+    form — production callers pass this helper's result explicitly."""
+    if n_rows <= base_rows:
+        return base_planes
+    import math as _math
+
+    return base_planes + bands * _math.ceil(_math.log2(n_rows / base_rows))
+
+
 def srp_signature(vec_col, dim: int, n_planes: int = 16) -> Column:
     """Signed-random-projection signature as an int (bit b = sign of
     ⟨v, plane_b⟩), deterministic.

@@ -1216,3 +1216,23 @@ class TestAudioFingerprint:
                  ).collect()}
         assert pairs.get((1, 2)) == 0
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_srp_planes_for_occupancy_rule():
+    from nyc_bikeshare_datawarehouse_spark.functions.similarity import srp_planes_for
+
+    # at or below the base corpus: the shipping default
+    assert srp_planes_for(5000) == 16
+    assert srp_planes_for(100) == 16
+    # +1 bit per band per doubling: 10x corpus = ceil(log2(10)) = 4 bits
+    assert srp_planes_for(50_000) == 16 + 4 * 4
+    # exact doubling boundary: one extra bit per band
+    assert srp_planes_for(10_000) == 16 + 4 * 1
+    assert srp_planes_for(10_001) == 16 + 4 * 2
+    # expected bucket occupancy n / 2^(planes/bands) stays within 2x of
+    # the base (5000/16 buckets) across 5 orders of magnitude
+    base_occ = 5000 / 2 ** (16 / 4)
+    for n in (5_000, 50_000, 500_000, 5_000_000, 50_000_000):
+        p = srp_planes_for(n)
+        occ = n / 2 ** (p / 4)
+        assert occ <= 2 * base_occ, (n, p, occ)
