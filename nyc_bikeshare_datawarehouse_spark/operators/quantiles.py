@@ -176,8 +176,10 @@ def exact_group_quantile(
     Determinism: the membership test for round r replays round r's
     EXACT bucket expression (stored (lo, width, chosen-bucket) chain —
     the same no-ulp-desync rule as exact_rank_values); all parameters
-    are exact aggregate outputs. Terminal slices resolve with one
-    TakeOrdered per group (bounded by G). Returns (group, n, rank,
+    are exact aggregate outputs. All groups going terminal in a round
+    resolve in ONE batched job (per-group row_number over <= max_slice
+    rows — the allowed partitioned-window class), not one TakeOrdered
+    per group. Returns (group, n, rank,
     value) with rank = GREATEST(1, ceil(q_bp·n/10000)). The group
     column keeps its input type; NULL group keys are excluded (like
     NULL values — rank selection needs an equatable key; aggregate
@@ -213,32 +215,64 @@ def exact_group_quantile(
             "chain": [],  # [(hist_lo, hist_width, chosen_bucket), ...]
         }
     resolved: dict = {}
-
-    def chain_pred(g, chain):
-        pred = F.col("__g") == F.lit(g)
-        for lo, w, b in chain:
-            pred = pred & (bucket_expr(F.lit(lo), F.lit(w)) == F.lit(b))
-        return pred
-
     while True:
         pending = {
             g: s for g, s in state.items()
             if g not in resolved and s["lo"] != s["hi"] and s["n"] > max_slice
         }
+        term: dict = {}
         for g, s in state.items():
             if g in resolved or g in pending:
                 continue
             if s["lo"] == s["hi"]:
                 resolved[g] = s["lo"]  # one tied value fills the slice
             else:
-                row = (  # terminal: TakeOrdered (rank-offset), keep last
-                    vals.filter(chain_pred(g, s["chain"]))
-                    .orderBy("__v")
-                    .limit(s["rank"] - s["offset"])
-                    .agg(F.max("__v").alias("v"))
-                    .head()
+                term[g] = s
+        if term:
+            # BATCHED terminal: every group that went terminal this round
+            # resolves in ONE job — per-group slice membership replays the
+            # chain via a broadcast state frame (same no-ulp-desync rule),
+            # then value-at-rank = row_number()==k inside the group.
+            # Per-group windows over <= max_slice rows are the allowed
+            # partitioned-window class (not a corpus sort); the value AT a
+            # rank is tie-order independent, so row_number ties are benign.
+            # Replaces one TakeOrdered JOB PER GROUP — at G terminal
+            # groups that was G driver round-trips per round.
+            depth_t = len(next(iter(term.values()))["chain"])
+            assert all(len(s["chain"]) == depth_t for s in term.values())
+            tstate = spark.createDataFrame(
+                [
+                    (
+                        g,
+                        [lo for lo, _, _ in s["chain"]],
+                        [w for _, w, _ in s["chain"]],
+                        [b for _, _, b in s["chain"]],
+                        s["rank"] - s["offset"],
+                    )
+                    for g, s in term.items()
+                ],
+                f"__g {g_type}, __los array<double>, __ws array<double>, "
+                "__bs array<int>, __k long",
+            )
+            tj = vals.join(F.broadcast(tstate), "__g")
+            for i in range(1, depth_t + 1):
+                tj = tj.filter(
+                    bucket_expr(
+                        F.element_at("__los", F.lit(i)),
+                        F.element_at("__ws", F.lit(i)),
+                    )
+                    == F.element_at("__bs", F.lit(i))
                 )
-                resolved[g] = float(row["v"])
+            from pyspark.sql import Window
+
+            rn = F.row_number().over(Window.partitionBy("__g").orderBy("__v"))
+            for r in (
+                tj.withColumn("__rn", rn)
+                .filter(F.col("__rn") == F.col("__k"))
+                .select("__g", "__v")
+                .collect()
+            ):
+                resolved[r["__g"]] = float(r["__v"])
         if not pending:
             break
         # ONE shared histogram scan: per-group params via broadcast state.
