@@ -406,3 +406,40 @@ class TestPacking:
 
         with pytest.raises(ValueError, match="seq_len"):
             pack_sequences(self._docs(spark, [(1, 3)]), seq_len=0)
+
+
+class TestGroupQuantileJobBatching:
+    def test_many_terminal_groups_resolve_in_constant_jobs(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_group_quantile,
+        )
+
+        # 200 groups x 40 rows: every group is terminal in round one.
+        # Before the round-10 batching this cost one TakeOrdered JOB per
+        # group (200+ driver round-trips); now all terminals of a round
+        # share one windowed job. Pin via the Spark job-count delta.
+        rows = [(f"g{i:03d}", float((i * 7 + j * 13) % 97))
+                for i in range(200) for j in range(40)]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+        sc = spark.sparkContext
+        sc.setJobGroup("gq_batch_pin", "terminal batching job count")
+        try:
+            out = exact_group_quantile(df, "g", "v", q_bp=5000, max_slice=64)
+            n_out = out.count()
+        finally:
+            n_jobs = len(sc.statusTracker().getJobIdsForGroup("gq_batch_pin"))
+            sc.setJobGroup("", "")
+        assert n_out == 200
+        # stats agg + one batched terminal + result count + slack: far
+        # below the 200+ jobs of the per-group TakeOrdered form
+        assert n_jobs <= 10, n_jobs
+
+        # correctness spot-check against a local sort
+        import collections
+        byg = collections.defaultdict(list)
+        for g, v in rows:
+            byg[g].append(v)
+        got = {r["g"]: r["value"] for r in out.collect()}
+        for g, vs in byg.items():
+            rank = max(1, (5000 * len(vs) + 9999) // 10000)
+            assert got[g] == sorted(vs)[rank - 1], g
