@@ -97,8 +97,9 @@ def fuzzy_pairs_exhaustive(
     once on the tagged union rather than per side.
 
     `length_banded=True` adds the string LENGTH to the gram-branch join
-    key: the left prefix stream explodes each row to its k+1..k-1 target
-    lengths (2k+1 rows) and the equi-join key becomes (gram, length), so
+    key: the left prefix stream explodes each row to its len-k..len+k
+    target lengths (2k+1 rows) and the equi-join key becomes (gram,
+    length), so
     a hot gram's candidate volume is Σ_l |a@(g,·)|·|b@(g,l)| instead of
     |a@g|·|b@g| — the |len diff| <= k necessary condition enforced AT
     the shuffle instead of after it. Lossless by construction (the
