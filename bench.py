@@ -200,6 +200,7 @@ EXTENDED = [
     "q_audio_features",
     "q_audio_neardup",
     "q_sql_warehouse",
+    "q_grouped_quartiles",
 ]
 
 

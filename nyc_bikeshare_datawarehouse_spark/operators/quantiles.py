@@ -365,3 +365,213 @@ def exact_quantiles_frame(
     vals = exact_rank_values(df, c, sorted(set(ranks.values())), n_buckets, max_slice)
     rows = [(float(q), int(r), vals[r]) for q, r in sorted(ranks.items())]
     return spark.createDataFrame(rows, "q double, rank long, value double")
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str | Column,
+    quantiles_bp: Sequence[int] = (2500, 5000, 7500),
+    n_buckets: int = 256,
+    max_slice: int = 65536,
+) -> DataFrame:
+    """EXACT value at MULTIPLE quantiles (basis points; rank =
+    GREATEST(1, ceil(bp·n_g/10000))) for EVERY group — all groups AND
+    all quantiles sharing the same scans.
+
+    The unit of driver state is a WORK-GROUP: (group, slice-chain,
+    pending ranks). All of a group's ranks start in one work-group and
+    ride the same histogram; when ranks land in different buckets the
+    work-group SPLITS, and because every split child is exactly one
+    level deeper, all active work-groups keep a uniform chain depth —
+    the invariant that lets one broadcast-state scan serve every
+    work-group per round. A value row joined to its group's state rows
+    survives the chain filters for AT MOST ONE work-group (diverged
+    chains differ in some chosen bucket, and the filters compare every
+    level), so the fan-out of the state join is bounded by the number
+    of rank-clusters per group (<= len(quantiles_bp)) and each round is
+    still ONE groupBy((group, work-group), bucket) aggregate.
+
+    Terminals batch exactly like exact_group_quantile: one windowed job
+    resolves every work-group that finished this round, with
+    array_contains(ks, row_number) picking ALL of that slice's pending
+    ranks at once. Cost: ~log_B(max_g n_g) shared scans TOTAL — adding
+    quantiles adds rank-cluster rows to the broadcast state, not scans.
+
+    Returns (group, q_bp int, n long, rank long, value double); ties in
+    rank (two bps mapping to the same rank in a small group) resolve to
+    the same value, one output row per bp. NULL groups/values (and
+    float NaNs) are excluded as in exact_group_quantile."""
+    if not quantiles_bp:
+        raise ValueError("quantiles_bp must be non-empty")
+    c = F.col(col) if isinstance(col, str) else col
+    spark = df.sparkSession
+    g_type = df.select(F.col(group_col).alias("__g")).schema["__g"].dataType.simpleString()
+    vals = df.select(F.col(group_col).alias("__g"), c.alias("__v")).filter(
+        F.col("__v").isNotNull() & F.col("__g").isNotNull()
+    )
+    if vals.schema["__v"].dataType.simpleString() in ("float", "double"):
+        vals = vals.filter(~F.isnan("__v"))
+    B = n_buckets
+
+    def bucket_expr(lo, width):
+        return F.least(
+            F.lit(B - 1),
+            F.floor((F.col("__v") - lo) / width).cast("int"),
+        )
+
+    stats = vals.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()
+    totals = {r["__g"]: r["n"] for r in stats}
+    rank_of: dict = {}  # (g, bp) -> rank
+    active: list[dict] = []
+    for r in stats:
+        n = r["n"]
+        for bp in quantiles_bp:
+            rank_of[(r["__g"], bp)] = max(1, (bp * n + 9999) // 10000)
+        active.append({
+            "g": r["__g"],
+            "ranks": sorted({rank_of[(r["__g"], bp)] for bp in quantiles_bp}),
+            "offset": 0, "n": n,
+            "lo": float(r["lo"]), "hi": float(r["hi"]),
+            "chain": [],
+        })
+    resolved: dict = {}  # (g, rank) -> value
+    while active:
+        term: list[dict] = []
+        pend: list[dict] = []
+        for s in active:
+            if s["lo"] == s["hi"]:
+                for rank in s["ranks"]:  # one tied value fills the slice
+                    resolved[(s["g"], rank)] = s["lo"]
+            elif s["n"] <= max_slice:
+                term.append(s)
+            else:
+                pend.append(s)
+        # uniform depth across term+pend: every child of a split is one
+        # level deeper than its parent, and all roots started at depth 0
+        if term:
+            depth_t = len(term[0]["chain"])
+            assert all(len(s["chain"]) == depth_t for s in term)
+            tstate = spark.createDataFrame(
+                [
+                    (
+                        wid,
+                        s["g"],
+                        [lo for lo, _, _ in s["chain"]],
+                        [w for _, w, _ in s["chain"]],
+                        [b for _, _, b in s["chain"]],
+                        [rank - s["offset"] for rank in s["ranks"]],
+                    )
+                    for wid, s in enumerate(term)
+                ],
+                f"__wid int, __g {g_type}, __los array<double>, "
+                "__ws array<double>, __bs array<int>, __ks array<long>",
+            )
+            tj = vals.join(F.broadcast(tstate), "__g")
+            for i in range(1, depth_t + 1):
+                tj = tj.filter(
+                    bucket_expr(
+                        F.element_at("__los", F.lit(i)),
+                        F.element_at("__ws", F.lit(i)),
+                    )
+                    == F.element_at("__bs", F.lit(i))
+                )
+            from pyspark.sql import Window
+
+            rn = F.row_number().over(
+                Window.partitionBy("__g", "__wid").orderBy("__v")
+            ).cast("long")
+            rows = (
+                tj.withColumn("__rn", rn)
+                .filter(F.array_contains("__ks", F.col("__rn")))
+                .select("__wid", "__g", "__rn", "__v")
+                .collect()
+            )
+            offsets = {wid: s["offset"] for wid, s in enumerate(term)}
+            for r in rows:
+                resolved[(r["__g"], r["__rn"] + offsets[r["__wid"]])] = float(r["__v"])
+        if not pend:
+            break
+        depth = len(pend[0]["chain"])
+        assert all(len(s["chain"]) == depth for s in pend)
+        gstate = spark.createDataFrame(
+            [
+                (
+                    wid,
+                    s["g"],
+                    [lo for lo, _, _ in s["chain"]],
+                    [w for _, w, _ in s["chain"]],
+                    [b for _, _, b in s["chain"]],
+                    s["lo"],
+                    (s["hi"] - s["lo"]) / B,
+                )
+                for wid, s in enumerate(pend)
+            ],
+            f"__wid int, __g {g_type}, __los array<double>, __ws array<double>, "
+            "__bs array<int>, __clo double, __cw double",
+        )
+        joined = vals.join(F.broadcast(gstate), "__g")
+        for i in range(1, depth + 1):
+            joined = joined.filter(
+                bucket_expr(
+                    F.element_at("__los", F.lit(i)),
+                    F.element_at("__ws", F.lit(i)),
+                )
+                == F.element_at("__bs", F.lit(i))
+            )
+        cur_bucket = bucket_expr(F.col("__clo"), F.col("__cw"))
+        hist = (
+            joined.groupBy("__wid", cur_bucket.alias("__b"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("__v").alias("lo"),
+                F.max("__v").alias("hi"),
+            )
+            .collect()
+        )
+        per_wid: dict = {}
+        for r in hist:
+            per_wid.setdefault(r["__wid"], {})[r["__b"]] = r
+        nxt: list[dict] = []
+        for wid, s in enumerate(pend):
+            hist_lo, hist_w = s["lo"], (s["hi"] - s["lo"]) / B
+            # one cumulative walk assigns EVERY pending rank to a bucket;
+            # ranks in the same bucket stay one work-group (split = new list)
+            by_bucket: dict[int, tuple[int, list[int]]] = {}
+            cum, b, it = s["offset"], 0, iter(s["ranks"])
+            rank = next(it)
+            while True:
+                r = per_wid[wid].get(b)
+                nb = r["n"] if r else 0
+                while cum + nb >= rank:
+                    by_bucket.setdefault(b, (cum, []))[1].append(rank)
+                    rank = next(it, None)
+                    if rank is None:
+                        break
+                if rank is None:
+                    break
+                cum += nb
+                b += 1
+                if b >= B:  # pragma: no cover - rank <= n guaranteed
+                    raise AssertionError("rank walked past every bucket")
+            for b, (off_b, rks) in by_bucket.items():
+                r = per_wid[wid][b]
+                nxt.append({
+                    "g": s["g"], "ranks": rks, "offset": off_b,
+                    "n": r["n"], "lo": float(r["lo"]), "hi": float(r["hi"]),
+                    "chain": s["chain"] + [(hist_lo, hist_w, b)],
+                })
+        active = nxt
+    out_rows = [
+        (g, int(bp), totals[g], rank_of[(g, bp)], resolved[(g, rank_of[(g, bp)])])
+        for g in sorted(totals)
+        for bp in quantiles_bp
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        f"{group_col} {g_type}, q_bp int, n long, rank long, value double",
+    )

@@ -4144,6 +4144,33 @@ ORACLES["q_grouped_median"] = """
 """
 
 
+# Grouped multi-quantile: the same sequential verifier, one target rank
+# per (group, bp) — value-at-rank is tie-order independent so the
+# arbitrary ROW_NUMBER tie order cannot flip the hash.
+ORACLES["q_grouped_quartiles"] = """
+    WITH v AS (
+        SELECT lang, CAST(n_chars AS DOUBLE) AS val
+        FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ), ranked AS (
+        SELECT lang, val,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY val) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM v
+    ), qs AS (
+        SELECT CAST(UNNEST([2500, 5000, 7500]) AS INTEGER) AS q_bp
+    )
+    SELECT r.lang,
+           q.q_bp,
+           CAST(r.n AS BIGINT) AS n,
+           CAST(r.rn AS BIGINT) AS rank,
+           r.val AS value
+    FROM ranked r
+    JOIN qs q ON r.rn = GREATEST(1, (q.q_bp * r.n + 9999) // 10000)
+    ORDER BY r.lang, q.q_bp
+"""
+
+
 # Exact quantiles: sequential verifier — rank = GREATEST(1, ceil(q*N))
 # in basis-point integer arithmetic (ROUND before CAST: DuckDB CAST
 # rounds, Python int(round()) matches), value looked up in the fully

@@ -4568,6 +4568,30 @@ def q_grouped_median(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_grouped_quartiles(spark, sf_dir):
+    """EXACT p25/p50/p75 per language in SHARED scans (operators/
+    quantiles.py `exact_group_quantiles`): all groups AND all three
+    quantiles narrow through the same groupBy((group, work-group),
+    bucket) aggregates — the unit of state is a (group, slice-chain,
+    pending-ranks) work-group that SPLITS when ranks land in different
+    buckets, every split child one level deeper, so depth stays uniform
+    and one broadcast-state scan serves every work-group per round.
+    Adding quantiles adds state rows, not scans (~log_B(max n_g) scans
+    total); terminal work-groups batch into one windowed job with
+    array_contains(ks, row_number) picking all their ranks at once.
+    Oracle: the sequential verifier — per-group ROW_NUMBER joined to the
+    three ceil-rank targets."""
+    from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_group_quantiles(
+        d.select("lang", F.col("n_chars").cast("double").alias("v")),
+        "lang", "v", quantiles_bp=(2500, 5000, 7500), max_slice=128,
+    ).orderBy("lang", "q_bp")
+
+
 def q_sliding_distinct(spark, sf_dir):
     """DISTINCT aggregate inside sliding time windows (2 h / 1 h slide):
     concurrent-unique-user counts per window — the "active users" shape
@@ -4607,6 +4631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_audio_features": q_audio_features,
     "q_sql_warehouse": q_sql_warehouse,
     "q_audio_neardup": q_audio_neardup,
+    "q_grouped_quartiles": q_grouped_quartiles,
     # --- newest driver row: r05
     "q_pca_variance": q_pca_variance,
     "q_sessionize": q_sessionize,
@@ -4653,8 +4678,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_star_join": q_star_join,
     "q_subtract": q_subtract,
     "q_tpch_q1": q_tpch_q1,
-    "q_tpch_q3": q_tpch_q3,
-    "q_union_byname": q_union_byname,  # <- driver window cut (50)
+    "q_tpch_q3": q_tpch_q3,  # <- driver window cut (50)
+    "q_union_byname": q_union_byname,
     "q_union_dedup": q_union_dedup,
     "q_unpivot": q_unpivot,
     "q_vocab_build": q_vocab_build,

@@ -443,3 +443,69 @@ class TestGroupQuantileJobBatching:
         for g, vs in byg.items():
             rank = max(1, (5000 * len(vs) + 9999) // 10000)
             assert got[g] == sorted(vs)[rank - 1], g
+
+
+class TestGroupMultiQuantiles:
+    def test_matches_per_group_sort_with_forced_splits(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_group_quantiles,
+        )
+
+        # 3 groups of very different sizes/ranges + ties; max_slice=20 and
+        # n_buckets=4 force several rounds where the p25/p50/p75 ranks
+        # diverge into separate work-groups at different depths
+        rows = (
+            [("a", float((i * 13) % 97)) for i in range(500)]
+            + [("b", float((i * 7) % 11) * 100.0) for i in range(81)]
+            + [("c", 42.0)] * 30  # all tied -> lo==hi short circuit
+        )
+        df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+        got = {(r["g"], r["q_bp"]): (r["n"], r["rank"], r["value"])
+               for r in exact_group_quantiles(
+                   df, "g", "v", quantiles_bp=(2500, 5000, 7500, 9900),
+                   n_buckets=4, max_slice=20,
+               ).collect()}
+        from collections import defaultdict
+        byg = defaultdict(list)
+        for g, v in rows:
+            byg[g].append(v)
+        for g, vs in byg.items():
+            n, svs = len(vs), sorted(vs)
+            for bp in (2500, 5000, 7500, 9900):
+                rank = max(1, (bp * n + 9999) // 10000)
+                assert got[(g, bp)] == (n, rank, svs[rank - 1]), (g, bp)
+
+    def test_single_bp_agrees_with_exact_group_quantile(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_group_quantile,
+            exact_group_quantiles,
+        )
+
+        rows = [(f"g{i % 4}", float((i * 31) % 211)) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        multi = {r["g"]: (r["n"], r["rank"], r["value"])
+                 for r in exact_group_quantiles(
+                     df, "g", "v", quantiles_bp=(5000,), n_buckets=8,
+                     max_slice=30,
+                 ).collect()}
+        single = {r["g"]: (r["n"], r["rank"], r["value"])
+                  for r in exact_group_quantile(
+                      df, "g", "v", q_bp=5000, n_buckets=8, max_slice=30
+                  ).collect()}
+        assert multi == single
+
+    def test_duplicate_rank_from_close_bps_in_tiny_group(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_group_quantiles,
+        )
+
+        # n=3: p25 and p50 both map to rank ceil(..)=1 and 2 — the
+        # rank-dedup inside a work-group must still emit one row per bp
+        df = spark.createDataFrame(
+            [("x", 10.0), ("x", 20.0), ("x", 30.0)], "g string, v double"
+        )
+        got = {r["q_bp"]: (r["rank"], r["value"])
+               for r in exact_group_quantiles(
+                   df, "g", "v", quantiles_bp=(2500, 5000, 7500)
+               ).collect()}
+        assert got == {2500: (1, 10.0), 5000: (2, 20.0), 7500: (3, 30.0)}
