@@ -835,13 +835,41 @@ def calibrate_df_cutoff(
     return max(int(cut), min_cutoff)
 
 
-def calibrated_df_cutoff(
+def shingle_dfreq(
     df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Materialized per-shingle document-frequency frame (sh: xxhash64,
+    __df: long), localCheckpointed eagerly — the ONE corpus pass that
+    both the calibration (`calibrated_df_cutoff(dfreq=...)`) and the
+    pruned join (`ngram_jaccard_pairs(dfreq=...)`) can then share:
+    without sharing, the calibrated lattice paid the shingle build
+    twice (once to derive the cutoff, once inside the join's pruning
+    branch). The frame is vocab-sized, so the checkpoint is cheap."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+        )
+        .select(id_col, F.xxhash64("s").alias("sh"))
+        .dropDuplicates()
+    )
+    return (
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def calibrated_df_cutoff(
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 2,
     median_bp: int = 9000,
     min_cutoff: int = 8,
+    dfreq: DataFrame | None = None,
 ) -> int:
     """ORACLE-PORTABLE absolute pruning cutoff derived from corpus stats
     (r09 verdict #8): cutoff = max(min_cutoff, median_bp·median(df) div
@@ -868,28 +896,24 @@ def calibrated_df_cutoff(
     (value AT a rank — tie-order independent, integer rank arithmetic),
     so a SQL oracle replays it verbatim as ROW_NUMBER-ORDER-BY-df at
     rank GREATEST(1, (5000·n + 9999) // 10000), then
-    GREATEST(min_cutoff, (median_bp · m) // 10000). Cost: the same
-    (shingle, df) build the pruned join runs anyway + O(log) bounded-
-    state aggregate scans; nothing corpus-sized reaches the driver."""
+    GREATEST(min_cutoff, (median_bp · m) // 10000). Cost: O(log)
+    bounded-state aggregate scans over the vocab-sized df frame; pass
+    `dfreq=shingle_dfreq(...)` and hand the SAME frame to
+    `ngram_jaccard_pairs(dfreq=...)` so the corpus-scale shingle build
+    runs once for calibration AND pruning. Nothing corpus-sized reaches
+    the driver."""
     from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
         exact_rank_values,
     )
 
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-        )
-        .select(id_col, F.xxhash64("s").alias("sh"))
-        .dropDuplicates()
-    )
-    # materialize the vocab-sized df frame ONCE: exact_rank_values runs
-    # 2+ jobs over it, and without the checkpoint each would re-execute
-    # the corpus-scale shingle build (the diverged-subplan rule)
-    dfreq = (
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        .localCheckpoint(eager=True)
-    )
+    if (df is None) == (dfreq is None):
+        raise ValueError("pass exactly one of df / dfreq")
+    if dfreq is None:
+        # shingle_dfreq checkpoints the vocab-sized frame ONCE:
+        # exact_rank_values runs 2+ jobs over it, and without the
+        # checkpoint each would re-execute the corpus-scale shingle
+        # build (the diverged-subplan rule)
+        dfreq = shingle_dfreq(df, text_col, id_col, shingle_n)
     med = int(next(iter(exact_rank_values(dfreq, "__df", quantiles_bp=[5000]).values())))
     return max(min_cutoff, (median_bp * med) // 10000)
 
@@ -904,8 +928,15 @@ def ngram_jaccard_pairs(
     max_doc_count: int | None = None,
     size_prune: bool = False,
     pack_ids: bool = False,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    `dfreq`: optional precomputed (sh, __df) frame (`shingle_dfreq`) for
+    the pruning branch — pass the frame the calibration already
+    materialized so the shingle build is not paid a second time; it MUST
+    come from the same (df, text_col, id_col, shingle_n), or the pruned
+    universe diverges from the sizes the jaccard uses.
 
     Inverted-index join: explode distinct shingles, self-equi-join on the
     shingle, count intersections per pair, then |A∪B| = |A|+|B|-|A∩B|.
@@ -965,7 +996,8 @@ def ngram_jaccard_pairs(
         .dropDuplicates()
     )
     if max_doc_frac is not None or max_doc_count is not None:
-        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        if dfreq is None:
+            dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         conds = []
         if max_doc_frac is not None:
             n_docs = df.select(F.countDistinct(id_col).alias("__nd"))

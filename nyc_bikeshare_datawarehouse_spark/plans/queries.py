@@ -2057,10 +2057,12 @@ def q_dedup_clusters_pruned(spark, sf_dir):
     scale form is correct, not just the exact form."""
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
-    cut = dedup.calibrated_df_cutoff(d2, "text", "doc_id", shingle_n=2)
+    # ONE shingle pass serves calibration AND pruning (shared dfreq frame)
+    dfreq = dedup.shingle_dfreq(d2, "text", "doc_id", shingle_n=2)
+    cut = dedup.calibrated_df_cutoff(dfreq=dfreq)
     pairs = dedup.ngram_jaccard_pairs(
         d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_count=cut,
-        pack_ids=True,
+        pack_ids=True, dfreq=dfreq,
     )
     return dedup.cluster_duplicates(pairs, d, "doc_id")
 
@@ -2096,10 +2098,11 @@ def q_leakage_safe_split(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
-    cut = dedup.calibrated_df_cutoff(d2, "text", "doc_id", shingle_n=2)
+    dfreq = dedup.shingle_dfreq(d2, "text", "doc_id", shingle_n=2)
+    cut = dedup.calibrated_df_cutoff(dfreq=dfreq)
     pairs = dedup.ngram_jaccard_pairs(
         d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_count=cut,
-        pack_ids=True,
+        pack_ids=True, dfreq=dfreq,
     )
     clusters = dedup.cluster_duplicates(pairs, d, "doc_id")
     return cluster_keyed_split(
