@@ -107,12 +107,18 @@ def srp_planes_for(n_rows: int, bands: int = 4, base_planes: int = 16,
     Not wired into the declared q_embed_near_dup: its generated-
     hyperplane oracle embeds the plane count STRUCTURALLY (one SQL
     expression per plane), so a data-dependent count has no static SQL
-    form — production callers pass this helper's result explicitly."""
+    form — production callers pass this helper's result explicitly.
+
+    Capped at 62 planes: srp_signature packs one bit per plane into a
+    64-bit signed long (bit 63 is the sign; bit 62 is the last safe
+    one), so past the cap the OTHER lsh lever must grow instead — more
+    BANDS of the same width, which multiplies signatures rather than
+    widening one (the standard LSH amplification trade)."""
     if n_rows <= base_rows:
         return base_planes
     import math as _math
 
-    return base_planes + bands * _math.ceil(_math.log2(n_rows / base_rows))
+    return min(62, base_planes + bands * _math.ceil(_math.log2(n_rows / base_rows)))
 
 
 def srp_signature(vec_col, dim: int, n_planes: int = 16) -> Column:

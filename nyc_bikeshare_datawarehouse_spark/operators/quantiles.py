@@ -71,6 +71,10 @@ def exact_rank_values(
         raise ValueError("pass exactly one of ranks / quantiles_bp")
     if not (ranks if ranks is not None else quantiles_bp):
         raise ValueError("ranks / quantiles_bp must be non-empty")
+    if ranks is not None and min(ranks) < 1:
+        # ranks are 1-based; an invalid 0/negative rank would otherwise
+        # negative-index the terminal slice and return a WRONG value
+        raise ValueError(f"ranks must be >= 1, got {min(ranks)}")
     c = F.col(col) if isinstance(col, str) else col
     vals = _non_null_vals(df, c)
     out: dict[int, float] = {}
@@ -161,186 +165,29 @@ def exact_group_quantile(
 ) -> DataFrame:
     """EXACT per-group quantile (rank = ceil(q·n_g), q in basis points)
     for EVERY group in ONE set of shared scans — the grouped sibling of
-    `exact_rank_values`.
+    `exact_rank_values`, and since round 10 a thin wrapper over
+    `exact_group_quantiles` (the multi-quantile work-group machinery)
+    with a single basis point: one implementation owns the
+    determinism-critical bucket-chain replay.
 
     Why not a window: `Window.partitionBy(group)` funnels each group
     through ONE sort task — the r01 scale-killer for macroscopic groups
     (languages, sources, days). Why not a per-group loop: G groups would
     pay G·log(N) scans. Here every round is ONE aggregate
-    `groupBy(group, bucket)` with PER-GROUP histogram parameters carried
-    by a broadcast O(G)-row state frame, so all groups narrow
-    simultaneously and total scans stay ~log_B(max_g n_g) regardless of
-    G. Each round also collects per-bucket min/max/count, so the next
-    round's parameters need no extra pass.
+    `groupBy((group, work-group), bucket)` with per-group histogram
+    parameters on a broadcast state frame, and all terminal groups of a
+    round resolve in ONE batched windowed job (see
+    exact_group_quantiles for the invariants).
 
-    Determinism: the membership test for round r replays round r's
-    EXACT bucket expression (stored (lo, width, chosen-bucket) chain —
-    the same no-ulp-desync rule as exact_rank_values); all parameters
-    are exact aggregate outputs. All groups going terminal in a round
-    resolve in ONE batched job (per-group row_number over <= max_slice
-    rows — the allowed partitioned-window class), not one TakeOrdered
-    per group. Returns (group, n, rank,
-    value) with rank = GREATEST(1, ceil(q_bp·n/10000)). The group
-    column keeps its input type; NULL group keys are excluded (like
-    NULL values — rank selection needs an equatable key; aggregate
-    NULLs into a sentinel first if they must participate)."""
-    c = F.col(col) if isinstance(col, str) else col
-    spark = df.sparkSession
-    g_type = df.select(F.col(group_col).alias("__g")).schema["__g"].dataType.simpleString()
-    vals = df.select(F.col(group_col).alias("__g"), c.alias("__v")).filter(
-        F.col("__v").isNotNull() & F.col("__g").isNotNull()
-    )
-    if vals.schema["__v"].dataType.simpleString() in ("float", "double"):
-        vals = vals.filter(~F.isnan("__v"))  # NaN poisons min/max, see _non_null_vals
-    stats = vals.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("__v").alias("lo"),
-        F.max("__v").alias("hi"),
-    ).collect()
-    B = n_buckets
-
-    def bucket_expr(lo, width):
-        return F.least(
-            F.lit(B - 1),
-            F.floor((F.col("__v") - lo) / width).cast("int"),
-        )
-
-    state = {}
-    for r in stats:
-        n = r["n"]
-        rank = max(1, (q_bp * n + 9999) // 10000)
-        state[r["__g"]] = {
-            "n": n, "rank": rank, "offset": 0,
-            "lo": float(r["lo"]), "hi": float(r["hi"]),
-            "chain": [],  # [(hist_lo, hist_width, chosen_bucket), ...]
-        }
-    resolved: dict = {}
-    while True:
-        pending = {
-            g: s for g, s in state.items()
-            if g not in resolved and s["lo"] != s["hi"] and s["n"] > max_slice
-        }
-        term: dict = {}
-        for g, s in state.items():
-            if g in resolved or g in pending:
-                continue
-            if s["lo"] == s["hi"]:
-                resolved[g] = s["lo"]  # one tied value fills the slice
-            else:
-                term[g] = s
-        if term:
-            # BATCHED terminal: every group that went terminal this round
-            # resolves in ONE job — per-group slice membership replays the
-            # chain via a broadcast state frame (same no-ulp-desync rule),
-            # then value-at-rank = row_number()==k inside the group.
-            # Per-group windows over <= max_slice rows are the allowed
-            # partitioned-window class (not a corpus sort); the value AT a
-            # rank is tie-order independent, so row_number ties are benign.
-            # Replaces one TakeOrdered JOB PER GROUP — at G terminal
-            # groups that was G driver round-trips per round.
-            depth_t = len(next(iter(term.values()))["chain"])
-            assert all(len(s["chain"]) == depth_t for s in term.values())
-            tstate = spark.createDataFrame(
-                [
-                    (
-                        g,
-                        [lo for lo, _, _ in s["chain"]],
-                        [w for _, w, _ in s["chain"]],
-                        [b for _, _, b in s["chain"]],
-                        s["rank"] - s["offset"],
-                    )
-                    for g, s in term.items()
-                ],
-                f"__g {g_type}, __los array<double>, __ws array<double>, "
-                "__bs array<int>, __k long",
-            )
-            tj = vals.join(F.broadcast(tstate), "__g")
-            for i in range(1, depth_t + 1):
-                tj = tj.filter(
-                    bucket_expr(
-                        F.element_at("__los", F.lit(i)),
-                        F.element_at("__ws", F.lit(i)),
-                    )
-                    == F.element_at("__bs", F.lit(i))
-                )
-            from pyspark.sql import Window
-
-            rn = F.row_number().over(Window.partitionBy("__g").orderBy("__v"))
-            for r in (
-                tj.withColumn("__rn", rn)
-                .filter(F.col("__rn") == F.col("__k"))
-                .select("__g", "__v")
-                .collect()
-            ):
-                resolved[r["__g"]] = float(r["__v"])
-        if not pending:
-            break
-        # ONE shared histogram scan: per-group params via broadcast state.
-        # Depth is uniform: every still-pending group narrowed exactly
-        # once per round (resolve or append — no third path).
-        depth = len(next(iter(pending.values()))["chain"])
-        assert all(len(s["chain"]) == depth for s in pending.values())
-        gstate = spark.createDataFrame(
-            [
-                (
-                    g,
-                    [lo for lo, _, _ in s["chain"]],
-                    [w for _, w, _ in s["chain"]],
-                    [b for _, _, b in s["chain"]],
-                    s["lo"],
-                    (s["hi"] - s["lo"]) / B,
-                )
-                for g, s in pending.items()
-            ],
-            f"__g {g_type}, __los array<double>, __ws array<double>, "
-            "__bs array<int>, __clo double, __cw double",
-        )
-        joined = vals.join(F.broadcast(gstate), "__g")
-        # Python-level loop, not F.forall: a HOF lambda whose body mixes
-        # lambda-bound gstate arrays with the join's other side trips
-        # Catalyst's attribute binding ([INTERNAL_ERROR_ATTRIBUTE_NOT_
-        # FOUND] __v not in gstate output) — depth is a small uniform
-        # int, so per-level literal expressions are also cheaper
-        for i in range(1, depth + 1):
-            joined = joined.filter(
-                bucket_expr(
-                    F.element_at("__los", F.lit(i)),
-                    F.element_at("__ws", F.lit(i)),
-                )
-                == F.element_at("__bs", F.lit(i))
-            )
-        cur_bucket = bucket_expr(F.col("__clo"), F.col("__cw"))
-        rows = (
-            joined.groupBy("__g", cur_bucket.alias("__b"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("__v").alias("lo"),
-                F.max("__v").alias("hi"),
-            )
-            .collect()
-        )
-        per_group: dict = {}
-        for r in rows:
-            per_group.setdefault(r["__g"], {})[r["__b"]] = r
-        for g, s in pending.items():
-            hist_lo, hist_w = s["lo"], (s["hi"] - s["lo"]) / B
-            cum = s["offset"]
-            for b in range(B):
-                r = per_group[g].get(b)
-                nb = r["n"] if r else 0
-                if cum + nb >= s["rank"]:
-                    s["chain"].append((hist_lo, hist_w, b))
-                    s["offset"] = cum
-                    s["n"], s["lo"], s["hi"] = nb, float(r["lo"]), float(r["hi"])
-                    break
-                cum += nb
-            else:  # pragma: no cover - rank <= n guaranteed
-                raise AssertionError("rank walked past every bucket")
-    totals = {r["__g"]: r["n"] for r in stats}
-    return spark.createDataFrame(
-        [(g, totals[g], state[g]["rank"], resolved[g]) for g in sorted(state)],
-        f"{group_col} {g_type}, n long, rank long, value double",
-    )
+    Returns (group, n, rank, value) with rank =
+    GREATEST(1, ceil(q_bp·n/10000)). The group column keeps its input
+    type; NULL group keys and NULL/NaN values are excluded (rank
+    selection needs an equatable key; aggregate NULLs into a sentinel
+    first if they must participate)."""
+    return exact_group_quantiles(
+        df, group_col, col, quantiles_bp=(q_bp,),
+        n_buckets=n_buckets, max_slice=max_slice,
+    ).drop("q_bp")
 
 
 def exact_quantiles_frame(

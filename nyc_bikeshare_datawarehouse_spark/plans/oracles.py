@@ -4054,14 +4054,15 @@ ORACLES["q_temperature_mix"] = """
 # the mean mirrors Spark's floor(double-division of exact longs).
 ORACLES["q_winsorize"] = """
     WITH cnt AS (
-        SELECT COUNT(*) AS n FROM events WHERE value IS NOT NULL
+        SELECT COUNT(*) AS n FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
     ), rk AS (
         SELECT GREATEST(1, (500 * n + 9999) // 10000) AS r05,
                GREATEST(1, (9500 * n + 9999) // 10000) AS r95
         FROM cnt
     ), ranked AS (
         SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ), bounds AS (
         SELECT (SELECT value FROM ranked, rk WHERE rn = r05) AS lo,
                (SELECT value FROM ranked, rk WHERE rn = r95) AS hi
@@ -4075,7 +4076,7 @@ ORACLES["q_winsorize"] = """
                     AS DOUBLE) / COUNT(*)
            ) AS BIGINT) AS mean_cents
     FROM events, bounds
-    WHERE value IS NOT NULL
+    WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY event_type
     ORDER BY event_type
 """
@@ -4125,12 +4126,12 @@ ORACLES["q_rendezvous_shards"] = """
 ORACLES["q_grouped_median"] = """
     WITH cnt AS (
         SELECT event_type, COUNT(*) AS n
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         GROUP BY event_type
     ), ranked AS (
         SELECT event_type, value,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     )
     SELECT c.event_type,
            CAST(c.n AS BIGINT) AS n,
@@ -4172,12 +4173,16 @@ ORACLES["q_grouped_quartiles"] = """
 
 
 # Exact quantiles: sequential verifier — rank = GREATEST(1, ceil(q*N))
-# in basis-point integer arithmetic (ROUND before CAST: DuckDB CAST
-# rounds, Python int(round()) matches), value looked up in the fully
-# sorted ROW_NUMBER order. Ties are benign: rank selection by value.
+# in basis-point integer arithmetic. DuckDB ROUND is half-away-from-zero;
+# the engine deliberately matches it with floor(q*10000 + 0.5) (half-UP —
+# NOT Python round()'s banker's rounding, which diverges on .5-bp values;
+# ADVICE r09). Value looked up in the fully sorted ROW_NUMBER order;
+# ties are benign: rank selection by value. NaN excluded like NULL on
+# both sides (engine _non_null_vals <-> NOT isnan here).
 ORACLES["q_exact_quantiles"] = """
     WITH cnt AS (
-        SELECT COUNT(*) AS n FROM events WHERE value IS NOT NULL
+        SELECT COUNT(*) AS n FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
     ), qs AS (
         SELECT q,
                GREATEST(1, (CAST(ROUND(q * 10000) AS BIGINT) * n + 9999)
@@ -4186,7 +4191,7 @@ ORACLES["q_exact_quantiles"] = """
         CROSS JOIN cnt
     ), ranked AS (
         SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     )
     SELECT qs.q, CAST(qs.rank AS BIGINT) AS rank, r.value
     FROM qs JOIN ranked r ON r.rn = qs.rank

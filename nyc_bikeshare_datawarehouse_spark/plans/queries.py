@@ -3211,7 +3211,10 @@ def q_winsorize(spark, sf_dir):
     lo, hi = vals[min(vals)], vals[max(vals)]
     clipped = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
     return (
-        e.filter(F.col("value").isNotNull())
+        # NaN excluded like NULL, matching the rank universe the bounds
+        # came from (exact_rank_values drops NaN for double columns) —
+        # the oracle mirrors with NOT isnan(value)
+        e.filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -1230,9 +1230,13 @@ def test_srp_planes_for_occupancy_rule():
     assert srp_planes_for(10_000) == 16 + 4 * 1
     assert srp_planes_for(10_001) == 16 + 4 * 2
     # expected bucket occupancy n / 2^(planes/bands) stays within 2x of
-    # the base (5000/16 buckets) across 5 orders of magnitude
+    # the base (5000/16 buckets) while under the 62-plane signature cap
     base_occ = 5000 / 2 ** (16 / 4)
-    for n in (5_000, 50_000, 500_000, 5_000_000, 50_000_000):
+    for n in (5_000, 50_000, 500_000, 5_000_000):
         p = srp_planes_for(n)
         occ = n / 2 ** (p / 4)
         assert occ <= 2 * base_occ, (n, p, occ)
+    # the cap: srp_signature packs bits into a signed 64-bit long (62 is
+    # the last safe bit) — past it, grow BANDS instead
+    assert srp_planes_for(50_000_000) == 62
+    assert srp_planes_for(10**15) == 62
