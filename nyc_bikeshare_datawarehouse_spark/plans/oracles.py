@@ -3947,7 +3947,8 @@ ORACLES["q_sql_warehouse"] = """
         SELECT o_orderkey AS trip_id,
                CAST(o_orderdate AS DATE) AS start_date,
                (o_orderkey % 3540) + 60 AS duration_sec,
-               o_orderkey % 3 AS gender
+               o_orderkey % 3 AS gender,
+               o_custkey % 50 AS station_id
         FROM orders
     ), dim_dt AS (
         SELECT DISTINCT start_date AS d, year(start_date) AS year,
@@ -3979,6 +3980,28 @@ ORACLES["q_sql_warehouse"] = """
                COUNT(*) AS trips, COUNT(DISTINCT w.d) AS days
         FROM trips t JOIN weatherf w ON w.d = t.start_date
         GROUP BY CASE WHEN w.prcp > 0 THEN 'wet' ELSE 'dry' END
+    ), by_station AS (
+        SELECT 'S' || LPAD(CAST(t.station_id AS VARCHAR), 2, '0')
+                   AS station_name,
+               COUNT(*) AS trips,
+               ROW_NUMBER() OVER (
+                   ORDER BY COUNT(*) DESC,
+                            'S' || LPAD(CAST(t.station_id AS VARCHAR), 2, '0')
+               ) AS rk
+        FROM trips t
+        GROUP BY t.station_id
+    ), wtypes AS (
+        SELECT UNNEST([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,21,22])
+               AS weather_type_id
+    ), bridge AS (
+        SELECT d, ([1,3,8,16,18])[day(d) % 5 + 1] AS weather_type_id
+        FROM dim_dt
+    ), by_wt AS (
+        SELECT b.weather_type_id, COUNT(*) AS trips
+        FROM trips t
+        JOIN bridge b ON b.d = t.start_date
+        JOIN wtypes wt ON wt.weather_type_id = b.weather_type_id
+        GROUP BY b.weather_type_id
     )
     SELECT * FROM (
         SELECT 'trips_month' AS metric, ym AS k, trips AS v FROM monthly
@@ -3995,6 +4018,10 @@ ORACLES["q_sql_warehouse"] = """
         UNION ALL
         SELECT 'trips_per_day_' || cond, cond,
                CAST(FLOOR(trips / days) AS BIGINT) FROM weather
+        UNION ALL
+        SELECT 'top_station', station_name, trips FROM by_station WHERE rk = 1
+        UNION ALL
+        SELECT 'trips_wt', CAST(weather_type_id AS VARCHAR), trips FROM by_wt
     )
     ORDER BY metric, k
 """

@@ -1758,15 +1758,23 @@ def q_sql_warehouse(spark, sf_dir):
     highest/lowest-trip months, and the weather effect on usage — as a
     tidy long-format (metric, k, v) result with a total order.
 
-    The star tables are synthesized reference-shaped from `orders`
-    (trip = order: start date, duration/gender/station derived by
-    deterministic integer rules; daily weather = day-of-month rule on
-    the date dim), so the whole derivation replays in the DuckDB
-    oracle. Peak/low month ranking is a ROW_NUMBER over the ~80-row
-    monthly aggregate (O(k) frame — the allowed single-partition class);
+    ALL SIX reference star tables are registered (trip_fact,
+    dim_station, dim_datetime, weather_fact, weather_type — the real
+    21-row NOAA lookup from warehouse/builders — and the
+    date_with_weather_type bridge) and all six are READ: the station
+    question rides the dim, the weather question rides both the daily
+    fact (wet/dry) and the bridge→type FK path. Tables are synthesized
+    reference-shaped from `orders` (trip = order: start date,
+    duration/gender/station derived by deterministic integer rules;
+    daily weather + flags = day-of-month rules on the date dim), so the
+    whole derivation replays in the DuckDB oracle. Peak/low month and
+    top-station rankings are ROW_NUMBERs over ~80-row / ~50-row
+    aggregates (O(k) frames — the allowed single-partition class);
     every other CTE is a map-side-combinable aggregate. The SQL itself
     runs through the same Catalyst pipeline as the DataFrame surface —
     views add no materialization."""
+    from nyc_bikeshare_datawarehouse_spark.warehouse import builders
+
     o = _t(spark, sf_dir, "orders")
     trips = o.select(
         F.col("o_orderkey").alias("trip_id"),
@@ -1785,6 +1793,20 @@ def q_sql_warehouse(spark, sf_dir):
     dim_dt.select(
         "d", ((F.dayofmonth("d") % 4) * F.lit(0.25)).alias("prcp")
     ).createOrReplaceTempView("v_weather_fact")
+    trips.select(F.col("start_station_id").alias("station_id")).distinct().select(
+        "station_id",
+        F.concat(
+            F.lit("S"), F.lpad(F.col("station_id").cast("string"), 2, "0")
+        ).alias("station_name"),
+    ).createOrReplaceTempView("v_dim_station")
+    builders.build_weather_type(spark).createOrReplaceTempView("v_weather_type")
+    wt_pick = F.element_at(
+        F.array(*[F.lit(i) for i in (1, 3, 8, 16, 18)]),
+        (F.dayofmonth("d") % 5 + 1).cast("int"),
+    )
+    dim_dt.select("d", wt_pick.alias("weather_type_id")).createOrReplaceTempView(
+        "v_date_weather_type"
+    )
     return spark.sql(
         """
         WITH monthly AS (
@@ -1811,6 +1833,20 @@ def q_sql_warehouse(spark, sf_dir):
                    COUNT(*) AS trips, COUNT(DISTINCT w.d) AS days
             FROM v_trip_fact t JOIN v_weather_fact w ON w.d = t.start_date
             GROUP BY CASE WHEN w.prcp > 0 THEN 'wet' ELSE 'dry' END
+        ), by_station AS (
+            SELECT ds.station_name, COUNT(*) AS trips,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                               ds.station_name) AS rk
+            FROM v_trip_fact t
+            JOIN v_dim_station ds ON ds.station_id = t.start_station_id
+            GROUP BY ds.station_name
+        ), by_wt AS (
+            SELECT b.weather_type_id, COUNT(*) AS trips
+            FROM v_trip_fact t
+            JOIN v_date_weather_type b ON b.d = t.start_date
+            JOIN v_weather_type wt
+              ON wt.weather_type_id = b.weather_type_id
+            GROUP BY b.weather_type_id
         )
         SELECT 'trips_month' AS metric, ym AS k, trips AS v FROM monthly
         UNION ALL
@@ -1826,6 +1862,10 @@ def q_sql_warehouse(spark, sf_dir):
         UNION ALL
         SELECT 'trips_per_day_' || cond, cond,
                CAST(FLOOR(trips / days) AS BIGINT) FROM weather
+        UNION ALL
+        SELECT 'top_station', station_name, trips FROM by_station WHERE rk = 1
+        UNION ALL
+        SELECT 'trips_wt', CAST(weather_type_id AS STRING), trips FROM by_wt
         ORDER BY metric, k
         """
     )
