@@ -101,6 +101,10 @@ HEAVY = [
 #: Extended tier (round 5+): the corpus-hygiene / curation / maintenance
 #: family. Benched with its own total (`extended_value`) so the headline
 #: and heavy totals stay comparable across rounds.
+#: Wall budget: the whole bench must stay under ~600 s (driver window).
+#: r10 runs ~550-580 s under load; if growth threatens the budget, drop
+#: HEAVY to single-run and emit a `legacy_heavy` subtotal over today's
+#: membership (the legacy_extended pattern) rather than trimming tiers.
 EXTENDED = [
     "q_contamination",
     "q_decontaminate",
