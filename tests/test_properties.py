@@ -472,3 +472,42 @@ def test_exact_rank_values_matches_sorted(spark, vals, ranks):
     got = exact_rank_values(df, "v", ranks, n_buckets=4, max_slice=8)
     s = sorted(vals)
     assert got == {r: s[r - 1] for r in ranks}
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    bps=st.lists(st.integers(1, 10000), min_size=1, max_size=4),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_group_quantiles_matches_per_group_sort(spark, groups, bps):
+    # randomized groups, values and basis points through the work-group
+    # machinery with tiny buckets/slice (forces splits, batched
+    # terminals, and tied-slice short circuits on most runs)
+    from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    bps = sorted(set(bps))
+    df = spark.createDataFrame(groups, "g string, v double")
+    got = {(r["g"], r["q_bp"]): (r["n"], r["rank"], r["value"])
+           for r in exact_group_quantiles(
+               df, "g", "v", quantiles_bp=bps, n_buckets=4, max_slice=8
+           ).collect()}
+    from collections import defaultdict
+    byg = defaultdict(list)
+    for g, v in groups:
+        byg[g].append(v)
+    want = {}
+    for g, vs in byg.items():
+        n, svs = len(vs), sorted(vs)
+        for bp in bps:
+            rank = max(1, (bp * n + 9999) // 10000)
+            want[(g, bp)] = (n, rank, svs[rank - 1])
+    assert got == want
