@@ -4672,59 +4672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
-    # --- new this round (no driver rows)
-    "q_leakage_split_precomputed": q_leakage_split_precomputed,
-    "q_audio_features": q_audio_features,
-    "q_sql_warehouse": q_sql_warehouse,
-    "q_audio_neardup": q_audio_neardup,
-    "q_grouped_quartiles": q_grouped_quartiles,
-    # --- newest driver row: r05
-    "q_pca_variance": q_pca_variance,
-    "q_sessionize": q_sessionize,
     # --- newest driver row: r06
-    "q_agg_monthly": q_agg_monthly,
-    "q_ann_ivf_partitioned": q_ann_ivf_partitioned,
-    "q_anti_orphans": q_anti_orphans,
-    "q_bloom_join": q_bloom_join,
-    "q_countmin_topk": q_countmin_topk,
-    "q_date_parts": q_date_parts,
-    "q_dedup_report": q_dedup_report,
-    "q_distinct_dim": q_distinct_dim,
-    "q_doc_features": q_doc_features,
-    "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
-    "q_filter_conj": q_filter_conj,
-    "q_filter_notnull": q_filter_notnull,
-    "q_gap_fill": q_gap_fill,
-    "q_generate_series": q_generate_series,
-    "q_group_quota": q_group_quota,
-    "q_histogram2d": q_histogram2d,
-    "q_hll_registers": q_hll_registers,
-    "q_incremental_dedup": q_incremental_dedup,
-    "q_incremental_mart": q_incremental_mart,
-    "q_intersect": q_intersect,
-    "q_jaccard_prefix": q_jaccard_prefix,
-    "q_kmv_sketch": q_kmv_sketch,
-    "q_lang_id": q_lang_id,
-    "q_left_join_multikey": q_left_join_multikey,
-    "q_literal_lookup": q_literal_lookup,
-    "q_mixture_epochs": q_mixture_epochs,
-    "q_pretraining_export": q_pretraining_export,
-    "q_project_cast_alias": q_project_cast_alias,
-    "q_rolling_time_window": q_rolling_time_window,
-    "q_scd2_asof": q_scd2_asof,
-    "q_self_role_join": q_self_role_join,
-    "q_semi_active": q_semi_active,
-    "q_shard_assign": q_shard_assign,
-    "q_simhash_portable": q_simhash_portable,
-    "q_skew_topk": q_skew_topk,
-    "q_sliding_windows": q_sliding_windows,
-    "q_span_dedup": q_span_dedup,
-    "q_span_scrub": q_span_scrub,
-    "q_sql_parameterized": q_sql_parameterized,
-    "q_star_join": q_star_join,
-    "q_subtract": q_subtract,
-    "q_tpch_q1": q_tpch_q1,
-    "q_tpch_q3": q_tpch_q3,  # <- driver window cut (50)
     "q_union_byname": q_union_byname,
     "q_union_dedup": q_union_dedup,
     "q_unpivot": q_unpivot,
@@ -4775,7 +4723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
-    "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q4": q_tpch_q4,  # <- driver window cut (50)
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q7": q_tpch_q7,
@@ -4885,6 +4833,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_logprob": q_unigram_logprob,
     "q_winnow_fingerprints": q_winnow_fingerprints,
     "q_winsorize": q_winsorize,
+    # --- newest driver row: r10
+    "q_agg_monthly": q_agg_monthly,
+    "q_ann_ivf_partitioned": q_ann_ivf_partitioned,
+    "q_anti_orphans": q_anti_orphans,
+    "q_audio_features": q_audio_features,
+    "q_audio_neardup": q_audio_neardup,
+    "q_bloom_join": q_bloom_join,
+    "q_countmin_topk": q_countmin_topk,
+    "q_date_parts": q_date_parts,
+    "q_dedup_report": q_dedup_report,
+    "q_distinct_dim": q_distinct_dim,
+    "q_doc_features": q_doc_features,
+    "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
+    "q_filter_conj": q_filter_conj,
+    "q_filter_notnull": q_filter_notnull,
+    "q_gap_fill": q_gap_fill,
+    "q_generate_series": q_generate_series,
+    "q_group_quota": q_group_quota,
+    "q_grouped_quartiles": q_grouped_quartiles,
+    "q_histogram2d": q_histogram2d,
+    "q_hll_registers": q_hll_registers,
+    "q_incremental_dedup": q_incremental_dedup,
+    "q_incremental_mart": q_incremental_mart,
+    "q_intersect": q_intersect,
+    "q_jaccard_prefix": q_jaccard_prefix,
+    "q_kmv_sketch": q_kmv_sketch,
+    "q_lang_id": q_lang_id,
+    "q_leakage_split_precomputed": q_leakage_split_precomputed,
+    "q_left_join_multikey": q_left_join_multikey,
+    "q_literal_lookup": q_literal_lookup,
+    "q_mixture_epochs": q_mixture_epochs,
+    "q_pca_variance": q_pca_variance,
+    "q_pretraining_export": q_pretraining_export,
+    "q_project_cast_alias": q_project_cast_alias,
+    "q_rolling_time_window": q_rolling_time_window,
+    "q_scd2_asof": q_scd2_asof,
+    "q_self_role_join": q_self_role_join,
+    "q_semi_active": q_semi_active,
+    "q_sessionize": q_sessionize,
+    "q_shard_assign": q_shard_assign,
+    "q_simhash_portable": q_simhash_portable,
+    "q_skew_topk": q_skew_topk,
+    "q_sliding_windows": q_sliding_windows,
+    "q_span_dedup": q_span_dedup,
+    "q_span_scrub": q_span_scrub,
+    "q_sql_parameterized": q_sql_parameterized,
+    "q_sql_warehouse": q_sql_warehouse,
+    "q_star_join": q_star_join,
+    "q_subtract": q_subtract,
+    "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q3": q_tpch_q3,
 }
 
 

@@ -10,6 +10,11 @@ Run AFTER declaring new queries, BEFORE the round's final commit:
     python tools/rotate_queries.py          # rewrites plans/queries.py in place
     python tools/rotate_queries.py --check  # exit 1 if order is stale
 
+NOTE: landing a new CORRECTNESS_rNN.json makes the previous round's
+additions stale by definition, so any commit that introduces one must
+re-run this rewrite first — `--check` cannot be green across that
+commit otherwise (each round therefore opens with a rotation).
+
 The rewrite only touches the dict literal block (everything between the
 ``QUERIES: dict[...] = {`` line and its closing ``}``); function bodies
 above it are untouched. Idempotent.
@@ -19,10 +24,11 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import re
 import sys
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QPATH = f"{REPO}/nyc_bikeshare_datawarehouse_spark/plans/queries.py"
 HEAD = "QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {"
 
