@@ -249,6 +249,7 @@ def run_query(spark, name: str, sf_dir: str, repeats: int = 2) -> float:
 
 
 def main() -> None:
+    wall_t0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -316,7 +317,7 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -327,7 +328,26 @@ def main() -> None:
         "legacy_extended": legacy_extended,
         "prep_sec": prep_sec,
         "detail": "BENCH_DETAIL.json",
-    }, separators=(",", ":")))
+    }, separators=(",", ":"))
+    # hard budget: the driver parses the line out of a ~2000-char stdout
+    # tail; overrunning it records parsed=null (round 7). Fail loudly at
+    # bench time instead of silently losing the round's artifact.
+    assert len(line.encode()) < 1900, (
+        f"bench JSON line is {len(line.encode())} bytes (budget 1900) — "
+        "move per-query detail to BENCH_DETAIL.json, never grow this line"
+    )
+    # wall-budget tripwire (~600 s driver window): once a quiet-load run
+    # crosses 550 s, the NEXT growth step must split tiers (drop HEAVY to
+    # single-run + emit a frozen-membership legacy_heavy subtotal, the
+    # legacy_extended pattern) instead of adding members blindly.
+    wall = time.perf_counter() - wall_t0
+    if wall > 550:
+        print(
+            f"WARNING: bench wall {wall:.0f}s > 550s soft budget — split "
+            "tiers before adding members (see EXTENDED comment)",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -987,6 +987,14 @@ def ngram_jaccard_pairs(
     the quadratic pair stream); it wraps the sizes join key, so no result
     row can be produced before every packed id has passed it. Results are
     identical to the unpacked path (tested)."""
+    if dfreq is not None and max_doc_frac is None and max_doc_count is None:
+        # dfreq only feeds the pruning branch; accepting it without a
+        # pruning parameter would silently run the UNPRUNED join against
+        # the caller's expectation of a pruned one
+        raise ValueError(
+            "dfreq was passed but neither max_doc_frac nor max_doc_count is "
+            "set — the precomputed document frequencies would be ignored"
+        )
     sh = (
         df.select(
             F.col(id_col),
@@ -1114,6 +1122,7 @@ def ngram_containment_pairs(
     min_containment: float = 0.8,
     pack_ids: bool = False,
     max_doc_count: int | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT for all pairs sharing >= 1 shingle:
     |A ∩ B| / min(|A|, |B|) — the asymmetric cousin of jaccard that
@@ -1128,7 +1137,18 @@ def ngram_containment_pairs(
     before the ONE HashAggregate), only the final measure differs, so
     every scale property (and the df-pruning guidance there) carries
     over. Containment is floor-truncated to 4 decimals (`_trunc` rule)
-    before the threshold compare."""
+    before the threshold compare.
+
+    `dfreq`: optional precomputed (sh, __df) frame (`shingle_dfreq`) for
+    the pruning branch, same contract as ngram_jaccard_pairs — pass the
+    frame the calibration already materialized so the shingle build is
+    not paid twice; it MUST come from the same
+    (df, text_col, id_col, shingle_n)."""
+    if dfreq is not None and max_doc_count is None:
+        raise ValueError(
+            "dfreq was passed but max_doc_count is not set — the "
+            "precomputed document frequencies would be ignored"
+        )
     sh = (
         df.select(
             F.col(id_col),
@@ -1144,13 +1164,10 @@ def ngram_containment_pairs(
         # the worst partition quadratically. Containment is then measured
         # over the KEPT-shingle universe — sizes too — which the oracle
         # replays exactly (same rule as the pruned jaccard lattice).
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_doc_count)
-            .select("sh")
-        )
-        sh = sh.join(hot, "sh", "left_anti")
+        if dfreq is None:
+            dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_doc_count).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     joined = a.join(b, "sh").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -510,14 +510,22 @@ def synth_wav(df: DataFrame, rate: int = 8000, limit: int = 2048) -> DataFrame:
     return df.mapInPandas(run, schema="asset_id long, modality string, content binary")
 
 
-def audio_features(df: DataFrame) -> DataFrame:
+def audio_features(df: DataFrame, strict: bool = True) -> DataFrame:
     """Per-asset audio features from WAV content via mapInPandas:
     duration_ms (exact n·1000 div rate), RMS (isqrt of the mean square —
     integer), zero crossings (signbit changes), lag-1 autocorrelation
     mean (integer spectral-tilt proxy: high for low-frequency content,
     negative for alternating/noisy signals), and peak amplitude. The
     numpy batch path accumulates in int64 (max |s|²·n ≈ 2^41 « 2^63);
-    the pytest replay recomputes pure-Python."""
+    the pytest replay recomputes pure-Python.
+
+    Error contract: with `strict=True` (default) ONE malformed /
+    non-mono / non-16-bit payload fails the whole Spark stage — the
+    right behavior for a pipeline-synthesized corpus where a bad asset
+    means an upstream bug. For scraped/partial corpora pass
+    `strict=False`: unparseable payloads are dropped (no output row for
+    that asset_id — anti-join the output against the input to report
+    them), parse errors never abort the stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -528,7 +536,12 @@ def audio_features(df: DataFrame) -> DataFrame:
                 "rms", "zero_crossings", "ac_lag1", "peak",
             )}
             for aid, payload in zip(pdf["asset_id"], pdf["content"]):
-                rate, raw = _wav_frames(bytes(payload))
+                try:
+                    rate, raw = _wav_frames(bytes(payload))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 n = int(s.size)
                 sq = int((s * s).sum())
@@ -573,7 +586,7 @@ def _audio_fp64(samples: Sequence[int], n_frames: int = 65) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
-def audio_fingerprint(df: DataFrame, n_frames: int = 65) -> DataFrame:
+def audio_fingerprint(df: DataFrame, n_frames: int = 65, strict: bool = True) -> DataFrame:
     """(asset_id, content: WAV bytes) -> (asset_id, afp: 64-bit signed
     fingerprint) via Arrow-batched mapInPandas — the audio analog of
     `phash_images`. Identical audio yields identical fingerprints, and
@@ -581,15 +594,24 @@ def audio_fingerprint(df: DataFrame, n_frames: int = 65) -> DataFrame:
     so the SAME banded Hamming join (`phash_near_dup`, hash-agnostic:
     pass hash_col='afp') finds near-dups pigeonhole-losslessly to
     distance 7 without an all-pairs join. Only 8-byte fingerprints ever
-    shuffle; samples stay inside the Arrow stage."""
+    shuffle; samples stay inside the Arrow stage.
+
+    Error contract matches `audio_features`: strict=True (default)
+    fails the stage on the first malformed payload; strict=False drops
+    unparseable assets from the output instead."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            fps = []
-            for payload in pdf["content"]:
-                _, raw = _wav_frames(bytes(payload))
+            ids, fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    _, raw = _wav_frames(bytes(payload))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 n = int(s.size)
                 bits = 0
@@ -599,7 +621,8 @@ def audio_fingerprint(df: DataFrame, n_frames: int = 65) -> DataFrame:
                 for i in range(n_frames - 1):
                     if e[i] > e[i + 1]:
                         bits |= 1 << i
+                ids.append(aid)
                 fps.append(bits - (1 << 64) if bits >= (1 << 63) else bits)
-            yield pd.DataFrame({"asset_id": pdf["asset_id"], "afp": fps})
+            yield pd.DataFrame({"asset_id": ids, "afp": fps})
 
     return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

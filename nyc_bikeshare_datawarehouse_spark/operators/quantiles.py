@@ -247,10 +247,18 @@ def exact_group_quantiles(
 
     Returns (group, q_bp int, n long, rank long, value double); ties in
     rank (two bps mapping to the same rank in a small group) resolve to
-    the same value, one output row per bp. NULL groups/values (and
-    float NaNs) are excluded as in exact_group_quantile."""
+    the same value, one output row per DISTINCT bp (duplicates in
+    `quantiles_bp` are collapsed). NULL groups/values (and float NaNs)
+    are excluded as in exact_group_quantile."""
     if not quantiles_bp:
         raise ValueError("quantiles_bp must be non-empty")
+    bad = [bp for bp in quantiles_bp if not 1 <= bp <= 10000]
+    if bad:
+        # bp > 10000 would derive rank > n_g, which no bucket walk can
+        # resolve (KeyError at output assembly); bp < 1 would clamp to
+        # rank 1 silently — reject both up front like exact_rank_values
+        raise ValueError(f"quantiles_bp must be within [1, 10000], got {bad}")
+    quantiles_bp = sorted(set(quantiles_bp))
     c = F.col(col) if isinstance(col, str) else col
     spark = df.sparkSession
     g_type = df.select(F.col(group_col).alias("__g")).schema["__g"].dataType.simpleString()

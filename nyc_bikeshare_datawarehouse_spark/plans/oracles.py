@@ -3621,7 +3621,9 @@ ORACLES["q_token_entropy"] = """
 """
 
 
-# Pruned containment: same df>64 shingle drop BEFORE sizes and the
+# Pruned containment: calibrated df cutoff (0.9 × exact median
+# per-shingle df, the calibrated_df_cutoff rank rule verbatim — same
+# CTE chain as q_dedup_clusters_pruned) dropped BEFORE sizes and the
 # pair join — containment over the kept-shingle universe, exactly the
 # engine's pruned definition (pruned-jaccard-lattice rule).
 ORACLES["q_containment_pruned"] = """
@@ -3633,8 +3635,20 @@ ORACLES["q_containment_pruned"] = """
                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
         FROM toks
         WHERE len(t) >= 2
+    ), dfreq AS (
+        SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s
+    ), med AS (
+        -- exact discrete median of the df distribution: value at rank
+        -- GREATEST(1, ceil(n/2)) — the engine's calibrated_df_cutoff
+        -- rank rule verbatim (ties irrelevant: value AT a rank)
+        SELECT df AS m
+        FROM (SELECT df, ROW_NUMBER() OVER (ORDER BY df) AS rk FROM dfreq),
+             (SELECT COUNT(*) AS n FROM dfreq)
+        WHERE rk = GREATEST(1, (5000 * n + 9999) // 10000)
+    ), cut AS (
+        SELECT GREATEST(8, (9000 * m) // 10000) AS c FROM med
     ), hot AS (
-        SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 64
+        SELECT s FROM dfreq, cut WHERE df > c
     ), sh AS (
         SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)
     ), sizes AS (

@@ -4236,17 +4236,26 @@ def q_token_entropy(spark, sf_dir):
 
 
 def q_containment_pruned(spark, sf_dir):
-    """The 100 TB form of the containment screen: df-pruning
-    (max_doc_count=64 posting cutoff, the absolute-count calibration the
-    jaccard lattice standardized on) drops hot shingles BEFORE the
-    inverted-index self-join — the worst join partition shrinks
-    quadratically — and containment is measured over the kept-shingle
-    universe, which the oracle replays exactly. The exact twin
-    (q_ngram_containment, the most expensive heavy member at 25s/sf0.1)
-    stays as ground truth; this is the plan you'd run at scale."""
+    """The 100 TB form of the containment screen: df-pruning drops hot
+    shingles BEFORE the inverted-index self-join — the worst join
+    partition shrinks quadratically — and containment is measured over
+    the kept-shingle universe, which the oracle replays exactly. Since
+    round 11 the cutoff is CALIBRATED from corpus stats
+    (dedup.calibrated_df_cutoff: 0.9 × exact median per-shingle df, the
+    same density-proof rule the pruned jaccard lattice adopted in round
+    10 — a fixed absolute count, like the max_doc_count=64 it replaces,
+    over- or under-prunes as per-shingle density drifts; the median
+    anchor tracks it). ONE shingle pass serves calibration AND pruning
+    (shared dfreq frame), and the oracle mirrors the calibration rank
+    rule verbatim. The exact twin (q_ngram_containment, the most
+    expensive heavy member at ~25s/sf0.1) stays as ground truth; this
+    is the plan you'd run at scale."""
     d = _t(spark, sf_dir, "documents")
+    dfreq = dedup.shingle_dfreq(d, "text", "doc_id", shingle_n=2)
+    cut = dedup.calibrated_df_cutoff(dfreq=dfreq)
     return dedup.ngram_containment_pairs(
-        d, shingle_n=2, min_containment=0.5, pack_ids=True, max_doc_count=64
+        d, shingle_n=2, min_containment=0.5, pack_ids=True,
+        max_doc_count=cut, dfreq=dfreq,
     ).orderBy("id_a", "id_b")
 
 

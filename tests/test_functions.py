@@ -477,6 +477,18 @@ class TestDedup:
         # the duplicate pair keeps jaccard 1.0 over its remaining shingles
         assert got == [(100, 101, 1.0)]
 
+    def test_dfreq_without_pruning_param_rejected(self, spark):
+        import pytest
+
+        # dfreq feeds only the pruning branch: accepting it with neither
+        # max_doc_frac nor max_doc_count would silently run UNPRUNED
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+        )
+        dfreq = dedup.shingle_dfreq(df)
+        with pytest.raises(ValueError, match="ignored"):
+            dedup.ngram_jaccard_pairs(df, min_jaccard=0.1, dfreq=dfreq)
+
     @staticmethod
     def _topic_corpus(spark, n_topics, docs_per_topic=50):
         # density-dilution model (SCALING.json lesson): each topic shares
@@ -1216,6 +1228,29 @@ class TestAudioFingerprint:
                  ).collect()}
         assert pairs.get((1, 2)) == 0
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_malformed_wav_strict_fails_lenient_drops(self, spark):
+        import pytest
+
+        good = bytearray(multimodal.wav_encode([100, -100] * 50, 8000))
+        rows = [
+            (1, good),
+            (2, bytearray(b"not a wav at all")),  # container parse fails
+            (3, good),
+        ]
+        df = spark.createDataFrame(rows, "asset_id long, content binary")
+        # default strict contract: one bad payload fails the whole stage,
+        # surfacing the container parse error
+        with pytest.raises(Exception, match="RIFF"):
+            multimodal.audio_features(df).collect()
+        with pytest.raises(Exception, match="RIFF"):
+            multimodal.audio_fingerprint(df).collect()
+        # lenient contract: bad payloads drop, good assets still resolve
+        feats = multimodal.audio_features(df, strict=False).collect()
+        assert sorted(r["asset_id"] for r in feats) == [1, 3]
+        fps = multimodal.audio_fingerprint(df, strict=False).collect()
+        assert sorted(r["asset_id"] for r in fps) == [1, 3]
+        assert fps[0]["afp"] == fps[1]["afp"]  # identical payloads agree
 
 
 def test_srp_planes_for_occupancy_rule():

@@ -343,6 +343,32 @@ class TestExactQuantiles:
         with pytest.raises(ValueError, match="non-empty"):
             exact_rank_values(df, "value", quantiles_bp=[])
 
+    def test_grouped_bp_validated_and_deduped(self, spark):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
+            exact_group_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 11)], "g string, v double"
+        )
+        # out-of-range bps would derive rank > n (never resolves) or a
+        # silent clamp — both rejected up front
+        with pytest.raises(ValueError, match=r"\[1, 10000\]"):
+            exact_group_quantiles(df, "g", "v", quantiles_bp=(5000, 10001))
+        with pytest.raises(ValueError, match=r"\[1, 10000\]"):
+            exact_group_quantiles(df, "g", "v", quantiles_bp=(0,))
+        with pytest.raises(ValueError, match="non-empty"):
+            exact_group_quantiles(df, "g", "v", quantiles_bp=())
+        # duplicates collapse to one output row per distinct bp
+        rows = exact_group_quantiles(
+            df, "g", "v", quantiles_bp=(5000, 5000, 2500), n_buckets=4
+        ).collect()
+        assert sorted((r["q_bp"], r["value"]) for r in rows) == [
+            (2500, 3.0), (5000, 5.0),
+        ]
+
 
 class TestPacking:
     def _docs(self, spark, rows):
