@@ -136,6 +136,35 @@ class TestContainment:
         rows = {(r["id_a"], r["id_b"]): r["containment"] for r in got.collect()}
         assert rows == {(1, 2): 1.0}
 
+    def test_df_pruning_shares_dfreq_and_prunes_hot_shingles(self, spark):
+        # one boilerplate bigram in EVERY doc: unpruned, all pairs are
+        # candidates through that hot posting list; pruned at df>cutoff,
+        # only the true sub-document duplicate survives — and passing the
+        # precomputed dfreq frame must give the identical result to
+        # letting the function recompute it (the shared-calibration path
+        # q_containment_pruned rides)
+        rows = [(i, f"stop word uniq{i} tail{i}") for i in range(10)]
+        rows += [(100, "stop word same same2"), (101, "stop word same same2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert dedup.ngram_containment_pairs(df, min_containment=0.1).count() == 66
+        inline = dedup.ngram_containment_pairs(
+            df, min_containment=0.1, max_doc_count=5
+        )
+        shared = dedup.ngram_containment_pairs(
+            df, min_containment=0.1, max_doc_count=5,
+            dfreq=dedup.shingle_dfreq(df),
+        )
+        want = [(100, 101, 1.0)]
+        assert [(r["id_a"], r["id_b"], r["containment"])
+                for r in inline.collect()] == want
+        assert [(r["id_a"], r["id_b"], r["containment"])
+                for r in shared.collect()] == want
+        # dfreq without a pruning parameter is a contract error
+        import pytest
+
+        with pytest.raises(ValueError, match="ignored"):
+            dedup.ngram_containment_pairs(df, dfreq=dedup.shingle_dfreq(df))
+
     def test_containment_geq_jaccard(self, spark, sf_dir):
         from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
 
