@@ -205,6 +205,15 @@ EXTENDED = [
     "q_audio_neardup",
     "q_sql_warehouse",
     "q_grouped_quartiles",
+    # round 11 members. The two LSH accuracy-measurement queries
+    # (q_minhash_est_error, q_lsh_recall) are audit-time tools riding
+    # the exact verify tier — like q_minhash_portable they are gate-
+    # checked but NOT benched (the ~40s they would add belongs to the
+    # already-measured q_ngram_jaccard cost class, and the wall budget
+    # is the binding constraint).
+    "q_stats_lifecycle",
+    "q_rolling_median",
+    "q_mmr_diverse",
 ]
 
 

@@ -269,33 +269,26 @@ def minhash_lsh_candidates(
     return pairs.select("id_a", "id_b", F.round(match_frac, 4).alias("est_jaccard"))
 
 
-def minhash_lsh_candidates_portable(
+def portable_minhash_parts(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 12,
-    bands: int = 4,
     shingle_n: int = 2,
-) -> DataFrame:
-    """MinHash-LSH candidate pairs with ENGINE-PORTABLE hash functions:
-    h_i(s) = first 60 bits of md5(i || ':' || shingle), so the ENTIRE
-    pipeline — k min-hashes, banded signature, bucket self-join — computes
-    identically in any SQL engine and is oracle-checkable end to end
-    (`q_minhash_portable`). The xxhash64 variant above is the faster
-    production path; THIS one exists to prove the lattice's semantics
-    against an independent engine, the same exact/pruned split used for
-    n-gram Jaccard.
+) -> tuple[DataFrame, DataFrame]:
+    """(sh, sig): the distinct (id, shingle-string) frame and the
+    (id, i, mh) ENGINE-PORTABLE min-hash signature frame — h_i(s) =
+    first 60 bits of md5(i || ':' || shingle), reproducible verbatim in
+    plain SQL. Shared by `minhash_lsh_candidates_portable` (candidates)
+    and `minhash_est_error` / `lsh_recall_report` (accuracy
+    measurement), so the three queries replay ONE lattice definition.
 
-    Same 100 TB shape as the production variant: shuffles carry
-    (id, band, band_sig) only; the expensive md5s happen map-side in one
-    projection."""
-    rows_per_band = n_hashes // bands
+    The expensive md5s happen map-side in one projection (posexplode of
+    a k-hash transform); shuffles carry (id, i, h) only."""
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
     ).dropDuplicates()
-    # one md5 per (shingle, i): posexplode the k-hash array computed in a
-    # single transform so the shingle string is hashed k times map-side
     hashed = sh.select(
         id_col,
         F.posexplode(
@@ -312,6 +305,16 @@ def minhash_lsh_candidates_portable(
         ).alias("i", "h"),
     )
     sig = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+    return sh, sig
+
+
+def portable_band_candidates(
+    sig: DataFrame, id_col: str, rows_per_band: int
+) -> DataFrame:
+    """Banded bucket self-join over a (id, i, mh) signature frame:
+    band signature = md5 of the band's min-hashes in i order, candidates
+    = distinct id pairs sharing any (band, band_sig) bucket. Shuffles
+    carry (id, band, band_sig) only — never the corpus."""
     band_sigs = (
         sig.withColumn("band", (F.col("i") / F.lit(rows_per_band)).cast("int"))
         .groupBy(id_col, "band")
@@ -336,6 +339,132 @@ def minhash_lsh_candidates_portable(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .dropDuplicates()
+    )
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with ENGINE-PORTABLE hash functions
+    (`portable_minhash_parts` + `portable_band_candidates`), so the
+    ENTIRE pipeline — k min-hashes, banded signature, bucket self-join —
+    computes identically in any SQL engine and is oracle-checkable end
+    to end (`q_minhash_portable`). The xxhash64 variant above is the
+    faster production path; THIS one exists to prove the lattice's
+    semantics against an independent engine, the same exact/pruned
+    split used for n-gram Jaccard."""
+    _, sig = portable_minhash_parts(df, text_col, id_col, n_hashes, shingle_n)
+    return portable_band_candidates(sig, id_col, n_hashes // bands)
+
+
+def minhash_est_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Sketch-accuracy measurement: for every banded candidate pair,
+    the MinHash jaccard ESTIMATE (matching signature positions / k, in
+    basis points) next to the EXACT jaccard and the absolute error —
+    the "measure, don't guess" query for choosing k and band shape.
+    est_bp = matches·10000 div k and jac_bp = floor(n_inter·10000 /
+    n_union) are integer arithmetic end to end, so an independent SQL
+    engine replays every row exactly.
+
+    Scale shape: the signature frame is localCheckpointed ONCE and
+    reused for banding and for per-pair match counting (the diverged-
+    subplan rule — without it the corpus-scale shingle+md5 build runs
+    twice); candidates-only pairing (never all-pairs); the exact
+    jaccard runs array_intersect on the candidate pairs' own shingle
+    arrays, bounded by the banding's output."""
+    sh, sig = portable_minhash_parts(df, text_col, id_col, n_hashes, shingle_n)
+    sig = sig.localCheckpoint(eager=True)
+    cands = portable_band_candidates(sig, id_col, n_hashes // bands)
+    sig_arr = sig.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda x: x["mh"]
+        ).alias("sig")
+    )
+    sets = sh.groupBy(id_col).agg(F.array_sort(F.collect_list("s")).alias("shs"))
+    a_sig = sig_arr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b_sig = sig_arr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    a_set = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    b_set = sets.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    n_union = F.size("shs_a") + F.size("shs_b") - n_inter
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cands.join(a_sig, "id_a")
+        .join(b_sig, "id_b")
+        .join(a_set, "id_a")
+        .join(b_set, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(matches * 10000 / n_hashes).cast("long").alias("est_bp"),
+            F.floor(n_inter * 10000 / n_union).cast("long").alias("jac_bp"),
+        )
+        .withColumn("err_bp", F.abs(F.col("est_bp") - F.col("jac_bp")))
+    )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """One-row LSH quality report: confusion counts of the banded
+    candidate set against exact-jaccard ground truth at `min_jaccard` —
+    tp (true pairs surfaced), fn (true pairs MISSED by banding: the
+    recall gap), fp (candidates below threshold: the verify-tier load),
+    and recall_bp = tp·10000 div (tp+fn). The empirical check of the
+    banding recall floor the unit tests pin by construction; integer
+    counts, so fully oracle-replayable.
+
+    Both sides are corpus-scale joins but candidates-only on the LSH
+    side; the exact side is the oracle-bearing inverted-index verifier
+    (documented quadratic tier — this is a MEASUREMENT query, run at
+    audit time, not in the per-batch path)."""
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, min_jaccard=min_jaccard
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    pred = minhash_lsh_candidates_portable(
+        df, text_col, id_col, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n
+    ).select("id_a", "id_b", F.lit(1).alias("__p"))
+    merged = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    tp = F.sum(
+        F.when(F.col("__t").isNotNull() & F.col("__p").isNotNull(), 1).otherwise(0)
+    )
+    fn = F.sum(
+        F.when(F.col("__t").isNotNull() & F.col("__p").isNull(), 1).otherwise(0)
+    )
+    fp = F.sum(
+        F.when(F.col("__t").isNull() & F.col("__p").isNotNull(), 1).otherwise(0)
+    )
+    return merged.agg(
+        tp.cast("long").alias("tp"),
+        fn.cast("long").alias("fn"),
+        fp.cast("long").alias("fp"),
+    ).select(
+        "tp",
+        "fn",
+        "fp",
+        F.floor(F.col("tp") * 10000 / (F.col("tp") + F.col("fn")))
+        .cast("long")
+        .alias("recall_bp"),
     )
 
 

@@ -943,3 +943,104 @@ def hard_negatives(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    shortlist: int = 64,
+    lam_pct: int = 70,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    SIGIR'98, public literature): greedily pick k vectors maximizing
+    lam·relevance − (1−lam)·max-similarity-to-already-selected — the
+    standard diverse-example-selection op for retrieval/ICL curation
+    (plain top-k returns k near-copies of the best hit; MMR spreads the
+    picks across the neighborhood structure).
+
+    Scale shape: the corpus-sized work is ONE broadcast-probe scoring
+    scan + TakeOrderedAndProject into a `shortlist`-row frame (O(k)
+    network, the q_hybrid_search_rrf rule: shortlist FIRST, never rank
+    the corpus); the O(shortlist²) greedy runs inside one applyInPandas
+    group over that bounded frame, so its cost is corpus-size-
+    INDEPENDENT. Determinism: every comparison is on integer micro-units
+    u = round-half-away(cosine·1e6) with vec_id tie-breaks, and the
+    greedy is replayed verbatim by a recursive-CTE SQL oracle
+    (q_mmr_diverse) — lam_pct keeps the mix integer (score_u =
+    lam_pct·rel_u − (100−lam_pct)·maxsim_u).
+
+    `probe` is a 1-row frame holding `vec_col`; rows equal to the probe
+    should be filtered by the caller if unwanted. Returns
+    (rank, id, rel_u, maxsim_u, score_u) ordered by rank."""
+    import math
+
+    import pandas as pd
+
+    p = F.broadcast(probe.select(F.col(vec_col).alias("__probe")))
+    rel_u = F.round(cosine(vec_col, "__probe") * 1e6, 0).cast("long")
+    short = (
+        df.crossJoin(p)
+        .select(
+            F.col(id_col).alias("id"),
+            rel_u.alias("rel_u"),
+            _vec(vec_col).alias("__v"),
+        )
+        .orderBy(F.desc("rel_u"), F.col("id"))
+        .limit(shortlist)
+    )
+
+    def _u(x: float) -> int:
+        # DuckDB ROUND(x, 0) semantics: half away from zero
+        s = x * 1e6
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = [int(x) for x in pdf["id"]]
+        rel = {i: int(r) for i, r in zip(ids, pdf["rel_u"])}
+        vecs = {i: [float(x) for x in v] for i, v in zip(ids, pdf["__v"])}
+        norms = {
+            i: math.sqrt(sum(x * x for x in v)) for i, v in vecs.items()
+        }
+
+        def cos_u(a: int, b: int) -> int:
+            va, vb = vecs[a], vecs[b]
+            d = 0.0
+            for x, y in zip(va, vb):
+                d += x * y
+            return _u(d / (norms[a] * norms[b]))
+
+        selected: list[tuple[int, int, int, int]] = []  # id, rel, maxsim, score
+        remaining = sorted(ids)
+        while remaining and len(selected) < k:
+            best = None
+            for c in remaining:
+                ms = max((cos_u(c, s[0]) for s in selected), default=0)
+                score = lam_pct * rel[c] - (100 - lam_pct) * ms
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, ms, score)
+            _, c, ms, score = best
+            selected.append((c, rel[c], ms, score))
+            remaining.remove(c)
+        return pd.DataFrame(
+            {
+                "rank": range(1, len(selected) + 1),
+                "id": [s[0] for s in selected],
+                "rel_u": [s[1] for s in selected],
+                "maxsim_u": [s[2] for s in selected],
+                "score_u": [s[3] for s in selected],
+            }
+        )
+
+    out = (
+        short.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda key, pdf: _greedy(pdf),
+            schema="rank int, id long, rel_u long, maxsim_u long, score_u long",
+        )
+        .orderBy("rank")
+    )
+    return out

@@ -4256,3 +4256,193 @@ ORACLES["q_sliding_distinct"] = """
     GROUP BY window_start
     ORDER BY window_start
 """
+
+
+# ---- round-11 additions: stats lifecycle / rolling median / LSH accuracy / MMR
+
+
+# Stats lifecycle: the ENGINE reads these values back out of its catalog
+# after ANALYZE TABLE (exact stats only — row count, min/max/null count);
+# the oracle recomputes them from the source relation, so the hash gate
+# fails if ANALYZE stops populating exact statistics.
+ORACLES["q_stats_lifecycle"] = """
+    SELECT stat, value FROM (
+        SELECT 'o_custkey_max' AS stat, CAST(MAX(o_custkey) AS BIGINT) AS value FROM orders
+        UNION ALL SELECT 'o_custkey_min', CAST(MIN(o_custkey) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_custkey_num_nulls', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) FROM orders
+        UNION ALL SELECT 'row_count', CAST(COUNT(*) AS BIGINT) FROM orders
+    )
+    ORDER BY stat
+"""
+
+
+# Rolling median: quantile_disc(0.5) over the same 5-row frame = the
+# discrete lower median (element AT rank ceil(n/2)) the engine picks via
+# array_sort + element_at — a data element, no interpolation, bit-exact.
+ORACLES["q_rolling_median"] = """
+    SELECT user_id, event_id,
+           quantile_disc(value, 0.5) OVER w AS rolling_med,
+           CAST(COUNT(value) OVER w AS INTEGER) AS n_in_frame
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+"""
+
+
+# MinHash estimate-vs-exact error: the q_minhash_portable lattice CTEs
+# verbatim (md5 min-hashes, banded candidates), then per candidate pair
+# the signature match count and the exact shingle intersection — all
+# integer arithmetic (// mirrors the engine's floor of an exact-regime
+# double division).
+ORACLES["q_minhash_est_error"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+        FROM toks WHERE len(t) >= 2
+    ), hashes AS (
+        SELECT doc_id, i,
+               MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(12)) AS i)
+        GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // 3 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_sig
+        FROM hashes GROUP BY doc_id, i // 3
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS matches
+        FROM cand c
+        JOIN hashes ha ON ha.doc_id = c.id_a
+        JOIN hashes hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+        GROUP BY c.id_a, c.id_b
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           CAST(e.matches * 10000 // 12 AS BIGINT) AS est_bp,
+           CAST(COALESCE(i.n_inter, 0) * 10000
+                // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS jac_bp,
+           CAST(ABS(e.matches * 10000 // 12
+                    - COALESCE(i.n_inter, 0) * 10000
+                      // (sa.n + sb.n - COALESCE(i.n_inter, 0))) AS BIGINT) AS err_bp
+    FROM est e
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    ORDER BY e.id_a, e.id_b
+"""
+
+
+# LSH recall report: exact-jaccard ground truth (the pruned-lattice
+# jaccard rule verbatim, floor-trunc >= 0.5) FULL OUTER JOIN the banded
+# candidates -> one row of confusion counts.
+ORACLES["q_lsh_recall"] = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+        FROM toks WHERE len(t) >= 2
+    ), hashes AS (
+        SELECT doc_id, i,
+               MIN(CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(12)) AS i)
+        GROUP BY doc_id, i
+    ), bands AS (
+        SELECT doc_id, i // 3 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_sig
+        FROM hashes GROUP BY doc_id, i // 3
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE FLOOR(n_inter / (sa.n + sb.n - n_inter) * 10000) / 10000 >= 0.5
+    ), conf AS (
+        SELECT
+            CAST(SUM(CASE WHEN t.id_a IS NOT NULL AND p.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN t.id_a IS NOT NULL AND p.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(SUM(CASE WHEN t.id_a IS NULL AND p.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        FROM truth t
+        FULL OUTER JOIN cand p ON t.id_a = p.id_a AND t.id_b = p.id_b
+    )
+    SELECT tp, fn, fp, CAST(tp * 10000 // (tp + fn) AS BIGINT) AS recall_bp
+    FROM conf
+"""
+
+
+# MMR diverse top-k: the greedy replayed argmax-by-argmax as a recursive
+# CTE over the same 64-row shortlist and integer micro-unit cosines —
+# NOT just the final set; a selection-order divergence flips the hash.
+ORACLES["q_mmr_diverse"] = """
+    WITH RECURSIVE probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    ), short AS (
+        SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS emb,
+               CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), probe.p) * 1e6, 0) AS BIGINT) AS rel_u
+        FROM embeddings e, probe
+        WHERE e.vec_id <> 0
+        ORDER BY rel_u DESC, e.vec_id
+        LIMIT 64
+    ), pairs AS (
+        SELECT a.id AS va, b.id AS vb,
+               CAST(ROUND(list_cosine_similarity(a.emb, b.emb) * 1e6, 0) AS BIGINT) AS cos_u
+        FROM short a JOIN short b ON a.id <> b.id
+    ), sel AS (
+        SELECT 0 AS step, CAST([] AS BIGINT[]) AS sel_ids
+        UNION ALL
+        SELECT step + 1,
+               list_append(sel_ids, (
+                   SELECT s.id
+                   FROM short s
+                   WHERE NOT list_contains(sel.sel_ids, s.id)
+                   ORDER BY 70 * s.rel_u - 30 * COALESCE((
+                       SELECT MAX(p2.cos_u) FROM pairs p2
+                       WHERE p2.va = s.id AND list_contains(sel.sel_ids, p2.vb)
+                   ), 0) DESC, s.id
+                   LIMIT 1
+               ))
+        FROM sel
+        WHERE step < 10
+    ), final AS (
+        SELECT sel_ids FROM sel WHERE step = 10
+    ), ranked AS (
+        SELECT unnest(sel_ids) AS id, generate_subscripts(sel_ids, 1) AS rnk FROM final
+    )
+    SELECT CAST(r.rnk AS INTEGER) AS rank, r.id, s.rel_u,
+           CAST(COALESCE((SELECT MAX(p3.cos_u) FROM pairs p3
+                          JOIN ranked r2 ON r2.id = p3.vb AND r2.rnk < r.rnk
+                          WHERE p3.va = r.id), 0) AS BIGINT) AS maxsim_u,
+           CAST(70 * s.rel_u - 30 * COALESCE((SELECT MAX(p4.cos_u) FROM pairs p4
+                          JOIN ranked r4 ON r4.id = p4.vb AND r4.rnk < r.rnk
+                          WHERE p4.va = r.id), 0) AS BIGINT) AS score_u
+    FROM ranked r JOIN short s ON s.id = r.id
+    ORDER BY rank
+"""

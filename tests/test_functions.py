@@ -1275,3 +1275,84 @@ def test_srp_planes_for_occupancy_rule():
     # the last safe bit) — past it, grow BANDS instead
     assert srp_planes_for(50_000_000) == 62
     assert srp_planes_for(10**15) == 62
+
+
+class TestMinhashAccuracy:
+    def _docs(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),    # near dup of 1
+            (4, "one two three four five six"),
+            (5, "one two three four five six"),            # exact dup of 4
+            (6, "totally different words entirely here now"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_est_error_zero_on_identical_docs(self, spark):
+        got = {(r["id_a"], r["id_b"]): r.asDict() for r in
+               dedup.minhash_est_error(self._docs(spark)).collect()}
+        # identical shingle sets -> identical signatures: est 10000,
+        # exact 10000, error 0 — and both dup pairs must surface
+        for pair in ((1, 2), (4, 5)):
+            assert pair in got
+            assert got[pair]["est_bp"] == 10000
+            assert got[pair]["jac_bp"] == 10000
+            assert got[pair]["err_bp"] == 0
+        # every row's error is consistent with its own fields
+        for d in got.values():
+            assert d["err_bp"] == abs(d["est_bp"] - d["jac_bp"])
+            assert 0 <= d["est_bp"] <= 10000 and 0 <= d["jac_bp"] <= 10000
+
+    def test_recall_report_identical_dups_never_missed(self, spark):
+        (row,) = dedup.lsh_recall_report(
+            self._docs(spark), min_jaccard=0.5
+        ).collect()
+        # banding recall floor: an IDENTICAL pair shares every band, so
+        # with two exact-dup pairs in the corpus tp >= 2; fn counts only
+        # sub-identical true pairs the bands may miss
+        assert row["tp"] >= 2
+        assert row["tp"] + row["fn"] >= 2
+        assert row["recall_bp"] == row["tp"] * 10000 // (row["tp"] + row["fn"])
+
+
+class TestMMRSelect:
+    def _emb(self, spark):
+        # probe at e0; a tight cluster around e0 (a, b) and two
+        # orthogonal-ish vectors (c, d): plain top-2 picks the cluster,
+        # MMR must pick one cluster member then jump to the orthogonal one
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),          # probe
+            (1, [0.99, 0.1, 0.0, 0.0]),         # cluster near probe
+            (2, [0.98, 0.12, 0.0, 0.0]),        # cluster near probe
+            (3, [0.5, 0.0, 0.8, 0.0]),          # off-axis, still relevant
+            (4, [0.0, 0.0, 0.0, 1.0]),          # orthogonal
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_mmr_diversifies_vs_plain_topk(self, spark):
+        e = self._emb(spark)
+        probe = e.filter(F.col("vec_id") == 0)
+        got = similarity.mmr_select(
+            e.filter(F.col("vec_id") != 0), probe, k=3, shortlist=4, lam_pct=50
+        ).collect()
+        picks = [r["id"] for r in got]
+        assert picks[0] == 1  # rank 1 is always the plain argmax relevance
+        # with lam 0.5 the second pick must NOT be the near-duplicate 2
+        # (maxsim to 1 is ~1.0); the off-axis 3 wins
+        assert picks[1] == 3
+        assert len(picks) == len(set(picks)) == 3
+        # ranks are 1..k in order, maxsim of rank 1 is 0
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        assert got[0]["maxsim_u"] == 0
+        # score accounting holds on every row
+        for r in got:
+            assert r["score_u"] == 50 * r["rel_u"] - 50 * r["maxsim_u"]
+
+    def test_mmr_k_capped_by_shortlist(self, spark):
+        e = self._emb(spark)
+        probe = e.filter(F.col("vec_id") == 0)
+        got = similarity.mmr_select(
+            e.filter(F.col("vec_id") != 0), probe, k=10, shortlist=2
+        ).collect()
+        assert len(got) == 2  # greedy exhausts the shortlist, no crash

@@ -535,3 +535,30 @@ class TestGroupMultiQuantiles:
                    df, "g", "v", quantiles_bp=(2500, 5000, 7500)
                ).collect()}
         assert got == {2500: (1, 10.0), 5000: (2, 20.0), 7500: (3, 30.0)}
+
+
+class TestRollingMedian:
+    def test_lower_median_rule_hand_computed(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.plans.queries import q_rolling_median
+        import datetime
+
+        # one user, values 10,50,20,40,30 at 1-min steps: frames grow
+        # 1..5 rows; lower median = element at ceil(n/2)
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, base + datetime.timedelta(minutes=i), 7, t, "x", "{}")
+            for i, t in enumerate([10.0, 50.0, 20.0, 40.0, 30.0])
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, value double, "
+            "event_type string, props string",
+        )
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        # q_rolling_median loads via load_table: write a mini events table
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = [(r["rolling_med"], r["n_in_frame"]) for r in
+               q_rolling_median(spark, d).collect()]
+        # frames: [10] [10,50] [10,20,50] [10,20,40,50] [10,20,30,40,50]
+        assert got == [(10.0, 1), (10.0, 2), (20.0, 3), (20.0, 4), (30.0, 5)]
