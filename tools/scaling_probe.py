@@ -167,6 +167,37 @@ def ensure_lineitem_sfx(spark, replicas: int) -> None:
     open(marker, "w").write("ok")
 
 
+def ensure_events_sfx(spark, replicas: int) -> None:
+    """Sidecar events replica set for per-user window probes: replica k
+    shifts event_id and user_id by k·max, timestamps unchanged — user
+    count (and therefore window-partition count) grows 10×, per-user
+    event density is preserved exactly. Only the columns the window
+    probes read are written (event_id, ts, user_id, value)."""
+    out = f"{BENCHDATA}/sfx{replicas}"
+    marker = f"{out}/_EVENTS_READY"
+    if os.path.exists(marker):
+        return
+    ev = spark.read.parquet(f"{SF01}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    me = ev.agg(F.max("event_id")).head()[0] + 1
+    mu = ev.agg(F.max("user_id")).head()[0] + 1
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * me)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * mu)).alias("user_id"),
+            "value",
+        )
+        for k in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    open(marker, "w").write("ok")
+
+
 def time_spatial(spark, mult: int, base: int = 15000, warm: bool = False) -> float:
     """Radius self-join probe at CONSTANT DENSITY: `base·mult` points whose
     longitude span grows with `mult` (lat span fixed 10°), so points/cell
@@ -333,6 +364,8 @@ def main() -> None:
     big = build_sfx(spark, args.replicas)
     if args.only and "q_basket_rules" in args.only:
         ensure_lineitem_sfx(spark, args.replicas)
+    if args.only and any(q in ("q_rolling_median",) for q in args.only):
+        ensure_events_sfx(spark, args.replicas)
 
     if args.quantiles:
         from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
