@@ -453,15 +453,23 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def wav_encode(samples: Sequence[int], rate: int = 8000) -> bytes:
-    """Mono 16-bit PCM WAV bytes from int samples (each in [-32768, 32767])."""
+def _wav_encode_frames(frames: bytes, rate: int) -> bytes:
+    """Mono 16-bit PCM WAV bytes from pre-packed little-endian int16
+    frame bytes — the container write shared by the list API below and
+    the numpy batch path in `synth_wav` (which produces frames with one
+    vectorized tobytes instead of a 2048-arg struct.pack per asset)."""
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(frames)
     return buf.getvalue()
+
+
+def wav_encode(samples: Sequence[int], rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV bytes from int samples (each in [-32768, 32767])."""
+    return _wav_encode_frames(struct.pack(f"<{len(samples)}h", *samples), rate)
 
 
 def wav_decode(payload: bytes) -> tuple[int, list[int]]:
@@ -492,15 +500,26 @@ def synth_wav(df: DataFrame, rate: int = 8000, limit: int = 2048) -> DataFrame:
     """(asset_id, content: arbitrary bytes) -> (asset_id, modality
     'audio', content: real WAV bytes) via Arrow-batched mapInPandas —
     the encode half of the audio round-trip, so downstream operators
-    exercise a true container parse, not a fake."""
+    exercise a true container parse, not a fake.
+
+    The sample synth is vectorized (numpy byte view → int16 frames →
+    one tobytes per asset, bit-identical to `text_pcm_samples` +
+    `wav_encode`, pinned in tests): the per-sample Python loop +
+    2048-arg struct.pack it replaces dominated the whole audio family's
+    runtime (q_audio_features 8.3s → measured after; the container
+    write itself is a 44-byte header)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out = [
-                wav_encode(text_pcm_samples(
-                    bytes(p) if p is not None else b"", limit), rate)
-                for p in pdf["content"]
-            ]
+            out = []
+            for p in pdf["content"]:
+                b = np.frombuffer(
+                    bytes(p) if p else b"\x00", dtype=np.uint8
+                )[:limit]
+                frames = ((b.astype(np.int32) - 128) * 256).astype("<i2").tobytes()
+                out.append(_wav_encode_frames(frames, rate))
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "modality": "audio",
