@@ -511,3 +511,110 @@ def test_exact_group_quantiles_matches_per_group_sort(spark, groups, bps):
             rank = max(1, (bp * n + 9999) // 10000)
             want[(g, bp)] = (n, rank, svs[rank - 1])
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=60,
+    ),
+    users=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rolling_median_matches_naive_replay(spark, vals, users):
+    # random values spread round-robin over 1-3 users through the
+    # bounded-frame window; naive replay = sorted(frame)[ceil(n/2)-1]
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.plans.queries import q_rolling_median
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % users, v, "x", "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_id"]: (r["rolling_med"], r["n_in_frame"])
+           for r in q_rolling_median(spark, d).collect()}
+    per_user: dict[int, list[tuple[int, float]]] = {}
+    for i, v in enumerate(vals):
+        per_user.setdefault(i % users, []).append((i, v))
+    want = {}
+    for seq in per_user.values():
+        for j, (eid, _) in enumerate(seq):
+            frame = [v for _, v in seq[max(0, j - 4): j + 1]]
+            want[eid] = (sorted(frame)[math.ceil(len(frame) / 2) - 1], len(frame))
+    assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2,
+        max_size=12,
+    ),
+    lam=st.sampled_from([0, 30, 70, 100]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mmr_select_matches_bruteforce_greedy(spark, vecs, lam):
+    # the distributed shortlist+applyInPandas MMR must equal a direct
+    # python greedy on the same integer micro-unit cosines
+    import math
+
+    from nyc_bikeshare_datawarehouse_spark.functions.similarity import mmr_select
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = df.filter(F.col("vec_id") == 0)
+    k = min(5, len(vecs) - 1)
+    got = [
+        (r["rank"], r["id"], r["rel_u"], r["maxsim_u"], r["score_u"])
+        for r in mmr_select(
+            df.filter(F.col("vec_id") != 0), probe, k=k, shortlist=8, lam_pct=lam
+        ).collect()
+    ]
+
+    def u(x):
+        s = x * 1e6
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    def cos_u(a, b):
+        d = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            d += x * y
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return u(d / (na * nb))
+
+    ids = [i for i, _ in rows if i != 0]
+    rel = {i: cos_u(i, 0) for i in ids}
+    short = sorted(ids, key=lambda i: (-rel[i], i))[:8]
+    selected, want = [], []
+    remaining = sorted(short)
+    for rank in range(1, min(k, len(short)) + 1):
+        best = None
+        for c in remaining:
+            ms = max((cos_u(c, s) for s in selected), default=0)
+            score = lam * rel[c] - (100 - lam) * ms
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, ms, score)
+        _, c, ms, score = best
+        selected.append(c)
+        remaining.remove(c)
+        want.append((rank, c, rel[c], ms, score))
+    assert got == want
