@@ -392,7 +392,14 @@ def minhash_est_error(
             F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda x: x["mh"]
         ).alias("sig")
     )
-    sets = sh.groupBy(id_col).agg(F.array_sort(F.collect_list("s")).alias("shs"))
+    # sets is referenced from BOTH pair sides (a_set/b_set): without the
+    # checkpoint the corpus-scale scan+shingle build executes twice (the
+    # diverged-subplan rule; plan-pinned in tests/test_plans.py)
+    sets = (
+        sh.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("s")).alias("shs"))
+        .localCheckpoint(eager=True)
+    )
     a_sig = sig_arr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b_sig = sig_arr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     a_set = sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))

@@ -467,3 +467,25 @@ def test_sql_warehouse_runtime_reuses_cte_exchanges(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 4
+
+
+def test_mmr_shortlist_is_take_ordered_single_python_stage(spark, sf_dir):
+    # the corpus never sorts globally: the 64-row shortlist merges via
+    # per-partition heaps (TakeOrderedAndProject), and the greedy is ONE
+    # Arrow stage (FlatMapGroupsInPandas) over that bounded frame
+    plan = plan_of(spark, sf_dir, "q_mmr_diverse")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # no corpus-wide window/sort before the shortlist cut
+    assert "Window" not in plan.split("TakeOrderedAndProject")[-1]
+
+
+def test_minhash_est_error_reuses_checkpointed_frames(spark, sf_dir):
+    # signatures AND shingle sets are localCheckpointed ONCE each — both
+    # are multiply referenced (banding + sig arrays; a_set + b_set), so
+    # without the checkpoints the corpus-scale scan + shingle/md5 build
+    # re-executes per reference (the diverged-subplan rule). The final
+    # plan must read only checkpoint RDDs: zero parquet-rooted rebuilds.
+    plan = plan_of(spark, sf_dir, "q_minhash_est_error")
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert plan.count("documents.parquet") == 0
