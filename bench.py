@@ -214,6 +214,7 @@ EXTENDED = [
     "q_stats_lifecycle",
     "q_rolling_median",
     "q_mmr_diverse",
+    "q_table_checksum",
 ]
 
 

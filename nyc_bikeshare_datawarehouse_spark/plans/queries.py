@@ -4779,6 +4779,48 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_table_checksum(spark, sf_dir):
+    """Cross-system migration-verification checksums (warehouse/
+    quality.py `content_checksum`): order-independent content checksum
+    + row count for two tables — the gate a 100 TB COPY / engine
+    migration / backfill needs beyond count-based checks (equal counts
+    do not prove equal content; the reference's data_quality.py stops
+    at counts). Σ md5-60bit(canonical row) in exact DECIMAL(38,0), one
+    map-side-combined aggregate per table, a 2-value exchange each —
+    and portable by construction, so the oracle recomputes the same
+    checksum independently (the cross-engine agreement IS the
+    demonstration). Timestamps render via explicit date_format; doubles
+    are deliberately excluded from the canonical string (engine-
+    specific decimal rendering)."""
+    from nyc_bikeshare_datawarehouse_spark.warehouse.quality import content_checksum
+
+    o = _t(spark, sf_dir, "orders")
+    d = _t(spark, sf_dir, "documents")
+    orders_sum = content_checksum(
+        o,
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        ],
+        "orders",
+    )
+    docs_sum = content_checksum(
+        d,
+        [
+            F.col("doc_id").cast("string"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        ],
+        "documents",
+    )
+    return orders_sum.unionByName(docs_sum).orderBy("table_name")
+
+
 def q_mmr_diverse(spark, sf_dir):
     """Maximal Marginal Relevance diverse top-10 vs probe vec_id=0
     (functions/similarity.mmr_select): the diverse-example-selection op
@@ -4818,6 +4860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_est_error": q_minhash_est_error,
     "q_lsh_recall": q_lsh_recall,
     "q_mmr_diverse": q_mmr_diverse,
+    "q_table_checksum": q_table_checksum,
     # --- newest driver row: r06
     "q_union_byname": q_union_byname,
     "q_union_dedup": q_union_dedup,
@@ -4863,8 +4906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q12": q_tpch_q12,
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q14": q_tpch_q14,
-    "q_tpch_q15": q_tpch_q15,
-    "q_tpch_q17": q_tpch_q17,  # <- driver window cut (50)
+    "q_tpch_q15": q_tpch_q15,  # <- driver window cut (50)
+    "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q21": q_tpch_q21,

@@ -133,3 +133,30 @@ def check_all(
     for dim_df, fk, dim_pk in dims or []:
         results.append(expect_fk_integrity(fact, dim_df, table, fk, dim_pk))
     return results
+
+
+def content_checksum(df: DataFrame, cols: list, table: str) -> DataFrame:
+    """Order-independent CONTENT checksum of a table over engine-stable
+    column renderings — the migration-verification gate the count-based
+    checks (expect_* above; reference data_quality.py:25-41) cannot
+    provide: equal row counts do not prove equal content after a COPY /
+    engine migration / backfill. checksum = Σ over rows of the first 60
+    bits of md5(canonical row string), accumulated in DECIMAL(38,0)
+    (exact to ~10^38 — 2^60-bit terms over trillions of rows fit), so
+    two systems agree iff they hold the same multiset of rows.
+
+    Scale shape: ONE map-side-combined aggregate — each partition emits
+    a single (count, partial sum), one 2-value exchange total; nothing
+    row-sized leaves the executors. Portable by construction (md5 +
+    decimal sum exist everywhere), hence fully oracle-checkable —
+    unlike a xxhash64 variant, which would be rows-only.
+
+    `cols` are Column expressions ALREADY rendered engine-stable
+    (integers/strings as-is, timestamps via explicit date_format —
+    never raw doubles: their decimal rendering is engine-specific)."""
+    canon = F.concat_ws("|", *cols)
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("content_checksum"),
+    ).select(F.lit(table).alias("table_name"), "n_rows", "content_checksum")

@@ -58,3 +58,40 @@ def test_check_all_battery(spark, dim):
     results = quality.check_all(fact, "fact", "fid", dims=[(dim, "id", "id")])
     assert [r.gate for r in results] == ["non_empty", "no_null_pk", "unique_pk", "fk_integrity"]
     assert all(r.passed for r in results)
+
+
+class TestContentChecksum:
+    def test_detects_content_change_at_equal_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from nyc_bikeshare_datawarehouse_spark.warehouse.quality import (
+            content_checksum,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "id long, v string"
+        )
+        b = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "Z")], "id long, v string"  # one cell
+        )
+        cols = [F.col("id").cast("string"), F.col("v")]
+        ca = content_checksum(a, cols, "t").head()
+        cb = content_checksum(b, cols, "t").head()
+        assert ca["n_rows"] == cb["n_rows"] == 3  # counts CANNOT tell them apart
+        assert ca["content_checksum"] != cb["content_checksum"]
+
+    def test_order_and_partitioning_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from nyc_bikeshare_datawarehouse_spark.warehouse.quality import (
+            content_checksum,
+        )
+
+        rows = [(i, f"v{i}") for i in range(100)]
+        a = spark.createDataFrame(rows, "id long, v string")
+        b = spark.createDataFrame(list(reversed(rows)), "id long, v string").repartition(7)
+        cols = [F.col("id").cast("string"), F.col("v")]
+        assert (
+            content_checksum(a, cols, "t").head()["content_checksum"]
+            == content_checksum(b, cols, "t").head()["content_checksum"]
+        )
