@@ -186,3 +186,31 @@ def kmv_stream(
         lambda a, b: kmv_union(a, b, k),
     )
     return stream_foreach_batch(stream, merge, checkpoint_path)
+
+
+def checksum_stream(
+    stream: DataFrame,
+    cols,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """Maintain a running content checksum over a stream (warehouse/
+    quality.py `checksum_state`: n_rows + Σ md5-60bit in exact
+    DECIMAL(38,0)): each micro-batch reduces to ONE tiny state row that
+    ADDS into the persisted state — the streaming half of the
+    migration-verification gate, so a replicated stream's content can
+    be compared against the source table checksum at any cutover point
+    without re-reading history. Add-merge is NOT idempotent, hence the
+    same batch-id replay guard as countmin_stream. `cols` are the
+    engine-stable rendered Column expressions content_checksum takes."""
+    from nyc_bikeshare_datawarehouse_spark.warehouse.quality import (
+        checksum_merge,
+        checksum_state,
+    )
+
+    merge = _sketch_merge_fn(
+        state_path,
+        lambda df: checksum_state(df, cols),
+        checksum_merge,
+    )
+    return stream_foreach_batch(stream, merge, checkpoint_path)

@@ -135,6 +135,35 @@ def check_all(
     return results
 
 
+def checksum_state(df: DataFrame, cols: list) -> DataFrame:
+    """One-row mergeable checksum state (n_rows long, checksum
+    decimal(38,0)) over `cols` rendered engine-stable — the partial-
+    aggregate algebra behind `content_checksum`: states from disjoint
+    row sets ADD (both fields), so per-partition / per-micro-batch /
+    per-day states fold into the corpus checksum without re-reading
+    history (the same mergeability contract as functions/sketches.py;
+    wired to Structured Streaming in streaming/sketches.checksum_stream)."""
+    canon = F.concat_ws("|", *cols)
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum"),
+    )
+
+
+def checksum_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two checksum states: counts and sums add."""
+    return (
+        a.unionByName(b)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
+        )
+    )
+
+
 def content_checksum(df: DataFrame, cols: list, table: str) -> DataFrame:
     """Order-independent CONTENT checksum of a table over engine-stable
     column renderings — the migration-verification gate the count-based
@@ -154,9 +183,8 @@ def content_checksum(df: DataFrame, cols: list, table: str) -> DataFrame:
     `cols` are Column expressions ALREADY rendered engine-stable
     (integers/strings as-is, timestamps via explicit date_format —
     never raw doubles: their decimal rendering is engine-specific)."""
-    canon = F.concat_ws("|", *cols)
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
-    return df.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h).cast("decimal(38,0)").cast("string").alias("content_checksum"),
-    ).select(F.lit(table).alias("table_name"), "n_rows", "content_checksum")
+    return checksum_state(df, cols).select(
+        F.lit(table).alias("table_name"),
+        "n_rows",
+        F.col("checksum").cast("string").alias("content_checksum"),
+    )

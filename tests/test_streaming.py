@@ -595,3 +595,36 @@ def test_attribution_state_pruned_without_purchases():
     )
     (res,) = list(at._update((7,), iter([batch2]), state))
     assert list(res["first_touch_id"]) == [99] and list(res["last_touch_id"]) == [99]
+
+
+def test_checksum_stream_state_equals_batch_checksum(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import checksum_stream
+    from nyc_bikeshare_datawarehouse_spark.warehouse.quality import checksum_state
+
+    batch = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    cols = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+    ]
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = checksum_stream(
+        stream, cols, str(tmp_path / "ck_state"), str(tmp_path / "ck_ckpt")
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "ck_state"))
+    want = checksum_state(spark.read.parquet(src), cols)
+    # micro-batch-folded state == one-shot batch state, field for field
+    assert rows_set(got) == rows_set(want)
+    assert got.head()["n_rows"] == batch.count()
