@@ -79,6 +79,9 @@ HEAVY = [
     # premise); see the query docstring + BASELINE.md for the regime.
     "q_jaccard_prefix",
     "q_incremental_dedup",
+    # round 11: its calibrated-cutoff pruned twin (corpus index df-pruned
+    # at 0.9 x median corpus-shingle df; 8.6s -> 2.9s at sf0.1)
+    "q_incremental_dedup_pruned",
     # 32-bit portable signature (round 7; was 16) with 8-bit bands:
     # 256 buckets per band vs 16 cut sf0.1 candidate pairs 11.0M -> 6.5M.
     # Still heavy: the corpus's big near-dup clusters make the TRUE-pair

@@ -521,6 +521,7 @@ def incremental_dedup(
     shingle_n: int = 2,
     min_jaccard: float = 0.5,
     max_doc_count: int | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Admit only the delta rows that are new versus an EXISTING corpus
     — the daily-crawl pattern: the already-deduped 100 TB corpus must
@@ -540,7 +541,18 @@ def incremental_dedup(
 
     Intra-delta duplicates are NOT collapsed here — that is the batch
     lattice's job (`q_dedup_pipeline`) on the admitted rows. Returns
-    the admitted delta rows unchanged."""
+    the admitted delta rows unchanged.
+
+    `dfreq`: optional precomputed CORPUS-side (sh, __df) frame
+    (`shingle_dfreq` over the corpus, same shingle_n and the same
+    >= shingle_n token bound) for the pruning branch — the frame the
+    calibration already materialized; same share-one-pass contract as
+    ngram_jaccard_pairs."""
+    if dfreq is not None and max_doc_count is None:
+        raise ValueError(
+            "dfreq was passed but max_doc_count is not set — the "
+            "precomputed document frequencies would be ignored"
+        )
     dh = delta.withColumn("__h", normalized_hash(text_col))
     ch = corpus.select(normalized_hash(text_col).alias("__h")).distinct()
     no_exact = dh.join(ch, "__h", "left_anti").drop("__h")
@@ -563,12 +575,9 @@ def incremental_dedup(
     dp = _postings(no_exact)
     cp = _postings(corpus)
     if max_doc_count is not None:
-        hot = (
-            cp.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_doc_count)
-            .select("sh")
-        )
+        if dfreq is None:
+            dfreq = cp.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_doc_count).select("sh")
         cp = cp.join(F.broadcast(hot), "sh", "left_anti")
         dp = dp.join(F.broadcast(hot), "sh", "left_anti")
     d_sizes = dp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_d"))

@@ -4470,3 +4470,63 @@ ORACLES["q_table_checksum"] = """
     FROM orders
     ORDER BY table_name
 """
+
+
+# Pruned incremental dedup: the calibrated-cutoff CTE chain computed
+# over the CORPUS posting index (the engine calibrates on the same
+# side), hot shingles dropped from BOTH posting sets, admission over
+# the kept-shingle universe.
+ORACLES["q_incremental_dedup_pruned"] = """
+    WITH delta AS (
+        SELECT * FROM documents WHERE doc_id % 5 = 0
+    ), corpus AS (
+        SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ), no_exact AS (
+        SELECT d.* FROM delta d
+        WHERE md5(lower(trim(d.text))) NOT IN
+              (SELECT md5(lower(trim(text))) FROM corpus)
+    ), dsh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM no_exact)
+        WHERE len(t) >= 2
+    ), csh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM corpus)
+        WHERE len(t) >= 2
+    ), dfreq AS (
+        SELECT s, COUNT(*) AS df FROM csh0 GROUP BY s
+    ), med AS (
+        SELECT df AS m
+        FROM (SELECT df, ROW_NUMBER() OVER (ORDER BY df) AS rk FROM dfreq),
+             (SELECT COUNT(*) AS n FROM dfreq)
+        WHERE rk = GREATEST(1, (5000 * n + 9999) // 10000)
+    ), cut AS (
+        SELECT GREATEST(8, (9000 * m) // 10000) AS c FROM med
+    ), hot AS (
+        SELECT s FROM dfreq, cut WHERE df > c
+    ), dsh AS (
+        SELECT * FROM dsh0 WHERE s NOT IN (SELECT s FROM hot)
+    ), csh AS (
+        SELECT * FROM csh0 WHERE s NOT IN (SELECT s FROM hot)
+    ), dsz AS (SELECT doc_id, COUNT(*) AS n_d FROM dsh GROUP BY doc_id
+    ), csz AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY doc_id
+    ), inter AS (
+        SELECT d.doc_id AS id_d, c.doc_id AS id_c, COUNT(*) AS n_inter
+        FROM dsh d JOIN csh c ON d.s = c.s
+        GROUP BY d.doc_id, c.doc_id
+    ), rejected AS (
+        SELECT DISTINCT id_d AS doc_id
+        FROM inter
+        JOIN dsz ON dsz.doc_id = id_d
+        JOIN csz ON csz.doc_id = id_c
+        WHERE FLOOR(n_inter / (n_d + n_c - n_inter) * 10000) / 10000 >= 0.5
+    )
+    SELECT doc_id, lang, source
+    FROM no_exact
+    WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+    ORDER BY doc_id
+"""

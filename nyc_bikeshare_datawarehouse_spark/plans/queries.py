@@ -3288,6 +3288,32 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q_incremental_dedup_pruned(spark, sf_dir):
+    """The 100 TB form of the nightly delta screen: the CORPUS posting
+    index is df-pruned at the CALIBRATED cutoff (0.9 × exact median
+    per-shingle df over the corpus index — the rule every other pruned
+    lattice uses since rounds 10-11), and the delta postings drop the
+    same hot shingles, so a boilerplate shingle shared by the whole
+    corpus costs nothing instead of |delta_f|·|corpus_f| per night.
+    Admission is measured over the kept-shingle universe (mirrored in
+    the oracle, calibration rank rule included). The unpruned twin
+    (q_incremental_dedup) stays as ground truth; at scale the pruned
+    index is the one you persist. ONE corpus shingle pass serves
+    calibration and pruning (shared checkpointed dfreq; the >= 2 token
+    bound matches the posting builder's)."""
+    d = _t(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corp2 = corpus.filter(F.size(text.tokens("text")) >= 2)
+    dfreq = dedup.shingle_dfreq(corp2, "text", "doc_id", shingle_n=2)
+    cut = dedup.calibrated_df_cutoff(dfreq=dfreq)
+    out = dedup.incremental_dedup(
+        delta, corpus, "text", "doc_id", shingle_n=2, min_jaccard=0.5,
+        max_doc_count=cut, dfreq=dfreq,
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def q_vocab_build(spark, sf_dir):
     """Frequency-ranked vocabulary with cumulative coverage — the
     tokenizer-training precursor: every corpus token gets a stable id
@@ -4861,6 +4887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_recall": q_lsh_recall,
     "q_mmr_diverse": q_mmr_diverse,
     "q_table_checksum": q_table_checksum,
+    "q_incremental_dedup_pruned": q_incremental_dedup_pruned,
     # --- newest driver row: r06
     "q_union_byname": q_union_byname,
     "q_union_dedup": q_union_dedup,
@@ -4905,8 +4932,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q12": q_tpch_q12,
     "q_tpch_q13": q_tpch_q13,
-    "q_tpch_q14": q_tpch_q14,
-    "q_tpch_q15": q_tpch_q15,  # <- driver window cut (50)
+    "q_tpch_q14": q_tpch_q14,  # <- driver window cut (50)
+    "q_tpch_q15": q_tpch_q15,
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q19": q_tpch_q19,

@@ -1356,3 +1356,31 @@ class TestMMRSelect:
             e.filter(F.col("vec_id") != 0), probe, k=10, shortlist=2
         ).collect()
         assert len(got) == 2  # greedy exhausts the shortlist, no crash
+
+
+def test_incremental_dedup_dfreq_contract_and_pruned_equivalence(spark):
+    import pytest
+
+    # boilerplate bigram in every corpus doc: with pruning at df>3 the
+    # hot posting list never joins; a delta doc whose ONLY corpus
+    # overlap is the boilerplate is admitted (kept-universe semantics),
+    # a real near-dup is still rejected through its rare shingles
+    corpus = spark.createDataFrame(
+        [(i, f"stop word body{i} tail{i}") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "stop word fresh content"),       # only hot overlap -> admitted
+         (101, "stop word body1 tail1 extra")],  # near-dup of corpus 1
+        "doc_id long, text string",
+    )
+    dfreq = dedup.shingle_dfreq(corpus)
+    got = dedup.incremental_dedup(
+        delta, corpus, min_jaccard=0.4, max_doc_count=3, dfreq=dfreq
+    )
+    assert [r["doc_id"] for r in got.collect()] == [100]
+    # same result letting the function recompute dfreq itself
+    got2 = dedup.incremental_dedup(delta, corpus, min_jaccard=0.4, max_doc_count=3)
+    assert [r["doc_id"] for r in got2.collect()] == [100]
+    with pytest.raises(ValueError, match="ignored"):
+        dedup.incremental_dedup(delta, corpus, dfreq=dfreq)

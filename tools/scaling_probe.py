@@ -102,6 +102,7 @@ def build_sfx(spark, replicas: int) -> str:
                 (F.col("doc_id") + F.lit(k * max_id)).alias("doc_id"),
                 suffixed.alias("text"),
                 "lang",
+                "source",
                 "n_chars",
             )
         )
