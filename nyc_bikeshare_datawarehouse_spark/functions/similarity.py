@@ -1014,10 +1014,22 @@ def mmr_select(
 
         selected: list[tuple[int, int, int, int]] = []  # id, rel, maxsim, score
         remaining = sorted(ids)
+        # running per-candidate max-similarity: each round folds in ONLY
+        # the newly selected id — O(rounds x remaining) cosines total
+        # instead of O(rounds x remaining x selected) recomputation.
+        # None = "no selected yet" (scores as 0); a plain 0 floor would
+        # clamp all-negative cosine neighborhoods, which do occur
+        ms_run: dict[int, int | None] = {c: None for c in remaining}
         while remaining and len(selected) < k:
+            if selected:
+                new_id = selected[-1][0]
+                for c in remaining:
+                    cu = cos_u(c, new_id)
+                    if ms_run[c] is None or cu > ms_run[c]:
+                        ms_run[c] = cu
             best = None
             for c in remaining:
-                ms = max((cos_u(c, s[0]) for s in selected), default=0)
+                ms = ms_run[c] if ms_run[c] is not None else 0
                 score = lam_pct * rel[c] - (100 - lam_pct) * ms
                 key = (-score, c)
                 if best is None or key < best[0]:

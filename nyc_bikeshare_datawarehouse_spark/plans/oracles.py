@@ -4450,22 +4450,29 @@ ORACLES["q_mmr_diverse"] = """
 
 # Content checksum: the oracle recomputes the SAME portable checksum
 # (md5 first-60-bits summed exactly) independently — cross-engine
-# agreement is the point of the query.
+# agreement is the point of the query. Each column is tokenized as
+# md5(value) or '-' for NULL before the row md5 (the engine's
+# injective, NULL-safe canonicalization, mirrored verbatim).
 ORACLES["q_table_checksum"] = """
     SELECT 'documents' AS table_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(CAST(SUM(CAST(('0x' || substring(md5(
-               CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' ||
-               source || '|' || CAST(n_chars AS VARCHAR)
+               COALESCE(md5(CAST(doc_id AS VARCHAR)), '-') || '|' ||
+               COALESCE(md5(text), '-') || '|' ||
+               COALESCE(md5(lang), '-') || '|' ||
+               COALESCE(md5(source), '-') || '|' ||
+               COALESCE(md5(CAST(n_chars AS VARCHAR)), '-')
            ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum
     FROM documents
     UNION ALL
     SELECT 'orders',
            CAST(COUNT(*) AS BIGINT),
            CAST(CAST(SUM(CAST(('0x' || substring(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
-               o_orderstatus || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' ||
-               o_orderpriority
+               COALESCE(md5(CAST(o_orderkey AS VARCHAR)), '-') || '|' ||
+               COALESCE(md5(CAST(o_custkey AS VARCHAR)), '-') || '|' ||
+               COALESCE(md5(o_orderstatus), '-') || '|' ||
+               COALESCE(md5(strftime(o_orderdate, '%Y-%m-%d')), '-') || '|' ||
+               COALESCE(md5(o_orderpriority), '-')
            ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
     FROM orders
     ORDER BY table_name

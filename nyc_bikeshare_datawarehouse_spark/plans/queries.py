@@ -3483,10 +3483,14 @@ def q_ngram_containment(spark, sf_dir):
     sub-document duplication screen (short doc quoted inside a long one
     scores ~1.0 while its jaccard stays low). Same inverted-index plan
     as q_ngram_jaccard — (shingle_hash, id) shuffles, pair-repartitioned
-    single HashAggregate — only the measure differs."""
+    single HashAggregate — only the measure differs. The >= 2 token
+    filter mirrors the oracle's len(t) >= 2 bound (q_ngram_jaccard's
+    d2 convention): shingles()'s whole-text fallback for degenerate
+    docs must not enter the pair universe."""
     d = _t(spark, sf_dir, "documents")
+    d2 = d.filter(F.size(text.tokens("text")) >= 2)
     return dedup.ngram_containment_pairs(
-        d, shingle_n=2, min_containment=0.5, pack_ids=True
+        d2, shingle_n=2, min_containment=0.5, pack_ids=True
     ).orderBy("id_a", "id_b")
 
 
@@ -4275,12 +4279,16 @@ def q_containment_pruned(spark, sf_dir):
     (shared dfreq frame), and the oracle mirrors the calibration rank
     rule verbatim. The exact twin (q_ngram_containment, the most
     expensive heavy member at ~25s/sf0.1) stays as ground truth; this
-    is the plan you'd run at scale."""
+    is the plan you'd run at scale. The >= 2 token filter keeps
+    shingles()'s whole-text fallback for degenerate docs out of the
+    dfreq/median/pair universe — the oracle's sh0 CTE excludes them
+    (same pre-filter as q_dedup_clusters_pruned)."""
     d = _t(spark, sf_dir, "documents")
-    dfreq = dedup.shingle_dfreq(d, "text", "doc_id", shingle_n=2)
+    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    dfreq = dedup.shingle_dfreq(d2, "text", "doc_id", shingle_n=2)
     cut = dedup.calibrated_df_cutoff(dfreq=dfreq)
     return dedup.ngram_containment_pairs(
-        d, shingle_n=2, min_containment=0.5, pack_ids=True,
+        d2, shingle_n=2, min_containment=0.5, pack_ids=True,
         max_doc_count=cut, dfreq=dfreq,
     ).orderBy("id_a", "id_b")
 
@@ -4707,16 +4715,22 @@ def q_stats_lifecycle(spark, sf_dir):
     HLL-approximate by design and excluded. The planner consuming these
     stats (rowCount estimates, CBO broadcast flips) is plan-pinned in
     tests/test_stats.py."""
+    import os
+    import re as _re
     import tempfile
 
     from nyc_bikeshare_datawarehouse_spark.sources.sinks import drop_table
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    name = "spark_graft_stats_orders"
+    # SF-tagged name+path: a concurrent session at a different sf_dir
+    # (bench at sf0.1 while the gate runs sf0.01 — the documented round
+    # workflow) must not overwrite this session's files mid-query
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    name = f"spark_graft_stats_orders_{tag}"
     drop_table(spark, name)
     # external location under the system tempdir: the driver's session may
     # run from a cwd where the default managed warehouse isn't writable
-    path = f"{tempfile.gettempdir()}/spark_graft_stats/orders"
+    path = f"{tempfile.gettempdir()}/spark_graft_stats/orders_{tag}"
     o.write.mode("overwrite").option("path", path).format("parquet").saveAsTable(name)
     spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS o_custkey")
     col_stats = (
@@ -4763,9 +4777,13 @@ def q_rolling_median(spark, sf_dir):
         .select(
             "user_id",
             "event_id",
-            F.element_at("__vals", ((F.size("__vals") + 1) / 2).cast("int")).alias(
-                "rolling_med"
-            ),
+            # all-NULL frame -> empty collect_list -> index 0, which
+            # element_at always rejects: guard to NULL like the
+            # oracle's quantile_disc does naturally
+            F.when(
+                F.size("__vals") >= 1,
+                F.element_at("__vals", ((F.size("__vals") + 1) / 2).cast("int")),
+            ).alias("rolling_med"),
             F.size("__vals").alias("n_in_frame"),
         )
         .orderBy("user_id", "event_id")

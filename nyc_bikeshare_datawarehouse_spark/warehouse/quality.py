@@ -142,8 +142,23 @@ def checksum_state(df: DataFrame, cols: list) -> DataFrame:
     row sets ADD (both fields), so per-partition / per-micro-batch /
     per-day states fold into the corpus checksum without re-reading
     history (the same mergeability contract as functions/sketches.py;
-    wired to Structured Streaming in streaming/sketches.checksum_stream)."""
-    canon = F.concat_ws("|", *cols)
+    wired to Structured Streaming in streaming/sketches.checksum_stream).
+
+    Canonicalization is INJECTIVE on the column tuple: each column
+    becomes a fixed-alphabet token — 32 hex chars of md5(value), or the
+    literal '-' for NULL ('-' is outside the hex alphabet, so no value
+    can impersonate a NULL and no separator-shift between adjacent
+    columns can realign tokens) — before the row md5. A naive
+    concat_ws would SKIP nulls (row ('a',NULL,'b') == ('a','b',NULL))
+    and let a '|' inside a value shift content across fields; both
+    collide real differences into equal checksums."""
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.when(c.isNull(), F.lit("-")).otherwise(F.md5(c.cast("string")))
+            for c in cols
+        ],
+    )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -562,3 +562,25 @@ class TestRollingMedian:
                q_rolling_median(spark, d).collect()]
         # frames: [10] [10,50] [10,20,50] [10,20,40,50] [10,20,30,40,50]
         assert got == [(10.0, 1), (10.0, 2), (20.0, 3), (20.0, 4), (30.0, 5)]
+
+    def test_all_null_frame_yields_null_median(self, spark):
+        from nyc_bikeshare_datawarehouse_spark.plans.queries import q_rolling_median
+        import datetime
+        import os
+        import tempfile
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (0, base, 7, None, "x", "{}"),                                  # frame all-null
+            (1, base + datetime.timedelta(minutes=1), 7, 5.0, "x", "{}"),   # frame {5.0}
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, value double, "
+            "event_type string, props string",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = [(r["rolling_med"], r["n_in_frame"]) for r in
+               q_rolling_median(spark, d).collect()]
+        assert got == [(None, 0), (5.0, 1)]

@@ -95,3 +95,24 @@ class TestContentChecksum:
             content_checksum(a, cols, "t").head()["content_checksum"]
             == content_checksum(b, cols, "t").head()["content_checksum"]
         )
+
+    def test_null_and_separator_injection_safe(self, spark):
+        from pyspark.sql import functions as F
+
+        from nyc_bikeshare_datawarehouse_spark.warehouse.quality import (
+            content_checksum,
+        )
+
+        cols = [F.col("a"), F.col("b"), F.col("c")]
+
+        def ck(rows):
+            df = spark.createDataFrame(rows, "a string, b string, c string")
+            return content_checksum(df, cols, "t").head()["content_checksum"]
+
+        # NULL position matters: ('a', NULL, 'b') != ('a', 'b', NULL)
+        assert ck([("a", None, "b")]) != ck([("a", "b", None)])
+        # a '|' inside a value must not shift content across fields
+        assert ck([("a|b", "c", "d")]) != ck([("a", "b|c", "d")])
+        # NULL is distinct from every string, including '-' and ''
+        assert ck([("a", None, "b")]) != ck([("a", "-", "b")])
+        assert ck([("a", None, "b")]) != ck([("a", "", "b")])
