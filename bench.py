@@ -218,6 +218,9 @@ EXTENDED = [
     "q_rolling_median",
     "q_mmr_diverse",
     "q_table_checksum",
+    # rides the q_dedup_clusters_pruned lattice with two-star CC; in the
+    # single-run extended tier (not heavy) to respect the 550s wall
+    "q_cc_twostar",
 ]
 
 

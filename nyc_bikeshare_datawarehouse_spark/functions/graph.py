@@ -180,3 +180,113 @@ def bfs_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def two_star_components(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public literature): every node gets `cluster_id` = the
+    min id in its component, the SAME contract as
+    dedup.cluster_duplicates — but convergence is O(log²) rounds in the
+    component SIZE (O(log) observed) instead of O(diameter) rounds of
+    min-label propagation. At 100 TB that difference is the job: a
+    crawl-graph chain of diameter 10⁴ is 10⁴ propagation rounds but
+    ~15 two-star rounds (pinned on a 200-node path in tests).
+
+    Each round is two grouped-min aggregates + joins over the EDGE list
+    only (two longs per row — never the corpus); edges are checkpointed
+    per round (the iterative-lineage rule), and the fixpoint test is an
+    O(1)-row fingerprint aggregate (count + xxhash sum), not a full
+    set-difference. The fixpoint is the star graph of every component
+    (centers = component minima), so labels fall out of the final edge
+    list directly; singletons rejoin via all_ids.
+
+    Equivalence with cluster_duplicates is hypothesis-tested on random
+    graphs; the declared q_cc_twostar proves it against the recursive-
+    CTE SQL oracle through the hash gate."""
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def _fingerprint(edges: DataFrame):
+        # sum in decimal(38,0): a long sum of 2^63-scale hashes overflows
+        # (ANSI mode raises); decimal is exact far past any edge count
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    edges = _ckpt(
+        _canon(
+            pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        )
+    )
+    fp = _fingerprint(edges)
+    converged = False
+    for _ in range(max_iters):
+        # large-star: connect every strictly-larger neighbor of u to
+        # m = min(N(u) ∪ {u}) — m <= u < v, so (m, v) is already canonical
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mu = sym.groupBy("u").agg(F.min("v").alias("__mv")).select(
+            "u", F.least(F.col("__mv"), F.col("u")).alias("m")
+        )
+        ls = (
+            sym.join(mu, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("x"), F.col("v").alias("y"))
+        )
+        ls = _canon(ls)
+        # small-star on the canonical (lo < hi) orientation: attach hi and
+        # all of its smaller neighbors to m = min of those neighbors
+        mb = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        e1 = mb.select(F.col("hi").alias("x"), F.col("m").alias("y"))
+        e2 = (
+            ls.join(mb, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("x"), F.col("m").alias("y"))
+        )
+        new_edges = _ckpt(_canon(e1.unionByName(e2)))
+        new_fp = _fingerprint(new_edges)
+        edges = new_edges
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"two_star_components did not converge in {max_iters} iterations "
+            "(expected O(log n) rounds — raise max_iters)"
+        )
+    # fixpoint = star graphs: every edge is (center, member), center = min
+    labels = (
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("lo").alias("node"), F.col("lo").alias("cluster_id"))
+        )
+        .distinct()
+    )
+    return all_ids.select(F.col(id_col)).join(
+        labels, all_ids[id_col] == labels.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )

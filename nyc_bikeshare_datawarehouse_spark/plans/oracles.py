@@ -4537,3 +4537,10 @@ ORACLES["q_incremental_dedup_pruned"] = """
     WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
     ORDER BY doc_id
 """
+
+
+# Two-star CC: SAME edge set and SAME component contract as
+# q_dedup_clusters_pruned — the oracle is reused verbatim, so the hash
+# gate proves algorithmic equivalence of the two CC implementations on
+# real pair data.
+ORACLES["q_cc_twostar"] = ORACLES["q_dedup_clusters_pruned"]

@@ -4823,6 +4823,32 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_cc_twostar(spark, sf_dir):
+    """Connected components via alternating large-star / small-star
+    (functions/graph.two_star_components, Kiveris et al. SoCC'14) over
+    the SAME calibrated df-pruned jaccard edge set as
+    q_dedup_clusters_pruned — and the SAME recursive-CTE oracle, reused
+    verbatim: the hash gate therefore proves the two CC algorithms
+    (O(log n)-round two-star vs O(diameter)-round min-label
+    propagation) compute identical components on real pair data, not
+    just on unit-test graphs. Two-star is the plan for long-chain
+    graphs at 100 TB: a crawl-chain of diameter 10⁴ is 10⁴ propagation
+    rounds but ~15 two-star rounds (path pinned in tests)."""
+    from nyc_bikeshare_datawarehouse_spark.functions.graph import (
+        two_star_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    dfreq = dedup.shingle_dfreq(d2, "text", "doc_id", shingle_n=2)
+    cut = dedup.calibrated_df_cutoff(dfreq=dfreq)
+    pairs = dedup.ngram_jaccard_pairs(
+        d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, max_doc_count=cut,
+        pack_ids=True, dfreq=dfreq,
+    )
+    return two_star_components(pairs, d, "doc_id")
+
+
 def q_table_checksum(spark, sf_dir):
     """Cross-system migration-verification checksums (warehouse/
     quality.py `content_checksum`): order-independent content checksum
@@ -4906,6 +4932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mmr_diverse": q_mmr_diverse,
     "q_table_checksum": q_table_checksum,
     "q_incremental_dedup_pruned": q_incremental_dedup_pruned,
+    "q_cc_twostar": q_cc_twostar,
     # --- newest driver row: r06
     "q_union_byname": q_union_byname,
     "q_union_dedup": q_union_dedup,
@@ -4949,8 +4976,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk": q_topk,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q12": q_tpch_q12,
-    "q_tpch_q13": q_tpch_q13,
-    "q_tpch_q14": q_tpch_q14,  # <- driver window cut (50)
+    "q_tpch_q13": q_tpch_q13,  # <- driver window cut (50)
+    "q_tpch_q14": q_tpch_q14,
     "q_tpch_q15": q_tpch_q15,
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,

@@ -400,3 +400,63 @@ class TestSpatial:
         # 0.9 deg apart at the equator = ~100.2 km, cells 0 and 1
         out = points_within(df, radius_km=101.0, cell_deg=1.0).collect()
         assert len(out) == 1 and abs(out[0]["dist_km"] - 100.3) < 0.5
+
+
+class TestTwoStarComponents:
+    @staticmethod
+    def _run(spark, edges, n_nodes):
+        from nyc_bikeshare_datawarehouse_spark.functions.graph import (
+            two_star_components,
+        )
+
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        if not edges:
+            pairs = pairs.filter("id_a <> id_a")  # empty frame, kept schema
+        ids = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in two_star_components(pairs, ids).collect()
+        }
+
+    def test_hand_cases(self, spark):
+        # two components {0,1,2,3} (path) + {5,6} and singletons 4, 7
+        got = self._run(spark, [(0, 1), (1, 2), (2, 3), (5, 6)], 8)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    def test_empty_edges_all_singletons(self, spark):
+        assert self._run(spark, [], 4) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # a 200-node path has diameter 199: min-label propagation needs
+        # ~199 rounds, two-star must finish well inside 50 (O(log n))
+        edges = [(i, i + 1) for i in range(199)]
+        got = self._run(spark, edges, 200)
+        assert set(got.values()) == {0}
+
+    def test_matches_label_propagation_on_random_graphs(self, spark):
+        import random
+
+        from nyc_bikeshare_datawarehouse_spark.functions.dedup import (
+            cluster_duplicates,
+        )
+        from nyc_bikeshare_datawarehouse_spark.functions.graph import (
+            two_star_components,
+        )
+
+        rng = random.Random(411)
+        for _ in range(4):
+            n = rng.randint(2, 40)
+            m = rng.randint(0, 60)
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+            a = {r["doc_id"]: r["cluster_id"]
+                 for r in two_star_components(pairs, ids).collect()}
+            b = {r["doc_id"]: r["cluster_id"]
+                 for r in cluster_duplicates(pairs, ids, max_iters=60).collect()}
+            assert a == b, (n, edges)
