@@ -203,3 +203,65 @@ def content_checksum(df: DataFrame, cols: list, table: str) -> DataFrame:
         "n_rows",
         F.col("checksum").cast("string").alias("content_checksum"),
     )
+
+
+def verified_bulk_load(
+    spark,
+    source_df: DataFrame,
+    table: str,
+    checksum_cols: list,
+    analyze_columns: list | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """The reference's warehouse-stage contract as ONE verifiable step
+    (stage_redshift.py:34-48 shape: COPY → post-load ANALYZE → count
+    check — with the count check upgraded to a CONTENT check): write
+    `source_df` to `table` (external under `path` when given, else
+    managed), run ANALYZE TABLE [FOR COLUMNS], then recompute the
+    content checksum on BOTH sides — the source plan and the persisted
+    table — and return a one-row report
+    (table_name, n_rows, content_checksum, loaded_rows,
+    loaded_checksum, verified bool).
+
+    verified=false means the persisted bytes do NOT round-trip to the
+    source multiset (partial write, concurrent overwrite, engine
+    re-encoding bug) even when the counts agree — the failure class a
+    COUNT(*) check cannot see. Both checksums are one map-side-combined
+    aggregate each; the write is the only corpus-sized cost.
+
+    `checksum_cols` follow the content_checksum contract (engine-stable
+    renderings; no raw doubles)."""
+    from nyc_bikeshare_datawarehouse_spark.sources.sinks import drop_table
+
+    drop_table(spark, table)
+    writer = source_df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    if analyze_columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(analyze_columns)
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    src = content_checksum(source_df, checksum_cols, table)
+    loaded = content_checksum(spark.table(table), checksum_cols, table).select(
+        F.col("table_name").alias("__t"),
+        F.col("n_rows").alias("loaded_rows"),
+        F.col("content_checksum").alias("loaded_checksum"),
+    )
+    return (
+        src.join(loaded, src.table_name == loaded.__t)
+        .select(
+            "table_name",
+            "n_rows",
+            "content_checksum",
+            "loaded_rows",
+            "loaded_checksum",
+            (
+                (F.col("n_rows") == F.col("loaded_rows"))
+                & (F.col("content_checksum") == F.col("loaded_checksum"))
+            ).alias("verified"),
+        )
+    )

@@ -116,3 +116,49 @@ class TestContentChecksum:
         # NULL is distinct from every string, including '-' and ''
         assert ck([("a", None, "b")]) != ck([("a", "-", "b")])
         assert ck([("a", None, "b")]) != ck([("a", "", "b")])
+
+
+class TestVerifiedBulkLoad:
+    def test_roundtrip_verifies_and_tamper_detected(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from nyc_bikeshare_datawarehouse_spark.sources.sinks import drop_table
+        from nyc_bikeshare_datawarehouse_spark.warehouse.quality import (
+            content_checksum,
+            verified_bulk_load,
+        )
+
+        src = spark.range(0, 500).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+        )
+        cols = [F.col("k").cast("string"), F.col("v")]
+        try:
+            rep = verified_bulk_load(
+                spark, src, "vbl_t", cols,
+                analyze_columns=["k"], path=str(tmp_path / "vbl"),
+            ).head()
+            assert rep["verified"] is True
+            assert rep["n_rows"] == rep["loaded_rows"] == 500
+            assert rep["content_checksum"] == rep["loaded_checksum"]
+            # post-load ANALYZE ran: the catalog carries exact column stats
+            mx = (
+                spark.sql("DESCRIBE EXTENDED vbl_t k")
+                .filter(F.col("info_name") == "max").head()["info_value"]
+            )
+            assert mx == "499"
+            # tamper: SAME row count, one cell changed — the failure class
+            # a COUNT(*) check cannot see, the checksum must
+            tampered = spark.table("vbl_t").withColumn(
+                "v",
+                F.when(F.col("k") == 123, F.lit("evil")).otherwise(F.col("v")),
+            )
+            tampered.write.mode("overwrite").parquet(str(tmp_path / "vbl2"))
+            got = content_checksum(
+                spark.read.parquet(str(tmp_path / "vbl2")), cols, "t"
+            ).head()
+            want = content_checksum(src, cols, "t").head()
+            assert got["n_rows"] == want["n_rows"]
+            assert got["content_checksum"] != want["content_checksum"]
+        finally:
+            drop_table(spark, "vbl_t")
