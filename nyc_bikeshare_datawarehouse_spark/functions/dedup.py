@@ -26,6 +26,32 @@ from pyspark.sql import DataFrame, Window, functions as F
 from nyc_bikeshare_datawarehouse_spark.functions.text import shingles, token_set_fingerprint, tokens
 
 
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Distinct (id, shingle) postings with the >= shingle_n token bound
+    applied INSIDE the builder: shingles() emits a whole-text fallback
+    for docs shorter than shingle_n, and every oracle in the lattice
+    family excludes those docs (len(t) >= n CTEs) — enforcing the bound
+    here removes the per-call-site d2-filter class of engine/oracle
+    mismatch the round-11 review found (the containment pair had
+    forgotten it; incremental_dedup._postings already did this).
+    hashed=True emits the xxhash64 column `sh`; False keeps the raw
+    shingle string `s` (the portable-md5 lattice hashes per min-hash
+    function instead)."""
+    base = df.filter(F.size(tokens(text_col)) >= shingle_n).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    )
+    if hashed:
+        return base.select(id_col, F.xxhash64("s").alias("sh")).dropDuplicates()
+    return base.dropDuplicates()
+
+
 def _materialized(df: DataFrame, expr, name: str, keep: list[str]) -> DataFrame:
     """Project `expr` as `name` behind an explode(array(...)) barrier.
 
@@ -285,10 +311,7 @@ def portable_minhash_parts(
 
     The expensive md5s happen map-side in one projection (posexplode of
     a k-hash transform); shuffles carry (id, i, h) only."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-    ).dropDuplicates()
+    sh = shingle_postings(df, text_col, id_col, shingle_n, hashed=False)
     hashed = sh.select(
         id_col,
         F.posexplode(
@@ -736,14 +759,7 @@ def prefix_jaccard_candidates(
     are (shingle_hash, id, size) prefixes only. Candidates then go to
     `jaccard_verify_pairs`, which is per-pair codegen.
     """
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-        )
-        .select(id_col, F.xxhash64("s").alias("sh"))
-        .dropDuplicates()
-    )
+    sh = shingle_postings(df, text_col, id_col, shingle_n)
     w_df = Window.partitionBy("sh")
     w_doc = Window.partitionBy(id_col)
     w_rank = Window.partitionBy(id_col).orderBy("__df", "sh")
@@ -828,6 +844,34 @@ def jaccard_verify_pairs(
     )
 
 
+def iteration_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round lineage truncation for iterative algorithms (CC, two-
+    star, PageRank): localCheckpoint by default (fast, executor-block
+    storage), `reliable=True` for DFS checkpoints that survive executor
+    loss on a real cluster (set sparkContext.setCheckpointDir first).
+    Shared by cluster_duplicates and graph.two_star_components so the
+    durability contract stays in one place."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def rejoin_singleton_labels(
+    all_ids: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """Attach component labels to the FULL id universe: ids in no edge
+    keep their own id as cluster_id. `labels` carries (node,
+    cluster_id); the contract (and column names) are shared by both CC
+    implementations — the hash-gate equivalence of q_cc_twostar vs
+    q_dedup_clusters_pruned depends on this tail staying identical."""
+    return all_ids.select(F.col(id_col)).join(
+        labels, all_ids[id_col] == labels.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
 def cluster_duplicates(
     pairs: DataFrame,
     all_ids: DataFrame,
@@ -855,9 +899,7 @@ def cluster_duplicates(
     local[n] (one JVM) the distinction is moot, so local stays default.
     """
     def _ckpt(df: DataFrame) -> DataFrame:
-        if reliable_checkpoint:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return iteration_checkpoint(df, reliable_checkpoint)
 
     edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -915,12 +957,7 @@ def cluster_duplicates(
             "a component has diameter > max_iters — raise max_iters"
         )
     # rejoin singletons: every id not in any edge keeps its own label
-    return all_ids.select(F.col(id_col)).join(
-        labels, all_ids[id_col] == labels.node, "left"
-    ).select(
-        F.col(id_col),
-        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
-    )
+    return rejoin_singleton_labels(all_ids, labels, id_col)
 
 
 def apply_dedup(
@@ -965,14 +1002,7 @@ def calibrate_df_cutoff(
     corpus (quantile collapses to 1-2) doesn't prune everything."""
     if not 0.0 < quantile < 1.0:
         raise ValueError(f"quantile must be in (0, 1), got {quantile}")
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-        )
-        .select(id_col, F.xxhash64("s").alias("sh"))
-        .dropDuplicates()
-    )
+    sh = shingle_postings(df, text_col, id_col, shingle_n)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     cut = dfreq.agg(
         F.percentile_approx("__df", F.lit(quantile), F.lit(10000)).alias("__cut")
@@ -993,14 +1023,7 @@ def shingle_dfreq(
     without sharing, the calibrated lattice paid the shingle build
     twice (once to derive the cutoff, once inside the join's pruning
     branch). The frame is vocab-sized, so the checkpoint is cheap."""
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-        )
-        .select(id_col, F.xxhash64("s").alias("sh"))
-        .dropDuplicates()
-    )
+    sh = shingle_postings(df, text_col, id_col, shingle_n)
     return (
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         .localCheckpoint(eager=True)
@@ -1140,14 +1163,7 @@ def ngram_jaccard_pairs(
             "dfreq was passed but neither max_doc_frac nor max_doc_count is "
             "set — the precomputed document frequencies would be ignored"
         )
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-        )
-        .select(id_col, F.xxhash64("s").alias("sh"))
-        .dropDuplicates()
-    )
+    sh = shingle_postings(df, text_col, id_col, shingle_n)
     if max_doc_frac is not None or max_doc_count is not None:
         if dfreq is None:
             dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
@@ -1294,14 +1310,7 @@ def ngram_containment_pairs(
             "dfreq was passed but max_doc_count is not set — the "
             "precomputed document frequencies would be ignored"
         )
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-        )
-        .select(id_col, F.xxhash64("s").alias("sh"))
-        .dropDuplicates()
-    )
+    sh = shingle_postings(df, text_col, id_col, shingle_n)
     if max_doc_count is not None:
         # df-pruning, the jaccard-lattice scale lever (see
         # ngram_jaccard_pairs): a shingle in d docs contributes d² pairs

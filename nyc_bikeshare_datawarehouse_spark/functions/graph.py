@@ -210,10 +210,13 @@ def two_star_components(
     Equivalence with cluster_duplicates is hypothesis-tested on random
     graphs; the declared q_cc_twostar proves it against the recursive-
     CTE SQL oracle through the hash gate."""
+    from nyc_bikeshare_datawarehouse_spark.functions.dedup import (
+        iteration_checkpoint,
+        rejoin_singleton_labels,
+    )
+
     def _ckpt(df: DataFrame) -> DataFrame:
-        if reliable_checkpoint:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return iteration_checkpoint(df, reliable_checkpoint)
 
     def _canon(df: DataFrame) -> DataFrame:
         return (
@@ -240,7 +243,11 @@ def two_star_components(
     )
     fp = _fingerprint(edges)
     converged = False
-    for _ in range(max_iters):
+    # max_iters counts edge-REWRITE rounds; a graph whose last rewrite
+    # lands exactly on round max_iters is already converged, but the
+    # fingerprint probe that proves it runs inside the next round — so
+    # run up to max_iters + 1 rounds (the cluster_duplicates rule)
+    for _ in range(max_iters + 1):
         # large-star: connect every strictly-larger neighbor of u to
         # m = min(N(u) ∪ {u}) — m <= u < v, so (m, v) is already canonical
         sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
@@ -266,10 +273,18 @@ def two_star_components(
         )
         new_edges = _ckpt(_canon(e1.unionByName(e2)))
         new_fp = _fingerprint(new_edges)
-        edges = new_edges
         if new_fp == fp:
-            converged = True
-            break
+            # the fingerprint is a SUM — commutative deltas could cancel.
+            # Confirm with ONE exact set-difference, paid only at the
+            # (single) matching round: both sides are distinct canonical
+            # sets with equal counts, so one-direction emptiness proves
+            # set equality. A silent collision would otherwise read
+            # labels off a non-star edge set with no error.
+            if new_edges.exceptAll(edges).limit(1).count() == 0:
+                edges = new_edges
+                converged = True
+                break
+        edges = new_edges
         fp = new_fp
     if not converged:
         raise RuntimeError(
@@ -284,9 +299,4 @@ def two_star_components(
         )
         .distinct()
     )
-    return all_ids.select(F.col(id_col)).join(
-        labels, all_ids[id_col] == labels.node, "left"
-    ).select(
-        F.col(id_col),
-        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
-    )
+    return rejoin_singleton_labels(all_ids, labels, id_col)

@@ -4724,8 +4724,17 @@ def q_stats_lifecycle(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     # SF-tagged name+path: a concurrent session at a different sf_dir
     # (bench at sf0.1 while the gate runs sf0.01 — the documented round
-    # workflow) must not overwrite this session's files mid-query
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    # workflow) must not overwrite this session's files mid-query. The
+    # tag hashes the FULL path, not just the basename: the raw corpus
+    # and its .benchdata copy share a basename (sf0.1) but are distinct
+    # inputs
+    import hashlib
+
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    tag = (
+        _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(full))
+        + "_" + hashlib.md5(full.encode()).hexdigest()[:6]
+    )
     name = f"spark_graft_stats_orders_{tag}"
     drop_table(spark, name)
     # external location under the system tempdir: the driver's session may

@@ -84,10 +84,17 @@ SCALE_PATH = [
 EXACT = ["q_ngram_jaccard", "q_dedup_clusters", "q_ngram_containment"]
 
 
+#: documents schema the replica builder writes — ALSO the cache key: a
+#: stale sfx corpus built before a column was added would fail any probe
+#: query selecting it (UNRESOLVED_COLUMN at 10x), so the marker stores
+#: this list and a mismatch triggers a rebuild instead of a crash.
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
 def build_sfx(spark, replicas: int) -> str:
     out = f"{BENCHDATA}/sfx{replicas}"
     marker = f"{out}/_SCALING_READY"
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read().strip() == ",".join(DOC_COLS):
         return out
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).head()[0] + 1
@@ -135,7 +142,7 @@ def build_sfx(spark, replicas: int) -> str:
     for p in eparts[1:]:
         big_emb = big_emb.unionByName(p)
     big_emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    open(marker, "w").write("ok")
+    open(marker, "w").write(",".join(DOC_COLS))
     return out
 
 
