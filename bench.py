@@ -221,6 +221,7 @@ EXTENDED = [
     # rides the q_dedup_clusters_pruned lattice with two-star CC; in the
     # single-run extended tier (not heavy) to respect the 550s wall
     "q_cc_twostar",
+    "q_verified_load",
 ]
 
 

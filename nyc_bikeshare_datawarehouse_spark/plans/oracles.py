@@ -4544,3 +4544,25 @@ ORACLES["q_incremental_dedup_pruned"] = """
 # gate proves algorithmic equivalence of the two CC implementations on
 # real pair data.
 ORACLES["q_cc_twostar"] = ORACLES["q_dedup_clusters_pruned"]
+
+
+# Verified load: the oracle recomputes the SOURCE checksum once and
+# states it for both sides — hash-matching the engine's report proves
+# the persisted parquet round-trip preserved the row multiset AND the
+# canonicalization is cross-engine exact (verified must be true).
+ORACLES["q_verified_load"] = """
+    WITH ck AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(('0x' || substring(md5(
+                   COALESCE(md5(CAST(o_orderkey AS VARCHAR)), '-') || '|' ||
+                   COALESCE(md5(CAST(o_custkey AS VARCHAR)), '-') || '|' ||
+                   COALESCE(md5(o_orderstatus), '-') || '|' ||
+                   COALESCE(md5(strftime(o_orderdate, '%Y-%m-%d')), '-') || '|' ||
+                   COALESCE(md5(o_orderpriority), '-')
+               ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS c
+        FROM orders
+    )
+    SELECT 'orders' AS table_name, n AS n_rows, c AS content_checksum,
+           n AS loaded_rows, c AS loaded_checksum, TRUE AS verified
+    FROM ck
+"""

@@ -4832,6 +4832,49 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_verified_load(spark, sf_dir):
+    """The warehouse load-verification contract through the driver
+    surface (warehouse/quality.verified_bulk_load): write orders to a
+    table, ANALYZE, recompute the content checksum on BOTH the source
+    plan and the persisted files, report (n_rows, checksum) x 2 +
+    verified. The oracle recomputes the source checksum independently,
+    so the hash gate verifies THREE things at once: the canonicalization
+    is cross-engine exact, the parquet round-trip preserved the row
+    multiset, and verified=true is honest. Physical table name is
+    SF+path-tagged against concurrent sessions (the q_stats_lifecycle
+    rule); the report row carries the stable label."""
+    import hashlib
+    import os as _os
+    import re as _re2
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.warehouse.quality import (
+        verified_bulk_load,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = (
+        _re2.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(full))
+        + "_" + hashlib.md5(full.encode()).hexdigest()[:6]
+    )
+    return verified_bulk_load(
+        spark,
+        o,
+        f"spark_graft_vload_orders_{tag}",
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        ],
+        analyze_columns=["o_custkey"],
+        path=f"{tempfile.gettempdir()}/spark_graft_vload/orders_{tag}",
+        label="orders",
+    )
+
+
 def q_cc_twostar(spark, sf_dir):
     """Connected components via alternating large-star / small-star
     (functions/graph.two_star_components, Kiveris et al. SoCC'14) over
@@ -4942,6 +4985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_checksum": q_table_checksum,
     "q_incremental_dedup_pruned": q_incremental_dedup_pruned,
     "q_cc_twostar": q_cc_twostar,
+    "q_verified_load": q_verified_load,
     # --- newest driver row: r06
     "q_union_byname": q_union_byname,
     "q_union_dedup": q_union_dedup,
@@ -4984,8 +5028,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_pipeline": q_text_pipeline,
     "q_topk": q_topk,
     "q_tpch_q10": q_tpch_q10,
-    "q_tpch_q12": q_tpch_q12,
-    "q_tpch_q13": q_tpch_q13,  # <- driver window cut (50)
+    "q_tpch_q12": q_tpch_q12,  # <- driver window cut (50)
+    "q_tpch_q13": q_tpch_q13,
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q15": q_tpch_q15,
     "q_tpch_q17": q_tpch_q17,

@@ -212,6 +212,7 @@ def verified_bulk_load(
     checksum_cols: list,
     analyze_columns: list | None = None,
     path: str | None = None,
+    label: str | None = None,
 ) -> DataFrame:
     """The reference's warehouse-stage contract as ONE verifiable step
     (stage_redshift.py:34-48 shape: COPY → post-load ANALYZE → count
@@ -230,9 +231,12 @@ def verified_bulk_load(
     aggregate each; the write is the only corpus-sized cost.
 
     `checksum_cols` follow the content_checksum contract (engine-stable
-    renderings; no raw doubles)."""
+    renderings; no raw doubles). `label` names the report row (defaults
+    to `table`) — pass it when the physical table name carries a
+    session/SF tag that a stable report or oracle must not see."""
     from nyc_bikeshare_datawarehouse_spark.sources.sinks import drop_table
 
+    label = label if label is not None else table
     drop_table(spark, table)
     writer = source_df.write.mode("overwrite").format("parquet")
     if path is not None:
@@ -245,8 +249,8 @@ def verified_bulk_load(
         )
     else:
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
-    src = content_checksum(source_df, checksum_cols, table)
-    loaded = content_checksum(spark.table(table), checksum_cols, table).select(
+    src = content_checksum(source_df, checksum_cols, label)
+    loaded = content_checksum(spark.table(table), checksum_cols, label).select(
         F.col("table_name").alias("__t"),
         F.col("n_rows").alias("loaded_rows"),
         F.col("content_checksum").alias("loaded_checksum"),
