@@ -224,6 +224,12 @@ EXTENDED = [
     # single-run extended tier (not heavy) to respect the 550s wall
     "q_cc_twostar",
     "q_verified_load",
+    # round 11 second-session members: the evaluation-metrics family +
+    # the oracle-checked video modality
+    "q_roc_auc",
+    "q_ab_ttest",
+    "q_threshold_metrics",
+    "q_video_scenes",
 ]
 
 

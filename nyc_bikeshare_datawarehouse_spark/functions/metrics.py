@@ -1,0 +1,242 @@
+"""Classifier-evaluation metrics at corpus scale — exact, integer-first.
+
+A curation pipeline trains quality/contamination/language classifiers
+(functions/selection.py, functions/text.py) and then has to EVALUATE them
+over the same 100 TB corpus it scores. These are the three evaluation
+primitives, each designed so engine and oracle agree bit-for-bit:
+
+- `roc_auc`: EXACT ROC-AUC (Mann-Whitney U with tie-averaged ranks) for
+  many one-vs-rest labels in ONE pass. Never ranks the corpus row-by-row:
+  rows collapse to per-distinct-score counts first (map-side combinable
+  groupBy — the score key space, not the corpus, bounds the state), then
+  the cumulative negative counts come from `two_phase_cumsum`, so there is
+  no corpus-sized single-partition window at any scale. All rank algebra
+  stays in longs (2·U is integral even with ties); the only float op is
+  the final division of two exact longs — IEEE-correctly-rounded, hence
+  identical in Spark and DuckDB.
+
+- `welch_ttest`: Welch's unequal-variance t-test between two variants
+  (the A/B readout over experiment events). Per-variant n / Σv / Σv² are
+  EXACT integer sums of caller-quantized longs (one conditional aggregate,
+  one reduce to a single row); mean/variance/t/dof are then derived in
+  doubles with the same expression tree the oracle uses — every step is
+  +,-,×,÷,sqrt on identical inputs, all IEEE correctly rounded, so the
+  doubles are bit-identical cross-engine (the q_ab_ttest gate proves it).
+  Σv² is the overflow hazard, not Σv: quantize so v² · rows < 2^63.
+
+- `threshold_metrics`: confusion counts + precision/recall/F1 over a
+  literal threshold grid. The grid joins as a broadcast literal frame
+  (one corpus scan serves every threshold via the conditional aggregate;
+  no per-threshold pass), counts are exact longs, ratios are single
+  divisions of exact longs.
+
+No reference counterpart (LLM-pipeline extension surface; the reference's
+analytics stop at warehouse SQL — sql_queries.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_cumsum
+
+
+def roc_auc(
+    df: DataFrame,
+    score: Column,
+    labels: Sequence[tuple[str, Column]],
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Exact one-vs-rest ROC-AUC for each (name, boolean Column) in
+    `labels`, sharing one scan + one cumulative pass.
+
+    With ties handled by average ranks, AUC = U / (n_pos · n_neg) where
+    U = Σ_s pos_s · (neg_below_s + neg_s / 2) over distinct scores s.
+    2·U is integral, so the engine carries `u2 = Σ pos_s · (2·neg_below_s
+    + neg_s)` in longs and divides once at the end:
+    auc = u2 / (2 · n_pos · n_neg).
+
+    Scale shape: groupBy(score) is map-side combinable (state = distinct
+    scores, not rows); `two_phase_cumsum` turns the grouped frame into
+    global below-counts with one bucket-key shuffle and a B-row driver
+    window; the final aggregate is a single reduced row exploded to one
+    output row per label. `score` must be integral (quantize floats with
+    FLOOR(x·scale + 0.5) so the oracle can reproduce the key exactly).
+
+    Output: (label, n_pos, n_neg, u2, auc) — auc NULL when a class is
+    empty. Longs throughout; u2 < 2·n_pos·n_neg, so corpora beyond ~3e9
+    rows per class need the decimal(38,0) variant of the same algebra.
+    """
+    tags = [name for name, _ in labels]
+    grouped = df.groupBy(score.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[
+            F.sum(c.cast("int")).cast("long").alias(f"__pos_{i}")
+            for i, (_, c) in enumerate(labels)
+        ],
+    )
+    values = [("__cnt", "__cum_cnt")] + [
+        (f"__pos_{i}", f"__cum_pos_{i}") for i in range(len(labels))
+    ]
+    cum = two_phase_cumsum(
+        grouped,
+        bucket=F.floor(F.col("__s") / bucket_width),
+        order_by=[F.col("__s")],
+        values=values,
+    )
+    # neg_below = rows strictly below s minus positives strictly below s
+    # (cumsum is inclusive, so subtract the current score's own counts).
+    terms = []
+    for i in range(len(labels)):
+        pos = F.col(f"__pos_{i}")
+        neg = F.col("__cnt") - pos
+        neg_below = (F.col("__cum_cnt") - F.col("__cnt")) - (
+            F.col(f"__cum_pos_{i}") - pos
+        )
+        terms += [
+            F.sum(pos * (2 * neg_below + neg)).alias(f"__u2_{i}"),
+            F.sum(pos).alias(f"__np_{i}"),
+        ]
+    one = cum.agg(F.sum("__cnt").alias("__n"), *terms)
+    per_label = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(tags[i]).alias("label"),
+                    F.col(f"__np_{i}").alias("n_pos"),
+                    (F.col("__n") - F.col(f"__np_{i}")).alias("n_neg"),
+                    F.col(f"__u2_{i}").alias("u2"),
+                )
+                for i in range(len(labels))
+            ])
+        ).alias("r")
+    ).select("r.*")
+    return per_label.select(
+        "label",
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant: Column,
+    value: Column,
+    group_a: str = "A",
+    group_b: str = "B",
+) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) between two variants.
+
+    `value` must already be an exact integer quantization (e.g. cents as
+    long): n / Σv / Σv² are then exact longs from ONE conditional
+    aggregate — a single all-to-one reduce whose partial aggregates are
+    six longs, the cheapest possible shape at any corpus size. The
+    derived statistics (sample mean and variance, t, Welch-Satterthwaite
+    dof) are doubles computed from those longs with a fixed expression
+    tree mirrored verbatim in the oracle SQL.
+
+    Output (one row): n_a, n_b, sum_a, sum_b, mean_a, mean_b, var_a,
+    var_b, t_stat, dof — NULL statistics when a variant has < 2 rows.
+    """
+
+    def side(tag: str, suffix: str):
+        match = F.when(variant == tag, value)
+        return [
+            F.count(match).alias(f"n_{suffix}"),
+            F.sum(match).alias(f"sum_{suffix}"),
+            F.sum(
+                F.when(variant == tag, value * value)
+            ).alias(f"ss_{suffix}"),
+        ]
+
+    agg = df.agg(*side(group_a, "a"), *side(group_b, "b"))
+
+    def stats(suffix: str):
+        n = F.col(f"n_{suffix}").cast("double")
+        s = F.col(f"sum_{suffix}").cast("double")
+        ss = F.col(f"ss_{suffix}").cast("double")
+        mean = s / n
+        var = (ss - s * s / n) / (n - F.lit(1.0))
+        return mean, var, n
+
+    mean_a, var_a, n_a = stats("a")
+    mean_b, var_b, n_b = stats("b")
+    se2 = var_a / n_a + var_b / n_b
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (var_a / n_a) * (var_a / n_a) / (n_a - F.lit(1.0))
+        + (var_b / n_b) * (var_b / n_b) / (n_b - F.lit(1.0))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        F.when(F.col("n_a") >= 1, mean_a).alias("mean_a"),
+        F.when(F.col("n_b") >= 1, mean_b).alias("mean_b"),
+        F.when(ok, var_a).alias("var_a"),
+        F.when(ok, var_b).alias("var_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dof).alias("dof"),
+    )
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    thresholds: Sequence[int],
+) -> DataFrame:
+    """Precision / recall / F1 of `score >= threshold` against a boolean
+    `label`, for every threshold in one corpus scan.
+
+    The grid is a broadcast literal frame (VALUES-style inline source —
+    q_literal_lookup's shape); the cross join fans each row out only
+    len(thresholds) times BEFORE the aggregate's map-side combine, so the
+    shuffle carries len(thresholds) partial-count rows per task, not the
+    corpus. Counts are exact longs; precision/recall/F1 are single
+    divisions (and one ×2) of exact longs — bit-stable cross-engine.
+    NULL where a denominator is zero (no predicted / no actual positives).
+    """
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold long"
+    )
+    tagged = df.select(score.alias("__score"), label.cast("int").alias("__y"))
+    j = tagged.crossJoin(F.broadcast(grid))
+    pred = (F.col("__score") >= F.col("threshold")).cast("int")
+    agg = j.groupBy("threshold").agg(
+        F.sum(pred * F.col("__y")).alias("tp"),
+        F.sum(pred * (1 - F.col("__y"))).alias("fp"),
+        F.sum((1 - pred) * F.col("__y")).alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("__y"))).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = F.when(
+        tp + fp > 0, tp.cast("double") / (tp + fp).cast("double")
+    )
+    recall = F.when(tp + fn > 0, tp.cast("double") / (tp + fn).cast("double"))
+    f1 = F.when(
+        (2 * tp + fp + fn) > 0,
+        (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -268,25 +268,69 @@ def resize_images(
     return df.mapInPandas(run, schema=ASSET_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, decode: bool = False
+) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
 
-    With no video codec in this environment, frames are *planned* from
-    metadata (duration_ms / every_ms synthetic frame index rows) so the
-    explode shape, schema, and partition behavior are real; the decoded
-    frame payload is null until a codec is injected."""
-    n_frames = F.greatest(
-        (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
-    )
-    return (
-        df.filter(F.col("modality") == "video")
-        .select(
-            "asset_id",
-            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    Default (decode=False): frames are *planned* from metadata
+    (duration_ms / every_ms synthetic frame index rows) so the explode
+    shape, schema, and partition behavior are real with the decoded
+    payload left null — the shape for containers whose codec isn't
+    injected. With decode=True, TVID content (the stdlib-real container —
+    `tvid_encode`) is actually parsed: each sampled instant maps to the
+    frame covering it (frame_ms // container cadence, clamped to the last
+    frame) and `frame_content` carries that frame's REAL BMP bytes; non-
+    TVID payloads keep the null-content planned shape. Arrow-batched
+    mapInPandas either way; one output row per sampled frame, never the
+    whole container fan-out."""
+    if not decode:
+        n_frames = F.greatest(
+            (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
         )
-        .withColumn("frame_ms", F.col("frame_idx") * F.lit(every_ms))
-        .withColumn("frame_content", F.lit(None).cast("binary"))
-    )
+        return (
+            df.filter(F.col("modality") == "video")
+            .select(
+                "asset_id",
+                F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+            )
+            .withColumn("frame_ms", F.col("frame_idx") * F.lit(every_ms))
+            .withColumn("frame_content", F.lit(None).cast("binary"))
+        )
+
+    schema = "asset_id long, frame_idx int, frame_ms long, frame_content binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, payloads = [], [], [], []
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                raw = bytes(content) if content is not None else b""
+                cadence, frames = None, None
+                if raw[:4] == TVID_MAGIC:
+                    cadence, frames = tvid_decode(raw)
+                    duration = cadence * len(frames)
+                else:
+                    duration = (meta or {}).get("duration_ms") or every_ms
+                n_samples = max(int(duration // every_ms), 1)
+                for k in range(n_samples):
+                    ids.append(aid)
+                    idxs.append(k)
+                    mss.append(k * every_ms)
+                    if frames is None:
+                        payloads.append(None)
+                    else:
+                        j = min(k * every_ms // cadence, len(frames) - 1)
+                        payloads.append(bmp_encode(frames[j]))
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_ms": mss,
+                "frame_content": payloads,
+            })
+
+    return df.filter(F.col("modality") == "video").mapInPandas(run, schema=schema)
 
 
 PHASH_SCHEMA = "asset_id long, phash long"
@@ -645,3 +689,162 @@ def audio_fingerprint(df: DataFrame, n_frames: int = 65, strict: bool = True) ->
             yield pd.DataFrame({"asset_id": ids, "afp": fps})
 
     return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+# ------------------------------------------------------------ TVID codec
+# A REAL (if minimal) video container decodable with struct+numpy alone —
+# the video leg of the stdlib-real modality set (BMP for images, `wave`
+# for audio): fixed header (magic, frame count, dimensions, frame
+# duration) followed by length-prefixed BMP frames. Real deployments
+# swap in ffmpeg/PyAV behind the same (payload) -> frames contract; the
+# Spark-side plumbing — schema, Arrow batching, per-frame explode shape —
+# is identical either way.
+
+TVID_MAGIC = b"TVID"
+
+
+def tvid_encode(frames, frame_ms: int) -> bytes:
+    """Encode a sequence of (H,W) uint8 grayscale arrays as a TVID
+    container: b"TVID" + <u16 n_frames, u16 w, u16 h, u32 frame_ms> +
+    per frame (u32 length + 24-bit BMP bytes). Lossless for uint8 gray
+    (BMP stores r=g=b)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("TVID needs at least one frame")
+    h, w = np.asarray(frames[0]).shape
+    out = bytearray(TVID_MAGIC)
+    out += struct.pack("<HHHI", len(frames), w, h, frame_ms)
+    for fr in frames:
+        a = np.asarray(fr)
+        if a.shape != (h, w):
+            raise ValueError(f"ragged frame {a.shape} != {(h, w)}")
+        bmp = bmp_encode(a)
+        out += struct.pack("<I", len(bmp)) + bmp
+    return bytes(out)
+
+
+def tvid_decode(payload: bytes):
+    """Decode a TVID container to (frame_ms, [(H,W) uint8 gray arrays]).
+    Frames come back via the stdlib BMP decoder (channel 0 of the RGB
+    array — TVID frames are encoded gray, all channels equal)."""
+    if payload[:4] != TVID_MAGIC:
+        raise ValueError("not a TVID payload (missing magic)")
+    n_frames, w, h, frame_ms = struct.unpack_from("<HHHI", payload, 4)
+    frames, off = [], 4 + struct.calcsize("<HHHI")
+    for _ in range(n_frames):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(bmp_decode(payload[off : off + ln])[:, :, 0])
+        off += ln
+    return frame_ms, frames
+
+
+def synth_video(
+    df: DataFrame,
+    n_frames: int = 6,
+    width: int = 16,
+    height: int = 16,
+    frame_ms: int = 200,
+) -> DataFrame:
+    """Deterministic toy video per document: REAL TVID/BMP bytes whose
+    gray pixels follow the closed form
+
+        p(doc, f, i) = ((doc_id·31 + n_chars) % 997 + (f+1)·(7·i+13)) % 251
+
+    (f = frame index, i = row-major pixel index). The closed form is the
+    point: downstream frame math (q_video_scenes) is replayable in pure
+    SQL from the documents table, so the WHOLE engine chain — container
+    encode, length-prefixed parse, BMP decode, numpy frame deltas — is
+    verified by the DuckDB hash gate, not just run-twice determinism.
+    Synthesis is vectorized (one (n_frames, h·w) numpy grid per row);
+    expects `doc_id` and `n_chars` columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(width * height, dtype=np.int64)
+        f = np.arange(n_frames, dtype=np.int64)[:, None]
+        base = (f + 1) * (7 * i + 13)  # (n_frames, n_px), doc-independent
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                s = (int(doc_id) * 31 + int(n_chars)) % 997
+                px = ((s + base) % 251).astype(np.uint8)
+                payloads.append(
+                    tvid_encode(
+                        [px[k].reshape(height, width) for k in range(n_frames)],
+                        frame_ms,
+                    )
+                )
+            yield pd.DataFrame({
+                "asset_id": pdf["doc_id"],
+                "modality": "video",
+                "content": payloads,
+                "content_uri": None,
+                "meta": [
+                    {
+                        "mime": "video/x-tvid",
+                        "width": width,
+                        "height": height,
+                        "sample_rate": None,
+                        "duration_ms": n_frames * frame_ms,
+                    }
+                ] * len(payloads),
+            })
+
+    return df.mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+VIDEO_SCENE_SCHEMA = (
+    "asset_id long, n_frames int, total_motion long, n_cuts int, max_diff long"
+)
+
+
+def video_scene_stats(
+    df: DataFrame, cut_threshold: int, strict: bool = True
+) -> DataFrame:
+    """Scene-change detection over TVID content: per asset, the frame
+    count, total inter-frame motion (Σ over consecutive pairs of
+    Σ|Δpixel|), the number of cuts (pairs whose absolute-difference sum
+    exceeds `cut_threshold`), and the largest pair delta — the shot-
+    boundary pass a video curation pipeline runs before frame-level
+    dedup. Integer arithmetic end to end (uint8 → int32 diffs → long
+    sums), so engine and oracle agree exactly. Same error contract as
+    `audio_features`: strict=True fails the stage on a malformed
+    container, strict=False drops the row. Single-frame videos emit
+    zero motion/cuts and max_diff NULL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nfs, totals, cuts, maxes = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    _, frames = tvid_decode(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                stack = np.stack(frames).astype(np.int32)
+                diffs = [
+                    int(np.abs(stack[k + 1] - stack[k]).sum())
+                    for k in range(len(frames) - 1)
+                ]
+                ids.append(aid)
+                nfs.append(len(frames))
+                totals.append(sum(diffs))
+                cuts.append(sum(1 for d in diffs if d > cut_threshold))
+                maxes.append(max(diffs) if diffs else None)
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "n_frames": nfs,
+                "total_motion": totals,
+                "n_cuts": cuts,
+                "max_diff": maxes,
+            })
+
+    return df.mapInPandas(run, schema=VIDEO_SCENE_SCHEMA)

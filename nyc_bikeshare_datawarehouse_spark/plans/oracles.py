@@ -4566,3 +4566,167 @@ ORACLES["q_verified_load"] = """
            n AS loaded_rows, c AS loaded_checksum, TRUE AS verified
     FROM ck
 """
+
+
+# Exact ROC-AUC: the oracle replays the tie-averaged Mann-Whitney rank
+# algebra with window functions over per-distinct-score counts — the
+# same integral 2·U the engine carries, so the final division of exact
+# longs is bit-identical. One CTE chain serves all five one-vs-rest
+# labels, like the engine's single pass.
+ORACLES["q_roc_auc"] = """
+    WITH base AS (
+        SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS s, event_type
+        FROM events
+    ), grouped AS (
+        SELECT s, COUNT(*) AS cnt,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS p0,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS p1,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p2,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS p3,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS p4
+        FROM base GROUP BY s
+    ), cum AS (
+        SELECT cnt, p0, p1, p2, p3, p4,
+               SUM(cnt) OVER w AS cc,
+               SUM(p0) OVER w AS c0, SUM(p1) OVER w AS c1,
+               SUM(p2) OVER w AS c2, SUM(p3) OVER w AS c3,
+               SUM(p4) OVER w AS c4
+        FROM grouped
+        WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), agg AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(p0) AS BIGINT) AS np0,
+               CAST(SUM(p1) AS BIGINT) AS np1,
+               CAST(SUM(p2) AS BIGINT) AS np2,
+               CAST(SUM(p3) AS BIGINT) AS np3,
+               CAST(SUM(p4) AS BIGINT) AS np4,
+               CAST(SUM(p0 * (2 * ((cc - cnt) - (c0 - p0)) + (cnt - p0))) AS BIGINT) AS u0,
+               CAST(SUM(p1 * (2 * ((cc - cnt) - (c1 - p1)) + (cnt - p1))) AS BIGINT) AS u1,
+               CAST(SUM(p2 * (2 * ((cc - cnt) - (c2 - p2)) + (cnt - p2))) AS BIGINT) AS u2_,
+               CAST(SUM(p3 * (2 * ((cc - cnt) - (c3 - p3)) + (cnt - p3))) AS BIGINT) AS u3,
+               CAST(SUM(p4 * (2 * ((cc - cnt) - (c4 - p4)) + (cnt - p4))) AS BIGINT) AS u4
+        FROM cum
+    )
+    SELECT label, n_pos, n_neg, u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+           END AS auc
+    FROM (
+        SELECT 'click' AS label, np0 AS n_pos, n - np0 AS n_neg, u0 AS u2 FROM agg
+        UNION ALL
+        SELECT 'error', np1, n - np1, u1 FROM agg
+        UNION ALL
+        SELECT 'purchase', np2, n - np2, u2_ FROM agg
+        UNION ALL
+        SELECT 'signup', np3, n - np3, u3 FROM agg
+        UNION ALL
+        SELECT 'view', np4, n - np4, u4 FROM agg
+    )
+    ORDER BY label
+"""
+
+
+# Welch t-test: n / Σv / Σv² are exact integer sums; every derived
+# double repeats the engine's expression tree verbatim (+,-,×,÷,sqrt
+# are IEEE-correctly-rounded, so identical inputs give identical bits).
+ORACLES["q_ab_ttest"] = """
+    WITH p AS (
+        SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), agg AS (
+        SELECT CAST(COUNT(CASE WHEN variant = 'A' THEN cents END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'A' THEN cents END) AS BIGINT) AS sum_a,
+               CAST(SUM(CASE WHEN variant = 'A' THEN cents * cents END) AS BIGINT) AS ss_a,
+               CAST(COUNT(CASE WHEN variant = 'B' THEN cents END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'B' THEN cents END) AS BIGINT) AS sum_b,
+               CAST(SUM(CASE WHEN variant = 'B' THEN cents * cents END) AS BIGINT) AS ss_b
+        FROM p
+    ), derived AS (
+        SELECT n_a, n_b, sum_a, sum_b,
+               CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+               CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+               (CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
+                    / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+               (CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                    / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+        FROM agg
+    )
+    SELECT n_a, n_b, sum_a, sum_b,
+           CASE WHEN n_a >= 1 THEN mean_a END AS mean_a,
+           CASE WHEN n_b >= 1 THEN mean_b END AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 THEN var_a END AS var_a,
+           CASE WHEN n_a >= 2 AND n_b >= 2 THEN var_b END AS var_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+               (mean_a - mean_b)
+                   / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+           END AS t_stat,
+           CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+               ((var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+                * (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)))
+               / ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) - 1.0)
+                  + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE))
+                      / (CAST(n_b AS DOUBLE) - 1.0))
+           END AS dof
+    FROM derived
+"""
+
+
+# Threshold sweep: exact confusion longs per literal threshold; every
+# ratio is a single division of exact longs (F1 in the single-division
+# 2·tp/(2·tp+fp+fn) form, no compounding of rounded ratios).
+ORACLES["q_threshold_metrics"] = """
+    WITH d AS (
+        SELECT CAST(FLOOR(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          / length(text)) AS BIGINT) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), g AS (
+        SELECT CAST(unnest([8150, 8200, 8250, 8300]) AS BIGINT) AS threshold
+    ), agg AS (
+        SELECT threshold,
+               CAST(SUM(CASE WHEN score >= threshold THEN y ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score >= threshold THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN score < threshold THEN y ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN score < threshold THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+        FROM d CROSS JOIN g GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+    FROM agg ORDER BY threshold
+"""
+
+
+# Video scene stats: synth_video's pixels are the closed form
+# p = ((doc_id·31 + n_chars) % 997 + (f+1)·(7·i+13)) % 251, so the
+# oracle regenerates every frame-pair pixel delta from the documents
+# table directly — hash-matching proves the engine's TVID parse + BMP
+# decode + numpy deltas reproduced the encoded pixels exactly.
+ORACLES["q_video_scenes"] = """
+    WITH px AS (
+        SELECT d.doc_id, f.f,
+               ((d.doc_id * 31 + d.n_chars) % 997 + (f.f + 1) * (7 * i.i + 13)) % 251 AS p0,
+               ((d.doc_id * 31 + d.n_chars) % 997 + (f.f + 2) * (7 * i.i + 13)) % 251 AS p1
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS f) f
+        CROSS JOIN (SELECT unnest(range(0, 256)) AS i) i
+    ), motion AS (
+        SELECT doc_id, f, CAST(SUM(ABS(p1 - p0)) AS BIGINT) AS diff_sum
+        FROM px GROUP BY doc_id, f
+    )
+    SELECT doc_id AS asset_id,
+           CAST(6 AS INTEGER) AS n_frames,
+           CAST(SUM(diff_sum) AS BIGINT) AS total_motion,
+           CAST(COUNT(*) FILTER (WHERE diff_sum > 21000) AS INTEGER) AS n_cuts,
+           CAST(MAX(diff_sum) AS BIGINT) AS max_diff
+    FROM motion GROUP BY doc_id ORDER BY asset_id
+"""

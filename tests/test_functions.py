@@ -1384,3 +1384,114 @@ def test_incremental_dedup_dfreq_contract_and_pruned_equivalence(spark):
     assert [r["doc_id"] for r in got2.collect()] == [100]
     with pytest.raises(ValueError, match="ignored"):
         dedup.incremental_dedup(delta, corpus, dfreq=dfreq)
+
+
+class TestTvidVideo:
+    """TVID container codec + scene stats: the closed-form pixels make a
+    pure-Python replay possible WITHOUT touching the container — together
+    with the DuckDB oracle that's three independent witnesses."""
+
+    @staticmethod
+    def closed_form_pixels(doc_id, n_chars, n_frames=6, n_px=256):
+        s = (doc_id * 31 + n_chars) % 997
+        return [
+            [(s + (f + 1) * (7 * i + 13)) % 251 for i in range(n_px)]
+            for f in range(n_frames)
+        ]
+
+    def test_tvid_roundtrip_lossless(self):
+        import numpy as np
+
+        frames = [
+            np.arange(48, dtype=np.uint8).reshape(6, 8),
+            (np.arange(48, dtype=np.uint8).reshape(6, 8) * 5) % 251,
+        ]
+        payload = multimodal.tvid_encode(frames, frame_ms=125)
+        ms, back = multimodal.tvid_decode(payload)
+        assert ms == 125 and len(back) == 2
+        for a, b in zip(frames, back):
+            assert (a == b).all()
+
+    def test_tvid_rejects_garbage_and_ragged(self):
+        import numpy as np
+
+        with pytest.raises(ValueError, match="magic"):
+            multimodal.tvid_decode(b"not a video")
+        with pytest.raises(ValueError, match="ragged"):
+            multimodal.tvid_encode(
+                [np.zeros((4, 4), np.uint8), np.zeros((4, 5), np.uint8)], 100
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            multimodal.tvid_encode([], 100)
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(7, 120), (8, 48), (9, 300)], "doc_id long, n_chars long"
+        )
+
+    def test_synth_video_matches_closed_form(self, spark, docs):
+        import numpy as np
+
+        rows = {r["asset_id"]: r for r in multimodal.synth_video(docs).collect()}
+        assert rows[7]["modality"] == "video"
+        assert rows[7]["meta"]["duration_ms"] == 6 * 200
+        _, frames = multimodal.tvid_decode(bytes(rows[7]["content"]))
+        expect = self.closed_form_pixels(7, 120)
+        assert len(frames) == 6
+        for f in range(6):
+            assert frames[f].reshape(-1).tolist() == expect[f]
+
+    def test_scene_stats_match_pure_python_replay(self, spark, docs):
+        out = {
+            r["asset_id"]: r
+            for r in multimodal.video_scene_stats(
+                multimodal.synth_video(docs), cut_threshold=21000
+            ).collect()
+        }
+        for doc_id, n_chars in [(7, 120), (8, 48), (9, 300)]:
+            px = self.closed_form_pixels(doc_id, n_chars)
+            diffs = [
+                sum(abs(a - b) for a, b in zip(px[f + 1], px[f]))
+                for f in range(5)
+            ]
+            r = out[doc_id]
+            assert r["n_frames"] == 6
+            assert r["total_motion"] == sum(diffs)
+            assert r["n_cuts"] == sum(1 for d in diffs if d > 21000)
+            assert r["max_diff"] == max(diffs)
+
+    def test_scene_stats_strict_contract(self, spark):
+        bad = spark.createDataFrame(
+            [(1, "video", bytearray(b"JUNK"), None, None)],
+            multimodal.ASSET_SCHEMA,
+        )
+        with pytest.raises(Exception, match="magic"):
+            multimodal.video_scene_stats(bad, cut_threshold=1).collect()
+        assert multimodal.video_scene_stats(
+            bad, cut_threshold=1, strict=False
+        ).count() == 0
+
+    def test_sample_frames_decode_real_payloads(self, spark, docs):
+        vids = multimodal.synth_video(docs, n_frames=6, frame_ms=200)
+        # 6 frames x 200ms = 1200ms at 500ms cadence -> floor(1200/500) = 2
+        # samples (the metadata-planned path's rule, kept identical here)
+        out = multimodal.sample_frames(vids, every_ms=500, decode=True).collect()
+        per = [r for r in out if r["asset_id"] == 7]
+        assert [(r["frame_idx"], r["frame_ms"]) for r in per] == [
+            (0, 0), (1, 500)
+        ]
+        # sampled instant 500ms falls in frame 2 (500 // 200)
+        got = multimodal.bmp_decode(bytes(per[1]["frame_content"]))[:, :, 0]
+        assert got.reshape(-1).tolist() == self.closed_form_pixels(7, 120)[2]
+
+    def test_sample_frames_non_tvid_keeps_planned_shape(self, spark):
+        meta = ("video/mp4", None, None, None, 2 * 1000)
+        df = spark.createDataFrame(
+            [(5, "video", bytearray(b"OPAQ"), None, meta)],
+            multimodal.ASSET_SCHEMA,
+        )
+        rows = multimodal.sample_frames(df, every_ms=1000, decode=True).collect()
+        assert [(r["frame_idx"], r["frame_content"]) for r in rows] == [
+            (0, None), (1, None)
+        ]

@@ -1,0 +1,143 @@
+"""Evaluation-metrics family (functions/metrics.py) — every statistic is
+pinned against an independent pure-Python replay (brute-force pair
+counting for AUC, textbook Welch formulas, sklearn-free confusion
+counts), so the Spark implementation and the DuckDB oracle are two of
+THREE independent witnesses."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+
+def brute_auc(pairs):
+    """Probability a positive outscores a negative, ties 0.5 — the
+    definition, O(n_pos·n_neg)."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+class TestRocAuc:
+    @pytest.fixture()
+    def scored(self, spark):
+        # deterministic scores with heavy ties across two labels
+        rows = [(i, (i * 7) % 13, (i * 3) % 4 == 0, i % 5 == 0) for i in range(200)]
+        return spark.createDataFrame(rows, "id long, s long, y1 boolean, y2 boolean")
+
+    def test_matches_brute_force_pair_counting(self, spark, scored):
+        out = {
+            r["label"]: r
+            for r in metrics.roc_auc(
+                scored, F.col("s"), [("y1", F.col("y1")), ("y2", F.col("y2"))]
+            ).collect()
+        }
+        rows = scored.collect()
+        for lbl in ("y1", "y2"):
+            expect = brute_auc([(r["s"], r[lbl]) for r in rows])
+            assert out[lbl]["auc"] == pytest.approx(expect, abs=1e-12)
+            assert out[lbl]["n_pos"] == sum(1 for r in rows if r[lbl])
+            # 2U is integral even with ties
+            assert out[lbl]["u2"] == round(
+                expect * 2 * out[lbl]["n_pos"] * out[lbl]["n_neg"]
+            )
+
+    def test_perfect_and_inverted_separation(self, spark):
+        df = spark.createDataFrame(
+            [(s, s >= 10) for s in range(20)], "s long, y boolean"
+        )
+        out = metrics.roc_auc(df, F.col("s"), [("y", F.col("y"))]).collect()[0]
+        assert out["auc"] == 1.0
+        inv = metrics.roc_auc(df, -F.col("s"), [("y", F.col("y"))]).collect()[0]
+        assert inv["auc"] == 0.0
+
+    def test_all_ties_is_half(self, spark):
+        df = spark.createDataFrame([(1, i % 2 == 0) for i in range(10)],
+                                   "s long, y boolean")
+        out = metrics.roc_auc(df, F.col("s"), [("y", F.col("y"))]).collect()[0]
+        assert out["auc"] == 0.5
+
+    def test_empty_class_is_null(self, spark):
+        df = spark.createDataFrame([(i, True) for i in range(5)],
+                                   "s long, y boolean")
+        out = metrics.roc_auc(df, F.col("s"), [("y", F.col("y"))]).collect()[0]
+        assert out["auc"] is None and out["n_neg"] == 0
+
+    def test_bucket_width_does_not_change_result(self, spark, scored):
+        a = metrics.roc_auc(scored, F.col("s"), [("y1", F.col("y1"))],
+                            bucket_width=2).collect()[0]
+        b = metrics.roc_auc(scored, F.col("s"), [("y1", F.col("y1"))],
+                            bucket_width=10_000).collect()[0]
+        assert a == b
+
+
+class TestWelch:
+    def test_matches_textbook_formulas(self, spark):
+        a = [12, 15, 11, 18, 14, 16]
+        b = [22, 19, 25, 21]
+        df = spark.createDataFrame(
+            [("A", v) for v in a] + [("B", v) for v in b], "g string, v long"
+        )
+        out = metrics.welch_ttest(df, F.col("g"), F.col("v")).collect()[0]
+
+        def mv(xs):
+            n = len(xs)
+            m = sum(xs) / n
+            var = sum((x - m) ** 2 for x in xs) / (n - 1)
+            return n, m, var
+
+        na, ma, va = mv(a)
+        nb, mb, vb = mv(b)
+        se2 = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se2)
+        dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        assert (out["n_a"], out["n_b"]) == (na, nb)
+        assert out["mean_a"] == pytest.approx(ma, abs=1e-12)
+        assert out["var_b"] == pytest.approx(vb, abs=1e-9)
+        assert out["t_stat"] == pytest.approx(t, abs=1e-12)
+        assert out["dof"] == pytest.approx(dof, abs=1e-9)
+
+    def test_degenerate_group_yields_nulls_not_crash(self, spark):
+        df = spark.createDataFrame([("A", 5), ("B", 7), ("B", 9)],
+                                   "g string, v long")
+        out = metrics.welch_ttest(df, F.col("g"), F.col("v")).collect()[0]
+        assert out["n_a"] == 1 and out["mean_a"] == 5.0
+        assert out["t_stat"] is None and out["var_a"] is None
+
+
+class TestThresholdMetrics:
+    def test_confusion_counts_and_f1(self, spark):
+        rows = [(i, i >= 60) for i in range(100)]  # label: top 40
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        out = {
+            r["threshold"]: r
+            for r in metrics.threshold_metrics(
+                df, F.col("s"), F.col("y"), thresholds=(50, 60, 80)
+            ).collect()
+        }
+        # threshold 60 is the perfect operating point
+        assert out[60]["tp"] == 40 and out[60]["fp"] == 0 and out[60]["fn"] == 0
+        assert out[60]["precision"] == 1.0 and out[60]["f1"] == 1.0
+        # threshold 50: predicts 50 positives, 40 true -> p=0.8, r=1.0
+        assert out[50]["tp"] == 40 and out[50]["fp"] == 10
+        assert out[50]["precision"] == pytest.approx(0.8)
+        assert out[50]["f1"] == pytest.approx(2 * 40 / (2 * 40 + 10 + 0))
+        # threshold 80: fn appear
+        assert out[80]["fn"] == 20 and out[80]["recall"] == pytest.approx(0.5)
+        # counts always partition the corpus
+        for r in out.values():
+            assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 100
+
+    def test_no_predicted_positives_null_precision(self, spark):
+        df = spark.createDataFrame([(1, True), (2, False)], "s long, y boolean")
+        out = metrics.threshold_metrics(
+            df, F.col("s"), F.col("y"), thresholds=(99,)
+        ).collect()[0]
+        assert out["precision"] is None and out["recall"] == 0.0

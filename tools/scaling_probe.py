@@ -175,19 +175,23 @@ def ensure_lineitem_sfx(spark, replicas: int) -> None:
     open(marker, "w").write("ok")
 
 
+#: events sidecar schema — column-keyed marker like DOC_COLS, so adding a
+#: column here rebuilds a stale replica set instead of crashing a probe
+EVENT_COLS = ["event_id", "ts", "user_id", "value", "event_type"]
+
+
 def ensure_events_sfx(spark, replicas: int) -> None:
-    """Sidecar events replica set for per-user window probes: replica k
-    shifts event_id and user_id by k·max, timestamps unchanged — user
-    count (and therefore window-partition count) grows 10×, per-user
-    event density is preserved exactly. Only the columns the window
-    probes read are written (event_id, ts, user_id, value)."""
+    """Sidecar events replica set for per-user window / metrics probes:
+    replica k shifts event_id and user_id by k·max, timestamps and the
+    (value, event_type) payload unchanged — user count (and therefore
+    window-partition count) grows 10×, per-user event density and the
+    score/label joint distribution are preserved exactly. Only the
+    columns probes read are written (EVENT_COLS)."""
     out = f"{BENCHDATA}/sfx{replicas}"
     marker = f"{out}/_EVENTS_READY"
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read().strip() == ",".join(EVENT_COLS):
         return
-    ev = spark.read.parquet(f"{SF01}/events.parquet").select(
-        "event_id", "ts", "user_id", "value"
-    )
+    ev = spark.read.parquet(f"{SF01}/events.parquet").select(*EVENT_COLS)
     me = ev.agg(F.max("event_id")).head()[0] + 1
     mu = ev.agg(F.max("user_id")).head()[0] + 1
     parts = [
@@ -196,6 +200,7 @@ def ensure_events_sfx(spark, replicas: int) -> None:
             "ts",
             (F.col("user_id") + F.lit(k * mu)).alias("user_id"),
             "value",
+            "event_type",
         )
         for k in range(replicas)
     ]
@@ -203,7 +208,7 @@ def ensure_events_sfx(spark, replicas: int) -> None:
     for p in parts[1:]:
         big = big.unionByName(p)
     big.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
-    open(marker, "w").write("ok")
+    open(marker, "w").write(",".join(EVENT_COLS))
 
 
 def time_spatial(spark, mult: int, base: int = 15000, warm: bool = False) -> float:
@@ -372,7 +377,7 @@ def main() -> None:
     big = build_sfx(spark, args.replicas)
     if args.only and "q_basket_rules" in args.only:
         ensure_lineitem_sfx(spark, args.replicas)
-    if args.only and any(q in ("q_rolling_median",) for q in args.only):
+    if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest") for q in args.only):
         ensure_events_sfx(spark, args.replicas)
 
     if args.quantiles:
