@@ -160,6 +160,7 @@ def two_phase_cumsum(
     bucket: Column,
     order_by: Sequence[Column],
     values: Sequence[tuple[str, str]],
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed global running SUM over a total order — the cumulative-
     aggregate sibling of `two_phase_global_rank`, same two-phase shape:
@@ -173,7 +174,19 @@ def two_phase_cumsum(
     for the row-level sums to be deterministic. `values` is a list of
     (value_col, out_col): each value column gets its own global running
     sum in one pass — the multi-measure case (e.g. two CDFs side by side)
-    costs one shuffle total, not one per measure."""
+    costs one shuffle total, not one per measure.
+
+    The input frame feeds BOTH phases, and Spark does not reuse diverged
+    non-broadcast subplans (the offsets side even acquires a join-
+    inferred not-null pushdown that de-canonicalizes the shared exchange,
+    so ReusedExchange never fires — measured on q_roc_auc: the corpus
+    scan + groupBy ran twice). Every current caller passes a key-space-
+    bounded frame (grouped counts / merged distinct values), so
+    `materialize=True` localCheckpoints it — one upstream computation,
+    tiny local write. Pass materialize=False for a corpus-sized input
+    where recomputing upstream beats materializing it."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     b = df.withColumn("__bucket", bucket)
     w_local = (
         Window.partitionBy("__bucket")
