@@ -230,6 +230,8 @@ EXTENDED = [
     "q_ab_ttest",
     "q_threshold_metrics",
     "q_video_scenes",
+    "q_spearman_drift",
+    "q_cohens_kappa",
 ]
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nyc_bikeshare_datawarehouse_spark.operators.windows import two_phase_cumsum
@@ -239,4 +239,109 @@ def threshold_metrics(
         precision.alias("precision"),
         recall.alias("recall"),
         f1.alias("f1"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Exact tie-averaged Spearman rank correlation of two integral
+    columns per group — the monotone-drift readout (does value creep
+    with time? does quality sink with length?) that Pearson misses and
+    sampled estimators fuzz.
+
+    Ranks come from per-(group, value) counts: avg_rank = below + (cnt
+    + 1)/2, carried as the integral r2 = 2·below + cnt + 1. The rank
+    maps are KEY-SPACE-bounded (distinct values per group, not rows) —
+    the per-group rank window runs over the grouped frame (O(distinct)
+    partitions) and the maps broadcast back onto the corpus, so rows
+    shuffle once into the final per-group aggregate. rho is then
+    Pearson on the r2 ranks: exact long sums (n, Σrx, Σry, Σrx·ry,
+    Σrx², Σry²) reduced per group, doubles only afterwards with the
+    oracle-mirrored expression tree. Σrx·ry ≤ 4n³ bounds a group at
+    ~1.3e6 rows in longs — beyond that, switch the moment sums to
+    decimal(38,0) on both engines.
+
+    Output per group: (group, n, rho); rho NULL when either column is
+    constant within the group (zero variance)."""
+    base = df.select(
+        F.col(group_col).alias("__g"), x.alias("__x"), y.alias("__y")
+    )
+
+    def rank2_map(col: str, out: str) -> DataFrame:
+        cnts = base.groupBy("__g", col).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = (
+            Window.partitionBy("__g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        below = F.sum("__cnt").over(w) - F.col("__cnt")
+        return cnts.select(
+            "__g", col, (2 * below + F.col("__cnt") + 1).alias(out)
+        )
+
+    j = base.join(F.broadcast(rank2_map("__x", "__rx")), ["__g", "__x"]).join(
+        F.broadcast(rank2_map("__y", "__ry")), ["__g", "__y"]
+    )
+    agg = j.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    denx = n * F.col("__sxx").cast("double") - sx * sx
+    deny = n * F.col("__syy").cast("double") - sy * sy
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.when(
+            (denx > 0) & (deny > 0), num / (F.sqrt(denx) * F.sqrt(deny))
+        ).alias("rho"),
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
+    """Cohen's kappa between two boolean raters (label vs classifier,
+    or two annotation pipelines) — chance-corrected agreement over the
+    whole corpus in ONE conditional aggregate.
+
+    Exact single-division integer form: with confusion longs n11/n10/
+    n01/n00 and n = their sum,
+        kappa = (n·(n11+n00) − E) / (n² − E),
+        E = (n11+n10)(n11+n01) + (n01+n00)(n10+n00),
+    so engine and oracle divide the same two exact longs (n² bounds a
+    corpus at ~3e9 rows in longs). po/pe are emitted as the same
+    single divisions. Output: one row (n11, n10, n01, n00, po, pe,
+    kappa); kappa NULL when pe = 1 (both raters constant)."""
+    a = rater_a.cast("int")
+    b = rater_b.cast("int")
+    agg = df.agg(
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    n11, n10, n01, n00 = (F.col(c) for c in ("n11", "n10", "n01", "n00"))
+    n = n11 + n10 + n01 + n00
+    e = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    return agg.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        ((n11 + n00).cast("double") / n.cast("double")).alias("po"),
+        (e.cast("double") / (n * n).cast("double")).alias("pe"),
+        F.when(
+            n * n - e > 0,
+            (n * (n11 + n00) - e).cast("double") / (n * n - e).cast("double"),
+        ).alias("kappa"),
     )

@@ -4730,3 +4730,85 @@ ORACLES["q_video_scenes"] = """
            CAST(MAX(diff_sum) AS BIGINT) AS max_diff
     FROM motion GROUP BY doc_id ORDER BY asset_id
 """
+
+
+# Spearman: the oracle rebuilds the same integral r2 = 2·below + cnt + 1
+# rank maps with window functions over per-(group, value) counts, then
+# the identical Pearson-on-ranks double tree over exact long moments.
+ORACLES["q_spearman_drift"] = """
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+               epoch_us(ts) // 3600000000 AS y
+        FROM events
+    ), xm AS (
+        SELECT g, x,
+               2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cnt) + cnt + 1 AS rx
+        FROM (SELECT g, x, COUNT(*) AS cnt FROM base GROUP BY g, x)
+    ), ym AS (
+        SELECT g, y,
+               2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cnt) + cnt + 1 AS ry
+        FROM (SELECT g, y, COUNT(*) AS cnt FROM base GROUP BY g, y)
+    ), j AS (
+        SELECT base.g, rx, ry
+        FROM base JOIN xm USING (g, x) JOIN ym USING (g, y)
+    ), agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx,
+               CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy
+        FROM j GROUP BY g
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS rho
+    FROM agg ORDER BY event_type
+"""
+
+
+# Cohen's kappa: single-division integer form — engine and oracle divide
+# the same two exact longs (n·agree − E over n² − E).
+ORACLES["q_cohens_kappa"] = """
+    WITH d AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+               CASE WHEN FLOOR(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                / length(text)) >= 8200 THEN 1 ELSE 0 END AS b
+        FROM documents
+    ), c AS (
+        SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM d
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE)
+               / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+           CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+               / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00) AS DOUBLE) AS pe,
+           CASE WHEN (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) > 0
+                THEN CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                          - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                          AS DOUBLE)
+                     / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                            AS DOUBLE)
+           END AS kappa
+    FROM c
+"""

@@ -5034,6 +5034,44 @@ def q_threshold_metrics(spark, sf_dir):
     ).orderBy("threshold")
 
 
+def q_spearman_drift(spark, sf_dir):
+    """EXACT tie-averaged Spearman rank correlation between event value
+    and event HOUR per event type (functions/metrics.spearman_corr) —
+    the monotone-drift audit ("are purchase amounts creeping over
+    time?") run as rank statistics, not a sampled estimate. Both rank
+    maps are KEY-SPACE-bounded (integer cents / hours since epoch), so
+    the per-group rank windows run over grouped frames and broadcast
+    back; rows shuffle once into the per-group moment aggregate (n,
+    Σrx, Σry, Σrx·ry, Σrx², Σry² — exact longs), and rho derives in
+    doubles through the oracle-mirrored tree. Σrx·ry ≤ 4n³ bounds a
+    group at ~1.3e6 rows in longs (decimal(38,0) beyond)."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    return metrics.spearman_corr(e, "event_type", cents, hour).orderBy(
+        "event_type"
+    )
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the lang='en' label and the letter-ratio
+    classifier at its q_threshold_metrics operating point 8200
+    (functions/metrics.cohens_kappa) — chance-corrected inter-rater
+    agreement, the metric that separates "agrees a lot" from "agrees
+    more than base rates force". ONE conditional aggregate produces the
+    confusion longs; po/pe/kappa are each a single division of exact
+    longs (kappa in the (n·agree − E)/(n² − E) integer form), so the
+    gate is bit-exact. O(1) driver state at any corpus size."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    d = _t(spark, sf_dir, "documents")
+    letters = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    score = F.floor(F.lit(10000) * letters / F.length("text")).cast("long")
+    return metrics.cohens_kappa(d, F.col("lang") == "en", score >= 8200)
+
+
 def q_video_scenes(spark, sf_dir):
     """Video modality end-to-end WITH an oracle (functions/multimodal.py
     `synth_video` + `video_scene_stats`): per document, REAL TVID/BMP
@@ -5073,6 +5111,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
     "q_roc_auc": q_roc_auc,
+    "q_spearman_drift": q_spearman_drift,
+    "q_cohens_kappa": q_cohens_kappa,
     "q_ab_ttest": q_ab_ttest,
     "q_threshold_metrics": q_threshold_metrics,
     "q_video_scenes": q_video_scenes,
@@ -5121,9 +5161,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_bucket_join": q_range_bucket_join,
     "q_rollup": q_rollup,
     "q_salted_join_equiv": q_salted_join_equiv,
-    "q_simhash_near_dup": q_simhash_near_dup,
+    "q_simhash_near_dup": q_simhash_near_dup,  # <- driver window cut (50)
     "q_stats_agg": q_stats_agg,
-    "q_string_null_funcs": q_string_null_funcs,  # <- driver window cut (50)
+    "q_string_null_funcs": q_string_null_funcs,
     "q_text_pipeline": q_text_pipeline,
     "q_topk": q_topk,
     "q_tpch_q10": q_tpch_q10,

@@ -141,3 +141,95 @@ class TestThresholdMetrics:
             df, F.col("s"), F.col("y"), thresholds=(99,)
         ).collect()[0]
         assert out["precision"] is None and out["recall"] == 0.0
+
+
+def avg_ranks(xs):
+    """Tie-averaged ranks, 1-based — the textbook definition."""
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    ranks = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+            j += 1
+        avg = (i + j) / 2 + 1
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def pearson(xs, ys):
+    n = len(xs)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    dx = sum((a - mx) ** 2 for a in xs) ** 0.5
+    dy = sum((b - my) ** 2 for b in ys) ** 0.5
+    return num / (dx * dy) if dx > 0 and dy > 0 else None
+
+
+class TestSpearman:
+    def test_matches_rank_pearson_replay_with_ties(self, spark):
+        rows = [("g", (i * 7) % 13, (i * 5) % 9) for i in range(120)]
+        rows += [("h", i, (120 - i) if i % 3 else 40) for i in range(90)]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        out = {
+            r["g"]: r
+            for r in metrics.spearman_corr(
+                df, "g", F.col("x"), F.col("y")
+            ).collect()
+        }
+        for g in ("g", "h"):
+            xs = [x for gg, x, _ in rows if gg == g]
+            ys = [y for gg, _, y in rows if gg == g]
+            expect = pearson(avg_ranks(xs), avg_ranks(ys))
+            assert out[g]["n"] == len(xs)
+            assert out[g]["rho"] == pytest.approx(expect, abs=1e-12)
+
+    def test_perfect_monotone_is_one(self, spark):
+        df = spark.createDataFrame(
+            [("g", i, i * i) for i in range(50)], "g string, x long, y long"
+        )
+        out = metrics.spearman_corr(df, "g", F.col("x"), F.col("y")).collect()[0]
+        assert out["rho"] == pytest.approx(1.0)
+        inv = metrics.spearman_corr(df, "g", F.col("x"), -F.col("y")).collect()[0]
+        assert inv["rho"] == pytest.approx(-1.0)
+
+    def test_constant_column_is_null(self, spark):
+        df = spark.createDataFrame(
+            [("g", i, 7) for i in range(10)], "g string, x long, y long"
+        )
+        out = metrics.spearman_corr(df, "g", F.col("x"), F.col("y")).collect()[0]
+        assert out["rho"] is None
+
+
+class TestCohensKappa:
+    def test_matches_textbook(self, spark):
+        # classic 2x2 example: po = 0.7, pe = 0.5 -> kappa = 0.4
+        rows = (
+            [(True, True)] * 30 + [(True, False)] * 20
+            + [(False, True)] * 10 + [(False, False)] * 40
+        )
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        out = metrics.cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+        assert (out["n11"], out["n10"], out["n01"], out["n00"]) == (30, 20, 10, 40)
+        po, pe = 0.7, (0.5 * 0.4 + 0.5 * 0.6)
+        assert out["po"] == pytest.approx(po)
+        assert out["pe"] == pytest.approx(pe)
+        assert out["kappa"] == pytest.approx((po - pe) / (1 - pe))
+
+    def test_perfect_agreement_and_degenerate(self, spark):
+        same = spark.createDataFrame(
+            [(i % 2 == 0, i % 2 == 0) for i in range(10)], "a boolean, b boolean"
+        )
+        assert metrics.cohens_kappa(
+            same, F.col("a"), F.col("b")
+        ).collect()[0]["kappa"] == pytest.approx(1.0)
+        # both raters constant -> pe = 1 -> NULL, not a crash
+        const = spark.createDataFrame(
+            [(True, True)] * 5, "a boolean, b boolean"
+        )
+        assert metrics.cohens_kappa(
+            const, F.col("a"), F.col("b")
+        ).collect()[0]["kappa"] is None
