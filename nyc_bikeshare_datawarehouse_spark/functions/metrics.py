@@ -208,6 +208,20 @@ def threshold_metrics(
     divisions (and one ×2) of exact longs — bit-stable cross-engine.
     NULL where a denominator is zero (no predicted / no actual positives).
     """
+    return confusion_report(confusion_state(df, score, label, thresholds))
+
+
+def confusion_state(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    thresholds: Sequence[int],
+) -> DataFrame:
+    """The additive half of `threshold_metrics`: exact confusion longs
+    per threshold, len(thresholds) rows. Counts ADD across disjoint
+    slices of a corpus — the mergeable-algebra property the streaming
+    maintainer (streaming/sketches.confusion_stream) folds micro-batches
+    with — so state stays bounded at the grid size forever."""
     spark = df.sparkSession
     grid = spark.createDataFrame(
         [(int(t),) for t in thresholds], "threshold long"
@@ -215,12 +229,27 @@ def threshold_metrics(
     tagged = df.select(score.alias("__score"), label.cast("int").alias("__y"))
     j = tagged.crossJoin(F.broadcast(grid))
     pred = (F.col("__score") >= F.col("threshold")).cast("int")
-    agg = j.groupBy("threshold").agg(
+    return j.groupBy("threshold").agg(
         F.sum(pred * F.col("__y")).alias("tp"),
         F.sum(pred * (1 - F.col("__y"))).alias("fp"),
         F.sum((1 - pred) * F.col("__y")).alias("fn"),
         F.sum((1 - pred) * (1 - F.col("__y"))).alias("tn"),
     )
+
+
+def confusion_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise ADD of two confusion states (same threshold grid)."""
+    return (
+        a.unionByName(b)
+        .groupBy("threshold")
+        .agg(*[F.sum(c).alias(c) for c in ("tp", "fp", "fn", "tn")])
+    )
+
+
+def confusion_report(agg: DataFrame) -> DataFrame:
+    """Derive precision/recall/F1 from a confusion state — single
+    divisions of exact longs, the same expression tree the
+    q_threshold_metrics oracle mirrors."""
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     precision = F.when(
         tp + fp > 0, tp.cast("double") / (tp + fp).cast("double")

@@ -214,3 +214,38 @@ def checksum_stream(
         checksum_merge,
     )
     return stream_foreach_batch(stream, merge, checkpoint_path)
+
+
+def confusion_stream(
+    stream: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """Maintain running classifier confusion counts over a stream: each
+    micro-batch reduces to len(thresholds) exact count rows
+    (functions/metrics.confusion_state) that cell-ADD into the persisted
+    state — the streaming half of the threshold-sweep evaluation, so a
+    quality filter's operating point can be audited continuously as new
+    data lands without re-scoring history. Read the state back through
+    `metrics.confusion_report` for precision/recall/F1. Add-merge is not
+    idempotent, hence the same batch-id replay guard as countmin_stream.
+    `score_col`/`label_col` name already-computed columns (score integral,
+    label boolean/int) so the maintainer composes with any scorer."""
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.functions.metrics import (
+        confusion_merge,
+        confusion_state,
+    )
+
+    merge = _sketch_merge_fn(
+        state_path,
+        lambda df: confusion_state(
+            df, F.col(score_col), F.col(label_col), thresholds
+        ),
+        confusion_merge,
+    )
+    return stream_foreach_batch(stream, merge, checkpoint_path)

@@ -489,3 +489,34 @@ def test_minhash_est_error_reuses_checkpointed_frames(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_minhash_est_error")
     assert plan.count("Scan ExistingRDD") >= 2
     assert plan.count("documents.parquet") == 0
+
+
+def test_roc_auc_single_corpus_pass(spark, sf_dir):
+    # the cumsum input is localCheckpointed (two_phase_cumsum
+    # materialize=True), so the corpus scan + groupBy(score) run ONCE —
+    # without it both cumsum phases recompute the whole upstream (the
+    # diverged-subplan trap; ReusedExchange never fires because the
+    # offsets side acquires a join-inferred not-null pushdown)
+    df = QUERIES["q_roc_auc"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan.split("\n\n")[0]  # checkpoint absorbed it
+    assert "Scan ExistingRDD" in plan  # the checkpointed grouped frame
+
+
+def test_threshold_metrics_broadcast_grid(spark, sf_dir):
+    # the literal threshold grid joins as a broadcast nested loop (4-row
+    # build side), never shuffling the corpus per threshold; the scan
+    # reads only the two needed document columns
+    plan = plan_of(spark, sf_dir, "q_threshold_metrics")
+    assert "BroadcastNestedLoopJoin" in plan
+    m = re.search(r"documents[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and len(m.group(1).split(",")) == 2  # text, lang
+
+
+def test_spearman_rank_maps_broadcast(spark, sf_dir):
+    # both rank maps join back to the corpus as broadcast hash joins
+    # (key-space-bounded build sides); the probe side never shuffles
+    # on the join keys
+    plan = plan_of(spark, sf_dir, "q_spearman_drift")
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -628,3 +628,45 @@ def test_checksum_stream_state_equals_batch_checksum(spark, sf_dir, tmp_path):
     # micro-batch-folded state == one-shot batch state, field for field
     assert rows_set(got) == rows_set(want)
     assert got.head()["n_rows"] == batch.count()
+
+
+def test_confusion_stream_state_equals_batch_metrics(spark, sf_dir, tmp_path):
+    # the streamed confusion state, read back through confusion_report,
+    # must equal the one-shot q_threshold_metrics computation over the
+    # same corpus — counts are an additive algebra, so micro-batch
+    # folding is exact, not approximate
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.functions.metrics import (
+        confusion_report,
+        threshold_metrics,
+    )
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+    from nyc_bikeshare_datawarehouse_spark.streaming.sketches import confusion_stream
+
+    thresholds = (8150, 8250)
+    base = load_table(spark, sf_dir, "documents").select(
+        F.floor(
+            F.lit(10000)
+            * F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+            / F.length("text")
+        ).cast("long").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    src = str(tmp_path / "src")
+    base.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = confusion_stream(
+        stream, "score", "label", thresholds,
+        str(tmp_path / "cf_state"), str(tmp_path / "cf_ckpt"),
+    )
+    q.awaitTermination()
+    got = confusion_report(spark.read.parquet(str(tmp_path / "cf_state")))
+    want = threshold_metrics(
+        spark.read.parquet(src), F.col("score"), F.col("label"), thresholds
+    )
+    assert rows_set(got) == rows_set(want)
