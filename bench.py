@@ -232,6 +232,7 @@ EXTENDED = [
     "q_video_scenes",
     "q_spearman_drift",
     "q_cohens_kappa",
+    "q_bootstrap_ci",
 ]
 
 

@@ -374,3 +374,88 @@ def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
             (n * (n11 + n00) - e).cast("double") / (n * n - e).cast("double"),
         ).alias("kappa"),
     )
+
+
+#: Poisson(1) CDF quantized to basis points (floor(P(X<=k)·10000)) — the
+#: deterministic resampling ladder: an md5-uniform u in [0,10000) maps to
+#: the replicate weight w = min{k : u < CDF_bp[k]}. Literal integers so
+#: engine and oracle draw IDENTICAL weights.
+POISSON1_CDF_BP = (3678, 7357, 9196, 9810, 9963, 9994, 9999)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: Column,
+    value: Column,
+    n_replicates: int = 64,
+    lo_bp: int = 250,
+    hi_bp: int = 9750,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the MEAN of an exact
+    integer column — error bars over a 100 TB corpus in one pass, no
+    history resampling. Each row draws a deterministic Poisson(1)
+    weight per replicate from md5(id ‖ ':' ‖ rep) (the hash_sample
+    idiom, so draws are identical cross-engine and stable under
+    recomputation); replicate means are weighted exact-long sums with
+    one final division, and the CI endpoints are the DISCRETE rank
+    statistics of the R replicate means (rank = ceil(bp·R/10000) — an
+    element of the set, no interpolation, so engines agree bit-level).
+
+    Scale shape: the fan-out is R× BEFORE a map-side-combinable
+    groupBy(rep), so the shuffle carries R partial rows per task; the
+    rank window runs over R rows (O(k)). Σw·x bounds: w ≤ 7, so the
+    value quantization budget is ~2^63/(7·rows).
+
+    Output (one row): n, point_mean, ci_lo, ci_hi, n_replicates."""
+    base = df.select(id_col.cast("string").alias("__id"), value.alias("__x"))
+    fan = base.select(
+        "__id",
+        "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("__id"), F.lit(":"), F.col("__rep").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    w = F.lit(len(POISSON1_CDF_BP))
+    for k in range(len(POISSON1_CDF_BP) - 1, -1, -1):
+        w = F.when(u < POISSON1_CDF_BP[k], k).otherwise(w)
+    per_rep = fan.select("__rep", w.alias("__w"), F.col("__x")).groupBy("__rep").agg(
+        F.sum("__w").alias("__n_eff"),
+        F.sum(F.col("__w") * F.col("__x")).alias("__s"),
+    )
+    means = per_rep.select(
+        "__rep",
+        F.when(
+            F.col("__n_eff") > 0,
+            F.col("__s").cast("double") / F.col("__n_eff").cast("double"),
+        ).alias("__m"),
+    )
+    lo_rank = max(1, -(-lo_bp * n_replicates // 10000))
+    hi_rank = max(1, -(-hi_bp * n_replicates // 10000))
+    ranked = means.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.col("__m"), F.col("__rep"))),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rn") == lo_rank, F.col("__m"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rn") == hi_rank, F.col("__m"))).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("__x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "point_mean"
+        ),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n", "point_mean", "ci_lo", "ci_hi", "n_replicates"
+    )

@@ -4812,3 +4812,50 @@ ORACLES["q_cohens_kappa"] = """
            END AS kappa
     FROM c
 """
+
+
+# Poisson bootstrap: the oracle draws the IDENTICAL md5-uniform →
+# quantized-Poisson(1)-CDF weights (literal ladder = POISSON1_CDF_BP),
+# replays the 64 weighted replicate means, and picks the same discrete
+# rank statistics — resampling is deterministic, so a bootstrap is
+# hash-checkable.
+ORACLES["q_bootstrap_ci"] = """
+    WITH p AS (
+        SELECT CAST(event_id AS VARCHAR) AS id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+    ), fan AS (
+        SELECT id, x, r.rep,
+               CAST(('0x' || substring(md5(id || ':' || CAST(r.rep AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS u
+        FROM p CROSS JOIN (SELECT unnest(range(0, 64)) AS rep) r
+    ), w AS (
+        SELECT rep, x,
+               CASE WHEN u < 3678 THEN 0 WHEN u < 7357 THEN 1
+                    WHEN u < 9196 THEN 2 WHEN u < 9810 THEN 3
+                    WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+                    WHEN u < 9999 THEN 6 ELSE 7 END AS wt
+        FROM fan
+    ), per_rep AS (
+        SELECT rep, CAST(SUM(wt) AS BIGINT) AS n_eff,
+               CAST(SUM(wt * x) AS BIGINT) AS s
+        FROM w GROUP BY rep
+    ), means AS (
+        SELECT rep,
+               CASE WHEN n_eff > 0
+                    THEN CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE) END AS m
+        FROM per_rep
+    ), ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rn FROM means
+    ), ci AS (
+        SELECT MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+               MAX(CASE WHEN rn = 63 THEN m END) AS ci_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_replicates
+        FROM ranked
+    ), pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS point_mean
+        FROM p
+    )
+    SELECT n, point_mean, ci_lo, ci_hi, n_replicates FROM pt CROSS JOIN ci
+"""

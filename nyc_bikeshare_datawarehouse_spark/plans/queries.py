@@ -5072,6 +5072,26 @@ def q_cohens_kappa(spark, sf_dir):
     return metrics.cohens_kappa(d, F.col("lang") == "en", score >= 8200)
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean purchase value
+    (functions/metrics.poisson_bootstrap_ci) — error bars over a
+    corpus-scale statistic WITHOUT resampling history: each row draws a
+    deterministic Poisson(1) weight per replicate from md5(event_id:rep)
+    against the literal quantized CDF ladder (POISSON1_CDF_BP), so both
+    engines draw identical weights. 64 replicate means are exact-long
+    weighted sums with one division each; the CI endpoints are discrete
+    rank statistics (ranks 2 and 63 of 64) over an O(k) window. The
+    64× fan-out happens BEFORE a map-side-combinable groupBy(rep) —
+    the shuffle carries 64 partial rows per task at any corpus size."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return metrics.poisson_bootstrap_ci(
+        e, F.col("event_id"), cents, n_replicates=64
+    )
+
+
 def q_video_scenes(spark, sf_dir):
     """Video modality end-to-end WITH an oracle (functions/multimodal.py
     `synth_video` + `video_scene_stats`): per document, REAL TVID/BMP
@@ -5113,6 +5133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_roc_auc": q_roc_auc,
     "q_spearman_drift": q_spearman_drift,
     "q_cohens_kappa": q_cohens_kappa,
+    "q_bootstrap_ci": q_bootstrap_ci,
     "q_ab_ttest": q_ab_ttest,
     "q_threshold_metrics": q_threshold_metrics,
     "q_video_scenes": q_video_scenes,
@@ -5160,8 +5181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_flags": q_pivot_flags,
     "q_range_bucket_join": q_range_bucket_join,
     "q_rollup": q_rollup,
-    "q_salted_join_equiv": q_salted_join_equiv,
-    "q_simhash_near_dup": q_simhash_near_dup,  # <- driver window cut (50)
+    "q_salted_join_equiv": q_salted_join_equiv,  # <- driver window cut (50)
+    "q_simhash_near_dup": q_simhash_near_dup,
     "q_stats_agg": q_stats_agg,
     "q_string_null_funcs": q_string_null_funcs,
     "q_text_pipeline": q_text_pipeline,

@@ -233,3 +233,57 @@ class TestCohensKappa:
         assert metrics.cohens_kappa(
             const, F.col("a"), F.col("b")
         ).collect()[0]["kappa"] is None
+
+
+class TestPoissonBootstrap:
+    def test_matches_pure_python_replay(self, spark):
+        import hashlib
+
+        rows = [(i, (i * 37) % 500 + 100) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, x long")
+        out = metrics.poisson_bootstrap_ci(
+            df, F.col("id"), F.col("x"), n_replicates=16,
+        ).collect()[0]
+
+        ladder = metrics.POISSON1_CDF_BP
+
+        def weight(i, rep):
+            u = int(hashlib.md5(f"{i}:{rep}".encode()).hexdigest()[:8], 16) % 10000
+            for k, bp in enumerate(ladder):
+                if u < bp:
+                    return k
+            return len(ladder)
+
+        means = []
+        for rep in range(16):
+            s = n_eff = 0
+            for i, x in rows:
+                wt = weight(i, rep)
+                s += wt * x
+                n_eff += wt
+            means.append((s / n_eff, rep))
+        means.sort()
+        lo_rank = -(-250 * 16 // 10000)   # ceil -> 1
+        hi_rank = -(-9750 * 16 // 10000)  # ceil -> 16
+        assert out["n"] == 300
+        assert out["point_mean"] == pytest.approx(
+            sum(x for _, x in rows) / 300, abs=1e-12
+        )
+        assert out["ci_lo"] == pytest.approx(means[lo_rank - 1][0], abs=1e-12)
+        assert out["ci_hi"] == pytest.approx(means[hi_rank - 1][0], abs=1e-12)
+        assert out["ci_lo"] <= out["point_mean"] <= out["ci_hi"]
+
+    def test_weights_are_poisson_shaped(self, spark):
+        # the md5 draw is uniform, so weight frequencies over many draws
+        # track the quantized Poisson(1) pmf (0: ~36.8%, 1: ~36.8%, ...)
+        import hashlib
+
+        ladder = metrics.POISSON1_CDF_BP
+        counts = [0] * 8
+        for i in range(4000):
+            u = int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:8], 16) % 10000
+            k = next((k for k, bp in enumerate(ladder) if u < bp), 7)
+            counts[k] += 1
+        assert abs(counts[0] / 4000 - 0.3679) < 0.03
+        assert abs(counts[1] / 4000 - 0.3679) < 0.03
+        assert sum(counts) == 4000

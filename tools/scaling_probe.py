@@ -377,7 +377,7 @@ def main() -> None:
     big = build_sfx(spark, args.replicas)
     if args.only and "q_basket_rules" in args.only:
         ensure_lineitem_sfx(spark, args.replicas)
-    if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift") for q in args.only):
+    if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift", "q_bootstrap_ci") for q in args.only):
         ensure_events_sfx(spark, args.replicas)
 
     if args.quantiles:
