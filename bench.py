@@ -233,6 +233,7 @@ EXTENDED = [
     "q_spearman_drift",
     "q_cohens_kappa",
     "q_bootstrap_ci",
+    "q_image_resize",
 ]
 
 

@@ -848,3 +848,80 @@ def video_scene_stats(
             })
 
     return df.mapInPandas(run, schema=VIDEO_SCENE_SCHEMA)
+
+
+def synth_image(
+    df: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Deterministic toy image per document: REAL 24-bit BMP bytes whose
+    gray pixels follow the same closed form as `synth_video`'s frame 0
+    (p(doc, i) = ((doc_id·31 + n_chars) % 997 + 7·i + 13) % 251), so
+    image operators downstream (resize, checksum) are replayable in pure
+    SQL from the documents table. Expects `doc_id` and `n_chars`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(width * height, dtype=np.int64)
+        base = 7 * i + 13
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                s = (int(doc_id) * 31 + int(n_chars)) % 997
+                px = ((s + base) % 251).astype(np.uint8)
+                payloads.append(bmp_encode(px.reshape(height, width)))
+            yield pd.DataFrame({
+                "asset_id": pdf["doc_id"],
+                "modality": "image",
+                "content": payloads,
+                "content_uri": None,
+                "meta": [
+                    {
+                        "mime": "image/bmp",
+                        "width": width,
+                        "height": height,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                ] * len(payloads),
+            })
+
+    return df.mapInPandas(run, schema=ASSET_SCHEMA)
+
+
+IMAGE_CHECKSUM_SCHEMA = "asset_id long, width int, height int, px_checksum long"
+
+
+def image_checksum(df: DataFrame, strict: bool = True) -> DataFrame:
+    """Position-weighted pixel checksum of BMP content: Σ (i+1)·px_i over
+    the row-major gray channel — linear, so any pixel moved, dropped, or
+    changed by a codec bug shifts it; exact longs, so engine and oracle
+    agree bit-for-bit. The verification read-back of an image transform
+    (the q_image_resize gate decodes what resize_images re-encoded).
+    strict=False drops undecodable payloads like the audio/video readers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, cks = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    img = bmp_decode(bytes(payload) if payload is not None else b"")
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                gray = img[:, :, 0].astype(np.int64).reshape(-1)
+                ids.append(aid)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                cks.append(int((gray * (np.arange(gray.size) + 1)).sum()))
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "px_checksum": cks,
+            })
+
+    return df.mapInPandas(run, schema=IMAGE_CHECKSUM_SCHEMA)

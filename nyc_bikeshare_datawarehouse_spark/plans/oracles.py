@@ -4859,3 +4859,25 @@ ORACLES["q_bootstrap_ci"] = """
     )
     SELECT n, point_mean, ci_lo, ci_hi, n_replicates FROM pt CROSS JOIN ci
 """
+
+
+# Image resize: floor-sampling nearest-neighbor over closed-form pixels —
+# the resized pixel at (r, c) is source index 32r + 2c of the synth_image
+# formula, so the oracle regenerates the resized image and the weighted
+# checksum verifies the decode→resize→re-encode→decode chain exactly.
+ORACLES["q_image_resize"] = """
+    WITH px AS (
+        SELECT d.doc_id,
+               r.r * 8 + c.c + 1 AS wgt,
+               ((d.doc_id * 31 + d.n_chars) % 997
+                    + 7 * (32 * r.r + 2 * c.c) + 13) % 251 AS p
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS r) r
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(SUM(wgt * p) AS BIGINT) AS px_checksum
+    FROM px GROUP BY doc_id ORDER BY asset_id
+"""

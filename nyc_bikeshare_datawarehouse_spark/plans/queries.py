@@ -5072,6 +5072,24 @@ def q_cohens_kappa(spark, sf_dir):
     return metrics.cohens_kappa(d, F.col("lang") == "en", score >= 8200)
 
 
+def q_image_resize(spark, sf_dir):
+    """Image resize end-to-end WITH an oracle (multimodal.synth_image →
+    resize_images 16×16→8×8 via the stdlib BMP codec → image_checksum):
+    the synthesized pixels are the same closed form as q_video_scenes'
+    frame 0 and the resize is floor-sampling nearest-neighbor (source
+    index 32r + 2c), so DuckDB regenerates every resized pixel from the
+    documents table and the position-weighted checksum (Σ (i+1)·pxᵢ,
+    exact longs) hash-verifies the full decode→resize→re-encode→decode
+    chain — `resize` joins frame-sample as an oracle-checked modality
+    op (the remaining two multimodal legs, DCT pHash and WAV parse,
+    stay rows-only by design). Payloads never leave the three Arrow
+    stages; only 4-column checksum rows come out."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    imgs = multimodal.synth_image(d, width=16, height=16)
+    resized = multimodal.resize_images(imgs, 8, 8)
+    return multimodal.image_checksum(resized).orderBy("asset_id")
+
+
 def q_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap 95% CI for the mean purchase value
     (functions/metrics.poisson_bootstrap_ci) — error bars over a
@@ -5134,6 +5152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_spearman_drift": q_spearman_drift,
     "q_cohens_kappa": q_cohens_kappa,
     "q_bootstrap_ci": q_bootstrap_ci,
+    "q_image_resize": q_image_resize,
     "q_ab_ttest": q_ab_ttest,
     "q_threshold_metrics": q_threshold_metrics,
     "q_video_scenes": q_video_scenes,
@@ -5180,8 +5199,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles": q_percentiles,
     "q_pivot_flags": q_pivot_flags,
     "q_range_bucket_join": q_range_bucket_join,
-    "q_rollup": q_rollup,
-    "q_salted_join_equiv": q_salted_join_equiv,  # <- driver window cut (50)
+    "q_rollup": q_rollup,  # <- driver window cut (50)
+    "q_salted_join_equiv": q_salted_join_equiv,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_stats_agg": q_stats_agg,
     "q_string_null_funcs": q_string_null_funcs,

@@ -1495,3 +1495,52 @@ class TestTvidVideo:
         assert [(r["frame_idx"], r["frame_content"]) for r in rows] == [
             (0, None), (1, None)
         ]
+
+
+class TestImageChecksum:
+    def test_resize_checksum_matches_pure_python(self, spark):
+        import numpy as np
+
+        docs = spark.createDataFrame(
+            [(3, 99), (4, 200)], "doc_id long, n_chars long"
+        )
+        out = {
+            r["asset_id"]: r
+            for r in multimodal.image_checksum(
+                multimodal.resize_images(
+                    multimodal.synth_image(docs, 16, 16), 8, 8
+                )
+            ).collect()
+        }
+        for doc_id, n_chars in [(3, 99), (4, 200)]:
+            s = (doc_id * 31 + n_chars) % 997
+            expect = sum(
+                (r * 8 + c + 1) * ((s + 7 * (32 * r + 2 * c) + 13) % 251)
+                for r in range(8)
+                for c in range(8)
+            )
+            assert out[doc_id]["px_checksum"] == expect
+            assert (out[doc_id]["width"], out[doc_id]["height"]) == (8, 8)
+
+    def test_checksum_is_position_sensitive(self):
+        import numpy as np
+
+        a = np.zeros((4, 4), np.uint8)
+        a[0, 0] = 9
+        b = np.zeros((4, 4), np.uint8)
+        b[0, 1] = 9  # same multiset of pixels, different position
+        ck = lambda img: int(
+            (multimodal.bmp_decode(multimodal.bmp_encode(img))[:, :, 0]
+             .astype("int64").reshape(-1)
+             * (np.arange(16) + 1)).sum()
+        )
+        assert ck(a) != ck(b)
+
+    def test_strict_contract(self, spark):
+        bad = spark.createDataFrame(
+            [(1, "image", bytearray(b"JUNK"), None, None)],
+            multimodal.ASSET_SCHEMA,
+        )
+        with pytest.raises(Exception, match="BMP|magic"):
+            multimodal.image_checksum(bad).collect()
+        assert multimodal.image_checksum(bad, strict=False).count() == 0
