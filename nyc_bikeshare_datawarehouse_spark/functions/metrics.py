@@ -177,6 +177,11 @@ def welch_ttest(
         + (var_b / n_b) * (var_b / n_b) / (n_b - F.lit(1.0))
     )
     ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    # se2 = 0 (both groups constant) makes t and dof 0/0 — under ANSI
+    # (Spark 4 default) that's a DIVIDE_BY_ZERO crash, not a NaN, so the
+    # degenerate case must be guarded out explicitly (hypothesis-found;
+    # the oracle mirrors the guard)
+    ok_t = ok & (se2 > 0)
     return agg.select(
         "n_a",
         "n_b",
@@ -186,8 +191,8 @@ def welch_ttest(
         F.when(F.col("n_b") >= 1, mean_b).alias("mean_b"),
         F.when(ok, var_a).alias("var_a"),
         F.when(ok, var_b).alias("var_b"),
-        F.when(ok, t).alias("t_stat"),
-        F.when(ok, dof).alias("dof"),
+        F.when(ok_t, t).alias("t_stat"),
+        F.when(ok_t, dof).alias("dof"),
     )
 
 

@@ -4660,11 +4660,13 @@ ORACLES["q_ab_ttest"] = """
            CASE WHEN n_b >= 1 THEN mean_b END AS mean_b,
            CASE WHEN n_a >= 2 AND n_b >= 2 THEN var_a END AS var_a,
            CASE WHEN n_a >= 2 AND n_b >= 2 THEN var_b END AS var_b,
-           CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+           CASE WHEN n_a >= 2 AND n_b >= 2
+                 AND var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) > 0 THEN
                (mean_a - mean_b)
                    / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
            END AS t_stat,
-           CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+           CASE WHEN n_a >= 2 AND n_b >= 2
+                 AND var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) > 0 THEN
                ((var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
                 * (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)))
                / ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -618,3 +619,116 @@ def test_mmr_select_matches_bruteforce_greedy(spark, vecs, lam):
         remaining.remove(c)
         want.append((rank, c, rel[c], ms, score))
     assert got == want
+
+
+# ---------------------------------------------------------------- metrics
+
+auc_rows = st.lists(
+    st.tuples(st.integers(min_value=-50, max_value=50), st.booleans()),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=auc_rows)
+def test_roc_auc_matches_pair_probability(spark, rows):
+    """AUC == P(pos score > neg score) + P(tie)/2, the definition —
+    brute-force pair counting over arbitrary tie-heavy inputs."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    out = metrics.roc_auc(df, F.col("s"), [("y", F.col("y"))], bucket_width=7)
+    got = out.collect()[0]["auc"]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        assert got is None
+        return
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got == wins / (len(pos) * len(neg))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=auc_rows, shift=st.integers(min_value=1, max_value=9))
+def test_roc_auc_invariant_under_monotone_transform(spark, rows, shift):
+    """AUC is a rank statistic: any strictly increasing score transform
+    (here affine + cubic, both order-preserving on longs) leaves it
+    unchanged — the property that separates AUC from calibration-
+    sensitive metrics."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    labels = [("y", F.col("y"))]
+    base = metrics.roc_auc(df, F.col("s"), labels).collect()[0]["auc"]
+    affine = metrics.roc_auc(
+        df, F.col("s") * shift + 3, labels
+    ).collect()[0]["auc"]
+    cubic = metrics.roc_auc(
+        df, F.col("s") * F.col("s") * F.col("s"), labels
+    ).collect()[0]["auc"]
+    assert affine == base
+    assert cubic == base
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=30),
+    b=st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=30),
+)
+def test_welch_antisymmetric_and_matches_reference(spark, a, b):
+    """t(A,B) == -t(B,A) with identical dof, and both match the textbook
+    formulas — degenerate zero-variance pairs yield NULL/NaN-free rows
+    or honest NULLs, never wrong numbers."""
+    import math as m
+
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    fwd = metrics.welch_ttest(df, F.col("g"), F.col("v")).collect()[0]
+    rev = metrics.welch_ttest(
+        df, F.col("g"), F.col("v"), group_a="B", group_b="A"
+    ).collect()[0]
+
+    def mv(xs):
+        n = len(xs)
+        mean = sum(xs) / n
+        return n, mean, sum((x - mean) ** 2 for x in xs) / (n - 1)
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    se2 = va / na + vb / nb
+    if se2 == 0:
+        # both groups constant: t is 0/0 — the contract is an honest
+        # NULL (ANSI mode would otherwise crash; hypothesis found it)
+        assert fwd["t_stat"] is None and rev["t_stat"] is None
+        return
+    t = (ma - mb) / m.sqrt(se2)
+    assert fwd["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert rev["t_stat"] == pytest.approx(-t, rel=1e-9)
+    assert fwd["dof"] == pytest.approx(rev["dof"], rel=1e-9)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20),
+                  st.integers(min_value=0, max_value=20)),
+        min_size=3, max_size=40,
+    )
+)
+def test_spearman_matches_rank_pearson(spark, rows):
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+    from tests.test_metrics import avg_ranks, pearson
+
+    df = spark.createDataFrame([("g", x, y) for x, y in rows],
+                               "g string, x long, y long")
+    got = metrics.spearman_corr(df, "g", F.col("x"), F.col("y")).collect()[0]
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    want = pearson(avg_ranks(xs), avg_ranks(ys))
+    if want is None:
+        assert got["rho"] is None
+    else:
+        assert got["rho"] == pytest.approx(want, abs=1e-9)
