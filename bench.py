@@ -234,6 +234,7 @@ EXTENDED = [
     "q_cohens_kappa",
     "q_bootstrap_ci",
     "q_image_resize",
+    "q_calibration_bins",
 ]
 
 

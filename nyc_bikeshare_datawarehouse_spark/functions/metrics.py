@@ -464,3 +464,37 @@ def poisson_bootstrap_ci(
     return point.crossJoin(F.broadcast(ci)).select(
         "n", "point_mean", "ci_lo", "ci_hi", "n_replicates"
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    bin_width: int,
+) -> DataFrame:
+    """Reliability-diagram bins: group rows by fixed-width score bins
+    and report observed positive rate next to the mean score — the
+    calibration readout that AUC (pure discrimination) cannot see. One
+    map-side-combinable groupBy on the integral bin key; n/Σscore/Σpos
+    are exact longs, the two rates are single divisions. Output per
+    non-empty bin: (bin_lo, n, mean_score, pos_rate)."""
+    binned = df.select(
+        (F.floor(score / bin_width) * bin_width).cast("long").alias("bin_lo"),
+        score.alias("__s"),
+        label.cast("int").alias("__y"),
+    )
+    agg = binned.groupBy("bin_lo").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__s").alias("__sum_s"),
+        F.sum("__y").alias("__pos"),
+    )
+    return agg.select(
+        "bin_lo",
+        "n",
+        (F.col("__sum_s").cast("double") / F.col("n").cast("double")).alias(
+            "mean_score"
+        ),
+        (F.col("__pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+    )

@@ -4883,3 +4883,25 @@ ORACLES["q_image_resize"] = """
            CAST(SUM(wgt * p) AS BIGINT) AS px_checksum
     FROM px GROUP BY doc_id ORDER BY asset_id
 """
+
+
+# Calibration bins: exact long sums per fixed-width score bin, two
+# single divisions — the reliability-diagram readout.
+ORACLES["q_calibration_bins"] = """
+    WITH d AS (
+        SELECT CAST(FLOOR(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          / length(text)) AS BIGINT) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), agg AS (
+        SELECT CAST(FLOOR(score / 50) * 50 AS BIGINT) AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(score) AS BIGINT) AS sum_s,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM d GROUP BY 1
+    )
+    SELECT bin_lo, n,
+           CAST(sum_s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+    FROM agg ORDER BY bin_lo
+"""

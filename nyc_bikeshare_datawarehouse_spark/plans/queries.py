@@ -5072,6 +5072,28 @@ def q_cohens_kappa(spark, sf_dir):
     return metrics.cohens_kappa(d, F.col("lang") == "en", score >= 8200)
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram of the letter-ratio score against the
+    lang='en' label (functions/metrics.calibration_bins): observed
+    positive rate per fixed-width score bin next to the bin's mean
+    score — the CALIBRATION readout that q_roc_auc's discrimination
+    number can't see (a perfectly-ranked but miscalibrated classifier
+    has AUC 1 and a tilted reliability curve). One map-side-combinable
+    groupBy on the integral bin key; exact long sums, two single
+    divisions per bin. Completes the evaluation family:
+    discrimination (AUC) / operating points (thresholds) / agreement
+    (kappa) / drift (Spearman) / uncertainty (bootstrap) /
+    calibration (this)."""
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    d = _t(spark, sf_dir, "documents")
+    letters = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    score = F.floor(F.lit(10000) * letters / F.length("text")).cast("long")
+    return metrics.calibration_bins(
+        d, score, F.col("lang") == "en", bin_width=50
+    ).orderBy("bin_lo")
+
+
 def q_image_resize(spark, sf_dir):
     """Image resize end-to-end WITH an oracle (multimodal.synth_image →
     resize_images 16×16→8×8 via the stdlib BMP codec → image_checksum):
@@ -5153,6 +5175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohens_kappa": q_cohens_kappa,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_image_resize": q_image_resize,
+    "q_calibration_bins": q_calibration_bins,
     "q_ab_ttest": q_ab_ttest,
     "q_threshold_metrics": q_threshold_metrics,
     "q_video_scenes": q_video_scenes,
@@ -5198,8 +5221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ntile_percent_rank": q_ntile_percent_rank,
     "q_percentiles": q_percentiles,
     "q_pivot_flags": q_pivot_flags,
-    "q_range_bucket_join": q_range_bucket_join,
-    "q_rollup": q_rollup,  # <- driver window cut (50)
+    "q_range_bucket_join": q_range_bucket_join,  # <- driver window cut (50)
+    "q_rollup": q_rollup,
     "q_salted_join_equiv": q_salted_join_equiv,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_stats_agg": q_stats_agg,

@@ -287,3 +287,22 @@ class TestPoissonBootstrap:
         assert abs(counts[0] / 4000 - 0.3679) < 0.03
         assert abs(counts[1] / 4000 - 0.3679) < 0.03
         assert sum(counts) == 4000
+
+
+class TestCalibrationBins:
+    def test_bins_and_rates(self, spark):
+        # scores 0..99, label true for score >= 50: bins of 25 give
+        # rates 0, 0, 1, 1 and exact mean scores
+        df = spark.createDataFrame(
+            [(i, i >= 50) for i in range(100)], "s long, y boolean"
+        )
+        out = {
+            r["bin_lo"]: r
+            for r in metrics.calibration_bins(
+                df, F.col("s"), F.col("y"), bin_width=25
+            ).collect()
+        }
+        assert sorted(out) == [0, 25, 50, 75]
+        assert [out[b]["pos_rate"] for b in (0, 25, 50, 75)] == [0.0, 0.0, 1.0, 1.0]
+        assert out[25]["mean_score"] == pytest.approx((25 + 49) / 2)
+        assert all(r["n"] == 25 for r in out.values())
