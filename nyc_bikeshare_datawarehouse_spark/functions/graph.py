@@ -182,6 +182,145 @@ def bfs_hops(
     return dist
 
 
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list, via DEGREE ORIENTATION (Chiba–Nishizeki /
+    Suri–Vassilvitskii "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11 — public literature): orient every edge from its
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    from each node's ORIENTED out-neighborhood, and close them against
+    the edge set. Out-degrees are bounded by O(√m), so materialized
+    wedges are O(m^1.5) regardless of skew — a raw hub with degree 10⁶
+    would otherwise emit 10¹² wedges from one reducer; oriented it
+    emits none (every hub edge points INTO it). That bound is the whole
+    100 TB story: three shuffles keyed on node/pair ids, no corpus pass.
+
+    Returns (node, degree, triangles, coeff_bp) for every node, where
+    coeff_bp = ⌊20000·T / (d·(d−1))⌋ — the local clustering coefficient
+    in basis points, exact integer arithmetic end to end (engine-exact,
+    so the whole computation hash-checks against a SQL oracle).
+    """
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("lo"),
+            F.greatest(src_col, dst_col).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("degree").alias("__dl"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("degree").alias("__dh"))
+    # struct comparison is lexicographic in both engines: (deg, id) order
+    keyed = e.join(dl, "lo").join(dh, "hi")
+    lo_first = F.struct(F.col("__dl"), F.col("lo")) < F.struct(
+        F.col("__dh"), F.col("hi")
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+    )
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    wedges = oriented.join(o2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("v2"))).select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.col("v2").alias("c")
+    )
+    tris = wedges.join(
+        e,
+        (e.lo == F.least(wedges.b, wedges.c)) & (e.hi == F.greatest(wedges.b, wedges.c)),
+    ).select("a", "b", "c")
+    node_tri = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return deg.join(node_tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("(20000 * coalesce(triangles, 0L)) div (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coeff_bp"),
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    cap: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Weighted single/multi-source shortest-path distances by min-plus
+    relaxation to FIXPOINT (Bellman-Ford, distributed form) — the
+    weighted generalization of `bfs_hops`. Positive integer weights
+    only; distances above `cap` are dropped (and the cap is what makes
+    a bounded-enumeration SQL oracle possible: every (node, dist ≤ cap)
+    path sum is a finite set both engines can close over).
+
+    The per-round state (node → best dist) is MONOTONE: a round can
+    only add nodes or lower existing distances, so the O(1)-row
+    (count, sum) fingerprint is a sound fixpoint test on its own —
+    count equal means no additions, and with every per-node value ≤ its
+    predecessor an equal sum forces equality everywhere. No exact
+    set-difference confirmation is needed (unlike two_star_components,
+    whose edge rewrites are not monotone).
+
+    Scale: each round is one join keyed on node id + one min-aggregate
+    over state ∪ extensions; state ≤ |V| rows of two longs, rounds ≤
+    the weighted diameter in edges. Lineage checkpointed per round."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _fp(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).head()
+        return (row["n"], row["s"])
+
+    fp = _fp(dist)
+    for _ in range(max_iters):
+        ext = dist.join(e, dist.node == e.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(ext)
+            .filter(F.col("dist") <= cap)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        new_fp = _fp(dist)
+        if new_fp == fp:
+            return dist
+        fp = new_fp
+    raise RuntimeError(
+        f"shortest_paths did not converge in {max_iters} rounds "
+        "(weighted diameter exceeds max_iters — raise it)"
+    )
+
+
 def two_star_components(
     pairs: DataFrame,
     all_ids: DataFrame,

@@ -498,3 +498,67 @@ def calibration_bins(
             "pos_rate"
         ),
     )
+
+
+def kaplan_meier(durations: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958 — public
+    literature) over a frame of (dur, ev) rows: integer duration plus
+    1 = event observed / 0 = right-censored. Returns one row per
+    distinct EVENT time t: (t, n_risk, d_events, survival) where
+    n_risk counts all durations ≥ t (censored included) and
+
+        S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)
+
+    Cross-engine float contract (CLAUDE.md): d and n are exact longs;
+    each factor is one correctly-rounded divide + subtract, and the
+    product is a LEFT FOLD over factors in ascending-t order — the
+    identical sequential expression tree in Spark (`aggregate` seeded
+    from the first element) and DuckDB (`list_reduce`), so every
+    prefix product is bit-identical. No exp/ln shortcut (not correctly
+    rounded).
+
+    Scale shape: the heavy work is ONE map-side-combinable groupBy on
+    the duration key; everything after runs on the distinct-duration
+    frame, whose size is bounded by the time-resolution span (hours of
+    corpus coverage), not the corpus — so the single-partition window
+    and the in-row fold are O(k) by construction, the house rule for
+    rank-then-fold curves."""
+    per_t = durations.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.col("ev").cast("long")).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    # n_risk(t) = suffix sum of counts over descending t: O(k) frame
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("c").over(w).cast("long").alias("n")
+    ).filter(F.col("d") > 0)
+    # fold factors ascending-t inside one O(k) array; prefix product per
+    # index replays the same left association the oracle uses
+    packed = risk.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n"))
+        ).alias("__rows")
+    )
+    factors = F.transform(
+        F.col("__rows"),
+        lambda r: F.lit(1.0)
+        - r["d"].cast("double") / r["n"].cast("double"),
+    )
+    exploded = packed.select(
+        F.posexplode(F.col("__rows")).alias("__i0", "__r"),
+        factors.alias("__f"),
+    ).select(
+        F.col("__r")["t"].alias("t"),
+        F.col("__r")["n"].alias("n_risk"),
+        F.col("__r")["d"].alias("d_events"),
+        (F.col("__i0") + 1).alias("__i"),
+        F.col("__f").alias("__fs"),
+    )
+    survival = F.aggregate(
+        F.slice(F.col("__fs"), 2, F.col("__i") - 1),
+        F.element_at(F.col("__fs"), 1),
+        lambda acc, x: acc * x,
+    )
+    return exploded.select("t", "n_risk", "d_events", survival.alias("survival"))

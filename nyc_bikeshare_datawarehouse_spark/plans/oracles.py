@@ -4905,3 +4905,157 @@ ORACLES["q_calibration_bins"] = """
            CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
     FROM agg ORDER BY bin_lo
 """
+
+
+# Triangle counting, degree-oriented: the SAME (degree, id) orientation
+# and wedge-close join the Spark operator runs — struct/tuple comparison
+# is lexicographic in both engines; all-integer output.
+ORACLES["q_triangle_count"] = """
+    WITH s AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM s a JOIN s b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT lo AS node FROM edges
+            UNION ALL SELECT hi FROM edges
+        ) GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (dl.degree, e.lo) < (dh.degree, e.hi)
+                    THEN e.lo ELSE e.hi END AS u,
+               CASE WHEN (dl.degree, e.lo) < (dh.degree, e.hi)
+                    THEN e.hi ELSE e.lo END AS v
+        FROM edges e
+        JOIN deg dl ON dl.node = e.lo
+        JOIN deg dh ON dh.node = e.hi
+    ),
+    wedges AS (
+        SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        FROM oriented o1 JOIN oriented o2
+          ON o1.u = o2.u AND o1.v < o2.v
+    ),
+    tris AS (
+        SELECT w.a, w.b, w.c FROM wedges w
+        JOIN edges e ON e.lo = LEAST(w.b, w.c) AND e.hi = GREATEST(w.b, w.c)
+    ),
+    node_tri AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ) GROUP BY node
+    )
+    SELECT deg.node AS part, deg.degree,
+           CAST(COALESCE(nt.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN (20000 * COALESCE(nt.triangles, 0))
+                     // (deg.degree * (deg.degree - 1))
+                ELSE 0 END AS coeff_bp
+    FROM deg LEFT JOIN node_tri nt ON nt.node = deg.node
+    ORDER BY part
+"""
+
+# Weighted shortest paths: the cap (<= 60) makes the recursive path-sum
+# closure finite, so UNION-dedup enumeration terminates; MIN per node of
+# every enumerated sum equals the fixpoint distance (sums only ever
+# exceed the true minimum, and every true distance is under the cap).
+ORACLES["q_shortest_paths"] = """
+    WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_suppkey AS lo, b.l_suppkey AS hi,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s a JOIN s b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT lo AS src, hi AS dst, 1 + (cnt % 29) AS w FROM pairs
+        UNION ALL
+        SELECT hi, lo, 1 + (cnt % 29) FROM pairs
+    ),
+    seed AS (SELECT MIN(src) AS node FROM edges),
+    walk AS (
+        WITH RECURSIVE r(node, dist) AS (
+            SELECT node, CAST(0 AS BIGINT) FROM seed
+            UNION
+            SELECT e.dst, r.dist + e.w FROM r JOIN edges e ON e.src = r.node
+            WHERE r.dist + e.w <= 60
+        )
+        SELECT node, MIN(dist) AS dist FROM r GROUP BY node
+    )
+    SELECT node AS supplier, CAST(dist AS BIGINT) AS dist_w
+    FROM walk ORDER BY supplier
+"""
+
+# Kaplan-Meier: exact-long risk sets; the survival product replays the
+# SAME ascending-t left fold (list_reduce seeds from the first element,
+# matching Spark's aggregate(slice(...), element_at(..., 1), *)) so
+# every prefix product is bit-identical (CLAUDE.md float contract).
+ORACLES["q_kaplan_meier"] = """
+    WITH bounds AS (SELECT epoch_us(MAX(ts)) AS end_us FROM events),
+    gaps AS (
+        SELECT CASE WHEN nxt IS NOT NULL THEN (nxt - us) // 3600000000
+                    ELSE ((SELECT end_us FROM bounds) - us) // 3600000000
+               END AS dur,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM (
+            SELECT epoch_us(ts) AS us,
+                   LEAD(epoch_us(ts), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        )
+    ),
+    per_t AS (
+        SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM gaps GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(SUM(c) OVER (ORDER BY t DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS n
+        FROM per_t
+    ),
+    packed AS (
+        SELECT list(t ORDER BY t) AS ts_,
+               list(d ORDER BY t) AS ds,
+               list(n ORDER BY t) AS ns,
+               list(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                    ORDER BY t) AS fs
+        FROM risk WHERE d > 0
+    )
+    SELECT ts_[i] AS t, ns[i] AS n_risk, ds[i] AS d_events,
+           list_reduce(fs[1:i], (a, b) -> a * b) AS survival
+    FROM packed, (SELECT unnest(range(1, 1 + len(ts_))) AS i FROM packed)
+    ORDER BY t
+"""
+
+# Benford audit: exact integer first-digit counts on cents; expected
+# shares are hardcoded floor(log10(1+1/d)*1e4) literals on both sides.
+ORACLES["q_benford_digits"] = """
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    exp_t AS (
+        SELECT * FROM (VALUES (1, 3010), (2, 1760), (3, 1249), (4, 969),
+                              (5, 791), (6, 669), (7, 579), (8, 511),
+                              (9, 457)) AS t(digit, exp_bp)
+    )
+    SELECT c.digit, c.n,
+           CAST((c.n * 10000) // (SELECT SUM(n) FROM counts) AS BIGINT)
+               AS obs_bp,
+           CAST(e.exp_bp AS BIGINT) AS exp_bp,
+           CAST((c.n * 10000) // (SELECT SUM(n) FROM counts)
+                - e.exp_bp AS BIGINT) AS dev_bp
+    FROM counts c JOIN exp_t e USING (digit)
+    ORDER BY c.digit
+"""

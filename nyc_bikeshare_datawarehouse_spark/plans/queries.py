@@ -5155,6 +5155,151 @@ def q_video_scenes(spark, sf_dir):
     )
 
 
+def _copurchase_edges(spark, sf_dir, key: str):
+    """Co-purchase graph: two `key` values are adjacent when they appear
+    in the same order. One self-join keyed on l_orderkey — fan-out
+    bounded by max lines/order (7 in TPC-H, 17 in this corpus), so the
+    pair stream is O(corpus), never quadratic — then a distinct/count
+    on the pair. Returns (lo, hi, cnt) canonical undirected edges."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col(key).alias("k"))
+        .distinct()
+    )
+    s2 = s.select(F.col("l_orderkey").alias("__o2"), F.col("k").alias("k2"))
+    return (
+        s.join(s2, (s.l_orderkey == s2.__o2) & (s.k < s2.k2))
+        .groupBy(F.col("k").alias("lo"), F.col("k2").alias("hi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-part triangle counts + local clustering coefficient on the
+    part co-purchase graph (functions/graph.py `triangle_counts`):
+    degree-oriented wedge enumeration, O(m^1.5) wedges regardless of
+    hub skew — the "curse of the last reducer" fix. Everything is
+    exact integer arithmetic (coefficient in basis points), so the
+    whole three-shuffle pipeline hash-checks against the SQL oracle.
+    Analytics meaning: parts whose co-purchase neighborhoods close
+    into triangles are bundle cores; high-degree/low-coefficient parts
+    are cross-category staples."""
+    edges = _copurchase_edges(spark, sf_dir, "l_partkey")
+    return (
+        graph.triangle_counts(edges, "lo", "hi")
+        .withColumnRenamed("node", "part")
+        .orderBy("part")
+    )
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Weighted shortest-path distances from the smallest supplier key
+    over the supplier co-purchase graph (functions/graph.py
+    `shortest_paths`): Bellman-Ford min-plus relaxation run to a
+    monotone fixpoint, edge weight 1 + (co-occurrence count mod 29) so
+    frequently co-supplying pairs are NOT uniformly near — multi-hop
+    routes can beat direct edges and the relaxation loop actually
+    iterates. The distance cap (60) bounds the oracle's recursive
+    path-sum enumeration to a finite (node, dist) closure; every true
+    distance here is far below it."""
+    edges = _copurchase_edges(spark, sf_dir, "l_suppkey")
+    sym = edges.select(
+        F.col("lo").alias("src"),
+        F.col("hi").alias("dst"),
+        (F.lit(1) + F.col("cnt") % 29).alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col("hi").alias("src"),
+            F.col("lo").alias("dst"),
+            (F.lit(1) + F.col("cnt") % 29).alias("w"),
+        )
+    )
+    seeds = sym.agg(F.min("src").alias("node"))
+    return (
+        graph.shortest_paths(sym, seeds, cap=60)
+        .withColumnRenamed("node", "supplier")
+        .withColumnRenamed("dist", "dist_w")
+        .orderBy("supplier")
+    )
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of inter-event gaps (functions/
+    metrics.py `kaplan_meier`): every consecutive same-user event gap
+    is an observed duration, each user's open gap from their last
+    event to corpus end is RIGHT-CENSORED — the textbook churn/
+    engagement readout ("how long do users stay silent, given many are
+    still silent when the data ends"). Durations in whole hours, so
+    the curve is bounded by the corpus time SPAN, not its row count;
+    risk sets are exact longs and the survival product is the
+    order-pinned left fold that is bit-identical in DuckDB."""
+    e = _t(spark, sf_dir, "events")
+    # corpus end as a 1-row broadcast scalar (never a global window)
+    end = e.agg(F.unix_micros(F.max("ts")).alias("__end_us"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    nxt = F.lead(us, 1).over(w)
+    gaps = (
+        e.crossJoin(F.broadcast(end))
+        .select(
+            F.when(nxt.isNotNull(), nxt - us)
+            .otherwise(F.col("__end_us") - us)
+            .alias("__gap_us"),
+            F.when(nxt.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+        )
+        .select(F.expr("__gap_us div 3600000000").alias("dur"), "ev")
+    )
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    return metrics.kaplan_meier(gaps).orderBy("t")
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals — the
+    forensic data-quality screen (Benford 1938, public literature):
+    exact per-digit counts on integer cents, observed shares in basis
+    points (floor-truncated), against the hardcoded ⌊log₁₀(1+1/d)·10⁴⌋
+    expectation literals (constants, so no cross-engine log10). TPC-H
+    prices are uniform, not Benford — the audit REPORTING that loudly
+    (dev_bp up to ~2000) is the point of the query. One projection +
+    one 9-key aggregate; trivially linear."""
+    o = _t(spark, sf_dir, "orders")
+    exp_bp = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579,
+              8: 511, 9: 457}
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    exp_col = F.element_at(
+        F.array(*[F.lit(exp_bp[d]) for d in range(1, 10)]), F.col("digit")
+    ).cast("long")
+    return (
+        counts.select(
+            "digit",
+            "n",
+            total.alias("__t"),
+            exp_col.alias("exp_bp"),
+        )
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 10000) div __t").cast("long").alias("obs_bp"),
+            "exp_bp",
+            (F.expr("(n * 10000) div __t") - F.col("exp_bp"))
+            .cast("long")
+            .alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -5170,6 +5315,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
+    "q_triangle_count": q_triangle_count,
+    "q_shortest_paths": q_shortest_paths,
+    "q_kaplan_meier": q_kaplan_meier,
+    "q_benford_digits": q_benford_digits,
     "q_roc_auc": q_roc_auc,
     "q_spearman_drift": q_spearman_drift,
     "q_cohens_kappa": q_cohens_kappa,
@@ -5217,11 +5366,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lateral_topn": q_lateral_topn,
     "q_map_funcs": q_map_funcs,
     "q_near_dup_minhash": q_near_dup_minhash,
-    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_ngram_jaccard": q_ngram_jaccard,  # <- driver window cut (50)
     "q_ntile_percent_rank": q_ntile_percent_rank,
     "q_percentiles": q_percentiles,
     "q_pivot_flags": q_pivot_flags,
-    "q_range_bucket_join": q_range_bucket_join,  # <- driver window cut (50)
+    "q_range_bucket_join": q_range_bucket_join,
     "q_rollup": q_rollup,
     "q_salted_join_equiv": q_salted_join_equiv,
     "q_simhash_near_dup": q_simhash_near_dup,

@@ -460,3 +460,143 @@ class TestTwoStarComponents:
             b = {r["doc_id"]: r["cluster_id"]
                  for r in cluster_duplicates(pairs, ids, max_iters=60).collect()}
             assert a == b, (n, edges)
+
+
+def _brute_triangles(edge_set):
+    """Per-node triangle counts by literal 3-subset enumeration."""
+    import itertools
+
+    nodes = sorted({x for e in edge_set for x in e})
+    has = {frozenset(e) for e in edge_set}
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in has
+            and frozenset((b, c)) in has
+            and frozenset((a, c)) in has
+        ):
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return tri
+
+
+class TestTriangleCounts:
+    def test_hand_case(self, spark):
+        # triangle a-b-c plus pendant d hanging off c
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+            "src string, dst string",
+        )
+        got = {
+            r["node"]: (r["degree"], r["triangles"], r["coeff_bp"])
+            for r in graph.triangle_counts(df).collect()
+        }
+        assert got == {
+            "a": (2, 1, 10000),
+            "b": (2, 1, 10000),
+            "c": (3, 1, 3333),
+            "d": (1, 0, 0),  # degree < 2: coefficient defined as 0
+        }
+
+    def test_star_hub_has_no_triangles(self, spark):
+        # the "last reducer" shape: orientation must not explode the hub
+        df = spark.createDataFrame(
+            [("hub", f"l{i}") for i in range(8)], "src string, dst string"
+        )
+        got = {r["node"]: r["triangles"] for r in graph.triangle_counts(df).collect()}
+        assert set(got.values()) == {0}
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "c")],
+            "src string, dst string",
+        )
+        got = {r["node"]: r["triangles"] for r in graph.triangle_counts(df).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_matches_brute_force_on_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(411)
+        for _ in range(3):
+            n = 14
+            edges = [
+                (f"n{i}", f"n{j}")
+                for i in range(n)
+                for j in range(i + 1, n)
+                if rng.random() < 0.35
+            ]
+            if not edges:
+                continue
+            df = spark.createDataFrame(edges, "src string, dst string")
+            got = {
+                r["node"]: r["triangles"]
+                for r in graph.triangle_counts(df).collect()
+            }
+            assert got == _brute_triangles(edges)
+
+
+def _dijkstra(edges, seeds, cap):
+    """Pure-Python reference: min-dist from any seed, dropping > cap."""
+    import heapq
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {}
+    heap = [(0, s) for s in seeds]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if u in dist or du > cap:
+            continue
+        dist[u] = du
+        for v, w in adj.get(u, []):
+            if v not in dist:
+                heapq.heappush(heap, (du + w, v))
+    return dist
+
+
+class TestShortestPaths:
+    def test_two_hop_beats_direct_edge(self, spark):
+        edges = [("a", "b", 5), ("a", "c", 1), ("c", "b", 1)]
+        sym = edges + [(d, s, w) for s, d, w in edges]
+        df = spark.createDataFrame(sym, "src string, dst string, w long")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r["node"]: r["dist"] for r in graph.shortest_paths(df, seeds, cap=60).collect()}
+        assert got == {"a": 0, "b": 2, "c": 1}
+
+    def test_cap_drops_far_nodes(self, spark):
+        edges = [("a", "b", 50), ("b", "c", 50)]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {r["node"]: r["dist"] for r in graph.shortest_paths(df, seeds, cap=60).collect()}
+        assert got == {"a": 0, "b": 50}  # c at 100 > cap
+
+    def test_multi_seed_takes_minimum(self, spark):
+        edges = [("a", "m", 9), ("z", "m", 2)]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        seeds = spark.createDataFrame([("a",), ("z",)], "node string")
+        got = {r["node"]: r["dist"] for r in graph.shortest_paths(df, seeds, cap=60).collect()}
+        assert got == {"a": 0, "z": 0, "m": 2}
+
+    def test_matches_dijkstra_on_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(1123)
+        for _ in range(2):
+            n = 12
+            edges = []
+            for i in range(n):
+                for j in range(n):
+                    if i != j and rng.random() < 0.25:
+                        edges.append((f"n{i}", f"n{j}", rng.randint(1, 9)))
+            if not edges:
+                continue
+            df = spark.createDataFrame(edges, "src string, dst string, w long")
+            seeds = spark.createDataFrame([("n0",)], "node string")
+            got = {
+                r["node"]: r["dist"]
+                for r in graph.shortest_paths(df, seeds, cap=40).collect()
+            }
+            assert got == _dijkstra(edges, ["n0"], cap=40)

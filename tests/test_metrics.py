@@ -306,3 +306,52 @@ class TestCalibrationBins:
         assert [out[b]["pos_rate"] for b in (0, 25, 50, 75)] == [0.0, 0.0, 1.0, 1.0]
         assert out[25]["mean_score"] == pytest.approx((25 + 49) / 2)
         assert all(r["n"] == 25 for r in out.values())
+
+
+def brute_kaplan_meier(durs):
+    """Textbook KM replay: durs = [(dur, ev)]; returns
+    {t: (n_risk, d, survival)} over event times, left-to-right product."""
+    times = sorted({d for d, e in durs if e})
+    out, s = {}, 1.0
+    for t in times:
+        n = sum(1 for d, _ in durs if d >= t)
+        dth = sum(1 for d, e in durs if d == t and e)
+        s = s * (1.0 - dth / n)
+        out[t] = (n, dth, s)
+    return out
+
+
+class TestKaplanMeier:
+    def test_hand_case(self, spark):
+        durs = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)]
+        df = spark.createDataFrame(durs, "dur long, ev int")
+        got = {
+            r["t"]: (r["n_risk"], r["d_events"], r["survival"])
+            for r in metrics.kaplan_meier(df).collect()
+        }
+        assert set(got) == {1, 3}
+        assert got[1] == (5, 1, 0.8)
+        n, d, s = got[3]
+        assert (n, d) == (3, 2)
+        assert s == 0.8 * (1.0 - 2.0 / 3.0)  # bit-exact left fold
+
+    def test_all_censored_empty_curve(self, spark):
+        df = spark.createDataFrame([(5, 0), (7, 0)], "dur long, ev int")
+        assert metrics.kaplan_meier(df).count() == 0
+
+    def test_matches_textbook_replay_and_monotone(self, spark):
+        import random
+
+        rng = random.Random(77)
+        durs = [(rng.randint(0, 20), rng.randint(0, 1)) for _ in range(200)]
+        df = spark.createDataFrame(durs, "dur long, ev int")
+        rows = sorted(metrics.kaplan_meier(df).collect(), key=lambda r: r["t"])
+        ref = brute_kaplan_meier(durs)
+        assert {r["t"] for r in rows} == set(ref)
+        for r in rows:
+            n, d, s = ref[r["t"]]
+            assert (r["n_risk"], r["d_events"]) == (n, d)
+            assert r["survival"] == pytest.approx(s, abs=1e-12)
+        surv = [r["survival"] for r in rows]
+        assert all(a >= b for a, b in zip(surv, surv[1:]))
+        assert all(0.0 <= x <= 1.0 for x in surv)
