@@ -235,6 +235,20 @@ EXTENDED = [
     "q_bootstrap_ci",
     "q_image_resize",
     "q_calibration_bins",
+    # round 11 third-session members: the cheap analytic additions.
+    # Four session queries are gate-checked + SCALING-probed but NOT
+    # benched, same rule as the LSH accuracy pair: q_triangle_count /
+    # q_shortest_paths ride the already-measured co-purchase pair-join
+    # class (triangle's sf0.1 cost is recorded in SCALING.json),
+    # q_markov_attribution is 12 checkpointed micro-rounds (wall cost
+    # is round overhead, not data), and q_time_travel is write-side
+    # lifecycle I/O like the unbenched snapshot writers.
+    "q_benford_digits",
+    "q_chi2_drift",
+    "q_holt_winters",
+    "q_kaplan_meier",
+    "q_isotonic_calibration",
+    "q_seasonal_decompose",
 ]
 
 

@@ -226,3 +226,80 @@ def psi_from_histograms(
         "cur_n",
         contrib.alias("psi_contrib"),
     )
+
+
+def chi2_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence over a categorical
+    contingency table — the categorical sibling of ks_stat (continuous)
+    and psi_table (binned): did the row/column factors decouple?
+
+    Determinism contract: observed counts, marginals and the grand
+    total are EXACT longs; each cell's statistic is derived from them
+    with the verbatim expression tree
+
+        num  = o·g − rt·ct            (products in DOUBLE, one subtract)
+        cell = num² / (g · rt · ct) · g   -- i.e. (o−e)²/e with e=rt·ct/g
+
+    which is bit-identical cross-engine (the q_ab_ttest corollary:
+    +,−,×,÷ chains over exact integer aggregates), then FLOOR-quantized
+    to micro-units per cell BEFORE summation so the total is an exact
+    integer sum — immune to partial-aggregation order. ZERO cells are
+    materialized (row-universe × col-universe cross of the two O(k)
+    distinct frames) because (0−e)²/e contributes.
+
+    Scale: one corpus groupBy on the (row, col) pair; everything after
+    runs on the O(R·C) cell frame (bounded by category cardinalities).
+    Returns per-cell rows (row_key, col_key, o, contrib_micro) plus
+    the same chi2_micro / dof totals on every row (O(cells) windows)."""
+    # localCheckpoint: cells feeds three consumers (row marginals, col
+    # marginals, the grid join) — without truncation Spark re-runs the
+    # corpus groupBy per consumer (diverged-subplan rule, CLAUDE.md)
+    cells = (
+        df.groupBy(
+            F.col(row_col).alias("row_key"), F.col(col_col).alias("col_key")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    rows = cells.groupBy("row_key").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("col_key").agg(F.sum("o").alias("ct"))
+    grid = rows.crossJoin(cols)  # O(R·C), both sides O(k) frames
+    full = grid.join(cells, ["row_key", "col_key"], "left").select(
+        "row_key",
+        "col_key",
+        F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        "rt",
+        "ct",
+        F.sum(F.coalesce("o", F.lit(0)))
+        .over(Window.partitionBy())  # O(R·C) frame: cells, not corpus
+        .cast("long")
+        .alias("g"),
+    )
+    num = F.col("o").cast("double") * F.col("g").cast("double") - F.col(
+        "rt"
+    ).cast("double") * F.col("ct").cast("double")
+    denom = (
+        F.col("g").cast("double")
+        * F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+    )
+    contrib = F.floor(
+        num * num / denom * F.lit(1000000.0)
+    ).cast("long")
+    scored = full.select(
+        "row_key", "col_key", "o", contrib.alias("contrib_micro")
+    )
+    dims = rows.agg(F.count(F.lit(1)).alias("__r")).crossJoin(
+        cols.agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wtot = Window.partitionBy()  # O(R·C) frame: cells, not corpus
+    return scored.crossJoin(F.broadcast(dims)).select(
+        "row_key",
+        "col_key",
+        "o",
+        "contrib_micro",
+        F.sum("contrib_micro").over(wtot).cast("long").alias("chi2_micro"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long").alias("dof"),
+    )

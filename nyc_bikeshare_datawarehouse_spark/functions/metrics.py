@@ -500,6 +500,66 @@ def calibration_bins(
     )
 
 
+def isotonic_fit(bins: DataFrame) -> DataFrame:
+    """Monotone non-decreasing calibration of binned positive rates —
+    PAVA's output computed through the exact minimax closed form
+    iso(i) = max_{j≤i} min_{l≥i} pooled-rate(j..l) (Barlow et al.
+    1972, public literature), with every pooled rate QUANTIZED to
+    integer micro-units BEFORE comparison so max/min run on exact
+    longs and the fit is engine-identical (the fitted value can sit
+    1 µ-unit from float PAVA at a quantization boundary — the price
+    of a hash-checkable fit).
+
+    `bins` must carry (bin_lo, n, pos) with exact-long n/pos. The
+    interval grid is O(k³) rows on the BIN frame — k is the bin
+    count (bounded by the caller's literal bin width), never the
+    corpus, so the two inequality joins stay broadcast-tiny at any
+    data scale. Returns (bin_lo, n, raw_micro, iso_micro)."""
+    wi = Window.orderBy("bin_lo")  # O(k) frame: bin count, not corpus
+    idx = bins.select(
+        "bin_lo",
+        "n",
+        F.col("pos").alias("__pos"),
+        F.row_number().over(wi).alias("i"),
+        F.sum("n").over(wi).alias("__cn"),
+        F.sum("pos").over(wi).alias("__cp"),
+    ).localCheckpoint(eager=True)
+    lo = idx.select(
+        F.col("i").alias("j"),
+        (F.col("__cn") - F.col("n")).alias("__cn_before"),
+        (F.col("__cp") - F.col("__pos")).alias("__cp_before"),
+    )
+    hi = idx.select(
+        F.col("i").alias("l"),
+        F.col("__cn").alias("__cn_to"),
+        F.col("__cp").alias("__cp_to"),
+    )
+    intervals = lo.join(hi, F.col("j") <= F.col("l")).select(
+        "j",
+        "l",
+        F.expr(
+            "((__cp_to - __cp_before) * 1000000) div (__cn_to - __cn_before)"
+        ).alias("q"),
+    )
+    pos = idx.select("i", "bin_lo", "n", "__pos")
+    iso = (
+        pos.join(
+            intervals,
+            (F.col("j") <= F.col("i")) & (F.col("l") >= F.col("i")),
+        )
+        .groupBy("i", "bin_lo", "n", "__pos", "j")
+        .agg(F.min("q").alias("__minq"))
+        .groupBy("i", "bin_lo", "n", "__pos")
+        .agg(F.max("__minq").alias("iso_micro"))
+    )
+    return iso.select(
+        "bin_lo",
+        "n",
+        F.expr("(__pos * 1000000) div n").cast("long").alias("raw_micro"),
+        F.col("iso_micro").cast("long").alias("iso_micro"),
+    )
+
+
 def kaplan_meier(durations: DataFrame) -> DataFrame:
     """Kaplan-Meier survival curve (Kaplan & Meier 1958 — public
     literature) over a frame of (dur, ev) rows: integer duration plus

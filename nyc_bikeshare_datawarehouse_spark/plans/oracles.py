@@ -5059,3 +5059,275 @@ ORACLES["q_benford_digits"] = """
     FROM counts c JOIN exp_t e USING (digit)
     ORDER BY c.digit
 """
+
+
+# Seasonal decomposition: integer centi-cents throughout; the centered
+# 7-day frame and the per-dow floor-divided means replay exactly.
+# dayofweek parity: DuckDB 0=Sunday -> +1 to match Spark.
+ORACLES["q_seasonal_decompose"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, day, cents,
+               CAST(SUM(cents) OVER w AS BIGINT) AS sum7,
+               COUNT(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT event_type, day,
+               cents * 100 AS obs_cc,
+               (sum7 * 100) // 7 AS trend_cc,
+               CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+               cents * 100 - (sum7 * 100) // 7 AS resid
+        FROM trended WHERE n7 = 7
+    ),
+    seas AS (
+        SELECT event_type, dow, SUM(resid) // COUNT(*) AS seasonal_cc
+        FROM detr GROUP BY 1, 2
+    )
+    SELECT d.event_type, CAST(d.day AS DATE) AS day, d.dow,
+           CAST(d.obs_cc AS BIGINT) AS obs_cc,
+           CAST(d.trend_cc AS BIGINT) AS trend_cc,
+           CAST(s.seasonal_cc AS BIGINT) AS seasonal_cc,
+           CAST(d.resid - s.seasonal_cc AS BIGINT) AS residual_cc
+    FROM detr d JOIN seas s USING (event_type, dow)
+    ORDER BY d.event_type, d.day
+"""
+
+# Isotonic calibration: the same micro-unit-quantized minimax closed
+# form over the O(k^3) interval grid — every comparison is on exact
+# longs, so max-of-min replays bit-for-bit.
+ORACLES["q_isotonic_calibration"] = """
+    WITH bins AS (
+        SELECT CAST(FLOOR(FLOOR(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                / length(text)) / 100) * 100 AS BIGINT) AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM documents GROUP BY 1
+    ),
+    idx AS (
+        SELECT bin_lo, n, pos,
+               ROW_NUMBER() OVER (ORDER BY bin_lo) AS i,
+               SUM(n) OVER (ORDER BY bin_lo) AS cn,
+               SUM(pos) OVER (ORDER BY bin_lo) AS cp
+        FROM bins
+    ),
+    intervals AS (
+        SELECT lo.i AS j, hi.i AS l,
+               ((hi.cp - (lo.cp - lo.pos)) * 1000000)
+                   // (hi.cn - (lo.cn - lo.n)) AS q
+        FROM idx lo JOIN idx hi ON lo.i <= hi.i
+    ),
+    iso AS (
+        SELECT b.i, b.bin_lo, b.n, b.pos, MAX(minq) AS iso_micro
+        FROM idx b
+        JOIN (
+            SELECT iv.j, b2.i, MIN(iv.q) AS minq
+            FROM idx b2 JOIN intervals iv ON iv.j <= b2.i AND iv.l >= b2.i
+            GROUP BY iv.j, b2.i
+        ) m ON m.i = b.i AND m.j <= b.i
+        GROUP BY b.i, b.bin_lo, b.n, b.pos
+    )
+    SELECT bin_lo, n,
+           CAST((pos * 1000000) // n AS BIGINT) AS raw_micro,
+           CAST(iso_micro AS BIGINT) AS iso_micro
+    FROM iso ORDER BY bin_lo
+"""
+
+
+# Chi-square independence: zero cells from the marginal cross; per-cell
+# statistic over exact longs with the verbatim double expression tree
+# ((num*num)/denom)*1e6, floor-quantized before the exact integer total.
+ORACLES["q_chi2_drift"] = """
+    WITH cells AS (
+        SELECT source AS row_key, lang AS col_key,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT row_key, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    cols_m AS (SELECT col_key, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    full_g AS (
+        SELECT r.row_key, c.col_key, COALESCE(x.o, 0) AS o, r.rt, c.ct
+        FROM rows_m r CROSS JOIN cols_m c
+        LEFT JOIN cells x ON x.row_key = r.row_key AND x.col_key = c.col_key
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS g FROM full_g),
+    scored AS (
+        SELECT row_key, col_key, CAST(o AS BIGINT) AS o,
+               CAST(FLOOR(
+                   (CAST(o AS DOUBLE) * CAST(g AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                   * (CAST(o AS DOUBLE) * CAST(g AS DOUBLE)
+                      - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                   / (CAST(g AS DOUBLE) * CAST(rt AS DOUBLE)
+                      * CAST(ct AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS contrib_micro
+        FROM full_g, tot
+    )
+    SELECT row_key, col_key, o, contrib_micro,
+           CAST((SELECT SUM(contrib_micro) FROM scored) AS BIGINT) AS chi2_micro,
+           CAST(((SELECT COUNT(*) FROM rows_m) - 1)
+                * ((SELECT COUNT(*) FROM cols_m) - 1) AS BIGINT) AS dof
+    FROM scored
+    ORDER BY row_key, col_key
+"""
+
+
+# Markov removal-effect attribution: the 12-round integer value
+# iteration replayed as unrolled CTEs (the q_textrank pattern); journey
+# build, scenario redirect and share division mirror queries.py exactly.
+_ATT_ROUND = """
+    p{r} AS MATERIALIZED (
+        SELECT n.scenario, n.node,
+               CAST(CASE WHEN n.node = 'CONV' THEN 1000000000
+                         WHEN n.node = 'NULL' THEN 0
+                         ELSE COALESCE(u.p, 0) END AS BIGINT) AS p
+        FROM nodes n LEFT JOIN (
+            SELECT e.scenario, e.src AS node, SUM(e.cnt * q.p) // e.tot AS p
+            FROM edges e JOIN p{r0} q
+              ON q.scenario = e.scenario AND q.node = e.dst
+            GROUP BY e.scenario, e.src, e.tot
+        ) u ON u.scenario = n.scenario AND u.node = n.node
+    )"""
+
+ORACLES["q_markov_attribution"] = (
+    """
+    WITH seq AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS state
+        FROM events
+    ), kept AS (
+        SELECT user_id, rn, state FROM (
+            SELECT user_id, rn, state,
+                   MIN(CASE WHEN state = 'CONV' THEN rn END)
+                       OVER (PARTITION BY user_id) AS fc
+            FROM seq)
+        WHERE fc IS NULL OR rn <= fc
+    ), steps AS (
+        SELECT user_id, rn, state AS src,
+               LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+        FROM kept
+    ), base AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT 'START' AS src, src AS dst FROM steps WHERE rn = 1
+            UNION ALL
+            SELECT src, COALESCE(nxt, 'NULL') AS dst FROM steps
+            WHERE nxt IS NOT NULL OR src <> 'CONV'
+        ) GROUP BY 1, 2
+    ), channels AS (
+        SELECT DISTINCT ch FROM (
+            SELECT src AS ch FROM base UNION ALL SELECT dst FROM base)
+        WHERE ch NOT IN ('START', 'CONV', 'NULL')
+    ), scenarios AS (
+        SELECT ch AS scenario FROM channels UNION ALL SELECT 'FULL'
+    ), sedges AS MATERIALIZED (
+        SELECT scenario, src, dst, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+            SELECT s.scenario, b.src,
+                   CASE WHEN s.scenario <> 'FULL' AND b.dst = s.scenario
+                        THEN 'NULL' ELSE b.dst END AS dst,
+                   b.cnt
+            FROM scenarios s CROSS JOIN base b
+        ) GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT scenario, src, CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM sedges GROUP BY 1, 2
+    ), edges AS MATERIALIZED (
+        SELECT e.scenario, e.src, e.dst, e.cnt, t.tot
+        FROM sedges e JOIN tot t
+          ON t.scenario = e.scenario AND t.src = e.src
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT scenario, node FROM (
+            SELECT scenario, src AS node FROM sedges
+            UNION ALL SELECT scenario, dst FROM sedges)
+    ), p0 AS (
+        SELECT scenario, node,
+               CAST(CASE WHEN node = 'CONV' THEN 1000000000
+                         ELSE 0 END AS BIGINT) AS p
+        FROM nodes
+    ),"""
+    + ",".join(
+        _ATT_ROUND.format(r=r, r0=r - 1) for r in range(1, 13)
+    )
+    + """,
+    eff AS (
+        SELECT p.scenario AS channel,
+               (SELECT p FROM p12
+                WHERE scenario = 'FULL' AND node = 'START') AS p_full,
+               p.p AS p_removed
+        FROM p12 p WHERE p.node = 'START' AND p.scenario <> 'FULL'
+    )
+    SELECT channel,
+           CAST(p_full AS BIGINT) AS p_full_nano,
+           CAST(p_removed AS BIGINT) AS p_removed_nano,
+           CAST(p_full - p_removed AS BIGINT) AS removal_nano,
+           CAST(CASE WHEN (SELECT SUM(p_full - p_removed) FROM eff) > 0
+                     THEN ((p_full - p_removed) * 10000)
+                          // (SELECT SUM(p_full - p_removed) FROM eff)
+                     ELSE 0 END AS BIGINT) AS share_bp
+    FROM eff ORDER BY channel
+"""
+)
+
+
+# Time travel: each snapshot's row multiset recomputed straight from
+# the corpus — proves the manifest read returned exactly the commits.
+ORACLES["q_time_travel"] = """
+    SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT CAST(2 AS INTEGER),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ) ORDER BY version
+"""
+
+# Holt double-exponential: the same fold with a 2-element LIST
+# accumulator [s, b] — NOT a struct: DuckDB 1.0 struct literals inside
+# list_reduce evaluate later fields against the NEW value of earlier
+# fields (the lateral alias-shadowing class, found here: {'s': f(acc),
+# 'b': acc.s} reads the fresh s), which silently corrupts any
+# two-state fold. Lists index positionally and are immune. Elements
+# lifted to [c, 0] so seed-from-first IS the init state; FLOOR(x/2.0)
+# on both sides (negative trends: div vs // diverge).
+ORACLES["q_holt_winters"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               list(cents ORDER BY day) AS cs
+        FROM daily GROUP BY event_type
+    ), f AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_transform(cs, c -> [c, CAST(0 AS BIGINT)]),
+                   (acc, x) -> [
+                       CAST(FLOOR((x[1] + acc[1] + acc[2]) / 2.0) AS BIGINT),
+                       CAST(FLOOR((CAST(FLOOR((x[1] + acc[1] + acc[2]) / 2.0)
+                                         AS BIGINT)
+                                   - acc[1] + acc[2]) / 2.0) AS BIGINT)
+                   ]) AS hw
+        FROM g
+    )
+    SELECT event_type, n_days,
+           CAST(hw[1] AS BIGINT) AS level_cents,
+           CAST(hw[2] AS BIGINT) AS trend_cents,
+           CAST(hw[1] + hw[2] AS BIGINT) AS forecast_cents
+    FROM f ORDER BY event_type
+"""

@@ -5300,6 +5300,321 @@ def q_benford_digits(spark, sf_dir):
     )
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of per-type daily revenue —
+    observed = trend + seasonal + residual, the classic time-series
+    triptych: centered 7-day moving-average trend, day-of-week
+    seasonal index (mean residual per weekday), leftover residual.
+    Everything in integer CENTI-cents (daily cents ×100; the ÷7 and
+    per-dow means are floor divisions), so the whole decomposition is
+    engine-exact. One corpus groupBy into (type, day) cells; both
+    windows ride frames bounded by the corpus time SPAN per series,
+    partitioned by series — the gap-fill/rolling family's posture."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("__cents"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    with_trend = daily.select(
+        "event_type",
+        "day",
+        "__cents",
+        F.sum("__cents").over(w7).alias("__sum7"),
+        F.count(F.lit(1)).over(w7).alias("__n7"),
+    ).filter(F.col("__n7") == 7)
+    detr = with_trend.select(
+        "event_type",
+        "day",
+        (F.col("__cents") * 100).alias("obs_cc"),
+        F.expr("(__sum7 * 100) div 7").alias("trend_cc"),
+        F.dayofweek("day").alias("dow"),
+    ).withColumn("__resid", F.col("obs_cc") - F.col("trend_cc"))
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.expr("sum(__resid) div count(1)").alias("seasonal_cc")
+    )
+    return (
+        detr.join(seas, ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            F.col("dow").cast("int").alias("dow"),
+            F.col("obs_cc").cast("long").alias("obs_cc"),
+            F.col("trend_cc").cast("long").alias("trend_cc"),
+            F.col("seasonal_cc").cast("long").alias("seasonal_cc"),
+            (F.col("__resid") - F.col("seasonal_cc"))
+            .cast("long")
+            .alias("residual_cc"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone non-decreasing) calibration of per-bin
+    positive rates — PAVA's output computed through the exact MINIMAX
+    closed form iso(i) = max_{j≤i} min_{l≥i} mean(pos, j..l) (Barlow
+    et al. 1972, public literature), on pooled rates QUANTIZED to
+    integer micro-units, so every max/min compares exact longs and
+    the fit is engine-identical. The corpus pass is one groupBy into
+    score bins of literal width 100; the j≤i≤l interval grid is O(k³) on the BIN frame
+    (k bounded by the literal bin width, never the corpus), built with
+    two tiny broadcast inequality joins. The monotone fit is what
+    calibration_bins' raw reliability diagram feeds into."""
+    d = _t(spark, sf_dir, "documents")
+    score = F.floor(
+        F.lit(10000)
+        * F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        / F.length("text")
+    ).cast("long")
+    bins = (
+        d.select(
+            (F.floor(score / 100) * 100).cast("long").alias("bin_lo"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("__y"),
+        )
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("pos"),
+        )
+    )
+    from nyc_bikeshare_datawarehouse_spark.functions import metrics
+
+    return metrics.isotonic_fit(bins).orderBy("bin_lo")
+
+
+def q_chi2_drift(spark, sf_dir):
+    """Pearson chi-square independence test of source × language on the
+    documents table (functions/drift.py `chi2_independence`) — the
+    categorical member of the drift family (KS = continuous, PSI =
+    binned, Spearman = rank, this = contingency): does language mix
+    decouple from source? Zero cells materialized, per-cell statistic
+    derived from exact-long marginals with a verbatim cross-engine
+    expression tree, floor-quantized to micro-units BEFORE the total so
+    the sum is an exact integer. One corpus groupBy; everything after
+    is O(sources × languages)."""
+    from nyc_bikeshare_datawarehouse_spark.functions import drift
+
+    d = _t(spark, sf_dir, "documents")
+    return drift.chi2_independence(d, "source", "lang").orderBy(
+        "row_key", "col_key"
+    )
+
+
+def q_markov_attribution(spark, sf_dir):
+    """Markov multi-touch attribution by REMOVAL EFFECTS (Anderl et al.
+    2014): per-user journeys (events ordered by (ts, event_id),
+    truncated at the first purchase → CONV; non-converting journeys end
+    in NULL) become a START/channel/CONV/NULL transition chain; each
+    channel's worth = how much the 12-step conversion probability from
+    START drops when paths through it are cut (transitions INTO the
+    removed channel redirect to NULL). All scenarios (FULL + one per
+    channel) run as ONE value-iteration frame (graph.absorption_probs,
+    integer nano-units, bit-exact); the oracle replays the 12 rounds as
+    unrolled CTEs. The corpus pass is two per-user windows; the chain
+    itself is O(channels²) rows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    first_conv = F.min(
+        F.when(F.col("state") == "CONV", F.col("rn"))
+    ).over(Window.partitionBy("user_id"))
+    kept = (
+        seq.withColumn("__fc", first_conv)
+        .filter(F.col("__fc").isNull() | (F.col("rn") <= F.col("__fc")))
+        .select("user_id", "rn", "state")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    steps = kept.select(
+        "user_id",
+        "rn",
+        F.col("state").alias("src"),
+        F.lead("state", 1).over(w2).alias("__nxt"),
+    )
+    base = (
+        steps.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("src"), F.col("src").alias("dst"))
+        .unionByName(
+            steps.filter(
+                F.col("__nxt").isNotNull() | (F.col("src") != "CONV")
+            ).select(
+                "src", F.coalesce("__nxt", F.lit("NULL")).alias("dst")
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds channels + every scenario
+    )
+    channels = (
+        base.select(F.col("src").alias("ch"))
+        .unionByName(base.select(F.col("dst").alias("ch")))
+        .filter(~F.col("ch").isin("START", "CONV", "NULL"))
+        .distinct()
+    )
+    scenarios = channels.select(F.col("ch").alias("scenario")).unionByName(
+        channels.groupBy().agg(F.lit("FULL").alias("scenario")).select("scenario")
+    )
+    sedges = (
+        scenarios.crossJoin(base)
+        .select(
+            "scenario",
+            "src",
+            F.when(
+                (F.col("scenario") != "FULL")
+                & (F.col("dst") == F.col("scenario")),
+                F.lit("NULL"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "cnt",
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probs = graph.absorption_probs(sedges, iters=12)
+    start = probs.filter(F.col("node") == "START").select(
+        "scenario", F.col("p").alias("__p")
+    )
+    full_p = start.filter(F.col("scenario") == "FULL").select(
+        F.col("__p").alias("__pfull")
+    )
+    eff = (
+        start.filter(F.col("scenario") != "FULL")
+        .crossJoin(F.broadcast(full_p))
+        .select(
+            F.col("scenario").alias("channel"),
+            F.col("__pfull").cast("long").alias("p_full_nano"),
+            F.col("__p").cast("long").alias("p_removed_nano"),
+            (F.col("__pfull") - F.col("__p")).cast("long").alias("removal_nano"),
+        )
+    )
+    tot_eff = F.sum("removal_nano").over(Window.partitionBy())  # O(channels)
+    return (
+        eff.withColumn("__tot", tot_eff)
+        .select(
+            "channel",
+            "p_full_nano",
+            "p_removed_nano",
+            "removal_nano",
+            F.when(
+                F.col("__tot") > 0,
+                F.expr("(removal_nano * 10000) div __tot"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_time_travel(spark, sf_dir):
+    """Snapshot time travel through the manifest table format
+    (sources/versioned.py): snapshot 1 = the 'F' orders, snapshot 2
+    appends the 'O' orders REUSING snapshot 1's immutable files, then
+    both snapshots are read back AS OF their version and summarized.
+    The oracle recomputes each snapshot's rows straight from the
+    corpus, so the hash gate proves the manifest protocol returns
+    exactly the committed row multisets — isolation (v1 unchanged
+    after the append) and append semantics at once. The summary is
+    the q_tpch_q9 integer-cents pattern; table path is SF-tagged
+    against concurrent sessions and rebuilt from scratch per run."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders")
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/spark_graft_timetravel/orders_{tag}"
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    v1 = versioned.write_snapshot(
+        o.filter(F.col("o_orderstatus") == "F"), base, mode="append"
+    )
+    v2 = versioned.write_snapshot(
+        o.filter(F.col("o_orderstatus") == "O"), base, mode="append"
+    )
+    snaps = []
+    for v in (v1, v2):
+        snaps.append(
+            versioned.read_snapshot(spark, base, v)
+            .groupBy()
+            .agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+                F.count_distinct("o_orderstatus").cast("long").alias(
+                    "n_statuses"
+                ),
+            )
+            .select("version", "n_rows", "total_cents", "n_statuses")
+        )
+    return snaps[0].unionByName(snaps[1]).orderBy("version")
+
+
+def q_holt_winters(spark, sf_dir):
+    """Holt's double-exponential smoothing (level + additive trend,
+    α=β=1/2) of per-type daily revenue — the trend-aware sibling of
+    q_ewma_trend, in the same engine-exact integer fold: s' =
+    ⌊(y+s+b)/2⌋, b' = ⌊(s'−s+b)/2⌋, folded left-to-right over the
+    sorted day array (zero-initial-trend variant, init s=y₁ b=0).
+    Trend can go NEGATIVE, where Spark's `div` truncates toward zero
+    but DuckDB's `//` floors — so both sides halve via FLOOR(x/2.0),
+    exact for |x| < 2^53 (≈ $90T of daily cents). ~30 elements per
+    group, one in-row array, linear at any scale."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("__day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("__cents"))
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__day").alias("d"), F.col("__cents").alias("c"))
+            )
+        ),
+        lambda s: s["c"],
+    )
+    init = F.struct(
+        F.element_at(arr, 1).alias("s"), F.lit(0).cast("long").alias("b")
+    )
+    step_s = lambda acc, x: F.floor((x + acc["s"] + acc["b"]) / 2.0).cast("long")
+    folded = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        init,
+        lambda acc, x: F.struct(
+            step_s(acc, x).alias("s"),
+            F.floor((step_s(acc, x) - acc["s"] + acc["b"]) / 2.0)
+            .cast("long")
+            .alias("b"),
+        ),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            folded["s"].alias("level_cents"),
+            folded["b"].alias("trend_cents"),
+            (folded["s"] + folded["b"]).cast("long").alias("forecast_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -5315,6 +5630,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
+    "q_time_travel": q_time_travel,
+    "q_holt_winters": q_holt_winters,
+    "q_markov_attribution": q_markov_attribution,
+    "q_chi2_drift": q_chi2_drift,
+    "q_seasonal_decompose": q_seasonal_decompose,
+    "q_isotonic_calibration": q_isotonic_calibration,
     "q_triangle_count": q_triangle_count,
     "q_shortest_paths": q_shortest_paths,
     "q_kaplan_meier": q_kaplan_meier,
@@ -5360,13 +5681,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_near_dup": q_embed_near_dup,
     "q_full_outer_join": q_full_outer_join,
     "q_funnel": q_funnel,
-    "q_grouping_sets": q_grouping_sets,
+    "q_grouping_sets": q_grouping_sets,  # <- driver window cut (50)
     "q_json_extract": q_json_extract,
     "q_json_struct": q_json_struct,
     "q_lateral_topn": q_lateral_topn,
     "q_map_funcs": q_map_funcs,
     "q_near_dup_minhash": q_near_dup_minhash,
-    "q_ngram_jaccard": q_ngram_jaccard,  # <- driver window cut (50)
+    "q_ngram_jaccard": q_ngram_jaccard,
     "q_ntile_percent_rank": q_ntile_percent_rank,
     "q_percentiles": q_percentiles,
     "q_pivot_flags": q_pivot_flags,

@@ -1,0 +1,128 @@
+"""Manifest-based snapshot versioning — Iceberg-lite time travel.
+
+The reference's warehouse story is load-then-serve (stage_redshift.py's
+COPY + post-load checks); production tables additionally need "read the
+table AS OF snapshot N" for reproducible training runs and audits. This
+module implements the minimal sound core of the Iceberg/Delta idea with
+nothing but parquet + JSON sidecars:
+
+- every snapshot is a MANIFEST: an explicit list of immutable data
+  files. Readers never list directories — they read exactly the files
+  the manifest names, so a reader of snapshot N is isolated from any
+  concurrent writer appending snapshot N+1 (new files are invisible
+  until the next manifest lands).
+- appends REUSE the previous snapshot's files and add new ones: an
+  append of D rows costs O(D) writes regardless of table size, and
+  every historical snapshot stays readable forever (until expired).
+- manifest files start with `_`, which Spark's parquet reader skips
+  (the sidecar-marker rule, streaming/sketches.py `_last_batch_id`) —
+  so the data directory stays directly scannable as "latest" too.
+
+Scale: the manifest is O(files), not O(rows); reads are plain
+`spark.read.parquet(*files)` so column pruning / predicate pushdown /
+AQE all apply unchanged. File listing here uses the local filesystem
+(the sandbox has no object store); on a real cluster the two
+`os.listdir`/`os.path.exists` sites swap for the Hadoop FileSystem API
+with the manifest write made atomic via rename — the read protocol is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(base_dir: str, version: int) -> str:
+    return os.path.join(base_dir, f"_manifest_v{version}.json")
+
+
+def latest_version(base_dir: str) -> int:
+    """Highest committed snapshot version, 0 if none."""
+    if not os.path.isdir(base_dir):
+        return 0
+    vs = [
+        int(f[len("_manifest_v"):-len(".json")])
+        for f in os.listdir(base_dir)
+        if f.startswith("_manifest_v") and f.endswith(".json")
+    ]
+    return max(vs, default=0)
+
+
+def _data_files(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def write_snapshot(
+    df: DataFrame, base_dir: str, mode: str = "append"
+) -> int:
+    """Commit `df` as a new snapshot and return its version.
+
+    mode="append": the new manifest = previous manifest's files + the
+    files just written (snapshot semantics of an INSERT INTO).
+    mode="overwrite": the new manifest lists only the new files (a
+    REPLACE TABLE) — previous snapshots remain readable because their
+    files are never touched."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot mode: {mode!r}")
+    prev = latest_version(base_dir)
+    version = prev + 1
+    data_dir = os.path.join(base_dir, f"v{version}")
+    if os.path.isdir(data_dir):  # torn uncommitted write from a dead run
+        shutil.rmtree(data_dir)
+    df.write.mode("overwrite").parquet(data_dir)
+    files = _data_files(data_dir)
+    if mode == "append" and prev > 0:
+        with open(_manifest_path(base_dir, prev)) as fh:
+            files = json.load(fh)["files"] + files
+    # last: the manifest IS the commit point — a crash before this line
+    # leaves v{version}/ orphaned but no reader ever sees it
+    with open(_manifest_path(base_dir, version), "w") as fh:
+        json.dump({"version": version, "files": files}, fh)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF `version` (default: latest). Reads exactly
+    the manifest's file list — never a directory scan."""
+    if version is None:
+        version = latest_version(base_dir)
+    mp = _manifest_path(base_dir, version)
+    if not os.path.exists(mp):
+        raise ValueError(f"no snapshot v{version} under {base_dir}")
+    with open(mp) as fh:
+        files = json.load(fh)["files"]
+    return spark.read.parquet(*files)
+
+
+def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:
+    """Drop manifests below `keep_from` and delete data files no
+    surviving manifest references. Returns expired versions."""
+    last = latest_version(base_dir)
+    expired = [
+        v
+        for v in range(1, min(keep_from, last + 1))
+        if os.path.exists(_manifest_path(base_dir, v))
+    ]
+    live: set[str] = set()
+    for v in range(keep_from, last + 1):
+        mp = _manifest_path(base_dir, v)
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                live.update(json.load(fh)["files"])
+    for v in expired:
+        with open(_manifest_path(base_dir, v)) as fh:
+            for f in json.load(fh)["files"]:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+        os.remove(_manifest_path(base_dir, v))
+    return expired

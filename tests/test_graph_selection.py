@@ -600,3 +600,70 @@ class TestShortestPaths:
                 for r in graph.shortest_paths(df, seeds, cap=40).collect()
             }
             assert got == _dijkstra(edges, ["n0"], cap=40)
+
+
+def _absorption_reference(edges, iters):
+    """Pure-Python replay of the integer value iteration.
+    edges: [(scenario, src, dst, cnt)] -> {(scenario, node): p_nano}."""
+    tot = {}
+    for s, u, _, c in edges:
+        tot[(s, u)] = tot.get((s, u), 0) + c
+    nodes = {(s, u) for s, u, _, _ in edges} | {(s, v) for s, _, v, _ in edges}
+    p = {
+        (s, n): graph.UNIT if n == "CONV" else 0
+        for s, n in nodes
+    }
+    for _ in range(iters):
+        acc = {}
+        for s, u, v, c in edges:
+            acc[(s, u)] = acc.get((s, u), 0) + c * p[(s, v)]
+        p = {
+            (s, n): (
+                graph.UNIT
+                if n == "CONV"
+                else 0
+                if n == "NULL"
+                else acc.get((s, n), 0) // tot.get((s, n), 1)
+            )
+            for s, n in nodes
+        }
+    return p
+
+
+class TestAbsorptionProbs:
+    def test_hand_chain(self, spark):
+        edges = [
+            ("FULL", "START", "A", 1),
+            ("FULL", "A", "CONV", 3),
+            ("FULL", "A", "NULL", 1),
+        ]
+        df = spark.createDataFrame(edges, "scenario string, src string, dst string, cnt long")
+        got = {
+            (r["scenario"], r["node"]): r["p"]
+            for r in graph.absorption_probs(df, iters=3).collect()
+        }
+        assert got[("FULL", "A")] == 750_000_000
+        assert got[("FULL", "START")] == 750_000_000
+        assert got[("FULL", "CONV")] == graph.UNIT
+        assert got[("FULL", "NULL")] == 0
+
+    def test_matches_pure_python_on_cyclic_chain(self, spark):
+        # A <-> B cycle with leakage: converges geometrically, and the
+        # 6-round truncation must match the replay EXACTLY
+        edges = [
+            ("FULL", "START", "A", 2),
+            ("FULL", "START", "B", 1),
+            ("FULL", "A", "B", 1),
+            ("FULL", "A", "CONV", 1),
+            ("FULL", "B", "A", 2),
+            ("FULL", "B", "NULL", 1),
+            ("X", "START", "A", 3),
+            ("X", "A", "CONV", 1),
+            ("X", "A", "NULL", 2),
+        ]
+        df = spark.createDataFrame(edges, "scenario string, src string, dst string, cnt long")
+        got = {
+            (r["scenario"], r["node"]): r["p"]
+            for r in graph.absorption_probs(df, iters=6).collect()
+        }
+        assert got == _absorption_reference(edges, 6)

@@ -349,3 +349,60 @@ class TestPsiFromHistograms:
              for r in drift.psi_from_histograms(
                  histogram_sketch(full, "value", 0, 64, 64), cs, 64).collect()}
         assert a == b
+
+
+class TestChi2Independence:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = drift.chi2_independence(df, "r", "c").collect()
+        return out
+
+    def test_independent_table_is_zero(self, spark):
+        # 2x2 with o == rt*ct/g exactly in every cell -> chi2 == 0
+        rows = (
+            [("a", "x")] * 2 + [("a", "y")] * 4
+            + [("b", "x")] * 3 + [("b", "y")] * 6
+        )
+        out = self._run(spark, rows)
+        assert all(r["contrib_micro"] == 0 for r in out)
+        assert out[0]["chi2_micro"] == 0
+        assert out[0]["dof"] == 1
+
+    def test_zero_cells_materialized_and_counted(self, spark):
+        rows = [("a", "x")] * 5 + [("b", "y")] * 5  # diagonal: max dependence
+        out = {(r["row_key"], r["col_key"]): r for r in self._run(spark, rows)}
+        assert set(out) == {("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")}
+        assert out[("a", "y")]["o"] == 0
+        # chi2 of a perfectly dependent 2x2 with n=10 is 10
+        assert out[("a", "x")]["chi2_micro"] == 10_000_000
+
+    def test_matches_textbook_replay(self, spark):
+        import random
+
+        rng = random.Random(31)
+        rows = [
+            (f"r{rng.randint(0, 3)}", f"c{rng.randint(0, 2)}")
+            for _ in range(300)
+        ]
+        out = self._run(spark, rows)
+        # pure-Python replay with the same quantization
+        import collections
+
+        o = collections.Counter(rows)
+        rt = collections.Counter(r for r, _ in rows)
+        ct = collections.Counter(c for _, c in rows)
+        g = len(rows)
+        total = 0
+        for rk in rt:
+            for ck in ct:
+                num = float(o.get((rk, ck), 0)) * float(g) - float(
+                    rt[rk]
+                ) * float(ct[ck])
+                contrib = math.floor(
+                    num * num / (float(g) * float(rt[rk]) * float(ct[ck]))
+                    * 1000000.0
+                )
+                total += contrib
+        got = {(r["row_key"], r["col_key"]): r for r in out}
+        assert got[("r0", "c0")]["chi2_micro"] == total
+        assert got[("r0", "c0")]["dof"] == (len(rt) - 1) * (len(ct) - 1)

@@ -355,3 +355,84 @@ class TestKaplanMeier:
         surv = [r["survival"] for r in rows]
         assert all(a >= b for a, b in zip(surv, surv[1:]))
         assert all(0.0 <= x <= 1.0 for x in surv)
+
+
+def brute_pava(bins):
+    """Textbook pool-adjacent-violators on (n, pos) bins; returns the
+    fitted rate per bin as a float."""
+    pools = [[n, p] for n, p in bins]  # [weight, positives]
+    i = 0
+    while i + 1 < len(pools):
+        if pools[i][1] * pools[i + 1][0] > pools[i + 1][1] * pools[i][0]:
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            del pools[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    out = []
+    # re-expand pools to per-bin fits
+    it = iter(bins)
+    for w, p in pools:
+        acc = 0
+        while acc < w:
+            n, _ = next(it)
+            acc += n
+            out.append(p / w)
+    return out
+
+
+def brute_minimax_micro(bins):
+    """The micro-unit-quantized minimax form isotonic_fit computes —
+    the exact replay, for bitwise comparison."""
+    k = len(bins)
+    cn = [0]
+    cp = [0]
+    for n, p in bins:
+        cn.append(cn[-1] + n)
+        cp.append(cp[-1] + p)
+
+    def q(j, l):  # pooled rate of bins j..l (1-based), micro-units
+        return ((cp[l] - cp[j - 1]) * 1_000_000) // (cn[l] - cn[j - 1])
+
+    return [
+        max(min(q(j, l) for l in range(i, k + 1)) for j in range(1, i + 1))
+        for i in range(1, k + 1)
+    ]
+
+
+class TestIsotonicFit:
+    def _fit(self, spark, bins):
+        df = spark.createDataFrame(
+            [(100 * i, n, p) for i, (n, p) in enumerate(bins)],
+            "bin_lo long, n long, pos long",
+        )
+        rows = sorted(metrics.isotonic_fit(df).collect(), key=lambda r: r["bin_lo"])
+        return [r["iso_micro"] for r in rows]
+
+    def test_already_monotone_is_identity(self, spark):
+        bins = [(10, 1), (10, 5), (10, 9)]
+        assert self._fit(spark, bins) == [100000, 500000, 900000]
+
+    def test_violation_pools_to_weighted_mean(self, spark):
+        # rates 0.9 then 0.1 with equal weight pool to 0.5
+        assert self._fit(spark, [(10, 9), (10, 1)]) == [500000, 500000]
+
+    def test_matches_quantized_minimax_and_tracks_pava(self, spark):
+        import random
+
+        rng = random.Random(202)
+        for _ in range(3):
+            k = rng.randint(2, 9)
+            bins = []
+            for _ in range(k):
+                n = rng.randint(1, 50)
+                bins.append((n, rng.randint(0, n)))
+            got = self._fit(spark, bins)
+            assert got == brute_minimax_micro(bins)  # exact replay
+            assert all(a <= b for a, b in zip(got, got[1:]))  # monotone
+            ref = brute_pava(bins)
+            for g, r in zip(got, ref):
+                # quantize-before-compare can sit 1 micro-unit from
+                # float PAVA at a pooled-rate boundary
+                assert abs(g / 1_000_000 - r) < 2e-6

@@ -107,3 +107,19 @@ def test_hybrid_rrf_arithmetic_and_fusion(spark, sf_dir):
     # supported by BOTH retrievers, and both-list docs dominate the top-20
     assert rows[0]["lex_rank"] is not None and rows[0]["sem_rank"] is not None
     assert len(both) > len(rows) // 2
+
+
+def test_seasonal_decompose_additive_identity(spark, sf_dir):
+    """observed = trend + seasonal + residual must hold EXACTLY (all
+    integer centi-cents), and the centered 7-day window must drop the
+    3 edge days on each side of every series."""
+    rows = QUERIES["q_seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["obs_cc"] == r["trend_cc"] + r["seasonal_cc"] + r["residual_cc"]
+    import collections
+
+    by_type = collections.Counter(r["event_type"] for r in rows)
+    days = {r["day"] for r in rows}
+    # 30-day corpus span -> 24 interior days per series
+    assert all(c == len(days) for c in by_type.values())

@@ -184,3 +184,69 @@ def test_write_csv_roundtrip_with_timestamp_format(spark, tmp_path):
     raw = "".join(open(f).read() for f in sorted(g.glob(path + "/part-*.csv")))
     assert "2024-01-02 03:04:05" in raw  # the reference's timestampFormat
     assert raw.splitlines()[0] == "id,ts"
+
+
+class TestVersionedSnapshots:
+    def test_append_isolation_and_reuse(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        d1 = spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+        d2 = spark.range(5, 8).selectExpr("id", "id * 2 AS v")
+        v1 = versioned.write_snapshot(d1, base)
+        v2 = versioned.write_snapshot(d2, base)
+        assert (v1, v2) == (1, 2)
+        assert versioned.latest_version(base) == 2
+        # v1 is isolated from the append; v2 = union, files reused
+        assert sorted(
+            r["id"] for r in versioned.read_snapshot(spark, base, 1).collect()
+        ) == [0, 1, 2, 3, 4]
+        assert sorted(
+            r["id"] for r in versioned.read_snapshot(spark, base).collect()
+        ) == list(range(8))
+        import json, os
+
+        m1 = json.load(open(os.path.join(base, "_manifest_v1.json")))
+        m2 = json.load(open(os.path.join(base, "_manifest_v2.json")))
+        assert set(m1["files"]) < set(m2["files"])  # append REUSES v1 files
+
+    def test_overwrite_replaces_but_history_survives(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 4), base)
+        versioned.write_snapshot(spark.range(100, 102), base, mode="overwrite")
+        assert sorted(
+            r["id"] for r in versioned.read_snapshot(spark, base, 2).collect()
+        ) == [100, 101]
+        assert versioned.read_snapshot(spark, base, 1).count() == 4
+
+    def test_expire_keeps_shared_files(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 4), base)
+        versioned.write_snapshot(spark.range(4, 6), base)
+        versioned.write_snapshot(spark.range(6, 7), base)
+        expired = versioned.expire_snapshots(base, keep_from=2)
+        assert expired == [1]
+        # v2 shares v1's files: they must survive the expiry
+        assert versioned.read_snapshot(spark, base, 2).count() == 6
+        assert versioned.read_snapshot(spark, base, 3).count() == 7
+        import pytest
+
+        with pytest.raises(ValueError):
+            versioned.read_snapshot(spark, base, 1)
+
+    def test_torn_write_dir_is_cleared(self, spark, tmp_path):
+        import os
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 3), base)
+        os.makedirs(os.path.join(base, "v2"))  # torn uncommitted write
+        open(os.path.join(base, "v2", "junk.parquet"), "w").write("x")
+        v2 = versioned.write_snapshot(spark.range(3, 5), base)
+        assert v2 == 2
+        assert versioned.read_snapshot(spark, base, 2).count() == 5
