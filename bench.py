@@ -249,6 +249,12 @@ EXTENDED = [
     "q_kaplan_meier",
     "q_isotonic_calibration",
     "q_seasonal_decompose",
+    "q_cusum_changepoint",
+    # two-phase distributed global rank + exact Gini closed form
+    "q_gini_concentration",
+    # q_snapshot_diff stays unbenched: write-side lifecycle I/O,
+    # same rule as q_time_travel
+    "q_rfm_segments",
 ]
 
 

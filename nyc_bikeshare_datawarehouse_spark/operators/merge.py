@@ -99,3 +99,36 @@ def changed_rows(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def changed_rows_detail(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """`changed_rows` with the before/after values carried along: one
+    row per changed key with change_type plus old_<col>/new_<col> for
+    every value column (NULL on the absent side) — the payload a CDC
+    consumer (audit table, delta feed, reconciliation report) actually
+    needs. Same single full-outer join keyed on `key`; no extra pass."""
+    cols = [c for c in old.columns if c != key]
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, on=F.col(f"o.{key}") == F.col(f"n.{key}"), how="full")
+    in_old = F.col(f"o.{key}").isNotNull()
+    in_new = F.col(f"n.{key}").isNotNull()
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~(F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")))
+    change = (
+        F.when(in_old & ~in_new, "removed")
+        .when(~in_old & in_new, "added")
+        .when(in_old & in_new & differs, "updated")
+    )
+    carried = [F.col(f"o.{c}").alias(f"old_{c}") for c in cols] + [
+        F.col(f"n.{c}").alias(f"new_{c}") for c in cols
+    ]
+    return (
+        joined.select(
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+            change.alias("change_type"),
+            *carried,
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -5331,3 +5331,121 @@ ORACLES["q_holt_winters"] = """
            CAST(hw[1] + hw[2] AS BIGINT) AS forecast_cents
     FROM f ORDER BY event_type
 """
+
+
+# Gini: DuckDB SUM is HUGEINT already — the same exact integer closed
+# form Spark computes in DECIMAL(38,0); ROW_NUMBER mirrors the
+# two-phase global rank's (cents, custkey) total order.
+ORACLES["q_gini_concentration"] = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pc
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(((2 * SUM(rn * cents) - (MAX(n) + 1) * SUM(cents)) * 1000000)
+                // (MAX(n) * SUM(cents)) AS BIGINT) AS gini_micro,
+           CAST((SUM(CASE WHEN rn > n - (n // 10) THEN cents ELSE 0 END)
+                 * 10000) // SUM(cents) AS BIGINT) AS top_decile_share_bp
+    FROM r
+"""
+
+# CUSUM: the n-scaled prefix sum S_k = Σ n·x − k·T as exact longs;
+# argmax via the same (|S| DESC, day ASC) rank-1 rule.
+ORACLES["q_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, day, cents,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        FROM daily
+    ), sc AS (
+        SELECT event_type, day, n,
+               CAST(SUM(cents * n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY day)) * t AS BIGINT) AS s
+        FROM base
+    )
+    SELECT event_type, n AS n_days, CAST(day AS DATE) AS cp_day,
+           s AS s_at_cp,
+           CASE WHEN s < 0 THEN 'up' ELSE 'down' END AS direction
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY abs(s) DESC, day) AS r
+        FROM sc
+    ) WHERE r = 1 ORDER BY event_type
+"""
+
+# Snapshot diff: both snapshot predicates recomputed from the corpus;
+# the classifier mirrors operators/merge.changed_rows_detail.
+ORACLES["q_snapshot_diff"] = """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), v1 AS (
+        SELECT * FROM o WHERE o_orderkey % 3 < 2
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN cents + 100
+                    ELSE cents END AS cents
+        FROM o WHERE o_orderkey % 3 > 0
+    ), d AS (
+        SELECT CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NULL
+                    THEN 'removed'
+                    WHEN a.o_orderkey IS NULL AND b.o_orderkey IS NOT NULL
+                    THEN 'added'
+                    WHEN a.cents IS DISTINCT FROM b.cents
+                    THEN 'updated' END AS change_type,
+               a.cents AS old_cents, b.cents AS new_cents
+        FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(new_cents, 0) - COALESCE(old_cents, 0))
+                AS BIGINT) AS cents_delta
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# RFM: three ROW_NUMBER total orders + the shared quartile formula
+# ((rn-1)*4)//n + 1 — explicit, not ntile, so both engines agree by
+# construction; mean spend floor-divided.
+ORACLES["q_rfm_segments"] = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                    (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+                    AS BIGINT) AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), coded AS (
+        SELECT o_custkey, cents,
+               ((ROW_NUMBER() OVER (ORDER BY rec, o_custkey) - 1) * 4)
+                   // (COUNT(*) OVER ()) + 1 AS r_q,
+               ((ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1) * 4)
+                   // (COUNT(*) OVER ()) + 1 AS f_q,
+               ((ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) * 4)
+                   // (COUNT(*) OVER ()) + 1 AS m_q
+        FROM pc
+    )
+    SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+    FROM coded GROUP BY 1, 2, 3
+    ORDER BY r_q, f_q, m_q
+"""

@@ -5615,6 +5615,236 @@ def q_holt_winters(spark, sf_dir):
     )
 
 
+def q_gini_concentration(spark, sf_dir):
+    """Revenue-concentration readout: exact Gini coefficient + top-decile
+    share of per-customer order revenue. Gini over the ascending
+    (cents, custkey) total order is the closed form
+
+        G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+
+    — every term an exact long, emitted as ⌊G·10⁶⌋. The global rank
+    rides two_phase_global_rank (operators/windows.py), NOT an
+    unpartitioned window: customer count is corpus-scale and a single-
+    task sort is the classic funnel. Top-decile share = revenue of the
+    ⌊n/10⌋ highest ranks over the total, in basis points. One corpus
+    groupBy + the two-phase rank; everything else is scalar."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("__cents")
+    )
+    ranked = two_phase_global_rank(
+        per_cust,
+        bucket=F.floor(F.col("__cents") / 1000000),
+        order_by=[F.col("__cents"), F.col("o_custkey")],
+    )
+    return (
+        ranked.groupBy()
+        .agg(
+            F.max("__n").cast("long").alias("n_customers"),
+            F.sum("__cents").cast("long").alias("total_cents"),
+            F.sum(F.col("__rn") * F.col("__cents")).alias("__ix"),
+            F.sum(
+                F.when(
+                    F.col("__rn") > F.col("__n") - F.expr("__n div 10"),
+                    F.col("__cents"),
+                ).otherwise(F.lit(0))
+            ).alias("__top"),
+        )
+        .select(
+            "n_customers",
+            "total_cents",
+            # decimal(38,0) for the ×10⁶ scaling: n·T·10⁶ overflows longs
+            # (DuckDB's SUM is HUGEINT already — the decimal mirrors it)
+            F.expr(
+                "CAST(((2 * CAST(__ix AS DECIMAL(38,0))"
+                "  - (n_customers + 1) * CAST(total_cents AS DECIMAL(38,0)))"
+                "  * 1000000)"
+                " div (CAST(n_customers AS DECIMAL(38,0)) * total_cents)"
+                " AS LONG)"
+            ).alias("gini_micro"),
+            F.expr("(__top * 10000) div total_cents")
+            .cast("long")
+            .alias("top_decile_share_bp"),
+        )
+    )
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on per-type daily revenue: with n
+    days and total T, the scaled cumulative sum S_k = Σ_{i≤k}(n·xᵢ − T)
+    is an exact long for every prefix (the ×n scaling clears the mean's
+    division), and the change point is the day maximizing |S_k| —
+    rank-1 under the (|S| DESC, day ASC) total order, the deterministic
+    argmax rule. Two O(days-per-series) windows partitioned by series;
+    the only corpus pass is the daily groupBy. Direction reads the sign
+    of S at the argmax (level shift up = revenue running below the mean
+    before the break, i.e. S < 0 trough)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("__day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("__cents"))
+    wtot = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = daily.select(
+        "event_type",
+        "__day",
+        (
+            F.sum(F.col("__cents") * F.count(F.lit(1)).over(wtot)).over(wcum)
+            - F.count(F.lit(1)).over(wcum) * F.sum("__cents").over(wtot)
+        ).alias("__s"),
+        F.count(F.lit(1)).over(wtot).cast("long").alias("__n"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("__s")).desc(), F.col("__day")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") == 1)
+        .select(
+            "event_type",
+            F.col("__n").alias("n_days"),
+            F.col("__day").cast("date").alias("cp_day"),
+            F.col("__s").cast("long").alias("s_at_cp"),
+            F.when(F.col("__s") < 0, F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between two committed snapshots of the versioned table
+    (sources/versioned.py + operators/merge.changed_rows): snapshot 1 =
+    orders with o_orderkey % 3 < 2; snapshot 2 OVERWRITES with keys
+    % 3 > 0, prices bumped one dollar on keys % 5 == 0 — so the diff
+    has all three change classes. Both snapshots read back AS OF their
+    manifests and full-outer diffed; the oracle recomputes the same
+    predicates straight from the corpus, proving snapshot isolation
+    AND the diff classifier at once. Output = one row per change type
+    with exact row counts and integer-cent deltas."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import (
+        changed_rows_detail,
+    )
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/spark_graft_snapdiff/orders_{tag}"
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    v1 = versioned.write_snapshot(
+        o.filter(F.col("o_orderkey") % 3 < 2), base, mode="append"
+    )
+    v2 = versioned.write_snapshot(
+        o.filter(F.col("o_orderkey") % 3 > 0).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("cents") + 100
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        ),
+        base,
+        mode="overwrite",
+    )
+    diff = changed_rows_detail(
+        versioned.read_snapshot(spark, base, v1),
+        versioned.read_snapshot(spark, base, v2),
+        "o_orderkey",
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.coalesce("new_cents", F.lit(0))
+                - F.coalesce("old_cents", F.lit(0))
+            )
+            .cast("long")
+            .alias("cents_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic CRM/warehouse readout:
+    per-customer Recency (days since last order, vs the corpus max
+    date), Frequency (order count), Monetary (integer cents), each
+    coded into quartiles 1..4 ASCENDING BY VALUE via the explicit
+    formula q = ((rn−1)·4) div n + 1 over a (metric, custkey) total
+    order — NOT the builtin ntile, so the coding is one engine-exact
+    integer expression both sides share. Every rank rides the
+    two-phase DISTRIBUTED global rank (three rank shuffles over the
+    customer frame, never a single-task sort). Output: one row per
+    populated (r,f,m) cell with exact counts and truncated mean spend."""
+    o = _t(spark, sf_dir, "orders")
+    end = o.agg(F.max(F.to_date("o_orderdate")).alias("__end"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("__freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("__cents"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("__end"), F.col("__last"))
+            .cast("long")
+            .alias("__rec"),
+            "__freq",
+            "__cents",
+        )
+        .localCheckpoint(eager=True)  # three rank consumers below
+    )
+
+    def _code(df, metric, bucket_width, out):
+        ranked = two_phase_global_rank(
+            df.select("o_custkey", F.col(metric)),
+            bucket=F.floor(F.col(metric) / bucket_width),
+            order_by=[F.col(metric), F.col("o_custkey")],
+        )
+        return ranked.select(
+            "o_custkey",
+            (F.expr("((__rn - 1) * 4) div __n") + 1)
+            .cast("int")
+            .alias(out),
+        )
+
+    coded = (
+        per_cust.join(_code(per_cust, "__rec", 5, "r_q"), "o_custkey")
+        .join(_code(per_cust, "__freq", 2, "f_q"), "o_custkey")
+        .join(_code(per_cust, "__cents", 1000000, "m_q"), "o_custkey")
+    )
+    return (
+        coded.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr("sum(__cents) div count(1)").cast("long").alias(
+                "mean_cents"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -5630,6 +5860,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
+    "q_rfm_segments": q_rfm_segments,
+    "q_gini_concentration": q_gini_concentration,
+    "q_cusum_changepoint": q_cusum_changepoint,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_time_travel": q_time_travel,
     "q_holt_winters": q_holt_winters,
     "q_markov_attribution": q_markov_attribution,
@@ -5677,11 +5911,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_quality": q_count_quality,
     "q_cross_join": q_cross_join,
     "q_cube": q_cube,
-    "q_date_arith": q_date_arith,
+    "q_date_arith": q_date_arith,  # <- driver window cut (50)
     "q_embed_near_dup": q_embed_near_dup,
     "q_full_outer_join": q_full_outer_join,
     "q_funnel": q_funnel,
-    "q_grouping_sets": q_grouping_sets,  # <- driver window cut (50)
+    "q_grouping_sets": q_grouping_sets,
     "q_json_extract": q_json_extract,
     "q_json_struct": q_json_struct,
     "q_lateral_topn": q_lateral_topn,

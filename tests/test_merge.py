@@ -69,3 +69,18 @@ def test_profile(spark):
     assert got["id"] == (0, 0.0)
     exact = {r["column"]: r["n_distinct"] for r in profile(df, approx_distinct=False).collect()}
     assert exact["id"] == 2
+
+
+def test_changed_rows_detail_carries_values(spark):
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import (
+        changed_rows_detail,
+    )
+
+    old = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    new = spark.createDataFrame([(2, 25), (3, 30), (4, 40)], "k long, v long")
+    got = {r["k"]: r for r in changed_rows_detail(old, new, "k").collect()}
+    assert set(got) == {1, 2, 4}  # 3 unchanged -> dropped
+    assert got[1]["change_type"] == "removed" and got[1]["old_v"] == 10 \
+        and got[1]["new_v"] is None
+    assert got[2]["change_type"] == "updated" and (got[2]["old_v"], got[2]["new_v"]) == (20, 25)
+    assert got[4]["change_type"] == "added" and got[4]["new_v"] == 40
