@@ -255,6 +255,7 @@ EXTENDED = [
     # q_snapshot_diff stays unbenched: write-side lifecycle I/O,
     # same rule as q_time_travel
     "q_rfm_segments",
+    "q_cohort_ltv",
 ]
 
 

@@ -5449,3 +5449,42 @@ ORACLES["q_rfm_segments"] = """
     FROM coded GROUP BY 1, 2, 3
     ORDER BY r_q, f_q, m_q
 """
+
+
+# Cohort LTV triangle: exact month-index ages, cumulative cents per
+# cohort, floor-divided per-customer LTV; cohort month rebuilt from the
+# index the same way on both sides.
+ORACLES["q_cohort_ltv"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), firsts AS (
+        SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1
+    ), sized AS (
+        SELECT cm, CAST(COUNT(*) AS BIGINT) AS csize FROM firsts GROUP BY 1
+    ), cells AS (
+        SELECT f.cm, o.m - f.cm AS age_m,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o.cents) AS BIGINT) AS cell_cents
+        FROM o JOIN firsts f USING (o_custkey)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cm, age_m, n_orders,
+               CAST(SUM(cell_cents) OVER (PARTITION BY cm ORDER BY age_m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+        FROM cells
+    )
+    SELECT CAST(strptime(
+               CAST((cm - 1) // 12 AS VARCHAR) || '-' ||
+               lpad(CAST((cm - 1) % 12 + 1 AS VARCHAR), 2, '0') || '-01',
+               '%Y-%m-%d') AS DATE) AS cohort_month,
+           CAST(age_m AS INTEGER) AS age_m,
+           n_orders, cum_cents,
+           s.csize AS cohort_customers,
+           CAST(cum_cents // s.csize AS BIGINT) AS ltv_per_cust_cents
+    FROM cum JOIN sized s USING (cm)
+    ORDER BY cohort_month, age_m
+"""

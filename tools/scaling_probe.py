@@ -180,6 +180,40 @@ def ensure_lineitem_sfx(spark, replicas: int) -> None:
 EVENT_COLS = ["event_id", "ts", "user_id", "value", "event_type"]
 
 
+#: orders sidecar schema — same column-keyed marker contract
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+def ensure_orders_sfx(spark, replicas: int) -> None:
+    """Sidecar orders replica set for the customer-analytics probes
+    (gini / RFM / benford): replica k shifts o_orderkey and o_custkey
+    by k·max — customer count (and therefore global-rank input size)
+    grows 10×, per-customer order structure and the price distribution
+    are preserved exactly."""
+    out = f"{BENCHDATA}/sfx{replicas}"
+    marker = f"{out}/_ORDERS_READY"
+    if os.path.exists(marker) and open(marker).read().strip() == ",".join(ORDER_COLS):
+        return
+    o = spark.read.parquet(f"{SF01}/orders.parquet").select(*ORDER_COLS)
+    mo = o.agg(F.max("o_orderkey")).head()[0] + 1
+    mc = o.agg(F.max("o_custkey")).head()[0] + 1
+    parts = [
+        o.select(
+            (F.col("o_orderkey") + F.lit(k * mo)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(k * mc)).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        )
+        for k in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    open(marker, "w").write(",".join(ORDER_COLS))
+
+
 def ensure_events_sfx(spark, replicas: int) -> None:
     """Sidecar events replica set for per-user window / metrics probes:
     replica k shifts event_id and user_id by k·max, timestamps and the
@@ -379,8 +413,13 @@ def main() -> None:
         q in ("q_basket_rules", "q_triangle_count") for q in args.only
     ):
         ensure_lineitem_sfx(spark, args.replicas)
-    if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift", "q_bootstrap_ci", "q_kaplan_meier", "q_seasonal_decompose") for q in args.only):
+    if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift", "q_bootstrap_ci", "q_kaplan_meier", "q_seasonal_decompose", "q_cusum_changepoint", "q_holt_winters", "q_markov_attribution") for q in args.only):
         ensure_events_sfx(spark, args.replicas)
+    if args.only and any(
+        q in ("q_gini_concentration", "q_rfm_segments", "q_benford_digits", "q_cohort_ltv")
+        for q in args.only
+    ):
+        ensure_orders_sfx(spark, args.replicas)
 
     if args.quantiles:
         from nyc_bikeshare_datawarehouse_spark.operators.quantiles import (
