@@ -5629,8 +5629,17 @@ def q_gini_concentration(spark, sf_dir):
     ⌊n/10⌋ highest ranks over the total, in basis points. One corpus
     groupBy + the two-phase rank; everything else is scalar."""
     o = _t(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("__cents")
+    # localCheckpoint: the two-phase rank's two branches plus the final
+    # aggregate would otherwise re-run the corpus groupBy three times
+    # (diverged-subplan rule)
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "__cents"
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     ranked = two_phase_global_rank(
         per_cust,
@@ -5859,7 +5868,12 @@ def q_cohort_ltv(spark, sf_dir):
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("__m"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("__cents"),
     )
-    firsts = o.groupBy("o_custkey").agg(F.min("__m").alias("__cm"))
+    # localCheckpoint: firsts feeds cohort sizing AND the age join
+    firsts = (
+        o.groupBy("o_custkey")
+        .agg(F.min("__m").alias("__cm"))
+        .localCheckpoint(eager=True)
+    )
     sized = firsts.groupBy("__cm").agg(
         F.count(F.lit(1)).cast("long").alias("__csize")
     )

@@ -520,3 +520,54 @@ def test_spearman_rank_maps_broadcast(spark, sf_dir):
     # on the join keys
     plan = plan_of(spark, sf_dir, "q_spearman_drift")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_gini_rank_window_is_bucket_partitioned(spark, sf_dir):
+    """The Gini global rank must ride the two-phase bucketed form: a
+    refactor back to Window.orderBy() with no partitionBy funnels every
+    customer through one task — the exact failure the operator exists
+    to prevent. Signature in the executed plan: the row_number window
+    spec leads with the __bucket partition key; an unpartitioned window
+    would show windowspecdefinition(<order cols> ...) with no bucket."""
+    plan = plan_of(spark, sf_dir, "q_gini_concentration")
+    assert re.search(r"row_number\(\) windowspecdefinition\(__bucket", plan)
+    # and the ONLY row_number windows are the bucket-partitioned ones
+    assert len(re.findall(r"row_number\(\) windowspecdefinition\(", plan)) == len(
+        re.findall(r"row_number\(\) windowspecdefinition\(__bucket", plan)
+    )
+
+
+def test_rfm_all_three_ranks_bucket_partitioned(spark, sf_dir):
+    """RFM codes three metrics through two_phase_global_rank; the
+    customer scan itself sits behind a localCheckpoint (three rank
+    consumers), so the pin is on the three rank windows: every
+    row_number must be __bucket-partitioned, never global."""
+    plan = plan_of(spark, sf_dir, "q_rfm_segments")
+    rn_all = re.findall(r"row_number\(\) windowspecdefinition\(", plan)
+    rn_bucketed = re.findall(
+        r"row_number\(\) windowspecdefinition\(__bucket", plan
+    )
+    assert len(rn_all) == 3
+    assert len(rn_bucketed) == 3
+
+
+def test_triangle_count_scan_pruned_and_no_corpus_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_triangle_count")
+    m = re.search(r"lineitem\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    cols = m.group(1).split(",") if m else []
+    assert len(cols) == 2  # orderkey + partkey only
+    # the wedge self-join and the closing edge join are shuffle joins on
+    # pair keys — an accidental broadcast of the edge frame would OOM at
+    # graph scale (the edge list is corpus-derived, not a dim)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_cohort_ltv_single_corpus_groupby_then_bounded_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_cohort_ltv")
+    # the cumulative window is partitioned by cohort — never global
+    assert re.search(r"Window .*partitionBy", plan) or "SinglePartition" not in (
+        re.search(r"Window[^\n]*\n[^\n]*", plan).group(0) if "Window" in plan else ""
+    )
+    m = re.search(r"orders\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    cols = m.group(1).split(",") if m else []
+    assert len(cols) == 3  # custkey, orderdate, totalprice

@@ -732,3 +732,79 @@ def test_spearman_matches_rank_pearson(spark, rows):
         assert got["rho"] is None
     else:
         assert got["rho"] == pytest.approx(want, abs=1e-9)
+
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(raw=_edges_strategy)
+def test_triangle_counts_match_brute_force(spark, raw):
+    """Degree-oriented triangle counting == literal 3-subset enumeration
+    on arbitrary small graphs (self-loops and duplicate/reversed edges
+    included — the operator must canonicalize them away)."""
+    import itertools
+
+    from nyc_bikeshare_datawarehouse_spark.functions import graph
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in raw], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["triangles"] for r in graph.triangle_counts(df).collect()
+    }
+    clean = {frozenset((a, b)) for a, b in raw if a != b}
+    nodes = sorted({x for e in clean for x in e})
+    want = {f"n{n}": 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if all(
+            frozenset(p) in clean for p in ((a, b), (b, c), (a, c))
+        ):
+            for n in (a, b, c):
+                want[f"n{n}"] += 1
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)),
+        min_size=1,
+        max_size=20,
+    ),
+    cap=st.sampled_from([5, 15, 40]),
+)
+def test_shortest_paths_match_dijkstra(spark, raw, cap):
+    """Bellman-Ford fixpoint == Dijkstra under any cap, including caps
+    that truncate the reachable set."""
+    import heapq
+
+    from nyc_bikeshare_datawarehouse_spark.functions import graph
+
+    edges = [(f"n{a}", f"n{b}", w) for a, b, w in raw if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    seeds = spark.createDataFrame([(edges[0][0],)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.shortest_paths(df, seeds, cap=cap).collect()
+    }
+    adj: dict[str, list] = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist: dict[str, int] = {}
+    heap = [(0, edges[0][0])]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if u in dist or du > cap:
+            continue
+        dist[u] = du
+        for v, w in adj.get(u, []):
+            if v not in dist:
+                heapq.heappush(heap, (du + w, v))
+    assert got == dist
