@@ -249,6 +249,11 @@ def chi2_independence(
     materialized (row-universe × col-universe cross of the two O(k)
     distinct frames) because (0−e)²/e contributes.
 
+    NULL categories are EXCLUDED up front (documented contract): a
+    NULL key would silently miss the grid equi-join while still
+    counting in its marginal, corrupting every expected count — the
+    filter makes "rows with both labels present" the tested population.
+
     Scale: one corpus groupBy on the (row, col) pair; everything after
     runs on the O(R·C) cell frame (bounded by category cardinalities).
     Returns per-cell rows (row_key, col_key, o, contrib_micro) plus
@@ -257,7 +262,8 @@ def chi2_independence(
     # marginals, the grid join) — without truncation Spark re-runs the
     # corpus groupBy per consumer (diverged-subplan rule, CLAUDE.md)
     cells = (
-        df.groupBy(
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(
             F.col(row_col).alias("row_key"), F.col(col_col).alias("col_key")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("o"))

@@ -5147,7 +5147,9 @@ ORACLES["q_chi2_drift"] = """
     WITH cells AS (
         SELECT source AS row_key, lang AS col_key,
                CAST(COUNT(*) AS BIGINT) AS o
-        FROM documents GROUP BY 1, 2
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1, 2
     ),
     rows_m AS (SELECT row_key, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
     cols_m AS (SELECT col_key, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),

@@ -406,3 +406,14 @@ class TestChi2Independence:
         got = {(r["row_key"], r["col_key"]): r for r in out}
         assert got[("r0", "c0")]["chi2_micro"] == total
         assert got[("r0", "c0")]["dof"] == (len(rt) - 1) * (len(ct) - 1)
+
+    def test_null_categories_excluded(self, spark):
+        """A NULL key must not poison the marginals: it would miss the
+        grid equi-join while still counting in rt/ct."""
+        rows = [("a", "x"), ("a", "y"), (None, "x"), ("b", None), ("b", "y")]
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = drift.chi2_independence(df, "r", "c").collect()
+        keys = {(r["row_key"], r["col_key"]) for r in out}
+        assert keys == {("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")}
+        # g over the surviving population only
+        assert sum(r["o"] for r in out) == 3
