@@ -256,6 +256,8 @@ EXTENDED = [
     # same rule as q_time_travel
     "q_rfm_segments",
     "q_cohort_ltv",
+    "q_acf_lags",
+    "q_abc_classification",
 ]
 
 

@@ -5490,3 +5490,78 @@ ORACLES["q_cohort_ltv"] = """
     FROM cum JOIN sized s USING (cm)
     ORDER BY cohort_month, age_m
 """
+
+
+# ACF: n-scaled exact deviations, exact long lag products, one
+# correctly-rounded double division per (series, lag).
+ORACLES["q_acf_lags"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), dev AS (
+        SELECT event_type, day,
+               CAST(cents * (COUNT(*) OVER (PARTITION BY event_type))
+                    - (SUM(cents) OVER (PARTITION BY event_type))
+                    AS BIGINT) AS d
+        FROM daily
+    ), lagged AS (
+        SELECT event_type, d,
+               LEAD(d, 1) OVER w AS d1, LEAD(d, 2) OVER w AS d2,
+               LEAD(d, 3) OVER w AS d3, LEAD(d, 4) OVER w AS d4,
+               LEAD(d, 5) OVER w AS d5, LEAD(d, 6) OVER w AS d6,
+               LEAD(d, 7) OVER w AS d7
+        FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), per AS MATERIALIZED (
+        SELECT event_type,
+               CAST(SUM(d * d) AS BIGINT) AS den,
+               CAST(SUM(d * d1) AS BIGINT) AS num1,
+               CAST(SUM(d * d2) AS BIGINT) AS num2,
+               CAST(SUM(d * d3) AS BIGINT) AS num3,
+               CAST(SUM(d * d4) AS BIGINT) AS num4,
+               CAST(SUM(d * d5) AS BIGINT) AS num5,
+               CAST(SUM(d * d6) AS BIGINT) AS num6,
+               CAST(SUM(d * d7) AS BIGINT) AS num7
+        FROM lagged GROUP BY 1
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, num, den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+    FROM (
+        SELECT event_type, 1 AS lag, num1 AS num, den FROM per
+        UNION ALL SELECT event_type, 2, num2, den FROM per
+        UNION ALL SELECT event_type, 3, num3, den FROM per
+        UNION ALL SELECT event_type, 4, num4, den FROM per
+        UNION ALL SELECT event_type, 5, num5, den FROM per
+        UNION ALL SELECT event_type, 6, num6, den FROM per
+        UNION ALL SELECT event_type, 7, num7, den FROM per
+    ) ORDER BY event_type, lag
+"""
+
+# ABC: descending cumulative revenue, integer share thresholds
+# (cum*100 <= T*80 / T*95), exact counts and bp shares.
+ORACLES["q_abc_classification"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c
+        FROM per_part
+    ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM per_part)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST((SUM(cents) * 10000) // (SELECT t FROM tot) AS BIGINT)
+               AS revenue_share_bp
+    FROM (
+        SELECT cents,
+               CASE WHEN c * 100 <= (SELECT t FROM tot) * 80 THEN 'A'
+                    WHEN c * 100 <= (SELECT t FROM tot) * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+    ) GROUP BY 1 ORDER BY abc_class
+"""

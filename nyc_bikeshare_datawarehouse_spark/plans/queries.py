@@ -5912,6 +5912,125 @@ def q_cohort_ltv(spark, sf_dir):
     )
 
 
+def q_acf_lags(spark, sf_dir):
+    """Autocorrelation function of per-type daily revenue at lags 1..7 —
+    the diagnostic behind every seasonality/trend model choice
+    (complements q_seasonal_decompose/q_holt_winters). n-scaled exact
+    integers end to end: deviations d_i = n·x_i − T are longs, lag
+    products Σ d_i·d_{i+k} and the denominator Σ d_i² are exact long
+    sums, and acf = num/den is ONE correctly-rounded double division —
+    bit-identical cross-engine with num and den also emitted for audit.
+    Per-series windows bounded by calendar span; the only corpus pass
+    is the daily groupBy."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("__day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("__cents"))
+    wtot = Window.partitionBy("event_type")
+    dev = daily.select(
+        "event_type",
+        "__day",
+        (
+            F.col("__cents") * F.count(F.lit(1)).over(wtot)
+            - F.sum("__cents").over(wtot)
+        ).alias("__d"),
+    )
+    word = Window.partitionBy("event_type").orderBy("__day")
+    lags = dev.select(
+        "event_type",
+        "__d",
+        *[F.lead("__d", k).over(word).alias(f"__d{k}") for k in range(1, 8)],
+    )
+    per_lag = lags.groupBy("event_type").agg(
+        F.sum(F.col("__d") * F.col("__d")).alias("__den"),
+        *[
+            F.sum(F.col("__d") * F.col(f"__d{k}")).alias(f"__num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    # one explode, not a 7-way self-union: per_lag would otherwise be a
+    # 7-consumer diverged subplan re-running the corpus groupBy per lag
+    lag_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("lag"),
+                    F.col(f"__num{k}").cast("long").alias("num"),
+                )
+                for k in range(1, 8)
+            ]
+        )
+    )
+    return (
+        per_lag.select("event_type", F.col("__den").alias("den"), lag_rows.alias("__l"))
+        .select(
+            "event_type",
+            F.col("__l")["lag"].alias("lag"),
+            F.col("__l")["num"].alias("num"),
+            F.col("den").cast("long").alias("den"),
+            (
+                F.col("__l")["num"].cast("double")
+                / F.col("den").cast("double")
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def q_abc_classification(spark, sf_dir):
+    """ABC (Pareto) inventory classification of parts by revenue:
+    descending cumulative revenue share assigns A (first 80% of
+    revenue), B (to 95%), C (rest) — with the share test as the exact
+    integer rule cum·100 ≤ T·80 / T·95, no float anywhere. The
+    descending global running sum rides two_phase_cumsum (bucketed,
+    distributed — a part universe is corpus-scale); output is the
+    3-row class summary with exact counts, revenue and basis-point
+    shares."""
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import (
+        two_phase_cumsum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    # checkpoint once: the cumsum's two phases plus the total would each
+    # re-run the corpus groupBy (diverged-subplan rule)
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("__cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = two_phase_cumsum(
+        per_part,
+        bucket=-F.floor(F.col("__cents") / 10000),
+        order_by=[F.col("__cents").desc(), F.col("l_partkey")],
+        values=[("__cents", "__cum")],
+        materialize=False,
+    )
+    total = per_part.agg(F.sum("__cents").alias("__t"))
+    classed = cum.crossJoin(F.broadcast(total)).select(
+        "__cents",
+        F.when(F.col("__cum") * 100 <= F.col("__t") * 80, "A")
+        .when(F.col("__cum") * 100 <= F.col("__t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "__t",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("__cents").cast("long").alias("revenue_cents"),
+            F.expr("(sum(__cents) * 10000) div max(__t)")
+            .cast("long")
+            .alias("revenue_share_bp"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -5927,6 +6046,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
+    "q_acf_lags": q_acf_lags,
+    "q_abc_classification": q_abc_classification,
     "q_cohort_ltv": q_cohort_ltv,
     "q_rfm_segments": q_rfm_segments,
     "q_gini_concentration": q_gini_concentration,
@@ -5976,9 +6097,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_case_buckets": q_case_buckets,
     "q_correlated_subquery": q_correlated_subquery,
-    "q_count_quality": q_count_quality,
+    "q_count_quality": q_count_quality,  # <- driver window cut (50)
     "q_cross_join": q_cross_join,
-    "q_cube": q_cube,  # <- driver window cut (50)
+    "q_cube": q_cube,
     "q_date_arith": q_date_arith,
     "q_embed_near_dup": q_embed_near_dup,
     "q_full_outer_join": q_full_outer_join,
