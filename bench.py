@@ -236,13 +236,14 @@ EXTENDED = [
     "q_image_resize",
     "q_calibration_bins",
     # round 11 third-session members: the cheap analytic additions.
-    # Four session queries are gate-checked + SCALING-probed but NOT
-    # benched, same rule as the LSH accuracy pair: q_triangle_count /
-    # q_shortest_paths ride the already-measured co-purchase pair-join
-    # class (triangle's sf0.1 cost is recorded in SCALING.json),
-    # q_markov_attribution is 12 checkpointed micro-rounds (wall cost
-    # is round overhead, not data), and q_time_travel is write-side
-    # lifecycle I/O like the unbenched snapshot writers.
+    # Some session queries are gate-checked (+ SCALING-probed where
+    # noted) but NOT benched, same rule as the LSH accuracy pair:
+    # q_triangle_count / q_shortest_paths ride the co-purchase
+    # pair-join class (both probed — SCALING.json rows),
+    # q_markov_attribution is 12 checkpointed micro-rounds (probed;
+    # wall cost is round overhead, not data), and q_time_travel /
+    # q_snapshot_diff are write-side lifecycle I/O (gate-checked only,
+    # like the other unbenched snapshot writers).
     "q_benford_digits",
     "q_chi2_drift",
     "q_holt_winters",

@@ -320,7 +320,16 @@ def with_jaro_winkler(
     honest cost model here: JW's greedy matching loop is inherently
     sequential per pair, and the input is the banded candidate stream
     (fuzzy_pairs*), never a corpus cross product — so the stage is
-    O(candidates · |s|²) with Arrow doing the transport."""
+    O(candidates · |s|²) with Arrow doing the transport.
+
+    Deliberately NOT exposed as an oracle-gated query: DuckDB's builtin
+    jaro_winkler_similarity returns a float whose last-ulp position vs
+    the exact rational is engine-internal, so a floor/round to any grid
+    can straddle at values that land exactly on it — the hash gate
+    would be flaky by construction. Cross-engine agreement is instead
+    pinned in tests (|builtin − exact| < 2e-6 over the convention
+    suite); production use is operator-level scoring of fuzzy_pairs
+    candidates (see docs/EXAMPLES.md)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

@@ -261,7 +261,7 @@ def shortest_paths(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
-    max_iters: int = 50,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """Weighted single/multi-source shortest-path distances by min-plus
     relaxation to FIXPOINT (Bellman-Ford, distributed form) — the
@@ -280,7 +280,14 @@ def shortest_paths(
 
     Scale: each round is one join keyed on node id + one min-aggregate
     over state ∪ extensions; state ≤ |V| rows of two longs, rounds ≤
-    the weighted diameter in edges. Lineage checkpointed per round."""
+    the weighted diameter in edges. `max_iters` defaults to cap + 1 —
+    with integer weights ≥ 1 a ≤cap path has ≤cap edges, so cap rounds
+    always reach the fixpoint and one more confirms it; a smaller
+    explicit max_iters on a legal input would otherwise crash (a chain
+    of cap weight-1 edges needs exactly cap rounds). Lineage
+    checkpointed per round."""
+    if max_iters is None:
+        max_iters = cap + 1
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),

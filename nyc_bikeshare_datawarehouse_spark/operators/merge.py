@@ -75,30 +75,10 @@ def scd2_history(
 
 def changed_rows(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Snapshot diff: one row per changed key with change_type in
-    ('added', 'removed', 'updated'). Unchanged keys are dropped."""
-    cols = [c for c in old.columns if c != key]
-    o = old.alias("o")
-    n = new.alias("n")
-    joined = o.join(n, on=F.col(f"o.{key}") == F.col(f"n.{key}"), how="full")
-    in_old = F.col(f"o.{key}").isNotNull()
-    in_new = F.col(f"n.{key}").isNotNull()
-    differs = F.lit(False)
-    for c in cols:
-        differs = differs | ~(
-            F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        )
-    change = (
-        F.when(in_old & ~in_new, "removed")
-        .when(~in_old & in_new, "added")
-        .when(in_old & in_new & differs, "updated")
-    )
-    return (
-        joined.select(
-            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
-            change.alias("change_type"),
-        )
-        .filter(F.col("change_type").isNotNull())
-    )
+    ('added', 'removed', 'updated'). Unchanged keys are dropped. The
+    key-only projection of `changed_rows_detail` — one classifier,
+    two entry points."""
+    return changed_rows_detail(old, new, key).select(key, "change_type")
 
 
 def changed_rows_detail(old: DataFrame, new: DataFrame, key: str) -> DataFrame:

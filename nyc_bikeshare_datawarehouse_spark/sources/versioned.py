@@ -34,6 +34,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def _manifest_path(base_dir: str, version: int) -> str:
@@ -82,10 +83,17 @@ def write_snapshot(
     if mode == "append" and prev > 0:
         with open(_manifest_path(base_dir, prev)) as fh:
             files = json.load(fh)["files"] + files
-    # last: the manifest IS the commit point — a crash before this line
-    # leaves v{version}/ orphaned but no reader ever sees it
-    with open(_manifest_path(base_dir, version), "w") as fh:
-        json.dump({"version": version, "files": files}, fh)
+    # last: the manifest IS the commit point — written to a temp name
+    # and renamed, so a crash mid-write leaves no half-manifest that
+    # latest_version() would count as committed (os.replace is atomic
+    # on POSIX; v{version}/ stays an invisible orphan either way)
+    mp = _manifest_path(base_dir, version)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump(
+            {"version": version, "files": files, "schema": df.schema.jsonValue()},
+            fh,
+        )
+    os.replace(mp + ".tmp", mp)
     return version
 
 
@@ -100,7 +108,14 @@ def read_snapshot(
     if not os.path.exists(mp):
         raise ValueError(f"no snapshot v{version} under {base_dir}")
     with open(mp) as fh:
-        files = json.load(fh)["files"]
+        manifest = json.load(fh)
+    files = manifest["files"]
+    if not files:
+        # an empty commit (e.g. an empty CDC batch) is a valid snapshot:
+        # rebuild the empty frame from the manifest's recorded schema
+        return spark.createDataFrame(
+            [], StructType.fromJson(manifest["schema"])
+        )
     return spark.read.parquet(*files)
 
 
@@ -108,6 +123,11 @@ def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:
     """Drop manifests below `keep_from` and delete data files no
     surviving manifest references. Returns expired versions."""
     last = latest_version(base_dir)
+    if keep_from > last:
+        raise ValueError(
+            f"keep_from={keep_from} would expire the CURRENT snapshot "
+            f"(latest is v{last}) — refusing, like any table format"
+        )
     expired = [
         v
         for v in range(1, min(keep_from, last + 1))

@@ -562,12 +562,13 @@ def test_triangle_count_scan_pruned_and_no_corpus_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
-def test_cohort_ltv_single_corpus_groupby_then_bounded_window(spark, sf_dir):
+def test_cohort_ltv_window_is_cohort_partitioned(spark, sf_dir):
+    """The cumulative-LTV window must stay partitioned by the cohort
+    key: executed plans print the partition spec as
+    windowspecdefinition(__cm#.., age_m ...) — a global-window
+    regression would print windowspecdefinition(age_m ...) with no
+    cohort column and a SinglePartition exchange under the Window."""
     plan = plan_of(spark, sf_dir, "q_cohort_ltv")
-    # the cumulative window is partitioned by cohort — never global
-    assert re.search(r"Window .*partitionBy", plan) or "SinglePartition" not in (
-        re.search(r"Window[^\n]*\n[^\n]*", plan).group(0) if "Window" in plan else ""
-    )
-    m = re.search(r"orders\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
-    cols = m.group(1).split(",") if m else []
-    assert len(cols) == 3  # custkey, orderdate, totalprice
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all(spec.lstrip().startswith("__cm") for spec in specs), specs

@@ -250,3 +250,24 @@ class TestVersionedSnapshots:
         v2 = versioned.write_snapshot(spark.range(3, 5), base)
         assert v2 == 2
         assert versioned.read_snapshot(spark, base, 2).count() == 5
+
+    def test_empty_snapshot_reads_back_via_recorded_schema(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        df = spark.range(0, 3).selectExpr("id", "id * 2 AS v")
+        versioned.write_snapshot(df.filter("id < 0"), base)  # empty commit
+        out = versioned.read_snapshot(spark, base, 1)
+        assert out.count() == 0
+        assert out.columns == ["id", "v"]
+
+    def test_expire_refuses_to_kill_current_snapshot(self, spark, tmp_path):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 2), base)
+        with pytest.raises(ValueError, match="CURRENT snapshot"):
+            versioned.expire_snapshots(base, keep_from=2)
+        assert versioned.read_snapshot(spark, base, 1).count() == 2

@@ -146,25 +146,32 @@ def build_sfx(spark, replicas: int) -> str:
     return out
 
 
+#: lineitem sidecar schema — column-keyed marker like DOC_COLS/ORDER_COLS
+#: (the original marker was a bare "ok"; the mismatch forces a rebuild)
+LINEITEM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"]
+
+
 def ensure_lineitem_sfx(spark, replicas: int) -> None:
-    """Sidecar lineitem replica set for the basket-rules probe: replica k
-    shifts BOTH l_orderkey and l_partkey by k·max, so baskets and part
-    universes are disjoint across replicas — within-order pair structure
-    (basket sizes, pair fan-out Σ|basket|²) is preserved exactly, volume
-    grows 10×. Only the two columns q_basket_rules reads are written."""
+    """Sidecar lineitem replica set for the basket / co-purchase-graph /
+    ABC probes: replica k shifts l_orderkey, l_partkey AND l_suppkey by
+    k·max, so baskets and both co-occurrence universes are disjoint
+    across replicas — within-order pair structure (basket sizes, pair
+    fan-out Σ|basket|²) is preserved exactly, volume grows 10×; prices
+    pass through untouched for the revenue probes."""
     out = f"{BENCHDATA}/sfx{replicas}"
     marker = f"{out}/_LINEITEM_READY"
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read().strip() == ",".join(LINEITEM_COLS):
         return
-    li = spark.read.parquet(f"{SF01}/lineitem.parquet").select(
-        "l_orderkey", "l_partkey"
-    )
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet").select(*LINEITEM_COLS)
     mo = li.agg(F.max("l_orderkey")).head()[0] + 1
     mp = li.agg(F.max("l_partkey")).head()[0] + 1
+    ms = li.agg(F.max("l_suppkey")).head()[0] + 1
     parts = [
         li.select(
             (F.col("l_orderkey") + F.lit(k * mo)).alias("l_orderkey"),
             (F.col("l_partkey") + F.lit(k * mp)).alias("l_partkey"),
+            (F.col("l_suppkey") + F.lit(k * ms)).alias("l_suppkey"),
+            "l_extendedprice",
         )
         for k in range(replicas)
     ]
@@ -172,7 +179,7 @@ def ensure_lineitem_sfx(spark, replicas: int) -> None:
     for p in parts[1:]:
         big = big.unionByName(p)
     big.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    open(marker, "w").write("ok")
+    open(marker, "w").write(",".join(LINEITEM_COLS))
 
 
 #: events sidecar schema — column-keyed marker like DOC_COLS, so adding a
@@ -410,7 +417,7 @@ def main() -> None:
     spark = get_spark("scaling-probe")
     big = build_sfx(spark, args.replicas)
     if args.only and any(
-        q in ("q_basket_rules", "q_triangle_count") for q in args.only
+        q in ("q_basket_rules", "q_triangle_count", "q_shortest_paths", "q_abc_classification") for q in args.only
     ):
         ensure_lineitem_sfx(spark, args.replicas)
     if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift", "q_bootstrap_ci", "q_kaplan_meier", "q_seasonal_decompose", "q_cusum_changepoint", "q_holt_winters", "q_markov_attribution", "q_acf_lags") for q in args.only):
