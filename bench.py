@@ -259,6 +259,7 @@ EXTENDED = [
     "q_cohort_ltv",
     "q_acf_lags",
     "q_abc_classification",
+    "q_new_vs_returning",
 ]
 
 

@@ -5565,3 +5565,30 @@ ORACLES["q_abc_classification"] = """
         FROM cum
     ) GROUP BY 1 ORDER BY abc_class
 """
+
+
+# New-vs-returning: exact distinct counts and integer-cent revenue per
+# month; first month from the same customer-keyed groupBy + join-back.
+ORACLES["q_new_vs_returning"] = """
+    WITH o AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), firsts AS (
+        SELECT o_custkey, MIN(month) AS fm FROM o GROUP BY 1
+    )
+    SELECT CAST(o.month AS DATE) AS month,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(COUNT(DISTINCT CASE WHEN o.month = f.fm
+                                    THEN o.o_custkey END) AS BIGINT) AS n_new,
+           CAST(COUNT(DISTINCT o.o_custkey)
+                - COUNT(DISTINCT CASE WHEN o.month = f.fm
+                                      THEN o.o_custkey END)
+                AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN o.month = f.fm THEN cents ELSE 0 END)
+                AS BIGINT) AS new_rev_cents,
+           CAST(SUM(CASE WHEN o.month <> f.fm THEN cents ELSE 0 END)
+                AS BIGINT) AS ret_rev_cents
+    FROM o JOIN firsts f USING (o_custkey)
+    GROUP BY o.month ORDER BY month
+"""

@@ -246,3 +246,34 @@ def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = 
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_snapshots(
+    stream_df: DataFrame,
+    base_dir: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Stream → versioned-table sink: every micro-batch COMMITS one
+    append snapshot of the manifest table format (sources/versioned.py)
+    via foreachBatch — the streaming CDC feed whose whole history stays
+    time-travelable (reprocess any training run against the snapshot it
+    actually saw). Exactly-once story: the stream checkpoint prevents
+    re-delivery on restart, and because the manifest rename is the
+    atomic commit point, a crash between parquet write and manifest
+    leaves only an invisible orphan directory that the next commit of
+    that version number clears."""
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versioned.write_snapshot(batch_df, base_dir, mode="append")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

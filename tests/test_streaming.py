@@ -670,3 +670,31 @@ def test_confusion_stream_state_equals_batch_metrics(spark, sf_dir, tmp_path):
         spark.read.parquet(src), F.col("score"), F.col("label"), thresholds
     )
     assert rows_set(got) == rows_set(want)
+
+
+def test_stream_to_snapshots_time_travelable(spark, sf_dir, tmp_path):
+    """Streamed micro-batches land as versioned-table commits: the final
+    snapshot's content equals the batch table, every intermediate
+    snapshot is a strict prefix (append reuses prior files), and each
+    historical version stays readable after the stream ends."""
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    stream = se.stream_events(spark, sf_dir, max_files_per_trigger=1)
+    rows = stream.select("event_id", "event_type")
+    base = str(tmp_path / "snap_tbl")
+    q = se.stream_to_snapshots(rows, base, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    last = versioned.latest_version(base)
+    assert last >= 1
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    want = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    final = versioned.read_snapshot(spark, base, last)
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    # history: counts strictly increase and every version reads
+    prev = 0
+    for v in range(1, last + 1):
+        n = versioned.read_snapshot(spark, base, v).count()
+        assert n > prev
+        prev = n
