@@ -808,3 +808,68 @@ def test_shortest_paths_match_dijkstra(spark, raw, cap):
             if v not in dist:
                 heapq.heappush(heap, (du + w, v))
     assert got == dist
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["append", "overwrite"]), st.integers(0, 3)),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_versioned_snapshots_match_model(spark, tmp_path_factory, ops):
+    """Model-based check of the manifest table format: any sequence of
+    append/overwrite commits must read back, AS OF every version, the
+    exact multiset a pure-Python model predicts — including empty
+    commits (schema-only manifests)."""
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    base = str(tmp_path_factory.mktemp("vt") / "tbl")
+    model: list[list[int]] = []
+    nxt = 0
+    for mode, n in ops:
+        batch = list(range(nxt, nxt + n))
+        nxt += n
+        prev = model[-1] if (model and mode == "append") else []
+        model.append(prev + batch)
+        df = spark.createDataFrame([(i,) for i in batch], "id long") if batch \
+            else spark.range(0).select(F.col("id"))
+        v = versioned.write_snapshot(df, base, mode=mode)
+        assert v == len(model)
+    for v, want in enumerate(model, start=1):
+        got = sorted(
+            r["id"] for r in versioned.read_snapshot(spark, base, v).collect()
+        )
+        assert got == sorted(want), (v, got, want)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 6), st.integers(1, 9)),
+        min_size=1,
+        max_size=15,
+    ),
+    iters=st.sampled_from([1, 4, 9]),
+)
+def test_absorption_probs_match_integer_replay(spark, raw, iters):
+    """Value iteration == the pure-Python integer replay on arbitrary
+    chains (nodes 0..5 transient, 6 relabeled CONV; a NULL sink added
+    so both absorbing states exist), at several fixed horizons."""
+    from nyc_bikeshare_datawarehouse_spark.functions import graph
+    from tests.test_graph_selection import _absorption_reference
+
+    def name(x):
+        return "CONV" if x == 6 else f"s{x}"
+
+    edges = [("FULL", name(a), name(b), w) for a, b, w in raw if name(a) != "CONV"]
+    edges.append(("FULL", "s0", "NULL", 1))
+    df = spark.createDataFrame(
+        edges, "scenario string, src string, dst string, cnt long"
+    )
+    got = {
+        (r["scenario"], r["node"]): r["p"]
+        for r in graph.absorption_probs(df, iters=iters).collect()
+    }
+    assert got == _absorption_reference(edges, iters)
