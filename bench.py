@@ -260,6 +260,7 @@ EXTENDED = [
     "q_acf_lags",
     "q_abc_classification",
     "q_new_vs_returning",
+    "q_hhi_concentration",
 ]
 
 

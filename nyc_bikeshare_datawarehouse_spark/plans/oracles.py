@@ -5592,3 +5592,25 @@ ORACLES["q_new_vs_returning"] = """
     FROM o JOIN firsts f USING (o_custkey)
     GROUP BY o.month ORDER BY month
 """
+
+
+# HHI: floor-truncated basis-point shares squared and summed — all
+# exact integers, mirrored division order.
+ORACLES["q_hhi_concentration"] = """
+    WITH per AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month, l.l_suppkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), shares AS (
+        SELECT month,
+               (cents * 10000) // (SUM(cents) OVER (PARTITION BY month))
+                   AS share_bp
+        FROM per
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp
+    FROM shares GROUP BY month ORDER BY month
+"""
