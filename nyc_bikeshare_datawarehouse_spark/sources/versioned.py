@@ -61,8 +61,25 @@ def _data_files(d: str) -> list[str]:
     )
 
 
+def manifest_metadata(base_dir: str, version: int | None = None) -> dict:
+    """The caller-supplied metadata dict committed with a snapshot
+    ({} if none / no snapshots). Because metadata rides the manifest,
+    it is ATOMIC with the commit — the property the streaming sink's
+    replay guard depends on."""
+    if version is None:
+        version = latest_version(base_dir)
+    mp = _manifest_path(base_dir, version)
+    if version == 0 or not os.path.exists(mp):
+        return {}
+    with open(mp) as fh:
+        return json.load(fh).get("metadata", {})
+
+
 def write_snapshot(
-    df: DataFrame, base_dir: str, mode: str = "append"
+    df: DataFrame,
+    base_dir: str,
+    mode: str = "append",
+    metadata: dict | None = None,
 ) -> int:
     """Commit `df` as a new snapshot and return its version.
 
@@ -70,7 +87,12 @@ def write_snapshot(
     files just written (snapshot semantics of an INSERT INTO).
     mode="overwrite": the new manifest lists only the new files (a
     REPLACE TABLE) — previous snapshots remain readable because their
-    files are never touched."""
+    files are never touched.
+
+    `metadata` (JSON-serializable dict) is stored IN the manifest, so
+    it commits atomically with the snapshot — e.g. the streaming
+    sink's source batch id, read back via `manifest_metadata` to make
+    replayed micro-batches idempotent."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
     prev = latest_version(base_dir)
@@ -90,7 +112,12 @@ def write_snapshot(
     mp = _manifest_path(base_dir, version)
     with open(mp + ".tmp", "w") as fh:
         json.dump(
-            {"version": version, "files": files, "schema": df.schema.jsonValue()},
+            {
+                "version": version,
+                "files": files,
+                "schema": df.schema.jsonValue(),
+                "metadata": metadata or {},
+            },
             fh,
         )
     os.replace(mp + ".tmp", mp)

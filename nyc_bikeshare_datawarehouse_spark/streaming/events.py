@@ -258,22 +258,45 @@ def stream_to_snapshots(
     append snapshot of the manifest table format (sources/versioned.py)
     via foreachBatch — the streaming CDC feed whose whole history stays
     time-travelable (reprocess any training run against the snapshot it
-    actually saw). Exactly-once story: the stream checkpoint prevents
-    re-delivery on restart, and because the manifest rename is the
-    atomic commit point, a crash between parquet write and manifest
-    leaves only an invisible orphan directory that the next commit of
-    that version number clears."""
+    actually saw).
+
+    Exactly-once story: foreachBatch is at-least-once (a crash between
+    the manifest rename and Spark's checkpoint commit re-delivers the
+    batch — the sketches.py `_last_batch_id` hazard), so the source
+    batch id is committed IN the manifest, atomically with the
+    snapshot, and replayed ids are skipped. The batch frame is
+    persisted across the emptiness probe + parquet write so the source
+    plan executes once per batch, and empty final batches (availableNow
+    drains often emit one) do not commit spurious no-delta versions."""
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_stream_batch(batch_df, batch_id, base_dir)
+
+    return stream_foreach_batch(
+        stream_df, _commit, checkpoint_path, available_now
+    )
+
+
+def commit_stream_batch(
+    batch_df: DataFrame, batch_id: int, base_dir: str
+) -> int | None:
+    """The snapshot sink's per-batch commit, factored out so the replay
+    guard is directly testable: returns the committed version, or None
+    when the batch was a replay / empty. See stream_to_snapshots for
+    the exactly-once argument."""
     from nyc_bikeshare_datawarehouse_spark.sources import versioned
 
-    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+    last = versioned.manifest_metadata(base_dir).get("batch_id", -1)
+    if batch_id <= last:
+        return None  # at-least-once replay of an already-committed batch
+    batch_df.persist()
+    try:
         if batch_df.isEmpty():
-            return
-        versioned.write_snapshot(batch_df, base_dir, mode="append")
-
-    writer = (
-        stream_df.writeStream.foreachBatch(_commit)
-        .option("checkpointLocation", checkpoint_path)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+            return None
+        return versioned.write_snapshot(
+            batch_df,
+            base_dir,
+            mode="append",
+            metadata={"batch_id": batch_id},
+        )
+    finally:
+        batch_df.unpersist()

@@ -698,3 +698,24 @@ def test_stream_to_snapshots_time_travelable(spark, sf_dir, tmp_path):
         n = versioned.read_snapshot(spark, base, v).count()
         assert n > prev
         prev = n
+
+
+def test_snapshot_sink_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a re-delivered batch id must NOT
+    append a duplicate snapshot (the batch id commits atomically inside
+    the manifest), while the next id commits normally."""
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+    from nyc_bikeshare_datawarehouse_spark.streaming.events import (
+        commit_stream_batch,
+    )
+
+    base = str(tmp_path / "tbl")
+    df5 = spark.range(0, 4)
+    assert commit_stream_batch(df5, 5, base) == 1
+    assert commit_stream_batch(df5, 5, base) is None  # replay: no-op
+    assert versioned.latest_version(base) == 1
+    assert commit_stream_batch(spark.range(4, 6), 6, base) == 2
+    assert versioned.read_snapshot(spark, base, 2).count() == 6
+    # empty batches never commit spurious versions
+    assert commit_stream_batch(spark.range(0, 0), 7, base) is None
+    assert versioned.latest_version(base) == 2
