@@ -261,6 +261,7 @@ EXTENDED = [
     "q_abc_classification",
     "q_new_vs_returning",
     "q_hhi_concentration",
+    "q_purchase_cadence",
 ]
 
 

@@ -5614,3 +5614,34 @@ ORACLES["q_hhi_concentration"] = """
            CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi_bp
     FROM shares GROUP BY month ORDER BY month
 """
+
+
+# Purchase cadence: whole-day LAG gaps under the (orderdate, orderkey)
+# total order; DuckDB dates subtract to integer days directly.
+ORACLES["q_purchase_cadence"] = """
+    WITH gaps AS (
+        SELECT CAST(CAST(o_orderdate AS DATE)
+                    - LAG(CAST(o_orderdate AS DATE), 1) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS gap
+        FROM orders
+    ), banded AS (
+        SELECT gap,
+               CASE WHEN gap <= 7 THEN 'a_week'
+                    WHEN gap <= 30 THEN 'b_month'
+                    WHEN gap <= 90 THEN 'c_quarter'
+                    WHEN gap <= 365 THEN 'd_year'
+                    ELSE 'e_longer' END AS cadence_band
+        FROM gaps WHERE gap IS NOT NULL
+    ), counts AS (
+        SELECT cadence_band,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) // COUNT(*) AS BIGINT) AS mean_gap_days
+        FROM banded GROUP BY 1
+    )
+    SELECT cadence_band, n_gaps, mean_gap_days,
+           CAST((n_gaps * 10000) // (SELECT SUM(n_gaps) FROM counts)
+                AS BIGINT) AS share_bp
+    FROM counts ORDER BY cadence_band
+"""

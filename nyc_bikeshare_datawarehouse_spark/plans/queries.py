@@ -6130,6 +6130,52 @@ def q_hhi_concentration(spark, sf_dir):
     )
 
 
+def q_purchase_cadence(spark, sf_dir):
+    """Purchase-cadence distribution — the CRM replenishment readout:
+    every customer's consecutive order-date gaps in whole days, bucketed
+    into the standard cadence bands (≤7, ≤30, ≤90, ≤365, 365+ days),
+    with exact counts, floor-divided mean gap and the share of gaps per
+    band in basis points. One customer-partitioned LAG window under the
+    (orderdate, orderkey) total order — per-customer frames, never
+    global — then a 5-key aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lag("o_orderdate", 1).over(w),
+            )
+            .cast("long")
+            .alias("__gap"),
+        )
+        .filter(F.col("__gap").isNotNull())
+    )
+    band = (
+        F.when(F.col("__gap") <= 7, "a_week")
+        .when(F.col("__gap") <= 30, "b_month")
+        .when(F.col("__gap") <= 90, "c_quarter")
+        .when(F.col("__gap") <= 365, "d_year")
+        .otherwise("e_longer")
+    )
+    counts = gaps.groupBy(band.alias("cadence_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("sum(__gap) div count(1)").cast("long").alias("mean_gap_days"),
+    )
+    total = F.sum("n_gaps").over(Window.partitionBy())  # O(5) frame
+    return (
+        counts.withColumn("__t", total)
+        .select(
+            "cadence_band",
+            "n_gaps",
+            "mean_gap_days",
+            F.expr("(n_gaps * 10000) div __t").cast("long").alias("share_bp"),
+        )
+        .orderBy("cadence_band")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -6145,6 +6191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
+    "q_purchase_cadence": q_purchase_cadence,
     "q_hhi_concentration": q_hhi_concentration,
     "q_new_vs_returning": q_new_vs_returning,
     "q_acf_lags": q_acf_lags,
@@ -6195,8 +6242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentiles": q_approx_percentiles,
     "q_array_stats": q_array_stats,
-    "q_asof_join": q_asof_join,
-    "q_case_buckets": q_case_buckets,  # <- driver window cut (50)
+    "q_asof_join": q_asof_join,  # <- driver window cut (50)
+    "q_case_buckets": q_case_buckets,
     "q_correlated_subquery": q_correlated_subquery,
     "q_count_quality": q_count_quality,
     "q_cross_join": q_cross_join,

@@ -423,7 +423,7 @@ def main() -> None:
     if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift", "q_bootstrap_ci", "q_kaplan_meier", "q_seasonal_decompose", "q_cusum_changepoint", "q_holt_winters", "q_markov_attribution", "q_acf_lags") for q in args.only):
         ensure_events_sfx(spark, args.replicas)
     if args.only and any(
-        q in ("q_gini_concentration", "q_rfm_segments", "q_benford_digits", "q_cohort_ltv", "q_new_vs_returning", "q_hhi_concentration")
+        q in ("q_gini_concentration", "q_rfm_segments", "q_benford_digits", "q_cohort_ltv", "q_new_vs_returning", "q_hhi_concentration", "q_purchase_cadence")
         for q in args.only
     ):
         ensure_orders_sfx(spark, args.replicas)
