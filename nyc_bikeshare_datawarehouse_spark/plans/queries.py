@@ -6190,59 +6190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
-    # --- new this round (no driver rows)
-    "q_purchase_cadence": q_purchase_cadence,
-    "q_hhi_concentration": q_hhi_concentration,
-    "q_new_vs_returning": q_new_vs_returning,
-    "q_acf_lags": q_acf_lags,
-    "q_abc_classification": q_abc_classification,
-    "q_cohort_ltv": q_cohort_ltv,
-    "q_rfm_segments": q_rfm_segments,
-    "q_gini_concentration": q_gini_concentration,
-    "q_cusum_changepoint": q_cusum_changepoint,
-    "q_snapshot_diff": q_snapshot_diff,
-    "q_time_travel": q_time_travel,
-    "q_holt_winters": q_holt_winters,
-    "q_markov_attribution": q_markov_attribution,
-    "q_chi2_drift": q_chi2_drift,
-    "q_seasonal_decompose": q_seasonal_decompose,
-    "q_isotonic_calibration": q_isotonic_calibration,
-    "q_triangle_count": q_triangle_count,
-    "q_shortest_paths": q_shortest_paths,
-    "q_kaplan_meier": q_kaplan_meier,
-    "q_benford_digits": q_benford_digits,
-    "q_roc_auc": q_roc_auc,
-    "q_spearman_drift": q_spearman_drift,
-    "q_cohens_kappa": q_cohens_kappa,
-    "q_bootstrap_ci": q_bootstrap_ci,
-    "q_image_resize": q_image_resize,
-    "q_calibration_bins": q_calibration_bins,
-    "q_ab_ttest": q_ab_ttest,
-    "q_threshold_metrics": q_threshold_metrics,
-    "q_video_scenes": q_video_scenes,
-    "q_stats_lifecycle": q_stats_lifecycle,
-    "q_rolling_median": q_rolling_median,
-    "q_minhash_est_error": q_minhash_est_error,
-    "q_lsh_recall": q_lsh_recall,
-    "q_mmr_diverse": q_mmr_diverse,
-    "q_table_checksum": q_table_checksum,
-    "q_incremental_dedup_pruned": q_incremental_dedup_pruned,
-    "q_cc_twostar": q_cc_twostar,
-    "q_verified_load": q_verified_load,
-    # --- newest driver row: r06
-    "q_union_byname": q_union_byname,
-    "q_union_dedup": q_union_dedup,
-    "q_unpivot": q_unpivot,
-    "q_vocab_build": q_vocab_build,
-    "q_weighted_sample": q_weighted_sample,
-    "q_window_running": q_window_running,
-    "q_zorder_layout": q_zorder_layout,
     # --- newest driver row: r07
-    "q_ann_ivf": q_ann_ivf,
-    "q_approx_distinct": q_approx_distinct,
-    "q_approx_percentiles": q_approx_percentiles,
-    "q_array_stats": q_array_stats,
-    "q_asof_join": q_asof_join,  # <- driver window cut (50)
     "q_case_buckets": q_case_buckets,
     "q_correlated_subquery": q_correlated_subquery,
     "q_count_quality": q_count_quality,
@@ -6293,7 +6241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bag_set_ops": q_bag_set_ops,
     "q_basket_rules": q_basket_rules,
     "q_bfs_hops": q_bfs_hops,
-    "q_bigram_logprob": q_bigram_logprob,
+    "q_bigram_logprob": q_bigram_logprob,  # <- driver window cut (50)
     "q_boilerplate_removal": q_boilerplate_removal,
     "q_bpe_merge_step": q_bpe_merge_step,
     "q_bucketed_join": q_bucketed_join,
@@ -6441,6 +6389,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_subtract": q_subtract,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
+    # --- newest driver row: r11
+    "q_ab_ttest": q_ab_ttest,
+    "q_abc_classification": q_abc_classification,
+    "q_acf_lags": q_acf_lags,
+    "q_ann_ivf": q_ann_ivf,
+    "q_approx_distinct": q_approx_distinct,
+    "q_approx_percentiles": q_approx_percentiles,
+    "q_array_stats": q_array_stats,
+    "q_asof_join": q_asof_join,
+    "q_benford_digits": q_benford_digits,
+    "q_bootstrap_ci": q_bootstrap_ci,
+    "q_calibration_bins": q_calibration_bins,
+    "q_cc_twostar": q_cc_twostar,
+    "q_chi2_drift": q_chi2_drift,
+    "q_cohens_kappa": q_cohens_kappa,
+    "q_cohort_ltv": q_cohort_ltv,
+    "q_cusum_changepoint": q_cusum_changepoint,
+    "q_gini_concentration": q_gini_concentration,
+    "q_hhi_concentration": q_hhi_concentration,
+    "q_holt_winters": q_holt_winters,
+    "q_image_resize": q_image_resize,
+    "q_incremental_dedup_pruned": q_incremental_dedup_pruned,
+    "q_isotonic_calibration": q_isotonic_calibration,
+    "q_kaplan_meier": q_kaplan_meier,
+    "q_lsh_recall": q_lsh_recall,
+    "q_markov_attribution": q_markov_attribution,
+    "q_minhash_est_error": q_minhash_est_error,
+    "q_mmr_diverse": q_mmr_diverse,
+    "q_new_vs_returning": q_new_vs_returning,
+    "q_purchase_cadence": q_purchase_cadence,
+    "q_rfm_segments": q_rfm_segments,
+    "q_roc_auc": q_roc_auc,
+    "q_rolling_median": q_rolling_median,
+    "q_seasonal_decompose": q_seasonal_decompose,
+    "q_shortest_paths": q_shortest_paths,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_spearman_drift": q_spearman_drift,
+    "q_stats_lifecycle": q_stats_lifecycle,
+    "q_table_checksum": q_table_checksum,
+    "q_threshold_metrics": q_threshold_metrics,
+    "q_time_travel": q_time_travel,
+    "q_triangle_count": q_triangle_count,
+    "q_union_byname": q_union_byname,
+    "q_union_dedup": q_union_dedup,
+    "q_unpivot": q_unpivot,
+    "q_verified_load": q_verified_load,
+    "q_video_scenes": q_video_scenes,
+    "q_vocab_build": q_vocab_build,
+    "q_weighted_sample": q_weighted_sample,
+    "q_window_running": q_window_running,
+    "q_zorder_layout": q_zorder_layout,
 }
 
 
