@@ -19,11 +19,16 @@ and only the final ln/product is floored to 6 decimals (`_trunc` rule —
 both inputs to ln are identical doubles cross-engine, so the result
 matches to the last ulp in practice, same class as q_unigram_logprob).
 
-Scale: the reference slice shuffles ONCE for the global ntile — an
-acceptable single-key sort at reference-slice size; for 100 TB references
-swap the exact ntile for per-partition quantile sketch merge
-(functions/sketches.histogram_sketch) and keep everything downstream
-identical, since the edges frame is O(bins) either way. Binning the
+Scale: bin edges ride the DISTRIBUTED two-phase NTILE
+(`operators/windows.two_phase_ntile`) — rows range-bucketed on a
+min/max-derived monotone bucket of the value (one 1-row broadcast for the
+stats, one hash shuffle on the bucket key), never a corpus-slice
+`ntile().over(Window.orderBy(...))` single-task sort (the r11 verdict's
+remaining scale-killer here). The sequential NTILE stays in the DuckDB
+oracle, so a green q_psi_drift row is the equivalence proof (the
+q_zorder/q_shard_assign evidence pattern). For 100 TB references the
+sketch path (functions/sketches.histogram_sketch + psi_from_histograms)
+avoids even that one shuffle. Binning the
 current slice is a broadcast nested-loop against the O(bins) edge frame —
 the current slice never shuffles at all. Totals ride 1-row broadcasts.
 """
@@ -41,14 +46,42 @@ def quantile_edges(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """(edge_idx, edge) — the n_bins−1 internal bin boundaries: max value
-    of each of the first n_bins−1 reference ntiles under a total order."""
+    of each of the first n_bins−1 reference ntiles under a total order.
+
+    Tile assignment is `operators/windows.two_phase_ntile` (bit-identical
+    to SQL NTILE, proven by the sequential-NTILE oracle): rows are
+    range-bucketed by a linear min/max map of the value — monotone
+    non-decreasing along the (value, tiebreak) total order, so the
+    two-phase contract holds; ties land in one bucket, which only costs
+    balance, never correctness. All-equal references (min == max)
+    degenerate to one bucket, guarding the width division (ANSI 0/0)."""
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import (
+        two_phase_ntile,
+    )
+
     order = [F.col(value_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
-    w = Window.orderBy(*order)
+    n_buckets = 64
+    stats = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("__vmin"),
+        F.max(F.col(value_col).cast("double")).alias("__vmax"),
+    )
+    v = F.col(value_col).cast("double")
+    width = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(n_buckets))
+    bucket = F.when(
+        F.col("__vmax") > F.col("__vmin"),
+        F.least(F.floor((v - F.col("__vmin")) / width), F.lit(n_buckets - 1)),
+    ).otherwise(F.lit(0))
+    tiled = two_phase_ntile(
+        ref.crossJoin(F.broadcast(stats)),
+        n_bins,
+        bucket,
+        order,
+        tile_col="__tile",
+    )
     return (
-        ref.withColumn("__tile", F.ntile(n_bins).over(w))
-        .groupBy("__tile")
+        tiled.groupBy("__tile")
         .agg(F.max(value_col).alias("edge"))
         .filter(F.col("__tile") < n_bins)
         .select(F.col("__tile").cast("int").alias("edge_idx"), "edge")
@@ -242,10 +275,17 @@ def chi2_independence(
         num  = o·g − rt·ct            (products in DOUBLE, one subtract)
         cell = num² / (g · rt · ct) · g   -- i.e. (o−e)²/e with e=rt·ct/g
 
-    which is bit-identical cross-engine (the q_ab_ttest corollary:
-    +,−,×,÷ chains over exact integer aggregates), then FLOOR-quantized
-    to micro-units per cell BEFORE summation so the total is an exact
-    integer sum — immune to partial-aggregation order. ZERO cells are
+    which is DETERMINISTIC cross-engine (the q_ab_ttest corollary:
+    identical +,−,×,÷ expression trees over exact integer aggregates
+    round identically), then FLOOR-quantized to micro-units per cell
+    BEFORE summation so the total is an exact integer sum — immune to
+    partial-aggregation order. Note deterministic ≠ exact: the DOUBLE
+    products lose integer exactness once o·g or rt·ct exceeds 2^53
+    (≈9e15 — corpora past ~95M rows per label pair), where the
+    quantized statistic can drift from the true value by an ulp-scale
+    amount while both engines still agree bit-for-bit; past that bound
+    compute num/denom in DECIMAL(38,0) (the q_gini_concentration
+    pattern) at ~2× the cell-frame cost. ZERO cells are
     materialized (row-universe × col-universe cross of the two O(k)
     distinct frames) because (0−e)²/e contributes.
 

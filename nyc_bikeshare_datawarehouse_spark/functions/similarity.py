@@ -454,6 +454,186 @@ def ivf_probe_partitioned(
     )
 
 
+def _cell_cosine_scores(vec_col, cents: Column, round_to: int = 6) -> Column:
+    """array<struct<d,i>>: ROUND(cosine(v, cᵢ), round_to) per centroid.
+    The engine-PORTABLE scoring twin of `_cell_scores`: same argmax /
+    top-cells order in exact arithmetic (|v| is constant across cells,
+    so dividing by it never reorders), but a full cosine quantized to
+    6 dp so a DuckDB oracle replays it as ROUND(list_cosine_similarity)
+    and both engines rank on identical doubles (the q_cosine_topk /
+    q_mmr_diverse precedent). Audit-path scoring; the serving path
+    keeps `_cell_scores`' cheaper unnormalized form."""
+    v = _vec(vec_col)
+    return F.zip_with(
+        cents,
+        F.sequence(F.lit(0), F.size(cents) - 1),
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (
+                    F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+                    * F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+                ),
+                round_to,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+
+
+def ivf_recall_report(
+    df: DataFrame,
+    probes: DataFrame,
+    n_cells: int = 16,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit of the IVF partition-pruned probe path against
+    exact cosine top-k — the ANN sibling of `dedup.lsh_recall_report`:
+    the report a serving pipeline runs on a probe SAMPLE before trusting
+    its nprobe setting. One row per nprobe level:
+
+        (nprobe, n_probes, hits, recall_bp)
+
+    hits = Σ_probes |IVF top-k ∩ exact top-k| (self-matches excluded on
+    both sides), recall_bp = floor(10000·hits / (k·n_probes)).
+
+    Determinism: all rankings are (ROUND(cosine, 6) DESC, id ASC) — both
+    engines rank identical doubles (`_cell_cosine_scores`), and hits /
+    recall_bp are exact integers. Cell assignment is the strict->
+    fold (lowest index wins ties) ≡ the oracle's ORDER BY d DESC, i
+    LIMIT 1; probe top-cells are (d DESC, i ASC) ranks ≡ the oracle's
+    ROW_NUMBER — so a green row proves the whole pruning lattice.
+
+    Scale: the audit tier is probes × corpus (the documented quadratic
+    ground-truth cost, run on a sampled probe set — lsh_recall_report's
+    contract); the pair frame feeds the exact AND the pruned rankings,
+    so it localCheckpoints once (diverged-subplan rule). The per-level
+    rankings ride ONE window partitioned by (probe, level) — parallel
+    across probes. The serving path itself stays partition-pruned
+    (`ivf_probe_partitioned`); this measures what that pruning costs in
+    recall."""
+    max_np = max(nprobes)
+    cents = _centroids_frame(df, n_cells, id_col, vec_col)
+    corpus = (
+        df.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("cid"),
+            _vec(vec_col).alias("cvec"),
+            F.aggregate(
+                _cell_cosine_scores(vec_col, F.col("__cents")),
+                F.struct(
+                    F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")
+                ),
+                lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+            )["i"].alias("cell"),
+        )
+    )
+    pc = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("pid"),
+            _vec(vec_col).alias("pvec"),
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            _cell_cosine_scores(vec_col, F.col("__cents")),
+                            lambda s: F.struct(
+                                (-s["d"]).alias("nd"), s["i"].alias("i")
+                            ),
+                        )
+                    ),
+                    1,
+                    max_np,
+                ),
+                lambda s: s["i"],
+            ).alias("pcells"),
+        )
+    )
+    pairs = (
+        corpus.join(F.broadcast(pc), F.col("cid") != F.col("pid"))
+        .select(
+            "pid",
+            "cid",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("cvec"), F.col("pvec"), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            F.col("pvec"), F.lit(0.0), lambda a, x: a + x * x
+                        )
+                    )
+                ),
+                6,
+            ).alias("sim"),
+            F.array_position(F.col("pcells"), F.col("cell")).alias(
+                "cellpos"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_exact = Window.partitionBy("pid").orderBy(F.desc("sim"), F.col("cid"))
+    exact = (
+        pairs.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") <= k)
+        .select("pid", "cid")
+    )
+    levels = F.array(*[F.lit(int(n)) for n in nprobes])
+    leveled = pairs.select(
+        "pid", "cid", "sim", "cellpos", F.explode(levels).alias("nprobe")
+    ).filter((F.col("cellpos") >= 1) & (F.col("cellpos") <= F.col("nprobe")))
+    w_appr = Window.partitionBy("pid", "nprobe").orderBy(
+        F.desc("sim"), F.col("cid")
+    )
+    approx = (
+        leveled.withColumn("__rn", F.row_number().over(w_appr))
+        .filter(F.col("__rn") <= k)
+        .select("pid", "cid", "nprobe")
+    )
+    n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    hits = approx.join(exact, ["pid", "cid"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    all_levels = pairs.sparkSession.createDataFrame(
+        [(int(n),) for n in nprobes], "nprobe int"
+    )
+    return (
+        all_levels.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_probes))
+        .select(
+            "nprobe",
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.floor(
+                F.coalesce(F.col("hits"), F.lit(0))
+                * 10000.0
+                / (F.lit(k) * F.col("n_probes"))
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -133,6 +133,79 @@ def two_phase_ntile(
     return ranked.withColumn(tile_col, tile.cast("int")).drop("__tp_rn", "__tp_n")
 
 
+def desc_freq_buckets(
+    df: DataFrame,
+    count_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 64,
+    bucket_col: str = "__fbucket",
+) -> DataFrame:
+    """Monotone, balance-aware range buckets for a (count DESC, string ASC)
+    total order over a ties-heavy frame — the vocabulary-ranking case: a
+    Zipf vocab's count=1 group alone is ~half the rows, so no bucket that
+    is a function of the count alone can balance, and a composite
+    (count-bucket, string-bucket) is not monotone across groups sharing a
+    count-bucket. Scheme: each distinct count gets a CONTIGUOUS bucket
+    span sized by its population (cumulative offsets over the
+    O(distinct-counts) frame — the intentionally-tiny single-task stage,
+    bounded ~O(√stream) under Zipf, same class as two_phase's B-row
+    window); groups spanning >1 bucket are sub-bucketed by the first two
+    characters of the tiebreak string, linearly rescaled to the observed
+    char-key range. Monotone non-decreasing along (count DESC, tiebreak
+    ASC) — the two_phase_* contract — because consecutive groups' spans
+    never overlap (lo_next = floor(cum_before_next/target) >= hi_prev)
+    and the clamped char key is non-decreasing in binary string order
+    (clamping to printable ASCII maps out-of-range chars to the nearest
+    bound, which preserves non-decreasing; UTF-8 byte order equals code
+    point order, so `ascii()` per char is order-faithful). Output: df
+    plus `bucket_col` (long). Costs one broadcast of the distinct-count
+    stats and two 1-row broadcasts; the data shuffles only in the
+    downstream two_phase_* pass."""
+    per = df.groupBy(count_col).agg(F.count(F.lit(1)).alias("__gcnt"))
+    w = Window.orderBy(F.desc(count_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per = per.select(
+        count_col,
+        "__gcnt",
+        F.coalesce(F.sum("__gcnt").over(w), F.lit(0)).alias("__gbefore"),
+    )
+    tot = per.agg(F.sum("__gcnt").alias("__vtot"))
+
+    def _ckey(col: Column) -> Column:
+        c1 = F.greatest(
+            F.least(F.ascii(F.substring(col, 1, 1)), F.lit(127)), F.lit(32)
+        )
+        c2 = F.greatest(
+            F.least(F.ascii(F.substring(col, 2, 1)), F.lit(127)), F.lit(32)
+        )
+        return (c1 - 32) * 96 + (c2 - 32)  # [0, 9216)
+
+    ckey = _ckey(F.col(tiebreak_col))
+    kstats = df.agg(F.min(ckey).alias("__kmin"), F.max(ckey).alias("__kmax"))
+    b = (
+        df.join(F.broadcast(per), count_col)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kstats))
+    )
+    # exact integer-valued doubles throughout (< 2^53); target >= 1 so the
+    # divisions are ANSI-safe, krange >= 1 by min<=max
+    target = F.greatest(
+        F.floor((F.col("__vtot") + n_buckets - 1) / n_buckets), F.lit(1)
+    )
+    lo = F.floor(F.col("__gbefore") / target)
+    hi = F.floor((F.col("__gbefore") + F.col("__gcnt") - 1) / target)
+    span = hi - lo + 1
+    krange = F.col("__kmax") - F.col("__kmin") + 1
+    sub = F.least(
+        F.floor((ckey - F.col("__kmin")) * span / krange), span - 1
+    )
+    return b.withColumn(
+        bucket_col,
+        (lo + F.when(span > 1, sub).otherwise(F.lit(0))).cast("long"),
+    ).drop("__gcnt", "__gbefore", "__vtot", "__kmin", "__kmax")
+
+
 def hash_key(cols: Sequence[str | Column], id_col: str = "id") -> Column:
     """Deterministic, shuffle-free surrogate key: md5 over the natural key
     (the reference's own pattern, sql_queries.py:4). Collision-safe enough

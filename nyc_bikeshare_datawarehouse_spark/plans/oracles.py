@@ -5645,3 +5645,73 @@ ORACLES["q_purchase_cadence"] = """
                 AS BIGINT) AS share_bp
     FROM counts ORDER BY cadence_band
 """
+
+# IVF recall audit: replays the ENTIRE pruning lattice — deterministic
+# first-16 quantizer, cell-assignment argmax (ORDER BY d DESC, i ≡ the
+# strict-> fold), probe top-cells, pruned candidates, both top-k ranks,
+# intersection counts. Every ranking is on ROUND(cosine, 6) with id
+# tiebreaks (q_cosine_topk precedent); hits/recall_bp are exact integers.
+ORACLES["q_ivf_recall"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, e AS c
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+    ), cscore AS (
+        SELECT v.vec_id, c.i,
+               ROUND(list_cosine_similarity(v.e, c.c), 6) AS d
+        FROM v CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id AS cid, i AS cell
+        FROM (SELECT vec_id, i,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, i) AS rn
+              FROM cscore)
+        WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id % 50 = 7
+    ), pcells AS (
+        SELECT pid, i AS cell, rn AS cellpos
+        FROM (SELECT vec_id AS pid, i,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, i) AS rn
+              FROM cscore WHERE vec_id % 50 = 7)
+        WHERE rn <= 4
+    ), pairs AS (
+        SELECT p.pid, v.vec_id AS cid,
+               ROUND(list_cosine_similarity(v.e, p.pe), 6) AS sim
+        FROM v JOIN probes p ON v.vec_id <> p.pid
+    ), exact AS (
+        SELECT pid, cid
+        FROM (SELECT pid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY pid
+                                        ORDER BY sim DESC, cid) AS rn
+              FROM pairs)
+        WHERE rn <= 10
+    ), lv AS (
+        SELECT CAST(unnest([1, 2, 4]) AS INTEGER) AS nprobe
+    ), approx AS (
+        SELECT pid, cid, nprobe
+        FROM (SELECT pr.pid, pr.cid, l.nprobe,
+                     ROW_NUMBER() OVER (PARTITION BY pr.pid, l.nprobe
+                                        ORDER BY pr.sim DESC, pr.cid) AS rn
+              FROM pairs pr
+              JOIN assign a ON a.cid = pr.cid
+              JOIN pcells pc ON pc.pid = pr.pid AND pc.cell = a.cell
+              JOIN lv l ON pc.cellpos <= l.nprobe)
+        WHERE rn <= 10
+    ), np AS (SELECT COUNT(*) AS n_probes FROM probes),
+    hits AS (
+        SELECT ap.nprobe, COUNT(*) AS h
+        FROM approx ap JOIN exact ex ON ex.pid = ap.pid AND ex.cid = ap.cid
+        GROUP BY ap.nprobe
+    )
+    SELECT l.nprobe,
+           CAST(np.n_probes AS BIGINT) AS n_probes,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+           CAST(FLOOR(COALESCE(h.h, 0) * 10000.0 / (10 * np.n_probes))
+                AS BIGINT) AS recall_bp
+    FROM lv l LEFT JOIN hits h ON h.nprobe = l.nprobe CROSS JOIN np
+    ORDER BY l.nprobe
+"""

@@ -3320,29 +3320,50 @@ def q_vocab_build(spark, sf_dir):
     (rank by count DESC, token ASC), its count, and the cumulative
     fraction of the token stream covered by ids ≤ rank (the curve that
     picks a vocab size). One groupBy(token) with map-side combine
-    (vocab ≪ stream), then rank + running sum over the VOCAB-sized
-    frame only — the corpus-sized stream never enters a window. The
-    global window over vocab rows is bounded by vocabulary, not data
-    (a 100 TB corpus with a 1M-type vocab windows 1M rows); coverage
-    as floor-truncated ratio of exact longs (engine-identical)."""
+    (vocab ≪ stream); rank AND running sum are the DISTRIBUTED
+    two-phase pass (`operators/windows.two_phase_cumsum` — rank = the
+    running count of 1s under the total order) over ties-aware buckets
+    from `desc_freq_buckets`: a Zipf vocab's count=1 group is ~half the
+    rows, so the r11-flagged unpartitioned `Window.orderBy(desc n,
+    token)` funneled the whole vocabulary (1M types at 100×) through
+    ONE task; the bucketed form shuffles once on the bucket key with
+    the count=1 mass spread across buckets by token prefix. The
+    sequential window stays in the DuckDB oracle — a green row proves
+    the distributed rank+cumsum ≡ sequential (q_zorder pattern).
+    Coverage as floor-truncated ratio of exact longs
+    (engine-identical). Counts checkpoint once (vocab-sized) since the
+    bucket derivation references the frame three times."""
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import (
+        desc_freq_buckets,
+        two_phase_cumsum,
+    )
+
     d = _t(spark, sf_dir, "documents")
     stream = d.select(F.explode(text.tokens("text")).alias("token"))
-    counts = stream.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), "token")
-    total = counts.agg(F.sum("n").alias("__total"))
-    ranked = (
-        counts.withColumn("token_id", F.row_number().over(w))
-        .withColumn(
-            "cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .crossJoin(F.broadcast(total))
+    counts = (
+        stream.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    return ranked.select(
-        "token_id",
-        "token",
-        "n",
-        _trunc(F.col("cum_n") / F.col("__total"), 4).alias("coverage"),
-    ).orderBy("token_id")
+    total = counts.agg(F.sum("n").alias("__total"))
+    b = desc_freq_buckets(counts, "n", "token", n_buckets=64)
+    ranked = two_phase_cumsum(
+        b.withColumn("__one", F.lit(1)),
+        F.col("__fbucket"),
+        [F.desc("n"), F.col("token")],
+        values=[("__one", "token_id"), ("n", "cum_n")],
+        materialize=False,
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("token_id").cast("int").alias("token_id"),
+            "token",
+            "n",
+            _trunc(F.col("cum_n") / F.col("__total"), 4).alias("coverage"),
+        )
+        .orderBy("token_id")
+    )
 
 
 def q_kmv_sketch(spark, sf_dir):
@@ -4832,6 +4853,26 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_ivf_recall(spark, sf_dir):
+    """IVF ANN recall audit (functions/similarity.ivf_recall_report) —
+    the serving-path trust question q_lsh_recall answers for dedup:
+    per nprobe ∈ {1,2,4}, the recall@10 of the partition-pruned probe
+    (deterministic first-16 coarse quantizer, the SQL-expressible twin
+    of the KMeans fit in q_ann_ivf_partitioned) against exact cosine
+    top-10, summed over a deterministic probe sample (vec_id % 50 == 7,
+    ~2% of the corpus). All rankings on ROUND(cosine, 6) with id
+    tiebreaks, so the DuckDB oracle replays the ENTIRE lattice — cell
+    assignment argmax, probe top-cells, pruned candidates, both top-k
+    ranks, the intersection counts — and a green row proves the pruning
+    path loses exactly the reported recall, nothing else. Upgrades the
+    IVF family from rows-only (the KMeans variant) to hash-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 7)
+    return similarity.ivf_recall_report(
+        e, probes, n_cells=16, nprobes=(1, 2, 4), k=10
+    )
+
+
 def q_verified_load(spark, sf_dir):
     """The warehouse load-verification contract through the driver
     surface (warehouse/quality.verified_bulk_load): write orders to a
@@ -5526,8 +5567,9 @@ def q_time_travel(spark, sf_dir):
     corpus, so the hash gate proves the manifest protocol returns
     exactly the committed row multisets — isolation (v1 unchanged
     after the append) and append semantics at once. The summary is
-    the q_tpch_q9 integer-cents pattern; table path is SF-tagged
-    against concurrent sessions and rebuilt from scratch per run."""
+    the q_tpch_q9 integer-cents pattern; table path is SF- and
+    pid-tagged (different SFs AND concurrent sessions on the same
+    corpus stay isolated) and rebuilt from scratch per run."""
     import hashlib
     import os as _os
     import shutil as _shutil
@@ -5538,7 +5580,12 @@ def q_time_travel(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     full = _os.path.abspath(sf_dir.rstrip("/"))
     tag = hashlib.md5(full.encode()).hexdigest()[:8]
-    base = f"{tempfile.gettempdir()}/spark_graft_timetravel/orders_{tag}"
+    # pid in the path: the tag isolates different SFs, the pid isolates
+    # concurrent sessions on the SAME corpus (each rmtree's its own dir)
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_timetravel/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
     if _os.path.isdir(base):
         _shutil.rmtree(base)
     v1 = versioned.write_snapshot(
@@ -5752,7 +5799,11 @@ def q_snapshot_diff(spark, sf_dir):
     )
     full = _os.path.abspath(sf_dir.rstrip("/"))
     tag = hashlib.md5(full.encode()).hexdigest()[:8]
-    base = f"{tempfile.gettempdir()}/spark_graft_snapdiff/orders_{tag}"
+    # pid component: same concurrent-session isolation as q_time_travel
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_snapdiff/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
     if _os.path.isdir(base):
         _shutil.rmtree(base)
     v1 = versioned.write_snapshot(
@@ -6190,6 +6241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
+    # --- new this round (no driver rows)
+    "q_ivf_recall": q_ivf_recall,
     # --- newest driver row: r07
     "q_case_buckets": q_case_buckets,
     "q_correlated_subquery": q_correlated_subquery,
@@ -6240,8 +6293,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_attribution": q_attribution,
     "q_bag_set_ops": q_bag_set_ops,
     "q_basket_rules": q_basket_rules,
-    "q_bfs_hops": q_bfs_hops,
-    "q_bigram_logprob": q_bigram_logprob,  # <- driver window cut (50)
+    "q_bfs_hops": q_bfs_hops,  # <- driver window cut (50)
+    "q_bigram_logprob": q_bigram_logprob,
     "q_boilerplate_removal": q_boilerplate_removal,
     "q_bpe_merge_step": q_bpe_merge_step,
     "q_bucketed_join": q_bucketed_join,

@@ -43,6 +43,7 @@ def _manifest_path(base_dir: str, version: int) -> str:
 
 def latest_version(base_dir: str) -> int:
     """Highest committed snapshot version, 0 if none."""
+    base_dir = os.path.abspath(base_dir)
     if not os.path.isdir(base_dir):
         return 0
     vs = [
@@ -75,6 +76,26 @@ def manifest_metadata(base_dir: str, version: int | None = None) -> dict:
         return json.load(fh).get("metadata", {})
 
 
+def last_metadata_value(base_dir: str, key: str, default=None):
+    """The `key` metadata of the NEWEST manifest that carries it —
+    scanning back past manifests committed without the key. The
+    streaming sink's replay guard needs this, not `manifest_metadata`:
+    an interleaved non-stream `write_snapshot` to the same base_dir
+    (no batch_id metadata) would otherwise reset the guard to its
+    default and let a replayed micro-batch double-append. Stream batch
+    ids are monotone in commit order, so newest-carrying == max."""
+    base_dir = os.path.abspath(base_dir)
+    for v in range(latest_version(base_dir), 0, -1):
+        mp = _manifest_path(base_dir, v)
+        if not os.path.exists(mp):
+            continue
+        with open(mp) as fh:
+            md = json.load(fh).get("metadata", {})
+        if key in md:
+            return md[key]
+    return default
+
+
 def write_snapshot(
     df: DataFrame,
     base_dir: str,
@@ -95,6 +116,11 @@ def write_snapshot(
     replayed micro-batches idempotent."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
+    # absolute from here on: manifests store these paths verbatim, and a
+    # relative base_dir would make spark.read.parquet(*files) resolve
+    # against Spark's default FS / working dir, which can differ from
+    # the Python cwd that listed them
+    base_dir = os.path.abspath(base_dir)
     prev = latest_version(base_dir)
     version = prev + 1
     data_dir = os.path.join(base_dir, f"v{version}")
@@ -129,6 +155,7 @@ def read_snapshot(
 ) -> DataFrame:
     """Read the table AS OF `version` (default: latest). Reads exactly
     the manifest's file list — never a directory scan."""
+    base_dir = os.path.abspath(base_dir)
     if version is None:
         version = latest_version(base_dir)
     mp = _manifest_path(base_dir, version)
@@ -148,7 +175,9 @@ def read_snapshot(
 
 def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:
     """Drop manifests below `keep_from` and delete data files no
-    surviving manifest references. Returns expired versions."""
+    surviving manifest references (plus any v{n} directory left empty).
+    Returns expired versions."""
+    base_dir = os.path.abspath(base_dir)
     last = latest_version(base_dir)
     if keep_from > last:
         raise ValueError(
@@ -172,4 +201,12 @@ def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:
                 if f not in live and os.path.exists(f):
                     os.remove(f)
         os.remove(_manifest_path(base_dir, v))
+    # long-lived tables: reap v{n} dirs the dead-file sweep emptied
+    # (parquet writes leave _SUCCESS/.crc sidecars no manifest names)
+    for v in expired:
+        d = os.path.join(base_dir, f"v{v}")
+        if os.path.isdir(d) and not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            shutil.rmtree(d)
     return expired

@@ -285,7 +285,10 @@ def commit_stream_batch(
     the exactly-once argument."""
     from nyc_bikeshare_datawarehouse_spark.sources import versioned
 
-    last = versioned.manifest_metadata(base_dir).get("batch_id", -1)
+    # scan-back, not latest-manifest: an interleaved non-stream snapshot
+    # (no batch_id metadata) must not reset the guard (versioned.
+    # last_metadata_value docstring)
+    last = versioned.last_metadata_value(base_dir, "batch_id", -1)
     if batch_id <= last:
         return None  # at-least-once replay of an already-committed batch
     batch_df.persist()

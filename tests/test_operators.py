@@ -217,6 +217,62 @@ class TestWindows:
             assert got == expected, (n_rows, n_tiles)
 
 
+class TestDescFreqBuckets:
+    def test_monotone_and_rank_matches_sequential(self, spark):
+        from pyspark.sql import Window
+
+        from nyc_bikeshare_datawarehouse_spark.operators.windows import (
+            desc_freq_buckets,
+            two_phase_cumsum,
+        )
+
+        # Zipf-shaped ties: ~half the tokens share count 1 (the case no
+        # count-only bucket can balance), plus multi-bucket spans, plus
+        # non-ASCII and short tokens to exercise the char-key clamps
+        rows = []
+        for i in range(200):
+            tok = f"{chr(97 + (i * 7) % 26)}{chr(97 + (i * 13) % 26)}tok{i}"
+            rows.append((tok, 1))
+        for i in range(60):
+            rows.append((f"mid{i:03d}", 5))
+        for i, tok in enumerate(["the", "of", "a", "é-accent", "Z", ""]):
+            rows.append((tok, 1000 - i))
+        df = spark.createDataFrame(rows, "token string, n long").repartition(7)
+
+        b = desc_freq_buckets(df, "n", "token", n_buckets=16)
+        got = b.select("token", "n", "__fbucket").collect()
+        ordered = sorted(got, key=lambda r: (-r["n"], r["token"]))
+        buckets = [r["__fbucket"] for r in ordered]
+        # THE contract: monotone non-decreasing along (n DESC, token ASC)
+        assert buckets == sorted(buckets)
+        # balance: the 200-row count=1 group must actually spread
+        assert len({r["__fbucket"] for r in ordered if r["n"] == 1}) >= 4
+
+        ranked = two_phase_cumsum(
+            b.withColumn("__one", F.lit(1)),
+            F.col("__fbucket"),
+            [F.desc("n"), F.col("token")],
+            values=[("__one", "rn"), ("n", "cum_n")],
+            materialize=False,
+        )
+        got_rn = {
+            r["token"]: (r["rn"], r["cum_n"])
+            for r in ranked.select("token", "rn", "cum_n").collect()
+        }
+        w = Window.orderBy(F.desc("n"), "token")
+        expected = {
+            r["token"]: (r["rn"], r["cum_n"])
+            for r in df.select(
+                "token",
+                F.row_number().over(w).alias("rn"),
+                F.sum("n")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("cum_n"),
+            ).collect()
+        }
+        assert got_rn == expected
+
+
 class TestLeakageSafeSplit:
     def test_no_cluster_straddles_splits_and_full_coverage(self, spark, sf_dir):
         from nyc_bikeshare_datawarehouse_spark.plans.queries import QUERIES

@@ -258,12 +258,16 @@ def test_kmv_sketch_is_take_ordered(spark, sf_dir):
 
 
 def test_vocab_build_windows_vocab_not_stream(spark, sf_dir):
-    # the token stream is aggregated FIRST; ranking windows see only the
-    # vocab-sized count frame (one stream exchange + one 1-partition
-    # window over vocab rows)
+    # the token stream is aggregated FIRST; rank + running sum are the
+    # two-phase bucketed pass (r12): NO unpartitioned window over the
+    # vocab frame itself — the only single-partition stages are the
+    # O(distinct-counts) offset windows and 1-row broadcast bounds
     plan = plan_of(spark, sf_dir, "q_vocab_build")
-    assert plan.count("Exchange SinglePartition") <= 2  # vocab window + bounds
     assert n_exchanges(plan) >= 1  # the token-count aggregation
+    # the data-bearing window is partitioned on the bucket key
+    assert "partitionBy(__bucket" in plan.replace(" ", "") or re.search(
+        r"Window \[.*__bucket", plan
+    )
 
 
 def test_sequence_pack_single_shuffle_no_text(spark, sf_dir):
@@ -336,6 +340,9 @@ def test_psi_drift_current_slice_binned_by_broadcast(spark, sf_dir):
     # never shuffle for the binning
     plan = plan_of(spark, sf_dir, "q_psi_drift")
     assert "BroadcastNestedLoopJoin" in plan
+    # r12: edges come from the two-phase ntile — no single-task ntile
+    # over the reference slice anywhere in the plan
+    assert "ntile" not in plan.lower()
 
 
 def test_ks_drift_takeordered_argmax(spark, sf_dir):

@@ -238,6 +238,36 @@ class TestVersionedSnapshots:
         with pytest.raises(ValueError):
             versioned.read_snapshot(spark, base, 1)
 
+    def test_expire_reaps_emptied_version_dirs(self, spark, tmp_path):
+        import os
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 4), base)
+        versioned.write_snapshot(spark.range(4, 6), base, mode="overwrite")
+        versioned.write_snapshot(spark.range(6, 7), base)
+        assert versioned.expire_snapshots(base, keep_from=2) == [1]
+        # v1's files are dead (v2 overwrote) — its directory must be gone,
+        # while v2/v3 (still referenced) remain
+        assert not os.path.isdir(os.path.join(base, "v1"))
+        assert versioned.read_snapshot(spark, base, 3).count() == 3
+
+    def test_relative_base_dir_reads_back(self, spark, tmp_path, monkeypatch):
+        # manifests must store ABSOLUTE file paths: a relative base_dir
+        # would otherwise resolve against Spark's default FS at read time
+        import json
+        import os
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        monkeypatch.chdir(tmp_path)
+        versioned.write_snapshot(spark.range(0, 3), "rel_tbl")
+        mp = os.path.join(str(tmp_path), "rel_tbl", "_manifest_v1.json")
+        files = json.load(open(mp))["files"]
+        assert files and all(os.path.isabs(f) for f in files)
+        assert versioned.read_snapshot(spark, "rel_tbl").count() == 3
+
     def test_torn_write_dir_is_cleared(self, spark, tmp_path):
         import os
 

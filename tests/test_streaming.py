@@ -719,3 +719,11 @@ def test_snapshot_sink_replayed_batch_is_idempotent(spark, tmp_path):
     # empty batches never commit spurious versions
     assert commit_stream_batch(spark.range(0, 0), 7, base) is None
     assert versioned.latest_version(base) == 2
+    # an interleaved NON-stream snapshot (no batch_id metadata) must not
+    # reset the replay guard: the guard scans back to the newest manifest
+    # carrying a batch_id (r11 advice), so a replay of id 6 stays a no-op
+    versioned.write_snapshot(spark.range(90, 93), base)
+    assert versioned.latest_version(base) == 3
+    assert commit_stream_batch(spark.range(4, 6), 6, base) is None
+    assert versioned.latest_version(base) == 3
+    assert commit_stream_batch(spark.range(6, 8), 8, base) == 4
