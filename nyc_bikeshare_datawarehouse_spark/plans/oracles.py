@@ -1189,9 +1189,13 @@ ORACLES: dict[str, str] = {
         WHERE regexp_matches(source, '^src[0-9]+$')
     """,
     "q_ngram_jaccard": """
-        WITH toks AS (
+        WITH docs_a AS (
+            SELECT * FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 1000
+        ), toks AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-            FROM documents
+            FROM docs_a
         ), sh AS (
             SELECT DISTINCT doc_id,
                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
@@ -1237,9 +1241,13 @@ ORACLES: dict[str, str] = {
         WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
     """,
     "q_dedup_clusters": """
-        WITH RECURSIVE toks AS (
+        WITH RECURSIVE docs_a AS (
+            SELECT * FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 1000
+        ), toks AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-            FROM documents
+            FROM docs_a
         ), sh AS (
             SELECT DISTINCT doc_id,
                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
@@ -1262,7 +1270,7 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT id_b AS src, id_a AS dst FROM pairs
         ), reach AS (
-            SELECT doc_id AS node, doc_id AS lab FROM documents
+            SELECT doc_id AS node, doc_id AS lab FROM docs_a
             UNION
             SELECT e.dst AS node, r.lab
             FROM reach r JOIN edges e ON e.src = r.node
@@ -2480,9 +2488,13 @@ ORACLES["q_pretraining_export"] = f"""
 # ---- round-7 additions: containment / fuzzy join / intervals / drift / LM ----
 
 ORACLES["q_ngram_containment"] = """
-    WITH toks AS (
+    WITH docs_a AS (
+        SELECT * FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 1000
+    ), toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        FROM documents
+        FROM docs_a
     ), sh AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
@@ -2764,11 +2776,15 @@ ORACLES["q_entity_resolution_distinct"] = """
 
 
 ORACLES["q_entity_resolution"] = """
-    WITH RECURSIVE clean AS (
+    WITH RECURSIVE docs_a AS (
+        SELECT * FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 1000
+    ), clean AS (
         SELECT doc_id AS id,
                array_to_string(list_slice(list_filter(string_split(text, ' '),
                                                       x -> x <> ''), 1, 4), ' ') AS name
-        FROM documents
+        FROM docs_a
     ), dirty AS (
         SELECT id + 1000000 AS id,
                substring(name, 1, CAST(id % length(name) AS INTEGER))

@@ -59,6 +59,39 @@ def _trunc(col, decimals: int):
     return F.floor(col * scale) / scale
 
 
+AUDIT_SAMPLE_N = 1000
+
+
+def _audit_sample(d: DataFrame, id_col: str = "doc_id", n: int = AUDIT_SAMPLE_N) -> DataFrame:
+    """Deterministic md5-bounded audit input for the EXHAUSTIVE
+    ground-truth twins (q_ngram_jaccard / q_ngram_containment /
+    q_dedup_clusters / q_entity_resolution): the first `n` rows under
+    the md5(id) total order — a uniform, engine-replayable sample
+    (ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n in the oracle).
+
+    Rationale (r11 verdict #4): the all-pairs audit forms exist to
+    certify their pruned production twins, and a certification runs on
+    a SAMPLE — capping it makes the audit tier O(n²) CONSTANT at any
+    corpus scale instead of super-linear in the corpus (the measured
+    1.17–1.33 exponents that were ~58% of heavy wall-clock). n=1000
+    covers the whole corpus at the sf0.01/sf0.001 gates (500/50 docs —
+    hashes unchanged) and bounds sf0.1+ benches. The pruned twins keep
+    the FULL corpus; the oracle equivalence argument survives because
+    both engines see the same bounded input. TakeOrdered lands on one
+    partition, so the sample repartitions back to cluster width, and
+    it localCheckpoints: every audit consumer references the sample
+    2-4 times (shingle build, sizes, cluster universe), and each
+    diverged reference would re-run the corpus-wide TakeOrdered
+    (measured ~5s/query fixed cost at sf0.1 without it)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return (
+        d.orderBy(h, id_col)
+        .limit(n)
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+
+
 # ---------------------------------------------------------------- projections
 
 def q_project_cast_alias(spark, sf_dir):
@@ -1958,9 +1991,15 @@ def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram-Jaccard similar pairs via inverted-index join
     (SURVEY §2.10 near-dup verifier stage). pack_ids: the pair-count
     shuffle key is one packed long (doc_ids fit 31 bits on this corpus;
-    the general 64-bit path is the default)."""
+    the general 64-bit path is the default). AUDIT-TIER input since r12:
+    the md5-bounded 1000-doc sample (_audit_sample) — this is the
+    quadratic ground-truth certifier for the pruned/prefix production
+    twins, and a certification runs on a bounded sample, making the
+    audit O(1) in corpus size (covers the WHOLE corpus at the gate
+    SFs). q_jaccard_prefix keeps the full corpus + the full all-pairs
+    oracle as the exact-semantics production path."""
     d = _t(spark, sf_dir, "documents")
-    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    d2 = _audit_sample(d).filter(F.size(text.tokens("text")) >= 2)
     return dedup.ngram_jaccard_pairs(
         d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, pack_ids=True
     )
@@ -2072,13 +2111,17 @@ def q_span_scrub(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: verified bigram-Jaccard pairs →
     connected components (iterative min-label propagation) → one
-    cluster_id per document. Oracle: recursive-CTE reachability."""
+    cluster_id per document. Oracle: recursive-CTE reachability.
+    AUDIT-TIER input since r12: md5-bounded 1000-doc sample
+    (_audit_sample rationale) for BOTH the pair universe and the
+    cluster node set; q_dedup_clusters_pruned keeps the full corpus."""
     d = _t(spark, sf_dir, "documents")
-    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    da = _audit_sample(d)
+    d2 = da.filter(F.size(text.tokens("text")) >= 2)
     pairs = dedup.ngram_jaccard_pairs(
         d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5, pack_ids=True
     )
-    return dedup.cluster_duplicates(pairs, d, "doc_id")
+    return dedup.cluster_duplicates(pairs, da, "doc_id")
 
 
 def q_dedup_clusters_pruned(spark, sf_dir):
@@ -3507,9 +3550,12 @@ def q_ngram_containment(spark, sf_dir):
     single HashAggregate — only the measure differs. The >= 2 token
     filter mirrors the oracle's len(t) >= 2 bound (q_ngram_jaccard's
     d2 convention): shingles()'s whole-text fallback for degenerate
-    docs must not enter the pair universe."""
+    docs must not enter the pair universe. AUDIT-TIER input since r12:
+    md5-bounded 1000-doc sample (_audit_sample rationale) — the
+    containment certifier for q_containment_pruned, which keeps the
+    full corpus."""
     d = _t(spark, sf_dir, "documents")
-    d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    d2 = _audit_sample(d).filter(F.size(text.tokens("text")) >= 2)
     return dedup.ngram_containment_pairs(
         d2, shingle_n=2, min_containment=0.5, pack_ids=True
     ).orderBy("id_a", "id_b")
@@ -3621,8 +3667,11 @@ def q_entity_resolution(spark, sf_dir):
     name. The full dedup lattice shape — candidates → verify → cluster →
     apply — with EDIT-DISTANCE edges instead of jaccard/cosine, and an
     end-to-end oracle (the closure replayed by a recursive CTE).
-    Shuffled pair streams are ids-only throughout."""
-    d = _t(spark, sf_dir, "documents")
+    Shuffled pair streams are ids-only throughout. AUDIT-TIER input
+    since r12: md5-bounded 1000-doc sample (_audit_sample rationale) —
+    this exhaustive per-row form certifies the distinct-universe scale
+    twin (q_entity_resolution_distinct), which keeps its full funnel."""
+    d = _audit_sample(_t(spark, sf_dir, "documents"))
     title = F.concat_ws(" ", F.slice(text.tokens("text"), 1, 4))
     clean = d.select(F.col("doc_id").alias("rec_id"), title.alias("name"))
     pos = (F.col("rec_id") % F.length("name")).cast("int") + 1
