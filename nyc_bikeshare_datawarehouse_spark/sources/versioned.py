@@ -173,6 +173,41 @@ def read_snapshot(
     return spark.read.parquet(*files)
 
 
+def merge_into_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    updates: DataFrame,
+    key: str,
+    deletes: DataFrame | None = None,
+) -> int:
+    """MERGE INTO for the manifest table format — the upsert the
+    Iceberg-lite story lacked (r11 verdict #8): SCD1 semantics (matched
+    keys take the update row wholesale, unmatched keys insert, optional
+    delete-by-key via `deletes`), committed as ONE new overwrite
+    snapshot. Version N stays readable after the merge (time travel
+    across an upsert), the commit point is the manifest rename, so a
+    crash mid-merge leaves the table at N with no torn state, and the
+    streaming sink's scan-back batch-id guard is unaffected (this
+    manifest carries no batch_id).
+
+    Copy-on-write strategy, like Delta/Iceberg CoW: the merge result is
+    rewritten wholesale. At 100 TB scope the rewrite to the partitions
+    containing touched keys (sinks.overwrite_partitions pattern) and
+    keep the manifest as the union of untouched + rewritten files; the
+    read protocol here would not change. An empty table (no snapshot
+    yet) treats the merge as the initial commit."""
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import merge_upsert
+
+    base_dir = os.path.abspath(base_dir)
+    if latest_version(base_dir) == 0:
+        merged = updates
+    else:
+        merged = merge_upsert(read_snapshot(spark, base_dir), updates, key)
+    if deletes is not None:
+        merged = merged.join(deletes.select(key), key, "left_anti")
+    return write_snapshot(merged, base_dir, mode="overwrite")
+
+
 def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:
     """Drop manifests below `keep_from` and delete data files no
     surviving manifest references (plus any v{n} directory left empty).

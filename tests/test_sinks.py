@@ -238,6 +238,35 @@ class TestVersionedSnapshots:
         with pytest.raises(ValueError):
             versioned.read_snapshot(spark, base, 1)
 
+    def test_merge_into_snapshot_upserts_and_time_travels(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        v1 = versioned.write_snapshot(
+            spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+            base,
+        )
+        upd = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+        dels = spark.createDataFrame([(3,)], "k long")
+        v2 = versioned.merge_into_snapshot(spark, base, upd, "k", deletes=dels)
+        assert (v1, v2) == (1, 2)
+        # v2: update applied, insert present, delete gone
+        got = sorted(
+            (r["k"], r["v"])
+            for r in versioned.read_snapshot(spark, base, v2).collect()
+        )
+        assert got == [(1, "a"), (2, "B"), (4, "d")]
+        # v1 still readable unchanged — time travel across the merge
+        old = sorted(
+            (r["k"], r["v"])
+            for r in versioned.read_snapshot(spark, base, v1).collect()
+        )
+        assert old == [(1, "a"), (2, "b"), (3, "c")]
+        # merge into an empty table is the initial commit
+        base2 = str(tmp_path / "tbl2")
+        assert versioned.merge_into_snapshot(spark, base2, upd, "k") == 1
+        assert versioned.read_snapshot(spark, base2).count() == 2
+
     def test_expire_reaps_emptied_version_dirs(self, spark, tmp_path):
         import os
 
