@@ -5731,3 +5731,35 @@ ORACLES["q_ivf_recall"] = """
     FROM lv l LEFT JOIN hits h ON h.nprobe = l.nprobe CROSS JOIN np
     ORDER BY l.nprobe
 """
+
+# MERGE INTO lifecycle: recompute both snapshots from corpus predicates
+# (v2 = upsert + insert + delete applied to v1's predicate), full-outer
+# diff, classify — all exact integers.
+ORACLES["q_merge_upsert"] = """
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), v1 AS (
+        SELECT k, cents FROM o WHERE k % 3 = 0
+    ), v2 AS (
+        SELECT k,
+               CASE WHEN k % 2 = 0 THEN cents + 100 ELSE cents END AS cents
+        FROM o WHERE k % 3 = 0 AND k % 30 <> 15
+        UNION ALL
+        SELECT k, cents FROM o WHERE k % 3 = 1
+    ), d AS (
+        SELECT CASE WHEN ov.k IS NOT NULL AND n.k IS NULL THEN 'removed'
+                    WHEN ov.k IS NULL AND n.k IS NOT NULL THEN 'added'
+                    WHEN ov.cents IS DISTINCT FROM n.cents THEN 'updated'
+               END AS change_type,
+               ov.cents AS old_cents, n.cents AS new_cents
+        FROM v1 ov FULL JOIN v2 n ON ov.k = n.k
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(new_cents, 0) - COALESCE(old_cents, 0))
+                AS BIGINT) AS cents_delta
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY change_type ORDER BY change_type
+"""

@@ -5890,6 +5890,75 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO lifecycle through the driver surface
+    (sources/versioned.merge_into_snapshot, r12): snapshot 1 = the
+    keys ≡ 0 (mod 3) orders as (key, integer cents); ONE merge commits
+    all three branches — matched updates (+$1 on even keys), inserts
+    (keys ≡ 1 mod 3), deletes (keys ≡ 15 mod 30, disjoint from the
+    updates) — as snapshot 2; both versions read back AS OF their
+    manifests and full-outer diffed (operators/merge.
+    changed_rows_detail). A green row proves every branch landed
+    exactly once AND v1 survived the merge unchanged (time travel
+    across an upsert). Oracle recomputes the merged state straight
+    from corpus predicates. Table path SF+pid-tagged, rebuilt from
+    scratch per run (q_time_travel rule)."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.operators.merge import (
+        changed_rows_detail,
+    )
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_mergeup/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    v1 = versioned.write_snapshot(
+        o.filter(F.col("o_orderkey") % 3 == 0), base, mode="append"
+    )
+    upd = (
+        o.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0)
+        )
+        .select("o_orderkey", (F.col("cents") + 100).alias("cents"))
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 1))
+    )
+    dels = o.filter(F.col("o_orderkey") % 30 == 15).select("o_orderkey")
+    v2 = versioned.merge_into_snapshot(
+        spark, base, upd, "o_orderkey", deletes=dels
+    )
+    diff = changed_rows_detail(
+        versioned.read_snapshot(spark, base, v1),
+        versioned.read_snapshot(spark, base, v2),
+        "o_orderkey",
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.coalesce("new_cents", F.lit(0))
+                - F.coalesce("old_cents", F.lit(0))
+            )
+            .cast("long")
+            .alias("cents_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation — the classic CRM/warehouse readout:
     per-customer Recency (days since last order, vs the corpus max
@@ -6292,6 +6361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
     "q_ivf_recall": q_ivf_recall,
+    "q_merge_upsert": q_merge_upsert,
     # --- newest driver row: r07
     "q_case_buckets": q_case_buckets,
     "q_correlated_subquery": q_correlated_subquery,
@@ -6341,8 +6411,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- newest driver row: r08
     "q_attribution": q_attribution,
     "q_bag_set_ops": q_bag_set_ops,
-    "q_basket_rules": q_basket_rules,
-    "q_bfs_hops": q_bfs_hops,  # <- driver window cut (50)
+    "q_basket_rules": q_basket_rules,  # <- driver window cut (50)
+    "q_bfs_hops": q_bfs_hops,
     "q_bigram_logprob": q_bigram_logprob,
     "q_boilerplate_removal": q_boilerplate_removal,
     "q_bpe_merge_step": q_bpe_merge_step,
