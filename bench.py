@@ -262,6 +262,9 @@ EXTENDED = [
     "q_new_vs_returning",
     "q_hhi_concentration",
     "q_purchase_cadence",
+    # round 12 members. q_merge_upsert stays unbenched: write-side
+    # lifecycle I/O, same rule as q_time_travel / q_snapshot_diff.
+    "q_ivf_recall",
 ]
 
 
