@@ -265,6 +265,7 @@ EXTENDED = [
     # round 12 members. q_merge_upsert stays unbenched: write-side
     # lifecycle I/O, same rule as q_time_travel / q_snapshot_diff.
     "q_ivf_recall",
+    "q_pq_recall",
 ]
 
 

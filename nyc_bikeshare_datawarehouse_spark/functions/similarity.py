@@ -634,6 +634,211 @@ def ivf_recall_report(
     )
 
 
+def _pq_dist6(a: Column, b: Column) -> Column:
+    """ROUND(Σ (aᵢ−bᵢ)², 6) — squared L2 between two equal-length double
+    arrays as ONE left fold (zip_with + aggregate from 0.0), the exact
+    expression shape a DuckDB oracle replays with list_reduce (0.0+x₁
+    == x₁ in IEEE, so the fold orders agree term-for-term). Rounded so
+    both engines rank on identical doubles (q_cosine_topk rule)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_codebooks_frame(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebooks as a 1-row frame
+    `{__books: array<array<array<double>>>}` (m subspaces × k codes ×
+    dim/m): subspace j's codebook = the j-th slice of the first k
+    vectors under the id total order — the PQ sibling of
+    `_centroids_frame`'s first-K coarse quantizer, SQL-expressible so
+    the whole encode/search lattice is oracle-replayable (a production
+    fit swaps in per-subspace KMeans exactly like ivf_fit_kmeans swaps
+    into ivf_assign; every consumer below is fit-agnostic).
+
+    PQ is the 100 TB embedding-compression workhorse (Jégou et al.,
+    IVF-PQ): m=8 × k=16 codes a 64-dim float vector (256 B) into 8
+    nibbles — the corpus residency drops ~64×, and queries scan codes
+    with an O(m·k) distance table instead of touching raw vectors."""
+    cents = _centroids_frame(df, k, id_col, vec_col)
+    sub = None
+    first = df.select(F.size(_vec(vec_col)).alias("__d")).head()
+    dim = int(first["__d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # closure FACTORY, never a default-arg capture: `lambda v, j=j` is a
+    # 2-arg HOF lambda, which PySpark binds as (element, index) — j
+    # silently becomes the centroid index (CLAUDE.md arity rule; cost a
+    # debugging session here)
+    def _subspace(j: int) -> Column:
+        return F.transform(
+            F.col("__cents"), lambda v: F.slice(v, j * sub + 1, sub)
+        )
+
+    books = F.array(*[_subspace(j) for j in range(m)])
+    return cents.select(books.alias("__books"))
+
+
+def pq_encode(
+    df: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as `codes` (array<int>, length m): per
+    subspace, the argmin-distance codebook entry (quantized distances,
+    lowest index on ties — the `nearest_cell` fold with < instead of
+    >). Pure per-row expression after a 1-row broadcast crossJoin — no
+    shuffle; at ingest this runs once and the codes persist."""
+    with_books = df.crossJoin(F.broadcast(books))
+    v = _vec(vec_col)
+    dim_expr = F.size(v)
+
+    def code_for(j: int) -> Column:
+        sub_v = F.slice(v, F.lit(j) * (dim_expr / F.lit(m)).cast("int") + 1,
+                        (dim_expr / F.lit(m)).cast("int"))
+        scored = F.zip_with(
+            F.col("__books")[j],
+            F.sequence(F.lit(0), F.size(F.col("__books")[j]) - 1),
+            lambda c, i: F.struct(_pq_dist6(sub_v, c).alias("d"), i.alias("i")),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["i"]
+
+    return with_books.select(
+        F.col(id_col),
+        F.array(*[code_for(j) for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_recall_report(
+    df: DataFrame,
+    probes: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    rerank_r: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit of PQ asymmetric-distance search against exact
+    squared-L2 top-k — the compression sibling of `ivf_recall_report`
+    (which audits pruning; PQ audits lossy codes). One row:
+    (n_probes, hits_adc, recall_adc_bp, hits_rerank, recall_rerank_bp)
+    — the raw ADC top-k AND the production serving shape (ADC
+    shortlist of `rerank_r`, exact re-rank inside it, top-k), which is
+    how IVF-PQ deployments actually answer queries: recall_rerank
+    measures whether the true neighbors survive into the shortlist.
+
+    ADC (asymmetric distance computation): each probe builds an m×k
+    distance TABLE to the codebooks (O(m·k) per probe, a pure
+    expression); a candidate's approx distance is Σⱼ table[j][codeⱼ] —
+    codes only, the raw corpus vectors are never touched until the
+    O(rerank_r) exact re-rank. That is the 100 TB serving property:
+    the scan reads 8 nibbles per vector, and composes with IVF
+    partition pruning unchanged. (On THIS corpus — uniform random
+    vectors, the PQ-hostile extreme: no cluster structure for the
+    codebooks to exploit — raw-ADC recall is honestly low and the
+    report says so; the shortlist+rerank row is the one a deployment
+    would tune until acceptable.)
+
+    Determinism: per-entry distances are `_pq_dist6` (identical folds
+    both engines, rounded 6dp); the ADC sum is a fixed-order chain of
+    m rounded doubles (bit-identical); ranks tie-break on id; hits and
+    recall_bp are exact integers. Self-matches excluded both sides.
+    The pair frame feeds exact AND approx ranks — localCheckpoint once
+    (diverged-subplan rule); audit-tier quadratic on the probe sample,
+    per lsh_recall_report's contract."""
+    books = pq_codebooks_frame(df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col)
+    corpus = df.select(
+        F.col(id_col).alias("cid"), _vec(vec_col).alias("cvec")
+    ).join(codes.select(F.col(id_col).alias("cid"), "codes"), "cid")
+    p = probes.select(F.col(id_col).alias("pid"), _vec(vec_col).alias("pvec"))
+    pairs = (
+        corpus.join(F.broadcast(p), F.col("cid") != F.col("pid"))
+        .crossJoin(F.broadcast(books))
+        .select(
+            "pid",
+            "cid",
+            _pq_dist6(F.col("cvec"), F.col("pvec")).alias("exact_d"),
+            # ADC: Σ_j round6(L2²(probe_sub_j, books[j][codes[j]])) as a
+            # fixed-order chain — table lookup inlined per subspace
+            sum(
+                [
+                    _pq_dist6(
+                        F.slice(
+                            F.col("pvec"),
+                            j * (F.size(F.col("pvec")) / m).cast("int") + 1,
+                            (F.size(F.col("pvec")) / m).cast("int"),
+                        ),
+                        F.element_at(
+                            F.col("__books")[j], F.col("codes")[j] + 1
+                        ),
+                    )
+                    for j in range(m)
+                ],
+                F.lit(0.0),
+            ).alias("approx_d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_exact = Window.partitionBy("pid").orderBy(F.col("exact_d"), F.col("cid"))
+    exact = (
+        pairs.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") <= k)
+        .select("pid", "cid")
+    )
+    w_appr = Window.partitionBy("pid").orderBy(F.col("approx_d"), F.col("cid"))
+    shortlist = pairs.withColumn("__arn", F.row_number().over(w_appr)).filter(
+        F.col("__arn") <= rerank_r
+    )
+    adc_topk = shortlist.filter(F.col("__arn") <= k).select("pid", "cid")
+    w_rr = Window.partitionBy("pid").orderBy(F.col("exact_d"), F.col("cid"))
+    reranked = (
+        shortlist.withColumn("__rrn", F.row_number().over(w_rr))
+        .filter(F.col("__rrn") <= k)
+        .select("pid", "cid")
+    )
+    n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    h_adc = adc_topk.join(exact, ["pid", "cid"]).agg(
+        F.count(F.lit(1)).cast("long").alias("hits_adc")
+    )
+    h_rr = reranked.join(exact, ["pid", "cid"]).agg(
+        F.count(F.lit(1)).cast("long").alias("hits_rerank")
+    )
+    bp = lambda c: F.floor(  # noqa: E731
+        F.col(c) * 10000.0 / (F.lit(k) * F.col("n_probes"))
+    ).cast("long")
+    return (
+        h_adc.crossJoin(F.broadcast(h_rr))
+        .crossJoin(F.broadcast(n_probes))
+        .select(
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("hits_adc"),
+            bp("hits_adc").alias("recall_adc_bp"),
+            F.col("hits_rerank"),
+            bp("hits_rerank").alias("recall_rerank_bp"),
+        )
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -5763,3 +5763,103 @@ ORACLES["q_merge_upsert"] = """
     FROM d WHERE change_type IS NOT NULL
     GROUP BY change_type ORDER BY change_type
 """
+
+
+def _pq_recall_sql(m: int = 8, sub: int = 8, k_codes: int = 16, k: int = 10,
+                   rerank_r: int = 100) -> str:
+    """Oracle for q_pq_recall: replays the PQ lattice end to end.
+    Distances are ROUND(fold, 6) with the fold seeded like Spark's
+    aggregate-from-0.0 (list_reduce seeds from the first element;
+    0.0 + x1 == x1 in IEEE, so the chains agree term for term). The
+    ADC sum is the SAME fixed-order chain Spark's python-sum builds
+    (0.0 + d0 + d1 + ...), reconstructed from per-subspace pivots —
+    never an orderless SUM(), which could differ in the last ulp."""
+    dim = m * sub
+    def dist(a: str, b: str, n: int) -> str:
+        return (
+            f"ROUND(list_reduce(list_transform(range(1, {n + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(x, y) -> x + y), 6)"
+        )
+    sub_v = f"list_slice(v.e, b.j * {sub} + 1, b.j * {sub} + {sub})"
+    sub_p = f"list_slice(p.pe, b.j * {sub} + 1, b.j * {sub} + {sub})"
+    adc_chain = "0.0"
+    for j in range(m):
+        adc_chain = f"({adc_chain} + MAX(CASE WHEN j = {j} THEN d END))"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k_codes})
+    ), books AS (
+        SELECT CAST(j AS INTEGER) AS j, cb.c,
+               list_slice(cb.e, j * {sub} + 1, j * {sub} + {sub}) AS bv
+        FROM cb CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+    ), cdist AS (
+        SELECT v.vec_id, b.j, b.c, {dist(sub_v, "b.bv", sub)} AS d
+        FROM v CROSS JOIN books b
+    ), codes AS (
+        SELECT vec_id, j, c AS code
+        FROM (SELECT vec_id, j, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                        ORDER BY d, c) AS rn
+              FROM cdist)
+        WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id % 100 = 3
+    ), ptab AS (
+        SELECT p.pid, b.j, b.c, {dist(sub_p, "b.bv", sub)} AS d
+        FROM probes p CROSS JOIN books b
+    ), adcj AS (
+        SELECT cd.vec_id AS cid, pt.pid, pt.j, pt.d
+        FROM codes cd JOIN ptab pt ON pt.j = cd.j AND pt.c = cd.code
+    ), adc AS (
+        SELECT cid, pid, {adc_chain} AS approx_d
+        FROM adcj GROUP BY cid, pid
+    ), pairs AS (
+        SELECT p.pid, v.vec_id AS cid,
+               {dist("v.e", "p.pe", dim)} AS exact_d
+        FROM v JOIN probes p ON v.vec_id <> p.pid
+    ), exact AS (
+        SELECT pid, cid
+        FROM (SELECT pid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY pid
+                                        ORDER BY exact_d, cid) AS rn
+              FROM pairs)
+        WHERE rn <= {k}
+    ), shortlist AS (
+        SELECT pr.pid, pr.cid, pr.exact_d,
+               ROW_NUMBER() OVER (PARTITION BY pr.pid
+                                  ORDER BY a.approx_d, pr.cid) AS arn
+        FROM pairs pr JOIN adc a ON a.pid = pr.pid AND a.cid = pr.cid
+    ), adc_topk AS (
+        SELECT pid, cid FROM shortlist WHERE arn <= {k}
+    ), reranked AS (
+        SELECT pid, cid
+        FROM (SELECT pid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY pid
+                                        ORDER BY exact_d, cid) AS rn
+              FROM shortlist WHERE arn <= {rerank_r})
+        WHERE rn <= {k}
+    ), np AS (SELECT COUNT(*) AS n_probes FROM probes),
+    ha AS (
+        SELECT COUNT(*) AS h FROM adc_topk t
+        JOIN exact e ON e.pid = t.pid AND e.cid = t.cid
+    ), hr AS (
+        SELECT COUNT(*) AS h FROM reranked t
+        JOIN exact e ON e.pid = t.pid AND e.cid = t.cid
+    )
+    SELECT CAST(np.n_probes AS BIGINT) AS n_probes,
+           CAST(ha.h AS BIGINT) AS hits_adc,
+           CAST(FLOOR(ha.h * 10000.0 / ({k} * np.n_probes)) AS BIGINT)
+               AS recall_adc_bp,
+           CAST(hr.h AS BIGINT) AS hits_rerank,
+           CAST(FLOOR(hr.h * 10000.0 / ({k} * np.n_probes)) AS BIGINT)
+               AS recall_rerank_bp
+    FROM ha CROSS JOIN hr CROSS JOIN np
+    """
+
+
+ORACLES["q_pq_recall"] = _pq_recall_sql()

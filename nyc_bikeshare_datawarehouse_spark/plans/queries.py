@@ -4922,6 +4922,27 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
+def q_pq_recall(spark, sf_dir):
+    """Product-quantization recall audit (functions/similarity.
+    pq_recall_report) — the COMPRESSION member of the ANN audit family
+    (q_ivf_recall audits pruning, this audits lossy codes): 8×16
+    deterministic codebooks (subspace slices of the first-16 vectors —
+    the SQL-expressible twin of a per-subspace KMeans fit), corpus
+    encoded to 8 nibbles/vector (~64× residency drop at serving time),
+    probes answered by asymmetric distance (Σⱼ table[j][codeⱼ], codes
+    only) and by the production shape — ADC shortlist of 100, exact
+    re-rank, top-10. One row: raw-ADC and reranked recall vs exact
+    squared-L2 ground truth over a ~1% probe sample (vec_id % 100 ==
+    3). The oracle replays codebooks, encoding argmins, fixed-order
+    ADC chains, both ranks and the intersections end to end — every
+    distance a ROUND(fold, 6) both engines compute identically."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 3)
+    return similarity.pq_recall_report(
+        e, probes, m=8, k_codes=16, k=10, rerank_r=100
+    )
+
+
 def q_verified_load(spark, sf_dir):
     """The warehouse load-verification contract through the driver
     surface (warehouse/quality.verified_bulk_load): write orders to a
@@ -6361,6 +6382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
     "q_ivf_recall": q_ivf_recall,
+    "q_pq_recall": q_pq_recall,
     "q_merge_upsert": q_merge_upsert,
     # --- newest driver row: r07
     "q_case_buckets": q_case_buckets,
@@ -6410,8 +6432,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_rank": q_window_rank,
     # --- newest driver row: r08
     "q_attribution": q_attribution,
-    "q_bag_set_ops": q_bag_set_ops,
-    "q_basket_rules": q_basket_rules,  # <- driver window cut (50)
+    "q_bag_set_ops": q_bag_set_ops,  # <- driver window cut (50)
+    "q_basket_rules": q_basket_rules,
     "q_bfs_hops": q_bfs_hops,
     "q_bigram_logprob": q_bigram_logprob,
     "q_boilerplate_removal": q_boilerplate_removal,

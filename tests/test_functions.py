@@ -708,6 +708,34 @@ class TestSimilarity:
         for vid, vec in rows.items():
             assert got[vid] == similarity.nearest_cells_py(vec, centers, 1)[0], vid
 
+    def test_pq_encode_codebook_members_are_self_codes(self, spark, sf_dir):
+        # the first k_codes vectors ARE the codebook: vector i's every
+        # subvector is entry i at distance 0, so its code vector must be
+        # [i]*m — a full-path pin of codebook slicing + argmin encoding
+        # (this exact property caught the 2-arg HOF lambda arity bug:
+        # `lambda v, j=j` binds j to the ELEMENT INDEX)
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = similarity.pq_codebooks_frame(emb, m=8, k=16)
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(emb.filter(F.col("vec_id") < 16), books, m=8).collect()
+        }
+        for i in range(16):
+            assert codes[i] == [i] * 8, (i, codes[i])
+
+    def test_pq_recall_rerank_dominates_adc(self, spark, sf_dir):
+        # the exact re-rank of the ADC shortlist can only improve on raw
+        # ADC top-k, and both recalls live in [0, 10000] bp
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") % 100 == 3)
+        row = similarity.pq_recall_report(emb, probes).head()
+        assert row["hits_rerank"] >= row["hits_adc"]
+        assert 0 <= row["recall_adc_bp"] <= row["recall_rerank_bp"] <= 10000
+
     def test_ivf_partitioned_write_prunes_and_matches(self, spark, sf_dir, tmp_path):
         pytest.importorskip("pyspark.ml")
         from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
