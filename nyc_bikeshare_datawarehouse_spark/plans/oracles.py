@@ -5685,14 +5685,20 @@ ORACLES["q_ivf_recall"] = """
                                         ORDER BY d DESC, i) AS rn
               FROM cscore)
         WHERE rn = 1
+    ), psel AS (
+        SELECT vec_id FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 50
     ), probes AS (
-        SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id % 50 = 7
+        SELECT vec_id AS pid, e AS pe FROM v
+        WHERE vec_id IN (SELECT vec_id FROM psel)
     ), pcells AS (
         SELECT pid, i AS cell, rn AS cellpos
         FROM (SELECT vec_id AS pid, i,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY d DESC, i) AS rn
-              FROM cscore WHERE vec_id % 50 = 7)
+              FROM cscore
+              WHERE vec_id IN (SELECT vec_id FROM psel))
         WHERE rn <= 4
     ), pairs AS (
         SELECT p.pid, v.vec_id AS cid,
@@ -5808,7 +5814,11 @@ def _pq_recall_sql(m: int = 8, sub: int = 8, k_codes: int = 16, k: int = 10,
               FROM cdist)
         WHERE rn = 1
     ), probes AS (
-        SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id % 100 = 3
+        SELECT vec_id AS pid, e AS pe FROM v
+        WHERE vec_id IN (SELECT vec_id FROM (
+            SELECT vec_id FROM v
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 50))
     ), ptab AS (
         SELECT p.pid, b.j, b.c, {dist(sub_p, "b.bv", sub)} AS d
         FROM probes p CROSS JOIN books b

@@ -4914,9 +4914,12 @@ def q_ivf_recall(spark, sf_dir):
     assignment argmax, probe top-cells, pruned candidates, both top-k
     ranks, the intersection counts — and a green row proves the pruning
     path loses exactly the reported recall, nothing else. Upgrades the
-    IVF family from rows-only (the KMeans variant) to hash-checked."""
+    IVF family from rows-only (the KMeans variant) to hash-checked.
+    Probe set = the first 50 vectors under the md5(vec_id) total order
+    (_audit_sample rule): a BOUNDED audit sample, so the ground-truth
+    pass is O(corpus · 50) — linear in the corpus — at any scale."""
     e = _t(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 50 == 7)
+    probes = _audit_sample(e, id_col="vec_id", n=50)
     return similarity.ivf_recall_report(
         e, probes, n_cells=16, nprobes=(1, 2, 4), k=10
     )
@@ -4935,9 +4938,13 @@ def q_pq_recall(spark, sf_dir):
     squared-L2 ground truth over a ~1% probe sample (vec_id % 100 ==
     3). The oracle replays codebooks, encoding argmins, fixed-order
     ADC chains, both ranks and the intersections end to end — every
-    distance a ROUND(fold, 6) both engines compute identically."""
+    distance a ROUND(fold, 6) both engines compute identically. Probe
+    set = the first 50 vectors under the md5(vec_id) total order
+    (_audit_sample rule): bounded, so ground truth stays linear in the
+    corpus at any scale; the query row changes "~1% sample" to a fixed
+    50-probe certification set."""
     e = _t(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 100 == 3)
+    probes = _audit_sample(e, id_col="vec_id", n=50)
     return similarity.pq_recall_report(
         e, probes, m=8, k_codes=16, k=10, rerank_r=100
     )
