@@ -656,6 +656,7 @@ def pq_codebooks_frame(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic product-quantization codebooks as a 1-row frame
     `{__books: array<array<array<double>>>}` (m subspaces × k codes ×
@@ -671,9 +672,9 @@ def pq_codebooks_frame(
     nibbles — the corpus residency drops ~64×, and queries scan codes
     with an O(m·k) distance table instead of touching raw vectors."""
     cents = _centroids_frame(df, k, id_col, vec_col)
-    sub = None
-    first = df.select(F.size(_vec(vec_col)).alias("__d")).head()
-    dim = int(first["__d"])
+    if dim is None:
+        # driver-side 1-row dim probe — pass `dim` to skip the job
+        dim = int(df.select(F.size(_vec(vec_col)).alias("__d")).head()["__d"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -736,6 +737,7 @@ def pq_recall_report(
     rerank_r: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Recall@k audit of PQ asymmetric-distance search against exact
     squared-L2 top-k — the compression sibling of `ivf_recall_report`
@@ -765,7 +767,9 @@ def pq_recall_report(
     The pair frame feeds exact AND approx ranks — localCheckpoint once
     (diverged-subplan rule); audit-tier quadratic on the probe sample,
     per lsh_recall_report's contract."""
-    books = pq_codebooks_frame(df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks_frame(
+        df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col)
     corpus = df.select(
         F.col(id_col).alias("cid"), _vec(vec_col).alias("cvec")

@@ -4946,7 +4946,7 @@ def q_pq_recall(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     probes = _audit_sample(e, id_col="vec_id", n=50)
     return similarity.pq_recall_report(
-        e, probes, m=8, k_codes=16, k=10, rerank_r=100
+        e, probes, m=8, k_codes=16, k=10, rerank_r=100, dim=64
     )
 
 
