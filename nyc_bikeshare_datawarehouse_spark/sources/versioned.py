@@ -208,6 +208,31 @@ def merge_into_snapshot(
     return write_snapshot(merged, base_dir, mode="overwrite")
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    target_files: int = 1,
+) -> int:
+    """OPTIMIZE / small-file compaction for the manifest table format:
+    rewrite the CURRENT snapshot's row multiset into `target_files`
+    files and commit it as a new overwrite snapshot. Long-lived append
+    tables accumulate one file set per micro-batch/commit (the
+    streaming sink appends per batch); scan cost becomes
+    O(files) task-scheduling overhead, and at 100 TB footer-reads alone
+    dominate — compaction is how every table format (Iceberg rewrite,
+    Delta OPTIMIZE) pays that debt back. Content is unchanged (pytest
+    pins multiset equality via checksum), historical snapshots keep
+    reading their original files (immutable — expire reclaims them
+    later), and the commit point is the manifest rename, so a crashed
+    compaction changes nothing. At scale, partition the rewrite
+    (compact one partition's files per commit) instead of one global
+    repartition; the manifest protocol is unchanged."""
+    current = read_snapshot(spark, base_dir)
+    return write_snapshot(
+        current.repartition(target_files), base_dir, mode="overwrite"
+    )
+
+
 def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:
     """Drop manifests below `keep_from` and delete data files no
     surviving manifest references (plus any v{n} directory left empty).

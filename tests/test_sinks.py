@@ -267,6 +267,36 @@ class TestVersionedSnapshots:
         assert versioned.merge_into_snapshot(spark, base2, upd, "k") == 1
         assert versioned.read_snapshot(spark, base2).count() == 2
 
+    def test_compact_snapshot_preserves_content_and_history(self, spark, tmp_path):
+        import json
+        import os
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        # many small appends -> many files in the live manifest
+        for lo in range(0, 12, 3):
+            versioned.write_snapshot(
+                spark.range(lo, lo + 3).repartition(2), base
+            )
+        before = json.load(
+            open(os.path.join(base, "_manifest_v4.json"))
+        )["files"]
+        assert len(before) >= 8
+        v5 = versioned.compact_snapshot(spark, base, target_files=1)
+        after = json.load(
+            open(os.path.join(base, f"_manifest_v{v5}.json"))
+        )["files"]
+        assert len(after) == 1
+        # content identical, history still readable from original files
+        assert sorted(
+            r["id"] for r in versioned.read_snapshot(spark, base, v5).collect()
+        ) == list(range(12))
+        assert versioned.read_snapshot(spark, base, 2).count() == 6
+        # expire below the compaction reclaims the small files
+        versioned.expire_snapshots(base, keep_from=v5)
+        assert versioned.read_snapshot(spark, base, v5).count() == 12
+
     def test_expire_reaps_emptied_version_dirs(self, spark, tmp_path):
         import os
 
