@@ -843,6 +843,139 @@ def pq_recall_report(
     )
 
 
+def pq_codebooks_py(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Driver-side codebooks (m × k × dim/m python lists) — the PQ
+    sibling of the `centers` list ivf_fit_kmeans returns: fit once at
+    ingest, persist, hand to every probe as literals. One 1-row collect
+    of the bounded codebook frame (m·k·dim/m doubles)."""
+    row = pq_codebooks_frame(
+        df, m=m, k=k, id_col=id_col, vec_col=vec_col, dim=dim
+    ).head()
+    return [[list(map(float, c)) for c in book] for book in row["__books"]]
+
+
+def ivfpq_write(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    centers: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the canonical 100 TB ANN layout — IVF partitioning × PQ
+    codes composed (Jégou et al. IVF-PQ / FAISS IVFPQ): rows written
+    `partitionBy(cell)` with payload (id, codes, vector). A probe then
+    (1) PRUNES to nprobe cells — parquet partition pruning, only those
+    files listed; (2) scans CODES for the ADC shortlist — the vector
+    column is never read by that scan (column pruning: 8 nibbles/row,
+    not 256 B); (3) re-ranks the O(rerank_r) shortlist exactly from the
+    vector column via an id-pushed second read. Both quantizers default
+    to the deterministic first-K fit (pass `centers`/`books` from real
+    KMeans fits in production — every consumer is fit-agnostic)."""
+    assigned = ivf_assign(
+        df, id_col=id_col, vec_col=vec_col, n_cells=n_cells, centers=centers
+    )
+    books_frame = (
+        pq_codebooks_frame(df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+        if books is None
+        else df.sparkSession.range(1).select(
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in code])
+                            for code in book
+                        ]
+                    )
+                    for book in books
+                ]
+            ).alias("__books")
+        )
+    )
+    coded = pq_encode(
+        assigned.select(id_col, vec_col),
+        books_frame,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    (
+        assigned.join(coded, id_col)
+        .select(id_col, "codes", vec_col, "cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    probe_vec: list[float],
+    centers: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_r: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query an `ivfpq_write` layout: partition-pruned cells → ADC over
+    codes via a driver-computed m×k distance-table LITERAL (O(m·k)
+    python work per probe; zero joins) → TakeOrdered shortlist of
+    `rerank_r` → exact re-rank from the vector column → top-k
+    (vec_id, exact_d). The ADC scan's plan touches only (id, codes,
+    cell) — pinned in tests — so the serving read is nibbles, not
+    vectors, until the bounded re-rank."""
+    m = len(books)
+    sub = len(books[0][0])
+    cells = nearest_cells_py(probe_vec, centers, nprobe)
+    # driver-side tables: python floats ARE IEEE doubles and the fold
+    # order matches _pq_dist6's left-to-right chain
+    tables = [
+        [
+            round(
+                sum(
+                    (probe_vec[j * sub + t] - code[t]) ** 2 for t in range(sub)
+                ),
+                6,
+            )
+            for code in books[j]
+        ]
+        for j in range(m)
+    ]
+    tlits = [
+        F.array(*[F.lit(float(x)) for x in tables[j]]) for j in range(m)
+    ]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    approx = scan.select(
+        id_col,
+        sum(
+            [F.element_at(tlits[j], F.col("codes")[j] + 1) for j in range(m)],
+            F.lit(0.0),
+        ).alias("approx_d"),
+    )
+    shortlist = approx.orderBy("approx_d", id_col).limit(rerank_r)
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    return (
+        scan.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(F.col(id_col), _pq_dist6(_vec(vec_col), pv).alias("exact_d"))
+        .orderBy("exact_d", id_col)
+        .limit(k)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -736,6 +736,52 @@ class TestSimilarity:
         assert row["hits_rerank"] >= row["hits_adc"]
         assert 0 <= row["recall_adc_bp"] <= row["recall_rerank_bp"] <= 10000
 
+    def test_ivfpq_layout_prunes_scans_codes_and_serves(self, spark, sf_dir, tmp_path):
+        # the composed 100 TB serving layout: IVF partition pruning x PQ
+        # nibble scan x bounded exact re-rank
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = {r["vec_id"]: list(map(float, r["embedding"])) for r in emb.collect()}
+        centers = [rows[i] for i in sorted(rows)[:8]]
+        books = similarity.pq_codebooks_py(emb, m=8, k=16)
+        path = str(tmp_path / "ivfpq")
+        similarity.ivfpq_write(emb, path, n_cells=8, m=8, centers=centers, books=books)
+
+        probe_id = sorted(rows)[37]
+        out = similarity.ivfpq_probe(
+            spark, path, rows[probe_id], centers, books, k=5, nprobe=2, rerank_r=50
+        )
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # cell filter becomes file-level partition pruning
+        assert "PartitionFilters: [cell#" in plan
+        # the ADC scan reads codes, never the vector column (nibbles, not
+        # 256 B/row); the re-rank scan is the only one touching embedding
+        import re
+
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        assert any("codes" in s and "embedding" not in s for s in schemas), schemas
+
+        got = out.collect()
+        assert len(got) == 5
+        # self-probe: the probe's own vector must be top-1 at distance 0
+        # (it is in the probed cells by the top_cells/nearest_cell tie rule)
+        assert got[0]["vec_id"] == probe_id and got[0]["exact_d"] == 0.0
+        # exact re-rank order is non-decreasing
+        dists = [r["exact_d"] for r in got]
+        assert dists == sorted(dists)
+        # every served id lives in a probed cell
+        probed = set(similarity.nearest_cells_py(rows[probe_id], centers, 2))
+        cells = {
+            r["cell"]
+            for r in spark.read.parquet(path)
+            .filter(F.col("vec_id").isin([r["vec_id"] for r in got]))
+            .select("cell")
+            .collect()
+        }
+        assert cells <= probed
+
     def test_ivf_partitioned_write_prunes_and_matches(self, spark, sf_dir, tmp_path):
         pytest.importorskip("pyspark.ml")
         from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
