@@ -873,3 +873,55 @@ def test_absorption_probs_match_integer_replay(spark, raw, iters):
         for r in graph.absorption_probs(df, iters=iters).collect()
     }
     assert got == _absorption_reference(edges, iters)
+
+
+# tokens deliberately hostile: empty, single char, spaces, unicode above
+# ASCII, shared prefixes — the char-key clamps and tie handling must keep
+# the bucket sequence monotone for ANY string population
+_bucket_tokens = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tokens=_bucket_tokens, zipf=st.booleans())
+def test_desc_freq_buckets_monotone_and_rank_exact(spark, tokens, zipf):
+    from pyspark.sql import Window
+
+    from nyc_bikeshare_datawarehouse_spark.operators.windows import (
+        desc_freq_buckets,
+        two_phase_cumsum,
+    )
+
+    rows = [
+        (t, 1 if (zipf and i % 2 == 0) else (i % 5) + 1)
+        for i, t in enumerate(tokens)
+    ]
+    df = spark.createDataFrame(rows, "token string, n long").repartition(3)
+    b = desc_freq_buckets(df, "n", "token", n_buckets=4)
+    got = b.select("token", "n", "__fbucket").collect()
+    ordered = sorted(got, key=lambda r: (-r["n"], r["token"]))
+    buckets = [r["__fbucket"] for r in ordered]
+    assert buckets == sorted(buckets), (rows, buckets)
+
+    ranked = two_phase_cumsum(
+        b.withColumn("__one", F.lit(1)),
+        F.col("__fbucket"),
+        [F.desc("n"), F.col("token")],
+        values=[("__one", "rn")],
+        materialize=False,
+    )
+    got_rn = {r["token"]: r["rn"] for r in ranked.collect()}
+    w = Window.orderBy(F.desc("n"), "token")
+    want = {
+        r["token"]: r["rn"]
+        for r in df.select("token", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got_rn == want
