@@ -253,6 +253,7 @@ def stream_to_snapshots(
     base_dir: str,
     checkpoint_path: str,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Stream → versioned-table sink: every micro-batch COMMITS one
     append snapshot of the manifest table format (sources/versioned.py)
@@ -267,9 +268,19 @@ def stream_to_snapshots(
     snapshot, and replayed ids are skipped. The batch frame is
     persisted across the emptiness probe + parquet write so the source
     plan executes once per batch, and empty final batches (availableNow
-    drains often emit one) do not commit spurious no-delta versions."""
+    drains often emit one) do not commit spurious no-delta versions.
+
+    `compact_every=N` enables the maintenance policy a long-lived
+    append sink needs: every N-th committed stream batch is followed by
+    a `versioned.compact_snapshot` (file count in the live manifest
+    stays bounded instead of one file set per micro-batch). The
+    compaction commit carries no batch_id, which is exactly why the
+    replay guard scans BACK for the newest manifest carrying one —
+    compaction cannot reset it."""
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        commit_stream_batch(batch_df, batch_id, base_dir)
+        commit_stream_batch(
+            batch_df, batch_id, base_dir, compact_every=compact_every
+        )
 
     return stream_foreach_batch(
         stream_df, _commit, checkpoint_path, available_now
@@ -277,12 +288,19 @@ def stream_to_snapshots(
 
 
 def commit_stream_batch(
-    batch_df: DataFrame, batch_id: int, base_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    base_dir: str,
+    compact_every: int | None = None,
 ) -> int | None:
     """The snapshot sink's per-batch commit, factored out so the replay
     guard is directly testable: returns the committed version, or None
     when the batch was a replay / empty. See stream_to_snapshots for
-    the exactly-once argument."""
+    the exactly-once argument and the compact_every policy. Crash
+    safety of the maintenance step: a crash between the data commit
+    and the compaction just skips one compaction — the NEXT eligible
+    batch compacts; a replayed batch never re-compacts because it
+    never re-commits."""
     from nyc_bikeshare_datawarehouse_spark.sources import versioned
 
     # scan-back, not latest-manifest: an interleaved non-stream snapshot
@@ -295,11 +313,17 @@ def commit_stream_batch(
     try:
         if batch_df.isEmpty():
             return None
-        return versioned.write_snapshot(
+        version = versioned.write_snapshot(
             batch_df,
             base_dir,
             mode="append",
             metadata={"batch_id": batch_id},
         )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            spark = batch_df.sparkSession
+            versioned.compact_snapshot(
+                spark, base_dir, target_files=spark.sparkContext.defaultParallelism
+            )
+        return version
     finally:
         batch_df.unpersist()

@@ -727,3 +727,41 @@ def test_snapshot_sink_replayed_batch_is_idempotent(spark, tmp_path):
     assert commit_stream_batch(spark.range(4, 6), 6, base) is None
     assert versioned.latest_version(base) == 3
     assert commit_stream_batch(spark.range(6, 8), 8, base) == 4
+
+
+def test_snapshot_sink_compaction_policy(spark, tmp_path):
+    """compact_every=N: every N-th committed batch triggers a compaction
+    commit (no batch_id metadata) — the replay guard must survive it and
+    a replayed batch must never re-compact."""
+    import json
+    import os
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+    from nyc_bikeshare_datawarehouse_spark.streaming.events import (
+        commit_stream_batch,
+    )
+
+    base = str(tmp_path / "tbl")
+    assert commit_stream_batch(
+        spark.range(0, 3).repartition(3), 0, base, compact_every=2
+    ) == 1
+    assert versioned.latest_version(base) == 1
+    # batch 1 commits (v2) AND compacts (v3)
+    assert commit_stream_batch(
+        spark.range(3, 6).repartition(3), 1, base, compact_every=2
+    ) == 2
+    assert versioned.latest_version(base) == 3
+    files = json.load(
+        open(os.path.join(base, "_manifest_v3.json"))
+    )["files"]
+    assert versioned.read_snapshot(spark, base, 3).count() == 6
+    assert len(files) <= spark.sparkContext.defaultParallelism
+    # replay of batch 1: guard scans back past the compaction manifest,
+    # skips the commit, and does NOT compact again
+    assert commit_stream_batch(
+        spark.range(3, 6), 1, base, compact_every=2
+    ) is None
+    assert versioned.latest_version(base) == 3
+    # next batch commits normally on top of the compacted table
+    assert commit_stream_batch(spark.range(6, 8), 2, base, compact_every=2) == 4
+    assert versioned.read_snapshot(spark, base).count() == 8
