@@ -5873,3 +5873,73 @@ def _pq_recall_sql(m: int = 8, sub: int = 8, k_codes: int = 16, k: int = 10,
 
 
 ORACLES["q_pq_recall"] = _pq_recall_sql()
+
+# Ordered funnel: the cumulative-flag chain replayed as nested window
+# CTEs (s2 reads s1, s3 reads s2), then exact-long step counts.
+ORACLES["q_funnel_conversion"] = """
+    WITH st1 AS (
+        SELECT user_id, event_type, ts, event_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s1
+        FROM events
+    ), st2 AS (
+        SELECT *, MAX(CASE WHEN event_type = 'click' AND s1 = 1
+                           THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s2
+        FROM st1
+    ), st3 AS (
+        SELECT *, MAX(CASE WHEN event_type = 'purchase' AND s2 = 1
+                           THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s3
+        FROM st2
+    ), per_user AS (
+        SELECT user_id, MAX(s1) AS f1, MAX(s2) AS f2, MAX(s3) AS f3
+        FROM st3 GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(f1) AS BIGINT) AS n1,
+               CAST(SUM(f2) AS BIGINT) AS n2,
+               CAST(SUM(f3) AS BIGINT) AS n3
+        FROM per_user
+    ), steps AS (
+        SELECT '1_view' AS step, n1 AS num, n0 AS den FROM tot
+        UNION ALL
+        SELECT '2_click_after_view', n2, n1 FROM tot
+        UNION ALL
+        SELECT '3_purchase_after_click', n3, n2 FROM tot
+    )
+    SELECT step, num AS n_users,
+           CASE WHEN den > 0
+                THEN CAST(FLOOR(num * 10000.0 / den) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS conv_bp
+    FROM steps ORDER BY step
+"""
+
+# DAU/MAU: the (day, user) distinct frame is the daily-active table;
+# MAU = trailing-30-day range join against the O(days) day list.
+ORACLES["q_dau_mau"] = """
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), mau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+        FROM days d JOIN du a
+          ON a.day <= d.day AND a.day > d.day - 30
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           CAST(FLOOR(dau.dau * 10000.0 / mau.mau) AS BIGINT)
+               AS stickiness_bp
+    FROM dau JOIN mau ON mau.day = dau.day
+    ORDER BY dau.day
+"""

@@ -6373,6 +6373,135 @@ def q_purchase_cadence(spark, sf_dir):
     )
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered event funnel (view → click-after-view → purchase-after-
+    click) — the product-analytics readout sessionization alone can't
+    answer: a step counts only if it happens AFTER the previous step
+    for that user, under the (ts, event_id) total order. Implemented
+    as three cumulative-max flag windows partitioned BY USER — fully
+    parallel across users, per-user frames bounded by that user's
+    event count (never a global sort); the flag chain is sequential
+    (s2 reads s1, s3 reads s2) but all three ride ONE user-key
+    shuffle. Output: per step, users reaching it and the conversion
+    rate from the previous step (floor bp of exact longs; a zero
+    denominator reports 0 — mirrored in the oracle CASE). The oracle
+    replays the flag chain with nested window CTEs."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    st = e.withColumn(
+        "__s1",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+    )
+    st = st.withColumn(
+        "__s2",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("__s1") == 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    st = st.withColumn(
+        "__s3",
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("__s2") == 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    per_user = st.groupBy("user_id").agg(
+        F.max("__s1").alias("f1"),
+        F.max("__s2").alias("f2"),
+        F.max("__s3").alias("f3"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("f1").cast("long").alias("n1"),
+        F.sum("f2").cast("long").alias("n2"),
+        F.sum("f3").cast("long").alias("n3"),
+    )
+    steps = F.array(
+        F.struct(
+            F.lit("1_view").alias("step"),
+            F.col("n1").alias("num"),
+            F.col("n0").alias("den"),
+        ),
+        F.struct(
+            F.lit("2_click_after_view").alias("step"),
+            F.col("n2").alias("num"),
+            F.col("n1").alias("den"),
+        ),
+        F.struct(
+            F.lit("3_purchase_after_click").alias("step"),
+            F.col("n3").alias("num"),
+            F.col("n2").alias("den"),
+        ),
+    )
+    return (
+        tot.select(F.explode(steps).alias("s"))
+        .select(
+            F.col("s.step").alias("step"),
+            F.col("s.num").alias("n_users"),
+            F.when(
+                F.col("s.den") > 0,
+                F.floor(F.col("s.num") * 10000.0 / F.col("s.den")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("conv_bp"),
+        )
+        .orderBy("step")
+    )
+
+
+def q_dau_mau(spark, sf_dir):
+    """DAU / trailing-30-day MAU / stickiness per day — the engagement
+    readout every product warehouse serves. Exact form: the (day,
+    user) DISTINCT frame is the pre-aggregated daily-active table (the
+    thing a production pipeline materializes incrementally); DAU is a
+    groupBy over it, MAU joins the O(days) day list against it on the
+    trailing-30-day range (fan-out ≤ 30·|daily-active| — bounded,
+    never events × events) and counts distinct users per day. At 100
+    TB the sketch path replaces the exact MAU with an HLL register
+    merge over per-day sketches (functions/sketches.hll_merge, the
+    union-algebra pytest-pinned member); this exact form is its
+    ground-truth twin. stickiness_bp = floor(10000·dau/mau), exact
+    longs (mau ≥ dau ≥ 1, division guarded by construction)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    du = e.distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    days = du.select("day").distinct()
+    mau = (
+        days.alias("d")
+        .join(
+            du.alias("a"),
+            (F.col("a.day") <= F.col("d.day"))
+            & (F.col("a.day") > F.date_sub(F.col("d.day"), 30)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("a.user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.floor(F.col("dau") * 10000.0 / F.col("mau"))
+            .cast("long")
+            .alias("stickiness_bp"),
+        )
+        .orderBy("day")
+    )
+
+
 # Declaration order is load-bearing: the driver's CORRECTNESS gate checks the
 # FIRST 50 keys only (proven rounds 1-2 — both keysets equal the first-50
 # slice). Round-6 rotation (VERDICT r05 #1): the container's Spark 2.x->4.1
@@ -6391,6 +6520,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_recall": q_ivf_recall,
     "q_pq_recall": q_pq_recall,
     "q_merge_upsert": q_merge_upsert,
+    "q_funnel_conversion": q_funnel_conversion,
+    "q_dau_mau": q_dau_mau,
     # --- newest driver row: r07
     "q_case_buckets": q_case_buckets,
     "q_correlated_subquery": q_correlated_subquery,
@@ -6436,10 +6567,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q8": q_tpch_q8,
     "q_tumbling_hour": q_tumbling_hour,
     "q_window_range_frame": q_window_range_frame,
-    "q_window_rank": q_window_rank,
+    "q_window_rank": q_window_rank,  # <- driver window cut (50)
     # --- newest driver row: r08
     "q_attribution": q_attribution,
-    "q_bag_set_ops": q_bag_set_ops,  # <- driver window cut (50)
+    "q_bag_set_ops": q_bag_set_ops,
     "q_basket_rules": q_basket_rules,
     "q_bfs_hops": q_bfs_hops,
     "q_bigram_logprob": q_bigram_logprob,
