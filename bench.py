@@ -266,6 +266,8 @@ EXTENDED = [
     # lifecycle I/O, same rule as q_time_travel / q_snapshot_diff.
     "q_ivf_recall",
     "q_pq_recall",
+    "q_funnel_conversion",
+    "q_dau_mau",
 ]
 
 
