@@ -59,10 +59,14 @@ ORACLES: dict[str, str] = {
         ORDER BY shard, pos
     """,
     "q_incremental_dedup": """
-        WITH delta AS (
-            SELECT * FROM documents WHERE doc_id % 5 = 0
+        WITH docs_a AS (
+            SELECT * FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 1000
+        ), delta AS (
+            SELECT * FROM docs_a WHERE doc_id % 5 = 0
         ), corpus AS (
-            SELECT * FROM documents WHERE doc_id % 5 <> 0
+            SELECT * FROM docs_a WHERE doc_id % 5 <> 0
         ), no_exact AS (
             SELECT d.* FROM delta d
             WHERE md5(lower(trim(d.text))) NOT IN

@@ -3321,8 +3321,12 @@ def q_incremental_dedup(spark, sf_dir):
     re-pairs with itself — the inverted-index join forms cross pairs
     only, so cost is |delta|-proportional, the property that makes
     nightly ingestion O(day) instead of O(history). Oracle replays both
-    screens (NOT IN on the hash; cross-side jaccard CTE)."""
-    d = _t(spark, sf_dir, "documents")
+    screens (NOT IN on the hash; cross-side jaccard CTE). AUDIT-TIER
+    input since r12: the md5-bounded 1000-doc sample (_audit_sample
+    rationale — this unpruned form is the ground-truth certifier;
+    q_incremental_dedup_pruned keeps the full corpus), with the %5
+    delta/corpus split applied INSIDE the sample."""
+    d = _audit_sample(_t(spark, sf_dir, "documents"))
     delta = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     out = dedup.incremental_dedup(
