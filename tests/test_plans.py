@@ -579,3 +579,25 @@ def test_cohort_ltv_window_is_cohort_partitioned(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
     assert all(spec.lstrip().startswith("__cm") for spec in specs), specs
+
+
+def test_funnel_windows_are_user_partitioned(spark, sf_dir):
+    # all three flag windows must stay partitioned by user_id — a global
+    # funnel window would funnel the event stream through one task
+    plan = plan_of(spark, sf_dir, "q_funnel_conversion")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all(spec.lstrip().startswith("user_id") for spec in specs), specs
+
+
+def test_dau_mau_range_join_broadcasts_day_list(spark, sf_dir):
+    # the trailing-30-day join is days x daily-active: a nested-loop is
+    # expected (range condition), but it must be BROADCAST (the O(days)
+    # list), never a CartesianProduct over the event-derived frame
+    plan = plan_of(spark, sf_dir, "q_dau_mau")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the daily-active distinct is a partial-aggregated groupBy, and only
+    # (ts, user_id) are read from the events scan
+    m = re.search(r"events\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
+    assert m and len(m.group(1).split(",")) == 2, plan[:500]
