@@ -268,6 +268,7 @@ EXTENDED = [
     "q_pq_recall",
     "q_funnel_conversion",
     "q_dau_mau",
+    "q_ann_ivfpq",
 ]
 
 

@@ -976,6 +976,113 @@ def ivfpq_probe(
     )
 
 
+def ivfpq_search_portable(
+    df: DataFrame,
+    probe: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    rerank_r: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The COMPOSED IVF-PQ search with fully engine-portable semantics —
+    every stage of `ivfpq_write`/`ivfpq_probe`'s serving path expressed
+    so a DuckDB oracle replays it end to end: deterministic first-K
+    quantizers at both levels, cell assignment + probe top-cells on
+    quantized cosines, candidates = corpus rows in the probe's nprobe
+    cells (self excluded), ADC over PQ codes as the fixed-order chain,
+    shortlist of `rerank_r` by (approx_d, id), exact squared-L2 re-rank,
+    top-k (id, exact_d). `probe` is a 1-row frame.
+
+    Role: the hash-checked SEMANTICS twin of the persisted path (where
+    cell pruning is physical partition pruning and the quantizers are
+    KMeans fits) — q_ivf_recall and q_pq_recall audit the two levels'
+    recall separately; this proves the composition computes exactly
+    what it claims. In-memory form: the only joins are 1-row/O(cells)
+    broadcasts plus the final O(rerank_r) id semi-join."""
+    cents = _centroids_frame(df, n_cells, id_col, vec_col)
+    books = pq_codebooks_frame(df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col)
+    corpus = (
+        df.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("cid"),
+            _vec(vec_col).alias("cvec"),
+            F.aggregate(
+                _cell_cosine_scores(vec_col, F.col("__cents")),
+                F.struct(
+                    F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")
+                ),
+                lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+            )["i"].alias("cell"),
+        )
+        .join(codes.select(F.col(id_col).alias("cid"), "codes"), "cid")
+    )
+    p = (
+        probe.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("pid"),
+            _vec(vec_col).alias("pvec"),
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            _cell_cosine_scores(vec_col, F.col("__cents")),
+                            lambda s: F.struct(
+                                (-s["d"]).alias("nd"), s["i"].alias("i")
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["i"],
+            ).alias("pcells"),
+        )
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(p))
+        .filter(
+            F.array_contains(F.col("pcells"), F.col("cell"))
+            & (F.col("cid") != F.col("pid"))
+        )
+        .crossJoin(F.broadcast(books))
+        .select(
+            "cid",
+            "cvec",
+            "pvec",
+            sum(
+                [
+                    _pq_dist6(
+                        F.slice(
+                            F.col("pvec"),
+                            j * (F.size(F.col("pvec")) / m).cast("int") + 1,
+                            (F.size(F.col("pvec")) / m).cast("int"),
+                        ),
+                        F.element_at(
+                            F.col("__books")[j], F.col("codes")[j] + 1
+                        ),
+                    )
+                    for j in range(m)
+                ],
+                F.lit(0.0),
+            ).alias("approx_d"),
+        )
+    )
+    shortlist = cand.orderBy("approx_d", "cid").limit(rerank_r)
+    return (
+        shortlist.select(
+            F.col("cid").alias(id_col),
+            _pq_dist6(F.col("cvec"), F.col("pvec")).alias("exact_d"),
+        )
+        .orderBy("exact_d", id_col)
+        .limit(k)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -5947,3 +5947,88 @@ ORACLES["q_dau_mau"] = """
     FROM dau JOIN mau ON mau.day = dau.day
     ORDER BY dau.day
 """
+
+
+def _ann_ivfpq_sql(n_cells: int = 16, nprobe: int = 4, m: int = 8,
+                   sub: int = 8, k_codes: int = 16, k: int = 10,
+                   rerank_r: int = 100) -> str:
+    """Oracle for q_ann_ivfpq: the IVF and PQ oracle machineries fused —
+    one first-16 frame serves both quantizers, assignment/probe-cells on
+    ROUND(cosine,6), codes on ROUND(L2-fold,6), the ADC chain
+    reconstructed in fixed order (see _pq_recall_sql), shortlist by
+    (approx_d, cid) then exact re-rank."""
+    dim = m * sub
+    def dist(a: str, b: str, n: int) -> str:
+        return (
+            f"ROUND(list_reduce(list_transform(range(1, {n + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(x, y) -> x + y), 6)"
+        )
+    sub_v = f"list_slice(v.e, b.j * {sub} + 1, b.j * {sub} + {sub})"
+    sub_p = f"list_slice(p.pe, b.j * {sub} + 1, b.j * {sub} + {sub})"
+    adc_chain = "0.0"
+    for j in range(m):
+        adc_chain = f"({adc_chain} + MAX(CASE WHEN pt.j = {j} THEN pt.d END))"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_cells})
+    ), cscore AS (
+        SELECT v.vec_id, cb.c AS i,
+               ROUND(list_cosine_similarity(v.e, cb.e), 6) AS d
+        FROM v CROSS JOIN cb
+    ), assign AS (
+        SELECT vec_id AS cid, i AS cell
+        FROM (SELECT vec_id, i,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, i) AS rn
+              FROM cscore)
+        WHERE rn = 1
+    ), pcells AS (
+        SELECT i AS cell
+        FROM (SELECT i, ROW_NUMBER() OVER (ORDER BY d DESC, i) AS rn
+              FROM cscore WHERE vec_id = 0)
+        WHERE rn <= {nprobe}
+    ), books AS (
+        SELECT CAST(j AS INTEGER) AS j, cb.c,
+               list_slice(cb.e, j * {sub} + 1, j * {sub} + {sub}) AS bv
+        FROM cb CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+    ), cdist AS (
+        SELECT v.vec_id, b.j, b.c, {dist(sub_v, "b.bv", sub)} AS d
+        FROM v CROSS JOIN books b
+    ), codes AS (
+        SELECT vec_id, j, c AS code
+        FROM (SELECT vec_id, j, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                        ORDER BY d, c) AS rn
+              FROM cdist)
+        WHERE rn = 1
+    ), probe AS (
+        SELECT e AS pe FROM v WHERE vec_id = 0
+    ), ptab AS (
+        SELECT b.j, b.c, {dist(sub_p, "b.bv", sub)} AS d
+        FROM probe p CROSS JOIN books b
+    ), cand AS (
+        SELECT a.cid FROM assign a
+        JOIN pcells pc ON pc.cell = a.cell
+        WHERE a.cid <> 0
+    ), adc AS (
+        SELECT cd.vec_id AS cid, {adc_chain} AS approx_d
+        FROM codes cd JOIN ptab pt ON pt.j = cd.j AND pt.c = cd.code
+        WHERE cd.vec_id IN (SELECT cid FROM cand)
+        GROUP BY cd.vec_id
+    ), shortlist AS (
+        SELECT cid FROM adc ORDER BY approx_d, cid LIMIT {rerank_r}
+    )
+    SELECT v.vec_id, {dist("v.e", "p.pe", dim)} AS exact_d
+    FROM v JOIN shortlist s ON s.cid = v.vec_id
+    CROSS JOIN probe p
+    ORDER BY exact_d, v.vec_id
+    LIMIT {k}
+    """
+
+
+ORACLES["q_ann_ivfpq"] = _ann_ivfpq_sql()

@@ -4954,6 +4954,26 @@ def q_pq_recall(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """The COMPOSED IVF-PQ search, hash-checked end to end (functions/
+    similarity.ivfpq_search_portable): probe vec 0 → nprobe=4 cell
+    prune → ADC over 8×16 PQ codes (fixed-order chain) → 100-candidate
+    shortlist → exact re-rank → top-10 (vec_id, exact_d). The
+    engine-portable semantics twin of the persisted `ivfpq_write` /
+    `ivfpq_probe` path (there the cell filter is physical partition
+    pruning and the quantizers are KMeans fits; the plumbing is
+    pytest-pinned) — q_ivf_recall / q_pq_recall audit each level's
+    recall, this row proves the composition computes exactly its
+    declared lattice: the DuckDB oracle replays both quantizers, the
+    assignment and probe-cell argmaxes, the code argmins, the ADC
+    chain, the shortlist cut and the re-rank, value-for-value."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0)
+    return similarity.ivfpq_search_portable(
+        e, probe, n_cells=16, nprobe=4, m=8, k_codes=16, k=10, rerank_r=100
+    )
+
+
 def q_verified_load(spark, sf_dir):
     """The warehouse load-verification contract through the driver
     surface (warehouse/quality.verified_bulk_load): write orders to a
@@ -6523,6 +6543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (no driver rows)
     "q_ivf_recall": q_ivf_recall,
     "q_pq_recall": q_pq_recall,
+    "q_ann_ivfpq": q_ann_ivfpq,
     "q_merge_upsert": q_merge_upsert,
     "q_funnel_conversion": q_funnel_conversion,
     "q_dau_mau": q_dau_mau,
@@ -6570,8 +6591,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q7": q_tpch_q7,
     "q_tpch_q8": q_tpch_q8,
     "q_tumbling_hour": q_tumbling_hour,
-    "q_window_range_frame": q_window_range_frame,
-    "q_window_rank": q_window_rank,  # <- driver window cut (50)
+    "q_window_range_frame": q_window_range_frame,  # <- driver window cut (50)
+    "q_window_rank": q_window_rank,
     # --- newest driver row: r08
     "q_attribution": q_attribution,
     "q_bag_set_ops": q_bag_set_ops,
