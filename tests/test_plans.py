@@ -601,3 +601,13 @@ def test_dau_mau_range_join_broadcasts_day_list(spark, sf_dir):
     # (ts, user_id) are read from the events scan
     m = re.search(r"events\.parquet[^\n]*ReadSchema: struct<([^>]*)", plan)
     assert m and len(m.group(1).split(",")) == 2, plan[:500]
+
+
+def test_ann_ivfpq_zero_shuffles_take_ordered(spark, sf_dir):
+    # the composed IVF-PQ semantics query: quantizers/codebooks/probe all
+    # ride 1-row broadcasts, candidates a broadcast filter, both cuts are
+    # TakeOrdered heaps — zero hash exchanges, never a cartesian
+    plan = plan_of(spark, sf_dir, "q_ann_ivfpq")
+    assert n_exchanges(plan) == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
