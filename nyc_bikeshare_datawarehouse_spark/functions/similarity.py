@@ -987,6 +987,7 @@ def ivfpq_search_portable(
     rerank_r: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """The COMPOSED IVF-PQ search with fully engine-portable semantics —
     every stage of `ivfpq_write`/`ivfpq_probe`'s serving path expressed
@@ -1004,7 +1005,9 @@ def ivfpq_search_portable(
     what it claims. In-memory form: the only joins are 1-row/O(cells)
     broadcasts plus the final O(rerank_r) id semi-join."""
     cents = _centroids_frame(df, n_cells, id_col, vec_col)
-    books = pq_codebooks_frame(df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks_frame(
+        df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col)
     corpus = (
         df.crossJoin(F.broadcast(cents))

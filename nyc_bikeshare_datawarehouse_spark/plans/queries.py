@@ -4970,7 +4970,8 @@ def q_ann_ivfpq(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     probe = e.filter(F.col("vec_id") == 0)
     return similarity.ivfpq_search_portable(
-        e, probe, n_cells=16, nprobe=4, m=8, k_codes=16, k=10, rerank_r=100
+        e, probe, n_cells=16, nprobe=4, m=8, k_codes=16, k=10,
+        rerank_r=100, dim=64,
     )
 
 
