@@ -212,6 +212,7 @@ def compact_snapshot(
     spark: SparkSession,
     base_dir: str,
     target_files: int = 1,
+    metadata: dict | None = None,
 ) -> int:
     """OPTIMIZE / small-file compaction for the manifest table format:
     rewrite the CURRENT snapshot's row multiset into `target_files`
@@ -226,10 +227,19 @@ def compact_snapshot(
     later), and the commit point is the manifest rename, so a crashed
     compaction changes nothing. At scale, partition the rewrite
     (compact one partition's files per commit) instead of one global
-    repartition; the manifest protocol is unchanged."""
+    repartition; the manifest protocol is unchanged.
+
+    `metadata` passes through to the compaction manifest — the
+    streaming sink uses it to CARRY the last batch_id forward, so a
+    retention sweep that expires the original data commit cannot reset
+    the replay guard (the compaction rewrites exactly the state those
+    batches produced, so re-asserting their id is truthful)."""
     current = read_snapshot(spark, base_dir)
     return write_snapshot(
-        current.repartition(target_files), base_dir, mode="overwrite"
+        current.repartition(target_files),
+        base_dir,
+        mode="overwrite",
+        metadata=metadata,
     )
 
 

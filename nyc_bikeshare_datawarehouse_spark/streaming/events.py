@@ -254,6 +254,7 @@ def stream_to_snapshots(
     checkpoint_path: str,
     available_now: bool = True,
     compact_every: int | None = None,
+    keep_last: int | None = None,
 ):
     """Stream → versioned-table sink: every micro-batch COMMITS one
     append snapshot of the manifest table format (sources/versioned.py)
@@ -274,12 +275,23 @@ def stream_to_snapshots(
     append sink needs: every N-th committed stream batch is followed by
     a `versioned.compact_snapshot` (file count in the live manifest
     stays bounded instead of one file set per micro-batch). The
-    compaction commit carries no batch_id, which is exactly why the
-    replay guard scans BACK for the newest manifest carrying one —
-    compaction cannot reset it."""
+    compaction commit CARRIES the batch id forward in its own metadata
+    (versioned.compact_snapshot), so it can never reset the replay
+    guard — and, crucially, a retention sweep that expires the original
+    data commits cannot either.
+
+    `keep_last=N` is that retention sweep: after each commit (and
+    compaction, if due) snapshots older than the newest N are expired —
+    dead files reclaimed, history bounded. Safe with replays because
+    the surviving newest manifest always carries the max committed
+    batch id (directly or via compaction carry-forward)."""
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         commit_stream_batch(
-            batch_df, batch_id, base_dir, compact_every=compact_every
+            batch_df,
+            batch_id,
+            base_dir,
+            compact_every=compact_every,
+            keep_last=keep_last,
         )
 
     return stream_foreach_batch(
@@ -292,6 +304,7 @@ def commit_stream_batch(
     batch_id: int,
     base_dir: str,
     compact_every: int | None = None,
+    keep_last: int | None = None,
 ) -> int | None:
     """The snapshot sink's per-batch commit, factored out so the replay
     guard is directly testable: returns the committed version, or None
@@ -321,9 +334,19 @@ def commit_stream_batch(
         )
         if compact_every and batch_id % compact_every == compact_every - 1:
             spark = batch_df.sparkSession
+            # carry the batch id onto the compaction manifest: retention
+            # may expire the data commit, and the guard must survive that
             versioned.compact_snapshot(
-                spark, base_dir, target_files=spark.sparkContext.defaultParallelism
+                spark,
+                base_dir,
+                target_files=spark.sparkContext.defaultParallelism,
+                metadata={"batch_id": batch_id},
             )
+        if keep_last:
+            last = versioned.latest_version(base_dir)
+            keep_from = last - keep_last + 1
+            if keep_from > 1:
+                versioned.expire_snapshots(base_dir, keep_from=keep_from)
         return version
     finally:
         batch_df.unpersist()

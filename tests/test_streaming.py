@@ -765,3 +765,38 @@ def test_snapshot_sink_compaction_policy(spark, tmp_path):
     # next batch commits normally on top of the compacted table
     assert commit_stream_batch(spark.range(6, 8), 2, base, compact_every=2) == 4
     assert versioned.read_snapshot(spark, base).count() == 8
+    # the compaction manifest carries the batch id forward: its metadata
+    # must report the max committed id even though v3 is not a data commit
+    assert versioned.manifest_metadata(base, 3).get("batch_id") == 1
+
+
+def test_snapshot_sink_retention_survives_replay(spark, tmp_path):
+    """keep_last expires old snapshots after each commit; because the
+    compaction carries the batch id forward, a replay arriving AFTER the
+    data commit was expired must still be skipped."""
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+    from nyc_bikeshare_datawarehouse_spark.streaming.events import (
+        commit_stream_batch,
+    )
+
+    base = str(tmp_path / "tbl")
+    # batch 0 commits v1; batch 1 commits v2 + compacts v3 + retention
+    # (keep_last=1) expires v1..v2 — including batch 1's own data commit
+    assert commit_stream_batch(
+        spark.range(0, 3), 0, base, compact_every=2, keep_last=1
+    ) == 1
+    assert commit_stream_batch(
+        spark.range(3, 6), 1, base, compact_every=2, keep_last=1
+    ) == 2
+    assert versioned.latest_version(base) == 3
+    import os
+
+    assert not os.path.exists(os.path.join(base, "_manifest_v1.json"))
+    assert not os.path.exists(os.path.join(base, "_manifest_v2.json"))
+    # replays of already-reflected ids stay no-ops even though their data
+    # commits are gone — the surviving compaction manifest carries id 1
+    assert commit_stream_batch(spark.range(0, 3), 0, base, keep_last=1) is None
+    assert commit_stream_batch(spark.range(3, 6), 1, base, keep_last=1) is None
+    assert versioned.read_snapshot(spark, base).count() == 6
+    # a genuinely new batch still commits
+    assert commit_stream_batch(spark.range(6, 9), 2, base, keep_last=1) == 4
