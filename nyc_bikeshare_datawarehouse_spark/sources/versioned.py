@@ -195,7 +195,12 @@ def merge_into_snapshot(
     containing touched keys (sinks.overwrite_partitions pattern) and
     keep the manifest as the union of untouched + rewritten files; the
     read protocol here would not change. An empty table (no snapshot
-    yet) treats the merge as the initial commit."""
+    yet) treats the merge as the initial commit.
+
+    If the table has streaming commits, their max batch id is carried
+    onto the merge manifest (the compact_snapshot rule): the merge
+    result reflects those batches, and a later retention sweep must not
+    let a replayed micro-batch double-append."""
     from nyc_bikeshare_datawarehouse_spark.operators.merge import merge_upsert
 
     base_dir = os.path.abspath(base_dir)
@@ -205,7 +210,9 @@ def merge_into_snapshot(
         merged = merge_upsert(read_snapshot(spark, base_dir), updates, key)
     if deletes is not None:
         merged = merged.join(deletes.select(key), key, "left_anti")
-    return write_snapshot(merged, base_dir, mode="overwrite")
+    last_bid = last_metadata_value(base_dir, "batch_id")
+    metadata = {"batch_id": last_bid} if last_bid is not None else None
+    return write_snapshot(merged, base_dir, mode="overwrite", metadata=metadata)
 
 
 def compact_snapshot(

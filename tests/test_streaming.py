@@ -800,3 +800,10 @@ def test_snapshot_sink_retention_survives_replay(spark, tmp_path):
     assert versioned.read_snapshot(spark, base).count() == 6
     # a genuinely new batch still commits
     assert commit_stream_batch(spark.range(6, 9), 2, base, keep_last=1) == 4
+    # MERGE over a streamed table carries the batch id too: even after
+    # the merge (v5) and a retention sweep, the replay of id 2 is a no-op
+    upd = spark.createDataFrame([(100,)], "id long")
+    assert versioned.merge_into_snapshot(spark, base, upd, "id") == 5
+    versioned.expire_snapshots(base, keep_from=5)
+    assert commit_stream_batch(spark.range(6, 9), 2, base) is None
+    assert versioned.read_snapshot(spark, base).count() == 10
