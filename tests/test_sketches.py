@@ -208,3 +208,40 @@ def test_histogram_sketch_validates_args(spark):
         histogram_sketch(df, "v", 10, 10, 1)
     with pytest.raises(ValueError, match="q_bps"):
         histogram_quantiles(histogram_sketch(df, "v", 0, 100, 10), [0], 0, 100, 10)
+
+
+def test_hll_daily_merge_tracks_exact_mau(spark, sf_dir):
+    """The q_dau_mau docstring's 100 TB claim, made executable: per-day
+    HLL register tables merged over a trailing window estimate the same
+    MAU the exact distinct-count computes, within HLL(b=6) error
+    (~1.04/sqrt(64) ~ 13%; assert 25% for slack). This is the bridge
+    between the exact oracle-checked query and the sketch maintenance
+    path a production pipeline would persist."""
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.functions import sketches
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    window = days[:7]  # one trailing week is enough to prove the algebra
+    per_day = [
+        sketches.hll_registers(
+            ev.filter(F.col("day") == d).select("user_id"), "user_id", b=6
+        )
+        for d in window
+    ]
+    merged = per_day[0]
+    for regs in per_day[1:]:
+        merged = sketches.hll_merge(merged, regs)
+    est = sketches.hll_estimate(merged)
+    exact = (
+        ev.filter(F.col("day").isin(window))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.25, (est, exact)
