@@ -128,9 +128,29 @@ def write_snapshot(
         shutil.rmtree(data_dir)
     df.write.mode("overwrite").parquet(data_dir)
     files = _data_files(data_dir)
+    schema = df.schema
     if mode == "append" and prev > 0:
         with open(_manifest_path(base_dir, prev)) as fh:
-            files = json.load(fh)["files"] + files
+            prev_manifest = json.load(fh)
+        files = prev_manifest["files"] + files
+        # add-only schema evolution: the recorded schema is the previous
+        # schema plus any NEW fields this append introduces — so an
+        # append missing an old column keeps it readable (NULL for the
+        # new files) and an append adding a column backfills NULLs for
+        # the old files; a type change is refused like any table format
+        prev_schema = StructType.fromJson(prev_manifest["schema"])
+        merged = list(prev_schema.fields)
+        by_name = {f.name: f for f in merged}
+        for f in schema.fields:
+            if f.name not in by_name:
+                merged.append(f)
+            elif by_name[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"append changes column '{f.name}' from "
+                    f"{by_name[f.name].dataType} to {f.dataType} — "
+                    "type evolution is not supported (add-only)"
+                )
+        schema = StructType(merged)
     # last: the manifest IS the commit point — written to a temp name
     # and renamed, so a crash mid-write leaves no half-manifest that
     # latest_version() would count as committed (os.replace is atomic
@@ -141,7 +161,7 @@ def write_snapshot(
             {
                 "version": version,
                 "files": files,
-                "schema": df.schema.jsonValue(),
+                "schema": schema.jsonValue(),
                 "metadata": metadata or {},
             },
             fh,
@@ -154,7 +174,14 @@ def read_snapshot(
     spark: SparkSession, base_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read the table AS OF `version` (default: latest). Reads exactly
-    the manifest's file list — never a directory scan."""
+    the manifest's file list — never a directory scan — UNDER THE
+    MANIFEST'S RECORDED SCHEMA: that is what makes column-ADD schema
+    evolution work (an append that introduced a column reads older
+    files with NULLs in it, the Iceberg/Delta rule), and what keeps a
+    snapshot's schema stable instead of depending on which file Spark
+    happens to sample first. Reading an OLD version likewise shows only
+    the columns that version knew (newer files never appear in its
+    manifest, so no projection is needed)."""
     base_dir = os.path.abspath(base_dir)
     if version is None:
         version = latest_version(base_dir)
@@ -164,13 +191,12 @@ def read_snapshot(
     with open(mp) as fh:
         manifest = json.load(fh)
     files = manifest["files"]
+    schema = StructType.fromJson(manifest["schema"])
     if not files:
         # an empty commit (e.g. an empty CDC batch) is a valid snapshot:
         # rebuild the empty frame from the manifest's recorded schema
-        return spark.createDataFrame(
-            [], StructType.fromJson(manifest["schema"])
-        )
-    return spark.read.parquet(*files)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def merge_into_snapshot(

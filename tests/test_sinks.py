@@ -360,3 +360,46 @@ class TestVersionedSnapshots:
         with pytest.raises(ValueError, match="CURRENT snapshot"):
             versioned.expire_snapshots(base, keep_from=2)
         assert versioned.read_snapshot(spark, base, 1).count() == 2
+
+
+class TestSnapshotSchemaEvolution:
+    def test_append_adding_column_backfills_nulls(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 2).selectExpr("id"), base)
+        versioned.write_snapshot(
+            spark.range(2, 4).selectExpr("id", "id * 2 AS v"), base
+        )
+        cur = versioned.read_snapshot(spark, base)
+        assert cur.columns == ["id", "v"]
+        got = {r["id"]: r["v"] for r in cur.collect()}
+        assert got == {0: None, 1: None, 2: 4, 3: 6}
+        # the old snapshot keeps its own (narrower) schema
+        assert versioned.read_snapshot(spark, base, 1).columns == ["id"]
+
+    def test_append_missing_column_keeps_it_readable(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(
+            spark.range(0, 2).selectExpr("id", "id * 2 AS v"), base
+        )
+        versioned.write_snapshot(spark.range(2, 4).selectExpr("id"), base)
+        cur = versioned.read_snapshot(spark, base)
+        assert cur.columns == ["id", "v"]
+        got = {r["id"]: r["v"] for r in cur.collect()}
+        assert got == {0: 0, 1: 2, 2: None, 3: None}
+
+    def test_append_type_change_refused(self, spark, tmp_path):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 2).selectExpr("id"), base)
+        with pytest.raises(ValueError, match="add-only"):
+            versioned.write_snapshot(
+                spark.range(2, 4).selectExpr("CAST(id AS STRING) AS id"),
+                base,
+            )
