@@ -6032,3 +6032,22 @@ def _ann_ivfpq_sql(n_cells: int = 16, nprobe: int = 4, m: int = 8,
 
 
 ORACLES["q_ann_ivfpq"] = _ann_ivfpq_sql()
+
+# Schema evolution: the evolved union recomputed from corpus predicates —
+# even keys predate the column (priority '(none)'), odd keys carry it.
+ORACLES["q_schema_evolution"] = """
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority AS priority
+        FROM orders
+    ), evolved AS (
+        SELECT k, cents, '(none)' AS priority FROM o WHERE k % 2 = 0
+        UNION ALL
+        SELECT k, cents, priority FROM o WHERE k % 2 = 1
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM evolved GROUP BY priority ORDER BY priority
+"""

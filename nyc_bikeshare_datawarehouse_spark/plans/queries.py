@@ -6012,6 +6012,65 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Column-ADD schema evolution through the driver surface
+    (sources/versioned.py, r12): snapshot 1 = even-key orders as (key,
+    cents); snapshot 2 APPENDS the odd keys with an extra `priority`
+    column — the manifest records the evolved union schema, so the
+    latest read returns v1's rows with NULL priority (grouped here as
+    '(none)') while v1 itself still reads back with its own narrower
+    schema. Output: per priority class, exact row counts and integer-
+    cent totals over the evolved table. The oracle recomputes the
+    union straight from corpus predicates (even keys → '(none)'), so a
+    green row proves the NULL backfill is exactly column-add evolution
+    and nothing leaked between versions. Table path SF+pid-tagged,
+    rebuilt per run (q_time_travel rule)."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_schevo/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(
+        o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "cents"),
+        base,
+    )
+    versioned.write_snapshot(
+        o.filter(F.col("o_orderkey") % 2 == 1), base
+    )
+    cur = versioned.read_snapshot(spark, base)
+    # sanity the evolution contract inside the query: v1 keeps its own
+    # narrower schema (cheap metadata check, no extra jobs)
+    assert versioned.read_snapshot(spark, base, 1).columns == [
+        "o_orderkey",
+        "cents",
+    ]
+    return (
+        cur.groupBy(
+            F.coalesce(F.col("priority"), F.lit("(none)")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("priority")
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation — the classic CRM/warehouse readout:
     per-customer Recency (days since last order, vs the corpus max
@@ -6546,6 +6605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_recall": q_pq_recall,
     "q_ann_ivfpq": q_ann_ivfpq,
     "q_merge_upsert": q_merge_upsert,
+    "q_schema_evolution": q_schema_evolution,
     "q_funnel_conversion": q_funnel_conversion,
     "q_dau_mau": q_dau_mau,
     # --- newest driver row: r07
@@ -6591,8 +6651,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q7": q_tpch_q7,
     "q_tpch_q8": q_tpch_q8,
-    "q_tumbling_hour": q_tumbling_hour,
-    "q_window_range_frame": q_window_range_frame,  # <- driver window cut (50)
+    "q_tumbling_hour": q_tumbling_hour,  # <- driver window cut (50)
+    "q_window_range_frame": q_window_range_frame,
     "q_window_rank": q_window_rank,
     # --- newest driver row: r08
     "q_attribution": q_attribution,
