@@ -403,3 +403,17 @@ class TestSnapshotSchemaEvolution:
                 spark.range(2, 4).selectExpr("CAST(id AS STRING) AS id"),
                 base,
             )
+
+    def test_compact_preserves_evolved_schema(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 2).selectExpr("id"), base)
+        versioned.write_snapshot(
+            spark.range(2, 4).selectExpr("id", "id * 2 AS v"), base
+        )
+        v3 = versioned.compact_snapshot(spark, base, target_files=1)
+        cur = versioned.read_snapshot(spark, base, v3)
+        assert cur.columns == ["id", "v"]
+        got = {r["id"]: r["v"] for r in cur.collect()}
+        assert got == {0: None, 1: None, 2: 4, 3: 6}
