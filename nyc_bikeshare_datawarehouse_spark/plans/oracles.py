@@ -6051,3 +6051,51 @@ ORACLES["q_schema_evolution"] = """
            CAST(SUM(cents) AS BIGINT) AS cents_total
     FROM evolved GROUP BY priority ORDER BY priority
 """
+
+# q_ann_ivf upgraded from rows-only (r12): the in-memory IVF top-k with
+# the deterministic first-16 quantizer is fully replayable. Cell scores
+# mirror _cell_scores' UNROUNDED fold bit-for-bit (list_reduce seeds from
+# the first element; 0.0 + x1 == x1 in IEEE, division and sqrt are
+# correctly rounded), so the argmax/top-cells agree exactly; the final
+# rank is ROUND(cosine, 6) (q_cosine_topk precedent). The probe itself
+# is a corpus member and correctly tops its own list.
+ORACLES["q_ann_ivf"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+    ), score AS (
+        SELECT v.vec_id, cb.i,
+               list_reduce(list_transform(range(1, 65),
+                                          k -> v.e[k] * cb.e[k]),
+                           (x, y) -> x + y)
+               / sqrt(list_reduce(list_transform(range(1, 65),
+                                                 k -> cb.e[k] * cb.e[k]),
+                                  (x, y) -> x + y)) AS d
+        FROM v CROSS JOIN cb
+    ), assign AS (
+        SELECT vec_id AS cid, i AS cell
+        FROM (SELECT vec_id, i,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, i) AS rn
+              FROM score)
+        WHERE rn = 1
+    ), pcells AS (
+        SELECT i AS cell
+        FROM (SELECT i, ROW_NUMBER() OVER (ORDER BY d DESC, i) AS rn
+              FROM score WHERE vec_id = 0)
+        WHERE rn <= 4
+    ), probe AS (
+        SELECT e AS pe FROM v WHERE vec_id = 0
+    )
+    SELECT v.vec_id,
+           ROUND(list_cosine_similarity(v.e, p.pe), 6) AS cosine_sim
+    FROM v
+    JOIN assign a ON a.cid = v.vec_id
+    JOIN pcells pc ON pc.cell = a.cell
+    CROSS JOIN probe p
+    ORDER BY cosine_sim DESC, v.vec_id
+    LIMIT 10
+"""

@@ -2437,12 +2437,17 @@ def q_embed_near_dup(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN top-k (rows-only check): cell assignment is one
-    higher-order argmax expression per row over a 1-row broadcast centroid
-    array — no crossJoin expansion, no window shuffle (the plan's only
-    joins are 1-row broadcasts). The persisted form (ivf_write →
-    partitionBy('cell') → PartitionFilters pruning) is exercised in
-    tests/test_functions.py."""
+    """IVF-style ANN top-k: cell assignment is one higher-order argmax
+    expression per row over a 1-row broadcast centroid array — no
+    crossJoin expansion, no window shuffle (the plan's only joins are
+    1-row broadcasts). ORACLE-CHECKED since r12 (was rows-only): the
+    deterministic first-16 quantizer makes the whole lattice
+    replayable — the oracle mirrors _cell_scores' UNROUNDED fold
+    bit-for-bit (list_reduce seeded from the first element ≡ Spark's
+    0.0-seeded aggregate in IEEE), so assignment argmax and probe
+    top-cells agree exactly, and the final rank is ROUND(cosine, 6).
+    The persisted form (ivf_write → partitionBy('cell') →
+    PartitionFilters pruning) is exercised in tests/test_functions.py."""
     e = _t(spark, sf_dir, "embeddings")
     probe = e.filter(F.col("vec_id") == 0)
     return similarity.ivf_topk(e, probe, k=10, n_cells=16, nprobe=4)
