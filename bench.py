@@ -269,6 +269,7 @@ EXTENDED = [
     "q_funnel_conversion",
     "q_dau_mau",
     "q_ann_ivfpq",
+    "q_wau_sketch",
 ]
 
 

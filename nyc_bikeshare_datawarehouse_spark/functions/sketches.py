@@ -100,6 +100,43 @@ def hll_registers(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
     )
 
 
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, group_cols: list[str], b: int = 6
+) -> DataFrame:
+    """Per-GROUP HLL register tables — the sketch-ROLLUP primitive: one
+    register table per (group_cols) slice (e.g. per day), zero-filled to
+    exactly m rows per group, each mergeable by elementwise max across
+    any slice combination (trailing windows, month rollups, global).
+    Same md5 derivation as `hll_registers`, so the state is bit-exact
+    cross-engine and a slice merge is just MAX(rank) GROUP BY register.
+    Build cost: one groupBy on (group, register) with map-side combine —
+    each task emits ≤ m rows per group it touched."""
+    if not 1 <= b <= 8:
+        raise ValueError(f"b must be in [1, 8], got {b}")
+    m = 1 << b
+    h = F.md5(F.col(key_col).cast("string"))
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    tail = F.substring(h, 3, 15)
+    v = F.conv(tail, 16, 10).cast("long")
+    rank = F.when(v == 0, F.lit(61)).otherwise(
+        61 - F.length(F.conv(tail, 16, 2))
+    )
+    regs = (
+        df.select(*group_cols, idx.alias("register"), rank.cast("int").alias("rank"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("rank"))
+    )
+    spark = df.sparkSession
+    full = df.select(*group_cols).distinct().crossJoin(
+        spark.range(m).select(F.col("id").cast("long").alias("register"))
+    )
+    return full.join(regs, [*group_cols, "register"], "left").select(
+        *group_cols,
+        "register",
+        F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank"),
+    )
+
+
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union of the underlying key sets = elementwise max of registers —
     the property that lets per-day sketches roll up without re-reading

@@ -6099,3 +6099,38 @@ ORACLES["q_ann_ivf"] = """
     ORDER BY cosine_sim DESC, v.vec_id
     LIMIT 10
 """
+
+# Trailing-7-day HLL register state: per-day md5 register/rank tables
+# (the q_hll_registers derivation, grouped by day), zero-filled per day,
+# merged by MAX over the trailing-week join — all exact integers.
+ORACLES["q_wau_sketch"] = """
+    WITH du AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), keyed AS (
+        SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM du
+    ), hashed AS (
+        SELECT day,
+               CAST(('0x' || substring(h, 1, 2)) AS BIGINT) % 64 AS register,
+               CAST(('0x' || substring(h, 3, 15)) AS BIGINT) AS v
+        FROM keyed
+    ), regs AS (
+        SELECT day, register,
+               MAX(CASE WHEN v = 0 THEN 61
+                        ELSE 61 - length(bin(v)) END) AS rank
+        FROM hashed GROUP BY day, register
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), perday AS (
+        SELECT d.day, g.register, COALESCE(r.rank, 0) AS rank
+        FROM days d
+        CROSS JOIN generate_series(0, 63) AS g(register)
+        LEFT JOIN regs r ON r.day = d.day AND r.register = g.register
+    )
+    SELECT d.day, CAST(s.register AS INTEGER) AS register,
+           CAST(MAX(s.rank) AS INTEGER) AS rank
+    FROM days d JOIN perday s
+      ON s.day <= d.day AND s.day > d.day - 7
+    GROUP BY d.day, s.register
+    ORDER BY d.day, s.register
+"""

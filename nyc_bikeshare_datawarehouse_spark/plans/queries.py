@@ -6017,6 +6017,40 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_wau_sketch(spark, sf_dir):
+    """Trailing-7-day active-user SKETCH state per day — the 100 TB
+    maintenance path q_dau_mau's docstring promises, hash-checked:
+    per-day HLL(b=6) register tables (functions/sketches.
+    hll_registers_grouped — the rollup primitive) merged over each
+    day's trailing week by elementwise MAX. The corpora are read ONCE
+    to build the daily sketches; every window after that is algebra on
+    O(days·64) integer rows — the property that makes sliding distinct
+    counts affordable at any scale (exact sliding distinct re-scans
+    the window per day). Registers, not estimates, are the checked
+    artifact (exact integers, bit-identical md5 derivation both
+    engines); `hll_estimate` turns any row-group into the WAU number
+    and the estimate-vs-exact bridge is pytest-pinned
+    (tests/test_sketches.py::test_hll_daily_merge_tracks_exact_mau)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    per_day = sketches.hll_registers_grouped(ev, "user_id", ["day"], b=6)
+    days = per_day.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            per_day.alias("s"),
+            (F.col("s.day") <= F.col("d.day"))
+            & (F.col("s.day") > F.date_sub(F.col("d.day"), 7)),
+        )
+        .groupBy(F.col("d.day").alias("day"), "register")
+        .agg(F.max("rank").cast("int").alias("rank"))
+    )
+    return merged.select(
+        "day", F.col("register").cast("int").alias("register"), "rank"
+    ).orderBy("day", "register")
+
+
 def q_schema_evolution(spark, sf_dir):
     """Column-ADD schema evolution through the driver surface
     (sources/versioned.py, r12): snapshot 1 = even-key orders as (key,
@@ -6611,6 +6645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivfpq": q_ann_ivfpq,
     "q_merge_upsert": q_merge_upsert,
     "q_schema_evolution": q_schema_evolution,
+    "q_wau_sketch": q_wau_sketch,
     "q_funnel_conversion": q_funnel_conversion,
     "q_dau_mau": q_dau_mau,
     # --- newest driver row: r07
@@ -6655,8 +6690,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q7": q_tpch_q7,
-    "q_tpch_q8": q_tpch_q8,
-    "q_tumbling_hour": q_tumbling_hour,  # <- driver window cut (50)
+    "q_tpch_q8": q_tpch_q8,  # <- driver window cut (50)
+    "q_tumbling_hour": q_tumbling_hour,
     "q_window_range_frame": q_window_range_frame,
     "q_window_rank": q_window_rank,
     # --- newest driver row: r08
