@@ -262,8 +262,9 @@ EXTENDED = [
     "q_new_vs_returning",
     "q_hhi_concentration",
     "q_purchase_cadence",
-    # round 12 members. q_merge_upsert stays unbenched: write-side
-    # lifecycle I/O, same rule as q_time_travel / q_snapshot_diff.
+    # round 12 members. q_merge_upsert / q_schema_evolution stay
+    # unbenched: write-side lifecycle I/O, same rule as q_time_travel /
+    # q_snapshot_diff.
     "q_ivf_recall",
     "q_pq_recall",
     "q_funnel_conversion",
