@@ -188,7 +188,7 @@ EVENT_COLS = ["event_id", "ts", "user_id", "value", "event_type"]
 
 
 #: orders sidecar schema — same column-keyed marker contract
-ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 
 
 def ensure_orders_sfx(spark, replicas: int) -> None:
@@ -211,6 +211,7 @@ def ensure_orders_sfx(spark, replicas: int) -> None:
             "o_orderstatus",
             "o_totalprice",
             "o_orderdate",
+            "o_orderpriority",
         )
         for k in range(replicas)
     ]
@@ -420,10 +421,10 @@ def main() -> None:
         q in ("q_basket_rules", "q_triangle_count", "q_shortest_paths", "q_abc_classification", "q_hhi_concentration") for q in args.only
     ):
         ensure_lineitem_sfx(spark, args.replicas)
-    if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift", "q_bootstrap_ci", "q_kaplan_meier", "q_seasonal_decompose", "q_cusum_changepoint", "q_holt_winters", "q_markov_attribution", "q_acf_lags") for q in args.only):
+    if args.only and any(q in ("q_rolling_median", "q_roc_auc", "q_ab_ttest", "q_spearman_drift", "q_bootstrap_ci", "q_kaplan_meier", "q_seasonal_decompose", "q_cusum_changepoint", "q_holt_winters", "q_markov_attribution", "q_acf_lags", "q_funnel_conversion", "q_dau_mau", "q_wau_sketch", "q_psi_drift") for q in args.only):
         ensure_events_sfx(spark, args.replicas)
     if args.only and any(
-        q in ("q_gini_concentration", "q_rfm_segments", "q_benford_digits", "q_cohort_ltv", "q_new_vs_returning", "q_hhi_concentration", "q_purchase_cadence")
+        q in ("q_gini_concentration", "q_rfm_segments", "q_benford_digits", "q_cohort_ltv", "q_new_vs_returning", "q_hhi_concentration", "q_purchase_cadence", "q_merge_upsert", "q_schema_evolution")
         for q in args.only
     ):
         ensure_orders_sfx(spark, args.replicas)
