@@ -245,3 +245,32 @@ def test_hll_daily_merge_tracks_exact_mau(spark, sf_dir):
     )
     assert exact > 0
     assert abs(est - exact) / exact < 0.25, (est, exact)
+
+
+def test_hll_grouped_rollup_equals_ungrouped(spark, sf_dir):
+    """The rollup-primitive contract: per-group register tables merged by
+    elementwise MAX over ALL groups must equal the registers built over
+    the whole stream in one pass — the algebra q_wau_sketch's trailing
+    windows rely on."""
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.functions import sketches
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    grouped = sketches.hll_registers_grouped(ev, "user_id", ["day"], b=6)
+    rolled = {
+        r["register"]: r["rank"]
+        for r in grouped.groupBy("register")
+        .agg(F.max("rank").alias("rank"))
+        .collect()
+    }
+    whole = {
+        r["register"]: r["rank"]
+        for r in sketches.hll_registers(
+            ev.select("user_id"), "user_id", b=6
+        ).collect()
+    }
+    assert rolled == whole
