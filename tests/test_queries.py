@@ -22,7 +22,9 @@ def test_contract_shape():
     # every rows-only query is one of the declared non-SQL-expressible ops
     assert set(qs) - set(oracles) == {
         "q_near_dup_minhash", "q_simhash_near_dup",
-        "q_ann_ivf", "q_text_pipeline",
+        # q_ann_ivf left this set in r12: the deterministic quantizer's
+        # lattice proved fully oracle-replayable (exact fold mirroring)
+        "q_text_pipeline",
         # approx sketches: deterministic but engine-specific estimates
         "q_approx_distinct", "q_approx_percentiles",
         # applyInPandas eigendecomposition: no SQL engine replays eigvalsh
