@@ -6639,58 +6639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
-    # --- new this round (no driver rows)
-    "q_ivf_recall": q_ivf_recall,
-    "q_pq_recall": q_pq_recall,
-    "q_ann_ivfpq": q_ann_ivfpq,
-    "q_merge_upsert": q_merge_upsert,
-    "q_schema_evolution": q_schema_evolution,
-    "q_wau_sketch": q_wau_sketch,
-    "q_funnel_conversion": q_funnel_conversion,
-    "q_dau_mau": q_dau_mau,
     # --- newest driver row: r07
-    "q_case_buckets": q_case_buckets,
-    "q_correlated_subquery": q_correlated_subquery,
-    "q_count_quality": q_count_quality,
-    "q_cross_join": q_cross_join,
-    "q_cube": q_cube,
-    "q_date_arith": q_date_arith,
-    "q_embed_near_dup": q_embed_near_dup,
-    "q_full_outer_join": q_full_outer_join,
-    "q_funnel": q_funnel,
-    "q_grouping_sets": q_grouping_sets,
-    "q_json_extract": q_json_extract,
-    "q_json_struct": q_json_struct,
-    "q_lateral_topn": q_lateral_topn,
-    "q_map_funcs": q_map_funcs,
-    "q_near_dup_minhash": q_near_dup_minhash,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_ntile_percent_rank": q_ntile_percent_rank,
-    "q_percentiles": q_percentiles,
-    "q_pivot_flags": q_pivot_flags,
-    "q_range_bucket_join": q_range_bucket_join,
-    "q_rollup": q_rollup,
-    "q_salted_join_equiv": q_salted_join_equiv,
-    "q_simhash_near_dup": q_simhash_near_dup,
-    "q_stats_agg": q_stats_agg,
-    "q_string_null_funcs": q_string_null_funcs,
-    "q_text_pipeline": q_text_pipeline,
-    "q_topk": q_topk,
-    "q_tpch_q10": q_tpch_q10,
-    "q_tpch_q12": q_tpch_q12,
-    "q_tpch_q13": q_tpch_q13,
-    "q_tpch_q14": q_tpch_q14,
-    "q_tpch_q15": q_tpch_q15,
-    "q_tpch_q17": q_tpch_q17,
-    "q_tpch_q18": q_tpch_q18,
-    "q_tpch_q19": q_tpch_q19,
-    "q_tpch_q21": q_tpch_q21,
-    "q_tpch_q22": q_tpch_q22,
-    "q_tpch_q4": q_tpch_q4,
-    "q_tpch_q5": q_tpch_q5,
-    "q_tpch_q6": q_tpch_q6,
-    "q_tpch_q7": q_tpch_q7,
-    "q_tpch_q8": q_tpch_q8,  # <- driver window cut (50)
     "q_tumbling_hour": q_tumbling_hour,
     "q_window_range_frame": q_window_range_frame,
     "q_window_rank": q_window_rank,
@@ -6741,7 +6690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tfidf_cosine": q_tfidf_cosine,
     "q_token_entropy": q_token_entropy,
     "q_token_pmi": q_token_pmi,
-    "q_udaf_geomean": q_udaf_geomean,
+    "q_udaf_geomean": q_udaf_geomean,  # <- driver window cut (50)
     "q_udtf_chunks": q_udtf_chunks,
     "q_variant_extract": q_variant_extract,
     "q_window_navigation": q_window_navigation,
@@ -6898,6 +6847,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_weighted_sample": q_weighted_sample,
     "q_window_running": q_window_running,
     "q_zorder_layout": q_zorder_layout,
+    # --- newest driver row: r12
+    "q_ann_ivfpq": q_ann_ivfpq,
+    "q_case_buckets": q_case_buckets,
+    "q_correlated_subquery": q_correlated_subquery,
+    "q_count_quality": q_count_quality,
+    "q_cross_join": q_cross_join,
+    "q_cube": q_cube,
+    "q_date_arith": q_date_arith,
+    "q_dau_mau": q_dau_mau,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_full_outer_join": q_full_outer_join,
+    "q_funnel": q_funnel,
+    "q_funnel_conversion": q_funnel_conversion,
+    "q_grouping_sets": q_grouping_sets,
+    "q_ivf_recall": q_ivf_recall,
+    "q_json_extract": q_json_extract,
+    "q_json_struct": q_json_struct,
+    "q_lateral_topn": q_lateral_topn,
+    "q_map_funcs": q_map_funcs,
+    "q_merge_upsert": q_merge_upsert,
+    "q_near_dup_minhash": q_near_dup_minhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_ntile_percent_rank": q_ntile_percent_rank,
+    "q_percentiles": q_percentiles,
+    "q_pivot_flags": q_pivot_flags,
+    "q_pq_recall": q_pq_recall,
+    "q_range_bucket_join": q_range_bucket_join,
+    "q_rollup": q_rollup,
+    "q_salted_join_equiv": q_salted_join_equiv,
+    "q_schema_evolution": q_schema_evolution,
+    "q_simhash_near_dup": q_simhash_near_dup,
+    "q_stats_agg": q_stats_agg,
+    "q_string_null_funcs": q_string_null_funcs,
+    "q_text_pipeline": q_text_pipeline,
+    "q_topk": q_topk,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
+    "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
+    "q_wau_sketch": q_wau_sketch,
 }
 
 
