@@ -378,17 +378,27 @@ def main() -> None:
     # recorded as parsed=null. Keep the printed line compact (headline
     # per-query detail + tier totals, < ~1 KB) and write the full
     # per-query breakdown to BENCH_DETAIL.json for the judge.
+    # name the UNbenched tail explicitly so bench coverage can't be
+    # over-read: everything declared in QUERIES but not in any tier
+    # (lifecycle write-side I/O, streaming twins, sub-second variants —
+    # each exclusion reasoned where its tier list is built above).
+    benched = {**timings, **heavy, **extended}
+    unbenched = sorted(set(QUERIES) - set(benched))
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": {**timings, **heavy, **extended},
+        "queries": benched,
         "sf": sf,
         "heavy_value": heavy_total,
         "legacy_heavy": legacy_heavy,
         "extended_value": extended_total,
         "legacy_extended": legacy_extended,
         "prep_sec": prep_sec,
+        "n_declared": len(QUERIES),
+        "n_benched": len(benched),
+        "n_unbenched": len(unbenched),
+        "unbenched": unbenched,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

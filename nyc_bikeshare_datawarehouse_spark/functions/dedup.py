@@ -21,6 +21,8 @@ Embedding-based near-dup (cosine) lives in similarity.py.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from nyc_bikeshare_datawarehouse_spark.functions.text import shingles, token_set_fingerprint, tokens
@@ -189,29 +191,51 @@ def simhash_candidates(
     bands: int = 4,
     sig: F.Column | None = None,
     sig_bits: int = 64,
+    conjunction: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded SimHash: split the signature
     into `bands` chunks; docs sharing any chunk value are candidates
     (Hamming-distance <= bands-1 guaranteed recall). The join is an
     equi-join on (band, chunk) — shuffle moves only (id, chunk). Pass
-    `sig`/`sig_bits` to band a different signature (e.g. the 16-bit
-    `simhash_portable`); default is the production 64-bit xxhash form."""
+    `sig`/`sig_bits` to band a different signature (e.g. the 32-bit
+    `simhash_portable`); default is the production 64-bit xxhash form.
+
+    conjunction=True joins on PAIRS of chunks instead (key = pair index +
+    both chunk values packed into one long, C(bands, 2) keys per doc):
+    pigeonhole recall drops to Hamming <= bands-2, but the key space
+    squares — 8-bit chunks give 2^16 conjunction buckets instead of 256,
+    so in-bucket pairing on random signatures falls ~width-squared-fold.
+    Single-chunk banding's bounded key space is birthday-quadratic at
+    corpus scale (round-12 verdict: N^2/1024 pairs for the 4x8-bit
+    portable form REGARDLESS of data); conjunction keys grow with the
+    signature, keeping candidate volume data-driven rather than
+    keyspace-capped. Use it whenever the downstream Hamming filter fits
+    inside bands-2."""
     width = sig_bits // bands
     sig = _materialized(df, sig if sig is not None else simhash64(text_col), "sig", [id_col])
+
+    def _chunk(b: int) -> F.Column:
+        return F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    if conjunction:
+        if bands < 3:
+            raise ValueError("conjunction banding needs bands >= 3 for any recall guarantee")
+        combos = list(itertools.combinations(range(bands), 2))
+        keys = [
+            F.struct(
+                F.lit(k).alias("band"),
+                (F.shiftleft(_chunk(i), width) + _chunk(j)).alias("chunk"),
+            )
+            for k, (i, j) in enumerate(combos)
+        ]
+    else:
+        keys = [
+            F.struct(F.lit(b).alias("band"), _chunk(b).alias("chunk")) for b in range(bands)
+        ]
     chunks = sig.select(
         id_col,
         "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("sig"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bc"),
+        F.explode(F.array(*keys)).alias("bc"),
     ).select(id_col, "sig", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
@@ -732,6 +756,7 @@ def prefix_jaccard_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     min_jaccard: float = 0.5,
+    positional: bool = False,
 ) -> DataFrame:
     """LOSSLESS candidate pairs for exact Jaccard >= t via prefix
     filtering (All-Pairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al.
@@ -758,6 +783,19 @@ def prefix_jaccard_candidates(
     dedups the identical a/b subplans below the self-join. Shuffle rows
     are (shingle_hash, id, size) prefixes only. Candidates then go to
     `jaccard_verify_pairs`, which is per-pair codegen.
+
+    positional=True adds PPJoin's positional filter (Xiao et al. WWW'08
+    §3.1): each posting carries its rank under the GLOBAL (df, shingle)
+    total order, and a match at positions (pa, pb) bounds the true
+    overlap by min(pa, pb) + min(|A|-pa, |B|-pb) — common shingles
+    ordered <= the match number at most min(pa, pb), those after it at
+    most min of the remaining tail lengths. Rows whose bound cannot
+    reach the jaccard-required overlap t(|A|+|B|)/(1+t) are dropped
+    BEFORE the pair distinct, so a hot prefix shingle shared by two
+    size-compatible docs no longer forces the pair into the verify
+    stage. Still lossless: the bound over-estimates, the epsilon slack
+    only ever keeps extra candidates, and `jaccard_verify_pairs` stays
+    the exact arbiter.
     """
     sh = shingle_postings(df, text_col, id_col, shingle_n)
     w_df = Window.partitionBy("sh")
@@ -771,19 +809,25 @@ def prefix_jaccard_candidates(
             F.col("__rk")
             <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
         )
-        .select(id_col, "sh", "n_sh")
+        .select(id_col, "sh", "n_sh", "__rk")
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a"))
-    b = prefix.select(F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b"))
-    return (
-        a.join(b, "sh")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * min_jaccard)
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a"), F.col("__rk").alias("pa")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b"), F.col("__rk").alias("pb")
+    )
+    joined = a.join(b, "sh").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * min_jaccard)
+    )
+    if positional:
+        overlap_ub = F.least("pa", "pb") + F.least(
+            F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        required = (F.col("n_a") + F.col("n_b")) * (min_jaccard / (1.0 + min_jaccard))
+        joined = joined.filter(overlap_ub.cast("double") >= required - 1e-9)
+    return joined.select("id_a", "id_b").distinct()
 
 
 def jaccard_verify_pairs(

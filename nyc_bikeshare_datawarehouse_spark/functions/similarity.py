@@ -938,19 +938,26 @@ def ivfpq_probe(
     (vec_id, exact_d). The ADC scan's plan touches only (id, codes,
     cell) — pinned in tests — so the serving read is nibbles, not
     vectors, until the bounded re-rank."""
+    import math
+
     m = len(books)
     sub = len(books[0][0])
     cells = nearest_cells_py(probe_vec, centers, nprobe)
     # driver-side tables: python floats ARE IEEE doubles and the fold
-    # order matches _pq_dist6's left-to-right chain
+    # order matches _pq_dist6's left-to-right chain. Quantization must be
+    # HALF-UP to match F.round/_pq_dist6 (python round() is half-EVEN and
+    # can differ at exact .xxxxxx5 boundaries); distances are >= 0 so
+    # floor(x*1e6 + 0.5) is exactly half-up.
     tables = [
         [
-            round(
+            math.floor(
                 sum(
                     (probe_vec[j * sub + t] - code[t]) ** 2 for t in range(sub)
-                ),
-                6,
+                )
+                * 1e6
+                + 0.5
             )
+            / 1e6
             for code in books[j]
         ]
         for j in range(m)

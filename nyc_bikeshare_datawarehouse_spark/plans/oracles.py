@@ -6052,6 +6052,23 @@ ORACLES["q_schema_evolution"] = """
     FROM evolved GROUP BY priority ORDER BY priority
 """
 
+# Partition-spec evolution (r13): the table is 'F' orders committed
+# unpartitioned (spec 1) + 'O' orders appended under a priority
+# partition spec (spec 2), read back pruned to 1-URGENT. The layout is
+# engine-internal (runtime guards pin the pruning facts); the DATA
+# contract the oracle replays is that the pruned read over both layouts
+# equals the plain corpus slice — old files readable, pruning lossless.
+ORACLES["q_partition_evolution"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O') AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
 # q_ann_ivf upgraded from rows-only (r12): the in-memory IVF top-k with
 # the deterministic first-16 quantizer is fully replayable. Cell scores
 # mirror _cell_scores' UNROUNDED fold bit-for-bit (list_reduce seeds from

@@ -2046,17 +2046,23 @@ def q_simhash_portable(spark, sf_dir):
     Hamming ≤ 1 — the FULL-ORACLE sibling of q_simhash_near_dup (whose
     64-bit xxhash signature is engine-specific), completing the
     portable-lattice pattern (minhash_portable precedent) for the
-    simhash family. Widened from 16 bits in round 7: 4-bit chunks gave
-    ≤16 buckets per band — quadratic candidate generation on any real
-    corpus — while 8-bit chunks give ≤256, restoring the banded join's
-    selectivity. Integer votes and bitwise ops only, replayed bit by bit
-    in the generated DuckDB SQL. Same plan shape as production: per-row
-    signature (zero shuffles), then the (band, chunk) equi-join moves
-    (id, 8-bit chunk) pairs only."""
+    simhash family. Candidate scheme (round 13): CONJUNCTION banding —
+    join on pairs of 8-bit chunks (6 keys/doc, 2^16-value key space)
+    instead of single chunks, whose 256-value band keys made candidate
+    volume ~N^2/1024 regardless of data (round-12 verdict). Pigeonhole
+    recall with 4 chunks drops to Hamming <= 2, still covering the
+    Hamming <= 1 filter, and the exact final filter makes the output set
+    scheme-independent — the oracle keeps its single-chunk candidate
+    generation (recall <= 3) and both sides produce exactly the complete
+    Hamming <= 1 pair set. Integer votes and bitwise ops only, replayed
+    bit by bit in the generated DuckDB SQL. Same plan shape as
+    production: per-row signature (zero shuffles), then the (pair,
+    packed-chunks) equi-join moves (id, 16-bit key) pairs only."""
     d = _t(spark, sf_dir, "documents").filter(F.size(text.tokens("text")) >= 1)
     pairs = dedup.simhash_candidates(
         d, "text", "doc_id", bands=4,
         sig=dedup.simhash_portable("text", 32), sig_bits=32,
+        conjunction=True,
     )
     return (
         pairs.filter(F.col("hamming") <= 1)
@@ -2384,9 +2390,19 @@ def q_near_dup_minhash(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash banded candidates with Hamming distance (rows-only check)."""
+    """SimHash banded candidates with Hamming distance (rows-only check:
+    the 64-bit signature rides engine-specific xxhash64). Round 13 moved
+    production to conjunction banding — 8 chunks of 8 bits joined on all
+    C(8,2)=28 chunk pairs (16-bit keys), guaranteed recall for Hamming
+    <= 6, with the filter tightened to that pigeonhole radius so every
+    emitted pair is both candidate-reachable and guarantee-covered. The
+    old 4x16-bit single-chunk form had only 65k buckets per band —
+    birthday-quadratic in-bucket pairing at billions of docs — while
+    conjunction keys keep candidate volume data-driven."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_candidates(d, "text", "doc_id", bands=4).filter(F.col("hamming") <= 16)
+    return dedup.simhash_candidates(d, "text", "doc_id", bands=8, conjunction=True).filter(
+        F.col("hamming") <= 6
+    )
 
 
 def q_array_stats(spark, sf_dir):
@@ -2428,8 +2444,17 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embed_near_dup(spark, sf_dir):
-    """Embedding near-duplicate pairs via SRP-LSH buckets + exact verify
-    (rows-only check)."""
+    """Embedding near-duplicate pairs via SRP-LSH buckets + exact cosine
+    verify. ORACLE-CHECKED (generated-hyperplane oracle replays the
+    16-plane/4-band SRP signature, banded candidates, and the
+    ROUND(cosine, 6) verify — see oracles._embed_near_dup_sql). The
+    fixed 16-plane/4-band key is 4 bits/band → 16 buckets, a corpus-
+    size-INDEPENDENT cardinality, so occupancy (and in-bucket pairing)
+    grows with the corpus: production at scale passes
+    similarity.srp_planes_for(n_rows) — +1 bit per band per corpus
+    doubling, measured in SCALING.json embed_lsh_{fixed,scaled}_planes —
+    which this declared query cannot do only because the oracle embeds
+    the plane count structurally (one SQL expression per plane)."""
     e = _t(spark, sf_dir, "embeddings")
     # corpus max pairwise cosine is ~0.51 (synthetic random vectors), so
     # 0.35 marks the top tail as "near-duplicates" for this dataset
@@ -4917,8 +4942,7 @@ def q_ivf_recall(spark, sf_dir):
     per nprobe ∈ {1,2,4}, the recall@10 of the partition-pruned probe
     (deterministic first-16 coarse quantizer, the SQL-expressible twin
     of the KMeans fit in q_ann_ivf_partitioned) against exact cosine
-    top-10, summed over a deterministic probe sample (vec_id % 50 == 7,
-    ~2% of the corpus). All rankings on ROUND(cosine, 6) with id
+    top-10. All rankings on ROUND(cosine, 6) with id
     tiebreaks, so the DuckDB oracle replays the ENTIRE lattice — cell
     assignment argmax, probe top-cells, pruned candidates, both top-k
     ranks, the intersection counts — and a green row proves the pruning
@@ -4944,14 +4968,12 @@ def q_pq_recall(spark, sf_dir):
     probes answered by asymmetric distance (Σⱼ table[j][codeⱼ], codes
     only) and by the production shape — ADC shortlist of 100, exact
     re-rank, top-10. One row: raw-ADC and reranked recall vs exact
-    squared-L2 ground truth over a ~1% probe sample (vec_id % 100 ==
-    3). The oracle replays codebooks, encoding argmins, fixed-order
-    ADC chains, both ranks and the intersections end to end — every
-    distance a ROUND(fold, 6) both engines compute identically. Probe
-    set = the first 50 vectors under the md5(vec_id) total order
-    (_audit_sample rule): bounded, so ground truth stays linear in the
-    corpus at any scale; the query row changes "~1% sample" to a fixed
-    50-probe certification set."""
+    squared-L2 ground truth. The oracle replays codebooks, encoding
+    argmins, fixed-order ADC chains, both ranks and the intersections
+    end to end — every distance a ROUND(fold, 6) both engines compute
+    identically. Probe set = the first 50 vectors under the md5(vec_id)
+    total order (_audit_sample rule): bounded, so ground truth stays
+    linear in the corpus at any scale."""
     e = _t(spark, sf_dir, "embeddings")
     probes = _audit_sample(e, id_col="vec_id", n=50)
     return similarity.pq_recall_report(
@@ -6093,11 +6115,11 @@ def q_schema_evolution(spark, sf_dir):
     )
     cur = versioned.read_snapshot(spark, base)
     # sanity the evolution contract inside the query: v1 keeps its own
-    # narrower schema (cheap metadata check, no extra jobs)
-    assert versioned.read_snapshot(spark, base, 1).columns == [
-        "o_orderkey",
-        "cents",
-    ]
+    # narrower schema (cheap metadata check, no extra jobs). Explicit
+    # raise, not assert — this is a production guard and must survive -O.
+    v1_cols = versioned.read_snapshot(spark, base, 1).columns
+    if v1_cols != ["o_orderkey", "cents"]:
+        raise RuntimeError(f"schema-evolution contract broken: v1 columns {v1_cols}")
     return (
         cur.groupBy(
             F.coalesce(F.col("priority"), F.lit("(none)")).alias("priority")
@@ -6107,6 +6129,82 @@ def q_schema_evolution(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents_total"),
         )
         .orderBy("priority")
+    )
+
+
+def q_partition_evolution(spark, sf_dir):
+    """Partition-SPEC evolution through the manifest table format
+    (sources/versioned.py, r13 — the remaining Iceberg-lite capability
+    after schema evolution / MERGE / compaction / retention / time
+    travel; reference analog: the monthly-partition layout the
+    reference's ETL writes, etl.py:54): snapshot 1 commits the 'F'
+    orders UNPARTITIONED (spec 1), snapshot 2 APPENDS the 'O' orders
+    partitioned by o_orderpriority (spec 2) — per-commit specs, the
+    Iceberg rule, so both layouts coexist in one table. The latest
+    snapshot is then read with where={'o_orderpriority': '1-URGENT'}:
+    manifest-level pruning opens ONLY the 1-URGENT partition of the
+    spec-2 files plus ALL spec-1 files (conservative inclusion — their
+    spec can't prune this column), and the row filter makes the result
+    exact. Runtime guards (explicit raise, -O-proof) pin the engine
+    facts the oracle can't see: two specs recorded, pruning skipped
+    the non-matching spec-2 partitions, and every spec-1 file
+    survived. The returned frame is pure data — per-status exact
+    counts + integer-cent totals of the urgent slice across BOTH
+    layouts — which the oracle recomputes straight from the corpus, so
+    a green row proves old-layout files stay readable and pruned
+    new-layout reads lose nothing. Table path SF+pid-tagged, rebuilt
+    per run (q_time_travel rule)."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_ptevo/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(o.filter(F.col("o_orderstatus") == "F"), base)
+    v2 = versioned.write_snapshot(
+        o.filter(F.col("o_orderstatus") == "O"),
+        base,
+        partition_by=["o_orderpriority"],
+    )
+    with open(versioned._manifest_path(base, v2)) as fh:
+        manifest = _json.load(fh)
+    if len(manifest["partition_specs"]) != 2 or manifest["current_spec"] != 2:
+        raise RuntimeError(f"expected spec evolution 1->2, got {manifest['partition_specs']}")
+    where = {"o_orderpriority": "1-URGENT"}
+    kept = set(versioned.prune_files(manifest, where))
+    fm = manifest["file_meta"]
+    spec1 = {f for f in manifest["files"] if fm[f]["spec_id"] == 1}
+    spec2 = {f for f in manifest["files"] if fm[f]["spec_id"] == 2}
+    if not spec1 <= kept:
+        raise RuntimeError("conservative inclusion broken: spec-1 files were pruned")
+    if not (spec2 - kept):
+        raise RuntimeError("pruning inert: no spec-2 file was skipped")
+    if {f for f in spec2 & kept if fm[f]["pt"].get("o_orderpriority") != "1-URGENT"}:
+        raise RuntimeError("pruning kept a contradicting spec-2 partition")
+    return (
+        versioned.read_snapshot(spark, base, where=where)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 
@@ -6639,6 +6737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
+    # --- new this round (no driver rows)
+    "q_partition_evolution": q_partition_evolution,
     # --- newest driver row: r07
     "q_tumbling_hour": q_tumbling_hour,
     "q_window_range_frame": q_window_range_frame,
@@ -6689,8 +6789,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_textrank": q_textrank,
     "q_tfidf_cosine": q_tfidf_cosine,
     "q_token_entropy": q_token_entropy,
-    "q_token_pmi": q_token_pmi,
-    "q_udaf_geomean": q_udaf_geomean,  # <- driver window cut (50)
+    "q_token_pmi": q_token_pmi,  # <- driver window cut (50)
+    "q_udaf_geomean": q_udaf_geomean,
     "q_udtf_chunks": q_udtf_chunks,
     "q_variant_extract": q_variant_extract,
     "q_window_navigation": q_window_navigation,

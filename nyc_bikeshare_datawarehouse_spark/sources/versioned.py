@@ -32,13 +32,49 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import urllib.parse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
+
+#: directory-name prefix for partition MIRROR columns: write_snapshot
+#: partitions on a `__pt_<col>` COPY of each partition column so the
+#: original stays inside the data files (Spark's writer strips partition
+#: columns from file content; manifest readers read explicit leaf files,
+#: where Hive-style partition inference never runs — the mirror keeps
+#: every snapshot readable as plain files under the recorded schema,
+#: whatever spec wrote it)
+_PT_PREFIX = "__pt_"
 
 
 def _manifest_path(base_dir: str, version: int) -> str:
     return os.path.join(base_dir, f"_manifest_v{version}.json")
+
+
+def _leaf_files(d: str) -> list[str]:
+    """All committed parquet leaves under `d`, recursively — partitioned
+    writes nest files under __pt_<col>=<value>/ directories."""
+    out = []
+    for root, _dirs, fs in os.walk(d):
+        out.extend(
+            os.path.join(root, f)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def _pt_values(path: str, data_dir: str) -> dict[str, str]:
+    """Partition values encoded in `path`'s directory segments (STRING
+    form, Hive-escaped by Spark's writer — unescaped here)."""
+    vals: dict[str, str] = {}
+    rel = os.path.relpath(path, data_dir)
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k.startswith(_PT_PREFIX):
+                vals[k[len(_PT_PREFIX):]] = urllib.parse.unquote(v)
+    return vals
 
 
 def latest_version(base_dir: str) -> int:
@@ -52,14 +88,6 @@ def latest_version(base_dir: str) -> int:
         if f.startswith("_manifest_v") and f.endswith(".json")
     ]
     return max(vs, default=0)
-
-
-def _data_files(d: str) -> list[str]:
-    return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
 
 
 def manifest_metadata(base_dir: str, version: int | None = None) -> dict:
@@ -83,7 +111,13 @@ def last_metadata_value(base_dir: str, key: str, default=None):
     an interleaved non-stream `write_snapshot` to the same base_dir
     (no batch_id metadata) would otherwise reset the guard to its
     default and let a replayed micro-batch double-append. Stream batch
-    ids are monotone in commit order, so newest-carrying == max."""
+    ids are monotone in commit order, so newest-carrying == max.
+
+    Cost: O(1) manifest reads for stream-only tables (the newest
+    manifest carries the key), but degrades toward O(history) small-file
+    reads on a long-lived table with frequent non-stream interleaves and
+    no keep_last retention — run `expire_snapshots` periodically on such
+    tables, or accept the scan (manifests are tiny JSON)."""
     base_dir = os.path.abspath(base_dir)
     for v in range(latest_version(base_dir), 0, -1):
         mp = _manifest_path(base_dir, v)
@@ -101,6 +135,7 @@ def write_snapshot(
     base_dir: str,
     mode: str = "append",
     metadata: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit `df` as a new snapshot and return its version.
 
@@ -113,9 +148,25 @@ def write_snapshot(
     `metadata` (JSON-serializable dict) is stored IN the manifest, so
     it commits atomically with the snapshot — e.g. the streaming
     sink's source batch id, read back via `manifest_metadata` to make
-    replayed micro-batches idempotent."""
+    replayed micro-batches idempotent.
+
+    `partition_by` lays this COMMIT's files out partitioned by the named
+    columns (mirror-column trick, see _PT_PREFIX) and records each
+    file's partition values in the manifest, enabling manifest-level
+    partition pruning in `read_snapshot(where=...)`. Partition-SPEC
+    EVOLUTION is per-commit, the Iceberg rule: the spec applies to the
+    files it wrote, never retroactively — a table can hold spec-v1
+    (say, unpartitioned) files and spec-v2 (month-partitioned) files
+    side by side; old files stay readable unchanged and pruning simply
+    can't skip files whose spec lacks the pruned column (conservative
+    inclusion). The manifest carries the full spec history
+    (partition_specs + current_spec)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in dataframe: {missing}")
     # absolute from here on: manifests store these paths verbatim, and a
     # relative base_dir would make spark.read.parquet(*files) resolve
     # against Spark's default FS / working dir, which can differ from
@@ -126,13 +177,40 @@ def write_snapshot(
     data_dir = os.path.join(base_dir, f"v{version}")
     if os.path.isdir(data_dir):  # torn uncommitted write from a dead run
         shutil.rmtree(data_dir)
-    df.write.mode("overwrite").parquet(data_dir)
-    files = _data_files(data_dir)
+    if partition_by:
+        writer = df
+        for c in partition_by:
+            writer = writer.withColumn(_PT_PREFIX + c, F.col(c).cast("string"))
+        writer.write.mode("overwrite").partitionBy(
+            *[_PT_PREFIX + c for c in partition_by]
+        ).parquet(data_dir)
+    else:
+        df.write.mode("overwrite").parquet(data_dir)
+    new_files = _leaf_files(data_dir)
+    files = list(new_files)
     schema = df.schema
-    if mode == "append" and prev > 0:
+    # spec history: reuse the prior spec version when the column list
+    # matches, else append a new spec (evolution)
+    prev_manifest = None
+    if prev > 0 and os.path.exists(_manifest_path(base_dir, prev)):
         with open(_manifest_path(base_dir, prev)) as fh:
             prev_manifest = json.load(fh)
+    specs = list(prev_manifest.get("partition_specs", [])) if prev_manifest else []
+    spec_id = next(
+        (s["spec_id"] for s in specs if s["columns"] == partition_by), None
+    )
+    if spec_id is None:
+        spec_id = len(specs) + 1
+        specs.append({"spec_id": spec_id, "columns": partition_by})
+    file_meta = {
+        f: {"pt": _pt_values(f, data_dir), "spec_id": spec_id} for f in new_files
+    }
+    if mode == "append" and prev > 0:
         files = prev_manifest["files"] + files
+        # prior files keep their own recorded partition values/spec;
+        # legacy manifests without file_meta contribute nothing (their
+        # files are then never prunable — conservative)
+        file_meta = {**prev_manifest.get("file_meta", {}), **file_meta}
         # add-only schema evolution: the recorded schema is the previous
         # schema plus any NEW fields this append introduces — so an
         # append missing an old column keeps it readable (NULL for the
@@ -163,6 +241,9 @@ def write_snapshot(
                 "files": files,
                 "schema": schema.jsonValue(),
                 "metadata": metadata or {},
+                "partition_specs": specs,
+                "current_spec": spec_id,
+                "file_meta": file_meta,
             },
             fh,
         )
@@ -171,7 +252,10 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, base_dir: str, version: int | None = None
+    spark: SparkSession,
+    base_dir: str,
+    version: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Read the table AS OF `version` (default: latest). Reads exactly
     the manifest's file list — never a directory scan — UNDER THE
@@ -181,7 +265,16 @@ def read_snapshot(
     snapshot's schema stable instead of depending on which file Spark
     happens to sample first. Reading an OLD version likewise shows only
     the columns that version knew (newer files never appear in its
-    manifest, so no projection is needed)."""
+    manifest, so no projection is needed).
+
+    `where` ({column: value}) is MANIFEST-LEVEL partition pruning: files
+    whose recorded partition values contradict it are never opened (the
+    Iceberg split-planning rule). Values compare in STRING form (the
+    directory encoding). Files written under a spec that lacks a pruned
+    column — older-spec files after a partition-spec evolution, or any
+    legacy manifest without file_meta — are conservatively INCLUDED, so
+    the result is always correct; the matching row filter is applied to
+    the frame as well, making `where` purely an I/O optimization."""
     base_dir = os.path.abspath(base_dir)
     if version is None:
         version = latest_version(base_dir)
@@ -192,11 +285,35 @@ def read_snapshot(
         manifest = json.load(fh)
     files = manifest["files"]
     schema = StructType.fromJson(manifest["schema"])
+    if where:
+        files = prune_files(manifest, where)
     if not files:
-        # an empty commit (e.g. an empty CDC batch) is a valid snapshot:
-        # rebuild the empty frame from the manifest's recorded schema
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+        # an empty commit (e.g. an empty CDC batch) is a valid snapshot
+        # — or a `where` no file can match: rebuild the empty frame from
+        # the manifest's recorded schema
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*files)
+    if where:
+        for k, v in where.items():
+            df = df.filter(F.col(k).cast("string") == str(v))
+    return df
+
+
+def prune_files(manifest: dict, where: dict) -> list[str]:
+    """The manifest's file list under `where` partition pruning —
+    exposed separately so tests and planners can count skipped files
+    without reading anything."""
+    fm = manifest.get("file_meta", {})
+
+    def keep(f: str) -> bool:
+        meta = fm.get(f)
+        if meta is None:  # legacy manifest — never prunable
+            return True
+        pt = meta.get("pt", {})
+        return all(k not in pt or pt[k] == str(v) for k, v in where.items())
+
+    return [f for f in manifest["files"] if keep(f)]
 
 
 def merge_into_snapshot(
@@ -305,11 +422,13 @@ def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:
                     os.remove(f)
         os.remove(_manifest_path(base_dir, v))
     # long-lived tables: reap v{n} dirs the dead-file sweep emptied
-    # (parquet writes leave _SUCCESS/.crc sidecars no manifest names)
+    # (parquet writes leave _SUCCESS/.crc sidecars no manifest names).
+    # RECURSIVE emptiness check — a partitioned commit nests its files
+    # under __pt_*=*/ subdirs, where a top-level listdir sees no
+    # .parquet and would reap a directory that still holds live files
+    # (e.g. a later snapshot still referencing them).
     for v in expired:
         d = os.path.join(base_dir, f"v{v}")
-        if os.path.isdir(d) and not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
+        if os.path.isdir(d) and not _leaf_files(d):
             shutil.rmtree(d)
     return expired

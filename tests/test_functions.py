@@ -171,6 +171,39 @@ class TestDedup:
             ham_far = bin(sigs[1] ^ sigs[4]).count("1")
             assert ham_near < ham_far
 
+    def test_simhash_conjunction_recall_vs_brute_force(self, spark, docs):
+        # pigeonhole: with `bands` chunks joined on all C(bands,2) pairs,
+        # every pair within Hamming <= bands-2 MUST surface as a candidate.
+        for bands, sig_bits in ((4, 32), (8, 64)):
+            radius = bands - 2
+            sig_expr = (
+                dedup.simhash_portable("text", 32) if sig_bits == 32 else dedup.simhash64("text")
+            )
+            sigs = {
+                r["doc_id"]: r["sig"]
+                for r in docs.select("doc_id", sig_expr.alias("sig")).collect()
+            }
+            want = {
+                (a, b)
+                for a in sigs
+                for b in sigs
+                if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= radius
+            }
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in dedup.simhash_candidates(
+                    docs, "text", "doc_id", bands=bands, sig=sig_expr, sig_bits=sig_bits,
+                    conjunction=True,
+                )
+                .filter(F.col("hamming") <= radius)
+                .collect()
+            }
+            assert got == want
+
+    def test_simhash_conjunction_rejects_thin_bands(self, spark, docs):
+        with pytest.raises(ValueError, match="bands >= 3"):
+            dedup.simhash_candidates(docs, bands=2, conjunction=True)
+
     def test_minhash_est_jaccard(self, spark, docs):
         pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
         got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}

@@ -417,3 +417,114 @@ class TestSnapshotSchemaEvolution:
         assert cur.columns == ["id", "v"]
         got = {r["id"]: r["v"] for r in cur.collect()}
         assert got == {0: None, 1: None, 2: 4, 3: 6}
+
+
+class TestPartitionSpecEvolution:
+    def _table(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        # v1: unpartitioned (spec 1); v2: appends under a grp spec (spec 2)
+        versioned.write_snapshot(
+            spark.range(0, 6).selectExpr("id", "CAST(id % 2 AS STRING) AS grp"),
+            base,
+        )
+        versioned.write_snapshot(
+            spark.range(6, 12).selectExpr("id", "CAST(id % 2 AS STRING) AS grp"),
+            base,
+            partition_by=["grp"],
+        )
+        return versioned, base
+
+    def test_spec_history_and_file_meta(self, spark, tmp_path):
+        import json
+        import os
+
+        versioned, base = self._table(spark, tmp_path)
+        m = json.load(open(os.path.join(base, "_manifest_v2.json")))
+        assert m["partition_specs"] == [
+            {"spec_id": 1, "columns": []},
+            {"spec_id": 2, "columns": ["grp"]},
+        ]
+        assert m["current_spec"] == 2
+        specs = {m["file_meta"][f]["spec_id"] for f in m["files"]}
+        assert specs == {1, 2}
+        pts = {
+            m["file_meta"][f]["pt"].get("grp")
+            for f in m["files"]
+            if m["file_meta"][f]["spec_id"] == 2
+        }
+        assert pts == {"0", "1"}
+
+    def test_old_layout_stays_readable_and_complete(self, spark, tmp_path):
+        versioned, base = self._table(spark, tmp_path)
+        cur = versioned.read_snapshot(spark, base)
+        assert cur.columns == ["id", "grp"]  # partition col still IN the files
+        assert sorted(r["id"] for r in cur.collect()) == list(range(12))
+
+    def test_pruned_read_is_exact_and_skips_files(self, spark, tmp_path):
+        import json
+        import os
+
+        versioned, base = self._table(spark, tmp_path)
+        m = json.load(open(os.path.join(base, "_manifest_v2.json")))
+        kept = set(versioned.prune_files(m, {"grp": "1"}))
+        spec1 = {f for f in m["files"] if m["file_meta"][f]["spec_id"] == 1}
+        spec2 = {f for f in m["files"] if m["file_meta"][f]["spec_id"] == 2}
+        assert spec1 <= kept  # conservative inclusion: spec-1 can't prune grp
+        assert spec2 - kept  # some spec-2 partition actually skipped
+        assert all(
+            m["file_meta"][f]["pt"]["grp"] == "1" for f in spec2 & kept
+        )
+        got = sorted(
+            r["id"]
+            for r in versioned.read_snapshot(spark, base, where={"grp": "1"}).collect()
+        )
+        assert got == [1, 3, 5, 7, 9, 11]  # row filter covers unprunable files
+
+    def test_same_spec_reused_not_duplicated(self, spark, tmp_path):
+        import json
+        import os
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        d = spark.range(0, 4).selectExpr("id", "CAST(id % 2 AS STRING) AS grp")
+        versioned.write_snapshot(d, base, partition_by=["grp"])
+        versioned.write_snapshot(d, base, partition_by=["grp"])
+        m = json.load(open(os.path.join(base, "_manifest_v2.json")))
+        assert m["partition_specs"] == [{"spec_id": 1, "columns": ["grp"]}]
+        assert m["current_spec"] == 1
+
+    def test_partition_by_missing_column_refused(self, spark, tmp_path):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        with pytest.raises(ValueError, match="not in dataframe"):
+            versioned.write_snapshot(
+                spark.range(2), str(tmp_path / "tbl"), partition_by=["nope"]
+            )
+
+    def test_expire_reaper_spares_partitioned_live_files(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        d = spark.range(0, 4).selectExpr("id", "CAST(id % 2 AS STRING) AS grp")
+        versioned.write_snapshot(d, base, partition_by=["grp"])  # v1, nested files
+        versioned.write_snapshot(
+            spark.range(4, 6).selectExpr("id", "CAST(id % 2 AS STRING) AS grp"),
+            base,
+        )  # v2 appends, REUSING v1's nested files
+        versioned.expire_snapshots(base, keep_from=2)
+        # v1's nested files are still referenced by v2: the recursive
+        # emptiness check must NOT reap v1's directory
+        assert sorted(
+            r["id"] for r in versioned.read_snapshot(spark, base, 2).collect()
+        ) == [0, 1, 2, 3, 4, 5]
+
+    def test_where_no_match_returns_empty_with_schema(self, spark, tmp_path):
+        versioned, base = self._table(spark, tmp_path)
+        out = versioned.read_snapshot(spark, base, where={"grp": "7"})
+        assert out.columns == ["id", "grp"]
+        assert out.count() == 0
