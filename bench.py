@@ -82,11 +82,12 @@ HEAVY = [
     # round 11: its calibrated-cutoff pruned twin (corpus index df-pruned
     # at 0.9 x median corpus-shingle df; 8.6s -> 2.9s at sf0.1)
     "q_incremental_dedup_pruned",
-    # 32-bit portable signature (round 7; was 16) with 8-bit bands:
-    # 256 buckets per band vs 16 cut sf0.1 candidate pairs 11.0M -> 6.5M.
+    # 32-bit portable signature (round 7; was 16). Round 13: conjunction
+    # banding (pairs of 8-bit chunks, 2^16-value keys) replaced the
+    # 256-bucket single-chunk scheme whose candidate volume was
+    # keyspace-capped quadratic; 10x probe now flat (alpha -0.03).
     # Still heavy: the corpus's big near-dup clusters make the TRUE-pair
-    # output itself large (504k rows at sf0.1), which no recall-
-    # preserving banding can shrink.
+    # output itself large, which no recall-preserving banding can shrink.
     "q_simhash_portable",
     # round 7 members: containment shares q_ngram_jaccard's exact
     # inverted-index join (same dense-vocabulary regime); fuzzy join is
@@ -98,6 +99,11 @@ HEAVY = [
     "q_fuzzy_join",
     # fuzzy edges -> iterative CC -> golden record; the CC rounds dominate
     "q_entity_resolution",
+    # --- r13 members (below the frozen-16 legacy_heavy prefix) ---
+    # cross-modal dedup capstone: 3 portable edge families + two-star CC
+    # (~10s at sf0.1); its engine-hash twin's members (phash / audio /
+    # minhash) are each benched individually, so the twin stays out.
+    "q_multimodal_dedup",
 ]
 
 

@@ -2283,19 +2283,24 @@ def _zorder_layout_sql(bits: int = 10) -> str:
 ORACLES["q_zorder_layout"] = _zorder_layout_sql()
 
 
-def _simhash_portable_sql(n_bits: int = 32, bands: int = 4, max_hamming: int = 1) -> str:
-    """Replays dedup.simhash_portable + banded candidates bit by bit:
-    per 16-bit word, md5 of the salted token ("<word>:" prefix — an
-    independent hash family per word, mirroring _salted_token_hashes),
-    integer bit votes, banded equi-join, Hamming via bit_count(xor).
-    All-integer arithmetic — bit-exact."""
+def _simhash_cte_block(n_bits: int = 32, bands: int = 4) -> str:
+    """The portable-SimHash lattice as a reusable CTE block (tok/h/votes/
+    sig/chunks/pairs) — shared by the standalone q_simhash_portable
+    oracle and the q_multimodal_dedup composition. Per 16-bit word, md5
+    of the salted token ("<word>:" prefix — an independent hash family
+    per word, mirroring _salted_token_hashes), integer bit votes,
+    banded equi-join, Hamming via bit_count(xor). All-integer
+    arithmetic — bit-exact. The banded candidates here are the
+    SINGLE-chunk scheme; Spark moved to conjunction banding in r13, but
+    any scheme with recall covering the final exact Hamming filter
+    yields the same pair set, so the oracle form is scheme-independent
+    at the output level."""
     bit_rows = ", ".join(f"({b})" for b in range(n_bits))
     band_rows = ", ".join(f"({b})" for b in range(bands))
     width = n_bits // bands
     n_words = -(-n_bits // 16)
     word_rows = ", ".join(f"({w})" for w in range(n_words))
-    return f"""
-        WITH tok AS (
+    return f"""tok AS (
             SELECT DISTINCT doc_id,
                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
             FROM documents
@@ -2323,7 +2328,13 @@ def _simhash_portable_sql(n_bits: int = 32, bands: int = 4, max_hamming: int = 1
             FROM chunks a
             JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
                          AND a.doc_id < b.doc_id
-        )
+        )"""
+
+
+def _simhash_portable_sql(n_bits: int = 32, bands: int = 4, max_hamming: int = 1) -> str:
+    """Standalone simhash near-dup oracle over _simhash_cte_block."""
+    return f"""
+        WITH {_simhash_cte_block(n_bits, bands)}
         SELECT id_a, id_b, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
         FROM pairs
         WHERE bit_count(xor(s1, s2)) <= {max_hamming}
@@ -2332,6 +2343,58 @@ def _simhash_portable_sql(n_bits: int = 32, bands: int = 4, max_hamming: int = 1
 
 
 ORACLES["q_simhash_portable"] = _simhash_portable_sql()
+
+
+def _multimodal_dedup_sql(max_hamming: int = 1) -> str:
+    """Oracle for q_multimodal_dedup: three portable edge families —
+    exact-content star edges (md5 of normalized text), token-set-
+    fingerprint star edges, and simhash Hamming <= 1 near-dup pairs —
+    composed into min-label connected components via the recursive-CTE
+    pattern proven by q_embed_dedup_pipeline. Star edges replay as
+    MIN(doc_id) OVER the identity-key partition, exactly the Spark
+    _modality_star_edges window."""
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+        WITH RECURSIVE {_simhash_cte_block()}, d AS (
+            SELECT doc_id, text FROM documents WHERE len({toks}) >= 1
+        ), exact_star AS (
+            SELECT doc_id AS a,
+                   MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS b
+            FROM d
+        ), fp_star AS (
+            SELECT doc_id AS a,
+                   MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
+                       list_sort(list_distinct({toks})), ' '))) AS b
+            FROM d
+        ), alledges AS (
+            SELECT a, b FROM exact_star WHERE a <> b
+            UNION
+            SELECT a, b FROM fp_star WHERE a <> b
+            UNION
+            SELECT id_a AS a, id_b AS b FROM pairs
+            WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM alledges
+            UNION ALL
+            SELECT b AS src, a AS dst FROM alledges
+        ), reach AS (
+            SELECT doc_id AS node, doc_id AS lab FROM d
+            UNION
+            SELECT e.dst AS node, r.lab
+            FROM reach r JOIN edges e ON e.src = r.node
+        ), clusters AS (
+            SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM clusters
+        GROUP BY cluster_id
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster_id
+    """
+
+
+ORACLES["q_multimodal_dedup"] = _multimodal_dedup_sql()
 
 def _lang_id_sql() -> str:
     """Replays functions/text.language_id: per-language stopword-hit

@@ -2545,6 +2545,113 @@ def q_audio_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _modality_star_edges(keyed: DataFrame) -> DataFrame:
+    """Star edges (doc -> group-min) for an identity-key modality: one
+    window shuffle on the key, O(n) edges — never the quadratic pair
+    expansion a hot duplicate group would otherwise cost (a 10k-copy
+    boilerplate doc is 10k star edges, not 50M pairs). CC semantics are
+    unchanged: a star is connectivity-equivalent to the clique."""
+    w = Window.partitionBy("h")
+    return (
+        keyed.select(
+            F.col("doc_id").alias("id_a"),
+            F.min("doc_id").over(w).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+
+
+def q_multimodal_dedup(spark, sf_dir):
+    """Cross-modal dedup capstone (r13): one component set over edges
+    from THREE modalities — exact byte identity of the synthesized
+    audio track (= md5 of normalized text, the deterministic synth
+    input), byte identity of the synthesized image (= the order-
+    invariant token-set fingerprint), and text NEAR-duplication
+    (portable SimHash, Hamming <= 1, conjunction-banded candidates) —
+    the "same document, any modality" dedup a multimodal 100 TB
+    pipeline runs before training. Identity modalities contribute
+    linear STAR edges (see _modality_star_edges); only the near-dup
+    modality pays a banded join; components are two_star_components
+    (O(log n) rounds, checkpointed). Every edge family here is
+    engine-portable, so the DuckDB oracle replays the full composition
+    — star groups, the bit-exact simhash lattice, recursive-CTE CC —
+    and a green row proves modality edges merged into exactly the
+    right clusters. The engine-hash twin (DCT pHash / energy
+    fingerprints / xxhash minhash) is q_multimodal_dedup_engine,
+    rows-only by the same rule as its members."""
+    d = _t(spark, sf_dir, "documents").filter(F.size(text.tokens("text")) >= 1)
+    ids = d.select("doc_id")
+    audio_star = _modality_star_edges(
+        d.select("doc_id", dedup.normalized_hash("text").alias("h"))
+    )
+    image_star = _modality_star_edges(
+        d.select("doc_id", text.token_set_fingerprint("text").alias("h"))
+    )
+    near = (
+        dedup.simhash_candidates(
+            d, "text", "doc_id", bands=4,
+            sig=dedup.simhash_portable("text", 32), sig_bits=32,
+            conjunction=True,
+        )
+        .filter(F.col("hamming") <= 1)
+        .select("id_a", "id_b")
+    )
+    edges = audio_star.unionByName(image_star).unionByName(near)
+    comp = graph.two_star_components(edges, ids, "doc_id")
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("cluster_id").cast("long").alias("cluster_id"), "n_docs")
+        .orderBy("cluster_id")
+    )
+
+
+def q_multimodal_dedup_engine(spark, sf_dir):
+    """Production engine-hash twin of q_multimodal_dedup: image edges
+    from DCT pHash (Hamming <= 6), audio edges from the Haitsma-Kalker
+    energy fingerprint (Hamming <= 4) — both through the banded join —
+    and text edges from xxhash MinHash-LSH candidates verified at
+    est_jaccard >= 0.7, composed into one two-star component set.
+    Rows-only (deterministic) like every engine-hash member: DCT and
+    the WAV energy walk have no SQL form; the portable-edge twin above
+    carries the hash check for the composition itself. The two
+    mapInPandas extractions are localCheckpointed before banding
+    (diverged-subplan rule), so pixels/samples decode once and only
+    8-byte hashes ever shuffle."""
+    d = _t(spark, sf_dir, "documents").filter(F.size(text.tokens("text")) >= 1)
+    ids = d.select("doc_id")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(text.tokens("text")))),
+            "utf-8",
+        ).alias("content"),
+    )
+    img = multimodal.phash_images(assets).localCheckpoint(eager=True)
+    image_e = multimodal.phash_near_dup(img, max_hamming=6).select("id_a", "id_b")
+    fps = multimodal.audio_fingerprint(
+        multimodal.synth_wav(assets, rate=8000, limit=2048)
+    ).localCheckpoint(eager=True)
+    audio_e = multimodal.phash_near_dup(
+        fps, max_hamming=4, id_col="asset_id", hash_col="afp"
+    ).select("id_a", "id_b")
+    text_e = (
+        dedup.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    edges = image_e.unionByName(audio_e).unionByName(text_e)
+    comp = graph.two_star_components(edges, ids, "doc_id")
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("cluster_id").cast("long").alias("cluster_id"), "n_docs")
+        .orderBy("cluster_id")
+    )
+
+
 def q_token_budget(spark, sf_dir):
     """Token-budget curation (functions/text.py `with_token_budget`): per
     language, keep documents in (n_chars DESC, doc_id ASC) priority order
@@ -6739,6 +6846,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
     "q_partition_evolution": q_partition_evolution,
+    "q_multimodal_dedup": q_multimodal_dedup,
+    "q_multimodal_dedup_engine": q_multimodal_dedup_engine,
     # --- newest driver row: r07
     "q_tumbling_hour": q_tumbling_hour,
     "q_window_range_frame": q_window_range_frame,
@@ -6787,9 +6896,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_spatial_join": q_spatial_join,
     "q_stream_dedup_batch": q_stream_dedup_batch,
     "q_textrank": q_textrank,
-    "q_tfidf_cosine": q_tfidf_cosine,
+    "q_tfidf_cosine": q_tfidf_cosine,  # <- driver window cut (50)
     "q_token_entropy": q_token_entropy,
-    "q_token_pmi": q_token_pmi,  # <- driver window cut (50)
+    "q_token_pmi": q_token_pmi,
     "q_udaf_geomean": q_udaf_geomean,
     "q_udtf_chunks": q_udtf_chunks,
     "q_variant_extract": q_variant_extract,

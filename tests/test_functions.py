@@ -204,6 +204,39 @@ class TestDedup:
         with pytest.raises(ValueError, match="bands >= 3"):
             dedup.simhash_candidates(docs, bands=2, conjunction=True)
 
+    def test_prefix_positional_lossless_and_pruning(self, spark):
+        # Engineered for a positional prune: doc 1 shares its RAREST
+        # shingle `x` (prefix position 1) with tiny doc 3, where `x`
+        # sits at the END (position 2) — overlap bound min(1,2) +
+        # min(4-1, 2-2) = 1 < required (4+2)/3, so the (1,3) candidate
+        # (which passes the size-ratio filter 2 >= 4*0.5) dies before
+        # verify. True pairs (jaccard 3/5 via the hot c-tokens) have
+        # aligned positions and full tails — never pruned.
+        rows = [(1, "x c1 c2 c3"), (2, "y c1 c2 c3"), (3, "w x"),
+                (4, "c1 c2 c3 f1"), (5, "c1 c2 c3 f2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(text_col="text", id_col="doc_id", shingle_n=1, min_jaccard=0.5)
+        base = {(r["id_a"], r["id_b"])
+                for r in dedup.prefix_jaccard_candidates(df, **kw).collect()}
+        pos = {(r["id_a"], r["id_b"])
+               for r in dedup.prefix_jaccard_candidates(df, positional=True, **kw).collect()}
+        assert pos <= base and pos < base  # strictly prunes on this shape
+        verified = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.jaccard_verify_pairs(
+                df, dedup.prefix_jaccard_candidates(df, positional=True, **kw), **kw
+            ).collect()
+        }
+        # ground truth from the all-candidate verify: nothing lost
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.jaccard_verify_pairs(
+                df, dedup.prefix_jaccard_candidates(df, **kw), **kw
+            ).collect()
+        }
+        assert (1, 3) in base and (1, 3) not in pos  # the engineered prune
+        assert verified == truth and (1, 2) in truth
+
     def test_minhash_est_jaccard(self, spark, docs):
         pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
         got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
