@@ -2396,6 +2396,21 @@ def _multimodal_dedup_sql(max_hamming: int = 1) -> str:
 
 ORACLES["q_multimodal_dedup"] = _multimodal_dedup_sql()
 
+# Zone-map data skipping (r13): the layout (range clustering, per-file
+# min/max, manifest pruning) is engine-internal and pinned by runtime
+# guards in the query; the DATA contract the oracle replays is that the
+# pruned read equals the plain key-range slice — skipping lost nothing.
+ORACLES["q_zone_map_skipping"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
 def _lang_id_sql() -> str:
     """Replays functions/text.language_id: per-language stopword-hit
     counts from a generated VALUES table, argmax via struct max (same

@@ -6315,6 +6315,69 @@ def q_partition_evolution(spark, sf_dir):
     )
 
 
+def q_zone_map_skipping(spark, sf_dir):
+    """File-level ZONE-MAP data skipping through the manifest format
+    (sources/versioned.py stats_for / where_range, r13 — the Iceberg
+    column-stats idea lifted to the manifest, pruning before any
+    parquet footer opens): orders are committed range-CLUSTERED on
+    o_orderkey (repartitionByRange — zone maps are only as selective
+    as the layout) with per-file min/max recorded by one extra
+    O(commit) job, then read back under o_orderkey ∈ [1000, 2000].
+    Runtime guards (-O-proof raises) pin the engine facts: stats
+    recorded for every file, pruning skipped at least one file, and
+    every kept file's [min, max] intersects the predicate. The
+    returned frame is pure data — per-status exact counts and
+    integer-cent totals of the key slice — which the oracle recomputes
+    straight from the corpus, so a green row proves skipped files
+    carried no matching rows."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_zonemap/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    v = versioned.write_snapshot(
+        o.repartitionByRange(8, "o_orderkey"), base, stats_for=["o_orderkey"]
+    )
+    with open(versioned._manifest_path(base, v)) as fh:
+        manifest = _json.load(fh)
+    fm = manifest["file_meta"]
+    if not all("stats" in m and "o_orderkey" in m["stats"] for m in fm.values()):
+        raise RuntimeError("zone maps missing from the committed manifest")
+    lo, hi = 1000, 2000
+    kept = versioned.prune_files(manifest, where_range={"o_orderkey": (lo, hi)})
+    if len(kept) >= len(manifest["files"]):
+        raise RuntimeError("zone-map pruning inert: no file was skipped")
+    for f in kept:
+        mn, mx = fm[f]["stats"]["o_orderkey"]
+        if mx < lo or mn > hi:
+            raise RuntimeError(f"kept file {f} cannot intersect [{lo}, {hi}]")
+    return (
+        versioned.read_snapshot(spark, base, where_range={"o_orderkey": (lo, hi)})
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation — the classic CRM/warehouse readout:
     per-customer Recency (days since last order, vs the corpus max
@@ -6846,6 +6909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
     "q_partition_evolution": q_partition_evolution,
+    "q_zone_map_skipping": q_zone_map_skipping,
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_multimodal_dedup_engine": q_multimodal_dedup_engine,
     # --- newest driver row: r07
@@ -6895,8 +6959,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sliding_distinct": q_sliding_distinct,
     "q_spatial_join": q_spatial_join,
     "q_stream_dedup_batch": q_stream_dedup_batch,
-    "q_textrank": q_textrank,
-    "q_tfidf_cosine": q_tfidf_cosine,  # <- driver window cut (50)
+    "q_textrank": q_textrank,  # <- driver window cut (50)
+    "q_tfidf_cosine": q_tfidf_cosine,
     "q_token_entropy": q_token_entropy,
     "q_token_pmi": q_token_pmi,
     "q_udaf_geomean": q_udaf_geomean,

@@ -51,6 +51,22 @@ def _manifest_path(base_dir: str, version: int) -> str:
     return os.path.join(base_dir, f"_manifest_v{version}.json")
 
 
+def _stat_value(v):
+    """JSON-safe zone-map bound: numerics/bools verbatim, anything else
+    (dates, timestamps, decimals) via str() — ISO text order = value
+    order for the temporal types, so string comparison stays sound."""
+    return v if v is None or isinstance(v, (int, float, bool)) else str(v)
+
+
+def _lt(a, b):
+    """Comparison that refuses cross-type guesses: None = unknown (the
+    caller must treat it as 'cannot prune')."""
+    try:
+        return bool(a < b)
+    except TypeError:
+        return None
+
+
 def _leaf_files(d: str) -> list[str]:
     """All committed parquet leaves under `d`, recursively — partitioned
     writes nest files under __pt_<col>=<value>/ directories."""
@@ -136,6 +152,7 @@ def write_snapshot(
     mode: str = "append",
     metadata: dict | None = None,
     partition_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
 ) -> int:
     """Commit `df` as a new snapshot and return its version.
 
@@ -160,13 +177,29 @@ def write_snapshot(
     side by side; old files stay readable unchanged and pruning simply
     can't skip files whose spec lacks the pruned column (conservative
     inclusion). The manifest carries the full spec history
-    (partition_specs + current_spec)."""
+    (partition_specs + current_spec).
+
+    `stats_for` records per-FILE min/max ZONE MAPS for the named
+    columns in the manifest (one extra Spark job grouped by
+    input_file_name over the just-written commit — O(new data), never
+    the table). `read_snapshot(where_range=...)` then skips files whose
+    [min, max] cannot intersect the predicate — the Iceberg
+    column-stats / parquet row-group-stats idea lifted to the manifest,
+    where it prunes before ANY footer is opened. Zone maps are only as
+    selective as the layout: cluster first (repartitionByRange on the
+    stat column) or the per-file ranges all overlap and nothing skips.
+    Values are stored verbatim for numerics and as strings otherwise
+    (dates/timestamps via str() — ISO order = value order)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
     partition_by = list(partition_by or [])
+    stats_for = list(stats_for or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition_by columns not in dataframe: {missing}")
+    missing = [c for c in stats_for if c not in df.columns]
+    if missing:
+        raise ValueError(f"stats_for columns not in dataframe: {missing}")
     # absolute from here on: manifests store these paths verbatim, and a
     # relative base_dir would make spark.read.parquet(*files) resolve
     # against Spark's default FS / working dir, which can differ from
@@ -202,8 +235,37 @@ def write_snapshot(
     if spec_id is None:
         spec_id = len(specs) + 1
         specs.append({"spec_id": spec_id, "columns": partition_by})
+    # zone maps: ONE job over the just-written commit, grouped by
+    # physical file — O(new data), never the table; the collect is
+    # O(files) driver state (bounded like every manifest operation)
+    col_stats: dict[str, dict] = {}
+    if stats_for and new_files:
+        aggs = []
+        for c in stats_for:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        rows = (
+            df.sparkSession.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            # input_file_name returns a URI; normalize to the os path
+            # _leaf_files produced
+            p = os.path.abspath(
+                urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+            )
+            col_stats[p] = {
+                c: [_stat_value(r[f"__mn_{c}"]), _stat_value(r[f"__mx_{c}"])]
+                for c in stats_for
+            }
     file_meta = {
-        f: {"pt": _pt_values(f, data_dir), "spec_id": spec_id} for f in new_files
+        f: {
+            "pt": _pt_values(f, data_dir),
+            "spec_id": spec_id,
+            **({"stats": col_stats[f]} if f in col_stats else {}),
+        }
+        for f in new_files
     }
     if mode == "append" and prev > 0:
         files = prev_manifest["files"] + files
@@ -256,6 +318,7 @@ def read_snapshot(
     base_dir: str,
     version: int | None = None,
     where: dict | None = None,
+    where_range: dict | None = None,
 ) -> DataFrame:
     """Read the table AS OF `version` (default: latest). Reads exactly
     the manifest's file list — never a directory scan — UNDER THE
@@ -274,7 +337,16 @@ def read_snapshot(
     column — older-spec files after a partition-spec evolution, or any
     legacy manifest without file_meta — are conservatively INCLUDED, so
     the result is always correct; the matching row filter is applied to
-    the frame as well, making `where` purely an I/O optimization."""
+    the frame as well, making `where` purely an I/O optimization.
+
+    `where_range` ({column: (lo, hi)}, either bound None for open) is
+    the ZONE-MAP analog over the per-file min/max stats recorded by
+    `write_snapshot(stats_for=...)`: a file is skipped when its
+    recorded [min, max] cannot intersect [lo, hi]. Files without stats
+    for the column (not requested at write time, legacy commits, or a
+    type the bounds can't compare against) are conservatively included,
+    and the row filter is applied as well — same correctness contract
+    as `where`."""
     base_dir = os.path.abspath(base_dir)
     if version is None:
         version = latest_version(base_dir)
@@ -285,8 +357,8 @@ def read_snapshot(
         manifest = json.load(fh)
     files = manifest["files"]
     schema = StructType.fromJson(manifest["schema"])
-    if where:
-        files = prune_files(manifest, where)
+    if where or where_range:
+        files = prune_files(manifest, where, where_range)
     if not files:
         # an empty commit (e.g. an empty CDC batch) is a valid snapshot
         # — or a `where` no file can match: rebuild the empty frame from
@@ -297,13 +369,21 @@ def read_snapshot(
     if where:
         for k, v in where.items():
             df = df.filter(F.col(k).cast("string") == str(v))
+    if where_range:
+        for k, (lo, hi) in where_range.items():
+            if lo is not None:
+                df = df.filter(F.col(k) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(k) <= F.lit(hi))
     return df
 
 
-def prune_files(manifest: dict, where: dict) -> list[str]:
-    """The manifest's file list under `where` partition pruning —
-    exposed separately so tests and planners can count skipped files
-    without reading anything."""
+def prune_files(
+    manifest: dict, where: dict | None = None, where_range: dict | None = None
+) -> list[str]:
+    """The manifest's file list under `where` partition pruning and/or
+    `where_range` zone-map pruning — exposed separately so tests and
+    planners can count skipped files without reading anything."""
     fm = manifest.get("file_meta", {})
 
     def keep(f: str) -> bool:
@@ -311,7 +391,19 @@ def prune_files(manifest: dict, where: dict) -> list[str]:
         if meta is None:  # legacy manifest — never prunable
             return True
         pt = meta.get("pt", {})
-        return all(k not in pt or pt[k] == str(v) for k, v in where.items())
+        for k, v in (where or {}).items():
+            if k in pt and pt[k] != str(v):
+                return False
+        st = meta.get("stats", {})
+        for k, (lo, hi) in (where_range or {}).items():
+            if k not in st:
+                continue  # no zone map for this column — conservative
+            mn, mx = st[k]
+            if mn is None or mx is None:
+                continue  # all-NULL file or unknown bounds
+            if (hi is not None and _lt(hi, mn)) or (lo is not None and _lt(mx, lo)):
+                return False  # _lt None (type mismatch) keeps the file
+        return True
 
     return [f for f in manifest["files"] if keep(f)]
 

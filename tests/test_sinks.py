@@ -528,3 +528,147 @@ class TestPartitionSpecEvolution:
         out = versioned.read_snapshot(spark, base, where={"grp": "7"})
         assert out.columns == ["id", "grp"]
         assert out.count() == 0
+
+
+class TestZoneMaps:
+    def _manifest(self, base, v=1):
+        import json
+        import os
+
+        return json.load(open(os.path.join(base, f"_manifest_v{v}.json")))
+
+    def test_stats_recorded_and_bounds_correct(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        df = spark.range(0, 100).selectExpr("id", "id * 3 AS v")
+        versioned.write_snapshot(
+            df.repartitionByRange(4, "id"), base, stats_for=["id", "v"]
+        )
+        m = self._manifest(base)
+        mins, maxs = [], []
+        for f in m["files"]:
+            st = m["file_meta"][f]["stats"]
+            assert st["id"][0] <= st["id"][1]
+            assert st["v"] == [st["id"][0] * 3, st["id"][1] * 3]
+            mins.append(st["id"][0])
+            maxs.append(st["id"][1])
+        assert min(mins) == 0 and max(maxs) == 99
+        # range clustering => per-file ranges are disjoint
+        spans = sorted(zip(mins, maxs))
+        assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+    def test_range_pruning_skips_and_read_is_exact(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(
+            spark.range(0, 100).selectExpr("id").repartitionByRange(4, "id"),
+            base,
+            stats_for=["id"],
+        )
+        m = self._manifest(base)
+        kept = versioned.prune_files(m, where_range={"id": (10, 20)})
+        assert 0 < len(kept) < len(m["files"])
+        got = sorted(
+            r["id"]
+            for r in versioned.read_snapshot(
+                spark, base, where_range={"id": (10, 20)}
+            ).collect()
+        )
+        assert got == list(range(10, 21))
+
+    def test_open_bounds_and_stats_less_files_conservative(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(
+            spark.range(0, 50).selectExpr("id").repartitionByRange(2, "id"),
+            base,
+            stats_for=["id"],
+        )
+        # append WITHOUT stats: its files must never be pruned
+        versioned.write_snapshot(spark.range(50, 60).selectExpr("id"), base)
+        m = self._manifest(base, 2)
+        nostats = [
+            f for f in m["files"] if "stats" not in m["file_meta"][f]
+        ]
+        assert nostats
+        kept = versioned.prune_files(m, where_range={"id": (None, 5)})
+        assert set(nostats) <= set(kept)
+        got = sorted(
+            r["id"]
+            for r in versioned.read_snapshot(
+                spark, base, where_range={"id": (None, 5)}
+            ).collect()
+        )
+        assert got == [0, 1, 2, 3, 4, 5]
+
+    def test_string_stats_and_type_mismatch_conservative(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(
+            spark.createDataFrame(
+                [(1, "apple"), (2, "mango"), (3, "zebra")], "id long, w string"
+            ).repartitionByRange(3, "w"),
+            base,
+            stats_for=["w"],
+        )
+        m = self._manifest(base)
+        kept = versioned.prune_files(m, where_range={"w": ("a", "b")})
+        assert len(kept) < len(m["files"])
+        got = [
+            r["w"]
+            for r in versioned.read_snapshot(
+                spark, base, where_range={"w": ("a", "b")}
+            ).collect()
+        ]
+        assert got == ["apple"]
+        # int bounds against string stats: _lt returns None -> keep all
+        assert versioned.prune_files(m, where_range={"w": (1, 2)}) == m["files"]
+
+    def test_all_null_stats_conservative(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, None), (2, None)], "id long, v double"),
+            base,
+            stats_for=["v"],
+        )
+        m = self._manifest(base)
+        assert versioned.prune_files(m, where_range={"v": (0.0, 1.0)}) == m["files"]
+
+    def test_stats_for_missing_column_refused(self, spark, tmp_path):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        with pytest.raises(ValueError, match="stats_for"):
+            versioned.write_snapshot(
+                spark.range(2), str(tmp_path / "tbl"), stats_for=["nope"]
+            )
+
+    def test_stats_compose_with_partition_pruning(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(
+            spark.range(0, 40).selectExpr("id", "CAST(id % 2 AS STRING) AS grp"),
+            base,
+            partition_by=["grp"],
+            stats_for=["id"],
+        )
+        m = self._manifest(base)
+        both = versioned.prune_files(
+            m, where={"grp": "1"}, where_range={"id": (0, 10)}
+        )
+        assert both and len(both) <= len(versioned.prune_files(m, where={"grp": "1"}))
+        got = sorted(
+            r["id"]
+            for r in versioned.read_snapshot(
+                spark, base, where={"grp": "1"}, where_range={"id": (0, 10)}
+            ).collect()
+        )
+        assert got == [1, 3, 5, 7, 9]
