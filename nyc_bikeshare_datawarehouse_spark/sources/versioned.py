@@ -455,6 +455,8 @@ def compact_snapshot(
     base_dir: str,
     target_files: int = 1,
     metadata: dict | None = None,
+    cluster_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
 ) -> int:
     """OPTIMIZE / small-file compaction for the manifest table format:
     rewrite the CURRENT snapshot's row multiset into `target_files`
@@ -475,13 +477,30 @@ def compact_snapshot(
     streaming sink uses it to CARRY the last batch_id forward, so a
     retention sweep that expires the original data commit cannot reset
     the replay guard (the compaction rewrites exactly the state those
-    batches produced, so re-asserting their id is truthful)."""
+    batches produced, so re-asserting their id is truthful).
+
+    `cluster_by` makes this OPTIMIZE-with-clustering (Delta ZORDER-lite,
+    1-D): the rewrite is repartitionByRange + sortWithinPartitions on
+    the named columns, so per-file value ranges become disjoint — the
+    layout zone maps need to be selective. Append-heavy tables
+    accumulate files whose ranges all overlap (every micro-batch spans
+    the keyspace), which leaves `where_range` pruning inert; a
+    clustered compaction is how the table earns its skipping back.
+    `stats_for` defaults to `cluster_by` so the fresh layout's zone
+    maps land in the same commit (pass explicitly to record more)."""
     current = read_snapshot(spark, base_dir)
+    if cluster_by:
+        rewritten = current.repartitionByRange(
+            target_files, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        rewritten = current.repartition(target_files)
     return write_snapshot(
-        current.repartition(target_files),
+        rewritten,
         base_dir,
         mode="overwrite",
         metadata=metadata,
+        stats_for=stats_for if stats_for is not None else cluster_by,
     )
 
 

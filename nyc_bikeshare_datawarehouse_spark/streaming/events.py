@@ -255,6 +255,7 @@ def stream_to_snapshots(
     available_now: bool = True,
     compact_every: int | None = None,
     keep_last: int | None = None,
+    cluster_by: list[str] | None = None,
 ):
     """Stream → versioned-table sink: every micro-batch COMMITS one
     append snapshot of the manifest table format (sources/versioned.py)
@@ -284,7 +285,15 @@ def stream_to_snapshots(
     compaction, if due) snapshots older than the newest N are expired —
     dead files reclaimed, history bounded. Safe with replays because
     the surviving newest manifest always carries the max committed
-    batch id (directly or via compaction carry-forward)."""
+    batch id (directly or via compaction carry-forward).
+
+    `cluster_by` upgrades the periodic compaction to a CLUSTERED one
+    (versioned.compact_snapshot cluster_by): micro-batch files each
+    span the keyspace, so the live table's zone maps are inert between
+    compactions — the clustered rewrite re-sorts into disjoint ranges
+    and records fresh per-file min/max in the same commit, so a
+    long-running streamed table keeps earning `where_range` skipping
+    back every N batches."""
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         commit_stream_batch(
             batch_df,
@@ -292,6 +301,7 @@ def stream_to_snapshots(
             base_dir,
             compact_every=compact_every,
             keep_last=keep_last,
+            cluster_by=cluster_by,
         )
 
     return stream_foreach_batch(
@@ -305,6 +315,7 @@ def commit_stream_batch(
     base_dir: str,
     compact_every: int | None = None,
     keep_last: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int | None:
     """The snapshot sink's per-batch commit, factored out so the replay
     guard is directly testable: returns the committed version, or None
@@ -341,6 +352,7 @@ def commit_stream_batch(
                 base_dir,
                 target_files=spark.sparkContext.defaultParallelism,
                 metadata={"batch_id": batch_id},
+                cluster_by=cluster_by,
             )
         if keep_last:
             last = versioned.latest_version(base_dir)

@@ -672,3 +672,42 @@ class TestZoneMaps:
             ).collect()
         )
         assert got == [1, 3, 5, 7, 9]
+
+
+class TestClusteredCompaction:
+    def test_compaction_earns_zone_map_skipping_back(self, spark, tmp_path):
+        import json
+        import os
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        # two append commits that EACH span the whole keyspace (the
+        # append-heavy pattern): every file's [min, max] overlaps every
+        # predicate, so zone-map pruning is inert
+        versioned.write_snapshot(
+            spark.range(0, 100).filter("id % 2 = 0").repartition(2),
+            base, stats_for=["id"],
+        )
+        versioned.write_snapshot(
+            spark.range(0, 100).filter("id % 2 = 1").repartition(2),
+            base, stats_for=["id"],
+        )
+        m2 = json.load(open(os.path.join(base, "_manifest_v2.json")))
+        inert = versioned.prune_files(m2, where_range={"id": (10, 15)})
+        assert inert == m2["files"]  # nothing skippable before OPTIMIZE
+        v3 = versioned.compact_snapshot(
+            spark, base, target_files=4, cluster_by=["id"]
+        )
+        m3 = json.load(open(os.path.join(base, f"_manifest_v{v3}.json")))
+        kept = versioned.prune_files(m3, where_range={"id": (10, 15)})
+        assert 0 < len(kept) < len(m3["files"])  # skipping earned back
+        got = sorted(
+            r["id"]
+            for r in versioned.read_snapshot(
+                spark, base, where_range={"id": (10, 15)}
+            ).collect()
+        )
+        assert got == list(range(10, 16))
+        # content preserved wholesale by the clustered rewrite
+        assert versioned.read_snapshot(spark, base, v3).count() == 100

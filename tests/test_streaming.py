@@ -807,3 +807,39 @@ def test_snapshot_sink_retention_survives_replay(spark, tmp_path):
     versioned.expire_snapshots(base, keep_from=5)
     assert commit_stream_batch(spark.range(6, 9), 2, base) is None
     assert versioned.read_snapshot(spark, base).count() == 10
+
+
+def test_snapshot_sink_clustered_compaction_earns_skipping(spark, tmp_path):
+    """cluster_by on the sink's periodic compaction: micro-batch files
+    span the keyspace (zone maps inert), the every-2nd-batch clustered
+    compaction re-sorts into disjoint ranges + fresh stats, so the live
+    manifest prunes where_range reads — and the batch-id replay guard
+    still rides the compaction manifest."""
+    import json
+    import os
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+    from nyc_bikeshare_datawarehouse_spark.streaming.events import (
+        commit_stream_batch,
+    )
+
+    base = str(tmp_path / "tbl")
+    kw = dict(compact_every=2, cluster_by=["id"])
+    # each batch spans [0, 100): interleaved ids
+    commit_stream_batch(spark.range(0, 100).filter("id % 2 = 0"), 0, base, **kw)
+    commit_stream_batch(spark.range(0, 100).filter("id % 2 = 1"), 1, base, **kw)
+    last = versioned.latest_version(base)
+    m = json.load(open(os.path.join(base, f"_manifest_v{last}.json")))
+    # batch 1 triggered the clustered compaction (batch_id % 2 == 1)
+    assert m["metadata"]["batch_id"] == 1
+    kept = versioned.prune_files(m, where_range={"id": (10, 15)})
+    assert 0 < len(kept) < len(m["files"])
+    got = sorted(
+        r["id"]
+        for r in versioned.read_snapshot(
+            spark, base, where_range={"id": (10, 15)}
+        ).collect()
+    )
+    assert got == list(range(10, 16))
+    # replay of a compacted batch still a no-op
+    assert commit_stream_batch(spark.range(0, 5), 1, base, **kw) is None
