@@ -37,6 +37,10 @@ def test_contract_shape():
         # WAV container parse + frame-energy walk: no SQL form; feature and
         # fingerprint math pinned against pure-Python replays instead
         "q_audio_features", "q_audio_neardup",
+        # cross-modal CC over DCT-pHash + audio-fingerprint + xxhash-minhash
+        # edges (r13): every edge family is engine-hash; the portable-edge
+        # twin q_multimodal_dedup carries the hash check for the composition
+        "q_multimodal_dedup_engine",
     }
 
 
