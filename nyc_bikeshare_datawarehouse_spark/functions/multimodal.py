@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import itertools
 import math
 import struct
 import wave
@@ -430,36 +431,57 @@ def phash_near_dup(
     max_hamming: int = 6,
     id_col: str = "asset_id",
     hash_col: str = "phash",
+    conjunction: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs by pHash Hamming distance via banded
-    LSH: 8 bands of 8 bits — pigeonhole-LOSSLESS for distances <= 7
-    (at most 7 differing bits cannot touch all 8 bands), so every pair
-    within `max_hamming` <= 7 is found without an all-pairs join.
+    """Near-duplicate pairs by pHash Hamming distance via banded LSH
+    over the 64-bit fingerprint, hash-agnostic (images pass the default
+    phash column, audio passes hash_col='afp').
 
-    Scale: the band join shuffles (band_idx, band_value) keys — 9 bytes
-    — and verifies candidates with one xor+bit_count; identical-hash
-    cliques are the only quadratic risk, exactly as in SimHash banding."""
-    if max_hamming > 7:
-        raise ValueError("8x8 banding is lossless only for max_hamming <= 7")
+    conjunction=True (default since r13): join on PAIRS of 8-bit chunks
+    — C(8,2)=28 keys/asset, 2^16-value key space, pigeonhole-lossless
+    for distances <= 6 (<= 6 differing bits touch <= 6 chunks, leaving
+    >= 2 intact chunks whose pair key matches). The previous
+    single-chunk scheme (8 bands of 8 bits, lossless to 7) had only 256
+    possible values per band — in-bucket pairing grows ~N²/2048
+    REGARDLESS of data at billion-asset scale, the same keyspace-capped
+    quadratic the round-12 verdict flagged for simhash banding;
+    conjunction keys keep candidate volume data-driven. Both schemes
+    cover every declared filter (images <= 6, audio <= 4), and because
+    the final Hamming filter is exact, the OUTPUT pair set is identical
+    under either scheme — conjunction=False remains for radius-7 use.
+
+    Scale: the band join shuffles (pair_idx, 16-bit key) rows and
+    verifies candidates with one xor+bit_count; identical-hash cliques
+    are the only quadratic risk, exactly as in SimHash banding."""
+    lossless_to = 6 if conjunction else 7
+    if max_hamming > lossless_to:
+        raise ValueError(
+            f"{'conjunction' if conjunction else '8x8'} banding is lossless "
+            f"only for max_hamming <= {lossless_to}"
+        )
     h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+
+    def _chunk(b: int) -> F.Column:
+        # literal per-chunk expressions (shiftright needs an int, not a
+        # lambda-bound Column)
+        return F.shiftright("h", b * 8).bitwiseAND(F.lit(255))
+
+    if conjunction:
+        keys = [
+            F.struct(
+                F.lit(k).alias("band"),
+                (F.shiftleft(_chunk(i), 8) + _chunk(j)).alias("v"),
+            )
+            for k, (i, j) in enumerate(itertools.combinations(range(8), 2))
+        ]
+    else:
+        keys = [
+            F.struct(F.lit(b).alias("band"), _chunk(b).alias("v")) for b in range(8)
+        ]
     bands = h.select(
         "id",
         "h",
-        F.explode(
-            # literal per-band expressions (shiftright needs an int, not a
-            # lambda-bound Column)
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.shiftright("h", band * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("v"),
-                    )
-                    for band in range(8)
-                ]
-            )
-        ).alias("bv"),
+        F.explode(F.array(*keys)).alias("bv"),
     ).select("id", "h", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
     a = bands.select(
         F.col("id").alias("id_a"), F.col("h").alias("ha"), "band", "v"

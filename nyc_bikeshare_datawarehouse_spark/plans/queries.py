@@ -2519,8 +2519,10 @@ def q_audio_neardup(spark, sf_dir):
     """Audio near-dup by 64-bit energy-difference fingerprint
     (functions/multimodal.py `audio_fingerprint`, Haitsma-Kalker sign
     signature) through the SAME hash-agnostic banded Hamming join as
-    the image path (`phash_near_dup`, 8×8-bit bands — pigeonhole-
-    lossless to distance 7): content is synthesized WAV from each
+    the image path (`phash_near_dup`, conjunction-banded since r13:
+    chunk-pair keys, pigeonhole-lossless to distance 6 — covers the
+    <= 4 filter; same keyspace fix as simhash): content is synthesized
+    WAV from each
     document's sorted distinct-token fingerprint, so the corpus'
     token-set duplicate clusters MUST surface as hamming-0 pairs (444
     pairs at sf0.01 — the same construction-guaranteed recall pin as
@@ -4311,7 +4313,9 @@ def q_phash_neardup(spark, sf_dir):
     """Image near-dup by 64-bit perceptual hash (functions/multimodal.py
     `phash_images` + `phash_near_dup`): Arrow-batched pHash (32×32 DCT,
     median-thresholded low-frequency bits) over binary content, then the
-    8×8-bit banded join — pigeonhole-lossless at hamming <= 7 — with an
+    conjunction-banded join (chunk-pair keys since r13, pigeonhole-
+    lossless at hamming <= 6 — the same keyspace-quadratic fix as
+    simhash; output-identical at this filter) — with an
     xor+bit_count verify. Rows-only check (a 2-D DCT has no SQL form;
     the hash math is pinned against a pure-Python replay in
     tests/test_graph_selection.py); content is synthesized

@@ -283,6 +283,25 @@ class TestPhash:
         df = spark.createDataFrame([(0, 1)], "asset_id long, phash long")
         with pytest.raises(ValueError):
             phash_near_dup(df, max_hamming=8)
+        # conjunction (default) guarantees only <= 6; radius 7 needs the
+        # single-chunk scheme
+        with pytest.raises(ValueError):
+            phash_near_dup(df, max_hamming=7)
+        phash_near_dup(df, max_hamming=7, conjunction=False)
+
+    def test_conjunction_and_single_chunk_agree_at_radius6(self, spark):
+        # same brute-force corpus as above: the exact final filter makes
+        # the candidate scheme output-invisible at a covered radius
+        base = 0x0123456789ABCDEF
+        hashes = [(k, base ^ sum(1 << (bit * 7) for bit in range(k)))
+                  for k in range(9)]
+        df = spark.createDataFrame(hashes, "asset_id long, phash long")
+        from nyc_bikeshare_datawarehouse_spark.functions.multimodal import phash_near_dup
+        conj = {(r["id_a"], r["id_b"]): r["hamming"]
+                for r in phash_near_dup(df, max_hamming=6).collect()}
+        single = {(r["id_a"], r["id_b"]): r["hamming"]
+                  for r in phash_near_dup(df, max_hamming=6, conjunction=False).collect()}
+        assert conj == single and conj
 
 
 class TestBfs:
