@@ -2396,6 +2396,22 @@ def _multimodal_dedup_sql(max_hamming: int = 1) -> str:
 
 ORACLES["q_multimodal_dedup"] = _multimodal_dedup_sql()
 
+# Incremental read (r13): the file-set-difference consumption of the
+# append history. Engine facts (strict file subset, refusal across a
+# compaction) are runtime-guarded in the query; the DATA contract the
+# oracle replays is that the v1->v3 increment equals exactly the rows
+# the two later append commits wrote.
+ORACLES["q_incremental_read"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
 # Zone-map data skipping (r13): the layout (range clustering, per-file
 # min/max, manifest pruning) is engine-internal and pinned by runtime
 # guards in the query; the DATA contract the oracle replays is that the

@@ -6382,6 +6382,69 @@ def q_zone_map_skipping(spark, sf_dir):
     )
 
 
+def q_incremental_read(spark, sf_dir):
+    """File-level INCREMENTAL consumption of the versioned table
+    (sources/versioned.read_increment, r13): three append commits — 'F'
+    orders, then 'O', then 'P' — and a consumer that last saw v1 reads
+    the v1→v3 increment as the manifest FILE-SET difference: O(delta
+    files), no content diff, no full-table read (the Iceberg
+    incremental-scan primitive; q_snapshot_diff is the content-level
+    sibling for overwrites). Runtime guards pin the engine facts: the
+    increment touches strictly fewer files than the table and exactly
+    the v2+v3 file sets, and a span crossing a compaction refuses.
+    Output — per-status exact counts and integer-cent totals of the
+    increment — is recomputed by the oracle straight from the corpus
+    predicates, so a green row proves the file arithmetic returned
+    exactly the appended rows. Table path SF+pid-tagged, rebuilt per
+    run (q_time_travel rule)."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_increment/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    v1 = versioned.write_snapshot(o.filter(F.col("o_orderstatus") == "F"), base)
+    versioned.write_snapshot(o.filter(F.col("o_orderstatus") == "O"), base)
+    v3 = versioned.write_snapshot(o.filter(F.col("o_orderstatus") == "P"), base)
+    with open(versioned._manifest_path(base, v3)) as fh:
+        m3 = _json.load(fh)
+    with open(versioned._manifest_path(base, v1)) as fh:
+        m1 = _json.load(fh)
+    delta_files = set(m3["files"]) - set(m1["files"])
+    if not (delta_files and len(delta_files) < len(m3["files"])):
+        raise RuntimeError("increment is not a strict non-empty file subset")
+    try:
+        versioned.compact_snapshot(spark, base, target_files=1)
+        versioned.read_increment(spark, base, v1)
+        raise RuntimeError("increment silently spanned a compaction")
+    except ValueError:
+        pass  # refusal contract: non-append commit in the span
+    return (
+        versioned.read_increment(spark, base, v1, v3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation — the classic CRM/warehouse readout:
     per-customer Recency (days since last order, vs the corpus max
@@ -6914,6 +6977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (no driver rows)
     "q_partition_evolution": q_partition_evolution,
     "q_zone_map_skipping": q_zone_map_skipping,
+    "q_incremental_read": q_incremental_read,
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_multimodal_dedup_engine": q_multimodal_dedup_engine,
     # --- newest driver row: r07
@@ -6962,8 +7026,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skyline": q_skyline,
     "q_sliding_distinct": q_sliding_distinct,
     "q_spatial_join": q_spatial_join,
-    "q_stream_dedup_batch": q_stream_dedup_batch,
-    "q_textrank": q_textrank,  # <- driver window cut (50)
+    "q_stream_dedup_batch": q_stream_dedup_batch,  # <- driver window cut (50)
+    "q_textrank": q_textrank,
     "q_tfidf_cosine": q_tfidf_cosine,
     "q_token_entropy": q_token_entropy,
     "q_token_pmi": q_token_pmi,

@@ -711,3 +711,66 @@ class TestClusteredCompaction:
         assert got == list(range(10, 16))
         # content preserved wholesale by the clustered rewrite
         assert versioned.read_snapshot(spark, base, v3).count() == 100
+
+
+class TestIncrementalRead:
+    def test_increment_is_exactly_the_appended_rows(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 4), base)
+        versioned.write_snapshot(spark.range(4, 7), base)
+        versioned.write_snapshot(spark.range(7, 9), base)
+        got = sorted(
+            r["id"] for r in versioned.read_increment(spark, base, 1).collect()
+        )
+        assert got == [4, 5, 6, 7, 8]
+        got = sorted(
+            r["id"] for r in versioned.read_increment(spark, base, 1, 2).collect()
+        )
+        assert got == [4, 5, 6]
+        # from == to: empty increment under the recorded schema
+        empty = versioned.read_increment(spark, base, 2, 2)
+        assert empty.columns == ["id"] and empty.count() == 0
+
+    def test_increment_sees_evolved_schema(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 2).selectExpr("id"), base)
+        versioned.write_snapshot(
+            spark.range(2, 4).selectExpr("id", "id * 2 AS v"), base
+        )
+        inc = versioned.read_increment(spark, base, 1)
+        assert inc.columns == ["id", "v"]
+        assert {r["id"]: r["v"] for r in inc.collect()} == {2: 4, 3: 6}
+
+    def test_increment_refuses_non_append_span(self, spark, tmp_path):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 4), base)
+        versioned.write_snapshot(spark.range(4, 6), base)
+        versioned.compact_snapshot(spark, base)
+        with pytest.raises(ValueError, match="non-append"):
+            versioned.read_increment(spark, base, 1)
+        # re-baselined AFTER the compaction: appends consume fine again
+        versioned.write_snapshot(spark.range(6, 8), base)
+        got = sorted(
+            r["id"] for r in versioned.read_increment(spark, base, 3).collect()
+        )
+        assert got == [6, 7]
+
+    def test_increment_bad_versions_refused(self, spark, tmp_path):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(spark.range(0, 2), base)
+        with pytest.raises(ValueError, match="from_version"):
+            versioned.read_increment(spark, base, 0)
+        with pytest.raises(ValueError, match="from_version"):
+            versioned.read_increment(spark, base, 2, 1)
