@@ -2580,7 +2580,12 @@ def q_multimodal_dedup(spark, sf_dir):
     and a green row proves modality edges merged into exactly the
     right clusters. The engine-hash twin (DCT pHash / energy
     fingerprints / xxhash minhash) is q_multimodal_dedup_engine,
-    rows-only by the same rule as its members."""
+    rows-only by the same rule as its members. Plan note: the three
+    edge branches each scan documents (diverged subplans are not
+    reused) — deliberate: each scan is column-pruned to (doc_id, text)
+    and feeds a different shuffle key, while materializing the text
+    column to share one scan would cost more than the re-read; probe
+    α 0.18 at 10× confirms the scans are not the scaling term."""
     d = _t(spark, sf_dir, "documents").filter(F.size(text.tokens("text")) >= 1)
     ids = d.select("doc_id")
     audio_star = _modality_star_edges(
