@@ -2412,6 +2412,22 @@ ORACLES["q_incremental_read"] = """
     ORDER BY o_orderstatus
 """
 
+# Bloom skipping (r13): the equality member of the file-skipping
+# family. Engine facts (blooms recorded, absent keys prune, absent read
+# empty) are runtime-guarded in the query; the DATA contract the oracle
+# replays is that the three bloom-guided point reads return exactly the
+# corpus rows for those keys.
+ORACLES["q_bloom_skipping"] = """
+    SELECT o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM orders
+    WHERE o_orderkey IN (1, 7, 1000)
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+"""
+
 # Zone-map data skipping (r13): the layout (range clustering, per-file
 # min/max, manifest pruning) is engine-internal and pinned by runtime
 # guards in the query; the DATA contract the oracle replays is that the

@@ -6450,6 +6450,78 @@ def q_incremental_read(spark, sf_dir):
     )
 
 
+def q_bloom_skipping(spark, sf_dir):
+    """Per-file BLOOM-FILTER skipping through the manifest format
+    (sources/versioned.py bloom_for, r13) — the equality member of the
+    file-skipping family: partitions cover low-cardinality layout
+    columns (q_partition_evolution), zone maps cover clustered ranges
+    (q_zone_map_skipping), blooms cover point lookups on
+    high-cardinality UNCLUSTERED keys, where both others are inert.
+    Orders are committed deliberately unclustered (round-robin
+    repartition — every file's key range spans the domain) with an
+    md5-family bloom per file on o_orderkey; point reads for three
+    corpus keys then consult the blooms before opening anything.
+    Runtime guards pin the engine facts: blooms recorded for every
+    file, an absent-key family prunes below the full file count, and
+    an absent-key read is exactly empty (bloom false positives cost a
+    read, never a row — and the parity of the Spark write-side and
+    Python prune-side hash families is separately pinned in
+    tests/test_sinks.py, which is what rules out false negatives).
+    Output — per probe key, exact counts and integer cents — is
+    recomputed by the oracle straight from the corpus."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_bloom/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    v = versioned.write_snapshot(
+        o.repartition(8), base, bloom_for=["o_orderkey"]
+    )
+    with open(versioned._manifest_path(base, v)) as fh:
+        manifest = _json.load(fh)
+    fm = manifest["file_meta"]
+    if not all("bloom" in m and "o_orderkey" in m["bloom"] for m in fm.values()):
+        raise RuntimeError("bloom filters missing from the committed manifest")
+    n_all = len(manifest["files"])
+    if not any(
+        len(versioned.prune_files(manifest, where={"o_orderkey": k})) < n_all
+        for k in range(1_000_000_001, 1_000_000_031)
+    ):
+        raise RuntimeError("bloom pruning inert across 30 absent keys")
+    if versioned.read_snapshot(
+        spark, base, where={"o_orderkey": 1_000_000_001}
+    ).count() != 0:
+        raise RuntimeError("absent-key read returned rows")
+    parts = [
+        versioned.read_snapshot(spark, base, where={"o_orderkey": k})
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        for k in (1, 7, 1000)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("o_orderkey")
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation — the classic CRM/warehouse readout:
     per-customer Recency (days since last order, vs the corpus max
@@ -6983,6 +7055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_partition_evolution": q_partition_evolution,
     "q_zone_map_skipping": q_zone_map_skipping,
     "q_incremental_read": q_incremental_read,
+    "q_bloom_skipping": q_bloom_skipping,
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_multimodal_dedup_engine": q_multimodal_dedup_engine,
     # --- newest driver row: r07
@@ -7030,8 +7103,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window_batch": q_session_window_batch,
     "q_skyline": q_skyline,
     "q_sliding_distinct": q_sliding_distinct,
-    "q_spatial_join": q_spatial_join,
-    "q_stream_dedup_batch": q_stream_dedup_batch,  # <- driver window cut (50)
+    "q_spatial_join": q_spatial_join,  # <- driver window cut (50)
+    "q_stream_dedup_batch": q_stream_dedup_batch,
     "q_textrank": q_textrank,
     "q_tfidf_cosine": q_tfidf_cosine,
     "q_token_entropy": q_token_entropy,

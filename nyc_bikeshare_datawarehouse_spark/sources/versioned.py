@@ -67,6 +67,43 @@ def _lt(a, b):
         return None
 
 
+#: bloom-filter geometry: m bits / k hashes. ~4096 bits with 5 hashes
+#: holds ~400 distinct values per file at ~2% FPR — 512 bytes of
+#: manifest per (file, column), and a false positive only costs an
+#: unnecessary file read, never correctness.
+_BLOOM_BITS = 4096
+_BLOOM_HASHES = 5
+
+
+def _bloom_bit_py(value: str, seed: int, m: int = _BLOOM_BITS) -> int:
+    """Bit position of `value` under hash family `seed` — the PYTHON
+    side of the bloom contract. MUST stay bit-identical to
+    _bloom_bit_col (pinned in tests/test_sinks.py): md5 of
+    "<seed>:<value-as-string>", first 8 hex chars as an int, mod m.
+    md5 (not Spark's xxhash64) because the prune side runs driver-only
+    Python where Spark's hash is unavailable."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:8], 16) % m
+
+
+def _bloom_bit_col(col, seed: int, m: int = _BLOOM_BITS) -> F.Column:
+    """Spark twin of _bloom_bit_py (same md5-prefix family)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m).cast("int")
+
+
+def _bloom_might_contain(bitmap_b64: str, value, m: int, k: int) -> bool:
+    import base64
+
+    bits = base64.b64decode(bitmap_b64)
+    for seed in range(k):
+        b = _bloom_bit_py(str(value), seed, m)
+        if not (bits[b // 8] >> (b % 8)) & 1:
+            return False
+    return True
+
+
 def _leaf_files(d: str) -> list[str]:
     """All committed parquet leaves under `d`, recursively — partitioned
     writes nest files under __pt_<col>=<value>/ directories."""
@@ -153,6 +190,7 @@ def write_snapshot(
     metadata: dict | None = None,
     partition_by: list[str] | None = None,
     stats_for: list[str] | None = None,
+    bloom_for: list[str] | None = None,
 ) -> int:
     """Commit `df` as a new snapshot and return its version.
 
@@ -189,14 +227,31 @@ def write_snapshot(
     selective as the layout: cluster first (repartitionByRange on the
     stat column) or the per-file ranges all overlap and nothing skips.
     Values are stored verbatim for numerics and as strings otherwise
-    (dates/timestamps via str() — ISO order = value order)."""
+    (dates/timestamps via str() — ISO order = value order).
+
+    `bloom_for` records a per-file BLOOM FILTER for the named columns —
+    the skipping member for EQUALITY predicates on high-cardinality
+    UNCLUSTERED columns, where zone maps are inert (every file's
+    [min, max] spans the domain). `read_snapshot(where={col: v})`
+    consults it: a file whose bloom says "absent" is skipped (no false
+    negatives — the Spark-side and Python-side hash families are the
+    same md5-prefix construction, parity-pinned in tests; false
+    positives just read a file the row filter then empties). Values
+    hash by their Spark string cast — intended for integer/string key
+    columns; float keys are discouraged (string-form mismatch risk).
+    Cost: one O(commit) job per bloom column + ~512 manifest bytes per
+    (file, column)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
     partition_by = list(partition_by or [])
     stats_for = list(stats_for or [])
+    bloom_for = list(bloom_for or [])
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition_by columns not in dataframe: {missing}")
+    missing = [c for c in bloom_for if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom_for columns not in dataframe: {missing}")
     missing = [c for c in stats_for if c not in df.columns]
     if missing:
         raise ValueError(f"stats_for columns not in dataframe: {missing}")
@@ -259,11 +314,49 @@ def write_snapshot(
                 c: [_stat_value(r[f"__mn_{c}"]), _stat_value(r[f"__mx_{c}"])]
                 for c in stats_for
             }
+    # bloom filters: one O(commit) job per column — explode the k bit
+    # positions per row, distinct (file, bit), fold into a bitmap
+    # driver-side. The distinct bounds the collect at m bits per file.
+    col_blooms: dict[str, dict] = {}
+    if bloom_for and new_files:
+        import base64
+
+        scan = df.sparkSession.read.parquet(data_dir)
+        for c in bloom_for:
+            rows = (
+                scan.filter(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(
+                        F.array(*[
+                            _bloom_bit_col(F.col(c), seed)
+                            for seed in range(_BLOOM_HASHES)
+                        ])
+                    ).alias("__b"),
+                )
+                .distinct()
+                .groupBy("__f")
+                .agg(F.collect_set("__b").alias("__bits"))
+                .collect()
+            )
+            for r in rows:
+                p = os.path.abspath(
+                    urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+                )
+                bm = bytearray(_BLOOM_BITS // 8)
+                for b in r["__bits"]:
+                    bm[b // 8] |= 1 << (b % 8)
+                col_blooms.setdefault(p, {})[c] = {
+                    "m": _BLOOM_BITS,
+                    "k": _BLOOM_HASHES,
+                    "bits": base64.b64encode(bytes(bm)).decode(),
+                }
     file_meta = {
         f: {
             "pt": _pt_values(f, data_dir),
             "spec_id": spec_id,
             **({"stats": col_stats[f]} if f in col_stats else {}),
+            **({"bloom": col_blooms[f]} if f in col_blooms else {}),
         }
         for f in new_files
     }
@@ -330,14 +423,18 @@ def read_snapshot(
     the columns that version knew (newer files never appear in its
     manifest, so no projection is needed).
 
-    `where` ({column: value}) is MANIFEST-LEVEL partition pruning: files
+    `where` ({column: value}) is MANIFEST-LEVEL equality pruning: files
     whose recorded partition values contradict it are never opened (the
-    Iceberg split-planning rule). Values compare in STRING form (the
-    directory encoding). Files written under a spec that lacks a pruned
-    column — older-spec files after a partition-spec evolution, or any
-    legacy manifest without file_meta — are conservatively INCLUDED, so
-    the result is always correct; the matching row filter is applied to
-    the frame as well, making `where` purely an I/O optimization.
+    Iceberg split-planning rule), and files whose per-file BLOOM filter
+    (write_snapshot bloom_for) says the value is absent are skipped
+    too — partitions cover low-cardinality layout columns, blooms cover
+    high-cardinality unclustered keys. Values compare in STRING form
+    (the directory encoding / the bloom hash input). Files without the
+    relevant metadata — older-spec files after a partition-spec
+    evolution, bloom-less commits, or any legacy manifest without
+    file_meta — are conservatively INCLUDED, so the result is always
+    correct; the matching row filter is applied to the frame as well,
+    making `where` purely an I/O optimization.
 
     `where_range` ({column: (lo, hi)}, either bound None for open) is
     the ZONE-MAP analog over the per-file min/max stats recorded by
@@ -391,8 +488,14 @@ def prune_files(
         if meta is None:  # legacy manifest — never prunable
             return True
         pt = meta.get("pt", {})
+        blooms = meta.get("bloom", {})
         for k, v in (where or {}).items():
             if k in pt and pt[k] != str(v):
+                return False
+            bl = blooms.get(k)
+            if bl is not None and not _bloom_might_contain(
+                bl["bits"], v, bl["m"], bl["k"]
+            ):
                 return False
         st = meta.get("stats", {})
         for k, (lo, hi) in (where_range or {}).items():

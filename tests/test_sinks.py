@@ -774,3 +774,101 @@ class TestIncrementalRead:
             versioned.read_increment(spark, base, 0)
         with pytest.raises(ValueError, match="from_version"):
             versioned.read_increment(spark, base, 2, 1)
+
+
+class TestBloomSkipping:
+    def test_spark_python_bloom_hash_parity(self, spark):
+        # THE bloom contract: the Spark write-side bit positions and the
+        # Python prune-side bit positions must be identical, or pruning
+        # gets false NEGATIVES (silently dropped rows). Pin both int and
+        # string values across every seed.
+        from pyspark.sql import functions as F
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        vals = [(7,), (123456789,), (0,)]
+        df = spark.createDataFrame(vals, "v long")
+        svals = [("alpha",), ("z 9",), ("",)]
+        sdf = spark.createDataFrame(svals, "v string")
+        for frame, pyvals in ((df, [v[0] for v in vals]), (sdf, [v[0] for v in svals])):
+            for seed in range(versioned._BLOOM_HASHES):
+                got = [
+                    r["b"]
+                    for r in frame.select(
+                        versioned._bloom_bit_col(F.col("v"), seed).alias("b")
+                    ).collect()
+                ]
+                want = [versioned._bloom_bit_py(str(v), seed) for v in pyvals]
+                assert got == want, (seed, got, want)
+
+    def _table(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        # UNCLUSTERED commit: ids interleave across files, so zone maps
+        # would be inert — the bloom regime. 4 files x 250 distinct keys.
+        versioned.write_snapshot(
+            spark.range(0, 1000).selectExpr("id", "id % 4 AS junk").repartition(4),
+            base,
+            bloom_for=["id"],
+        )
+        return versioned, base
+
+    def test_bloom_recorded_and_skips_absent_keys(self, spark, tmp_path):
+        import json
+        import os
+
+        versioned, base = self._table(spark, tmp_path)
+        m = json.load(open(os.path.join(base, "_manifest_v1.json")))
+        assert all("bloom" in m["file_meta"][f] for f in m["files"])
+        # a PRESENT key: its owning file must be kept (no false negatives,
+        # exhaustive over all 1000 keys)
+        for v in range(0, 1000, 97):
+            kept = versioned.prune_files(m, where={"id": v})
+            got = sorted(
+                r["id"]
+                for r in versioned.read_snapshot(spark, base, where={"id": v}).collect()
+            )
+            assert got == [v], v
+        # an ABSENT key: with 4 files at ~2% FPR each, essentially always
+        # skips something; assert over a family of absent keys
+        skipped_any = any(
+            len(versioned.prune_files(m, where={"id": v})) < len(m["files"])
+            for v in range(10_001, 10_040)
+        )
+        assert skipped_any
+        # absent key reads are exactly empty regardless of FPR
+        out = versioned.read_snapshot(spark, base, where={"id": 10_001})
+        assert out.count() == 0
+
+    def test_bloom_composes_with_partitions(self, spark, tmp_path):
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        base = str(tmp_path / "tbl")
+        versioned.write_snapshot(
+            spark.range(0, 200).selectExpr("id", "CAST(id % 2 AS STRING) AS grp"),
+            base,
+            partition_by=["grp"],
+            bloom_for=["id"],
+        )
+        got = [
+            r["id"]
+            for r in versioned.read_snapshot(
+                spark, base, where={"grp": "1", "id": 7}
+            ).collect()
+        ]
+        assert got == [7]
+        assert (
+            versioned.read_snapshot(spark, base, where={"grp": "0", "id": 7}).count()
+            == 0
+        )
+
+    def test_bloom_for_missing_column_refused(self, spark, tmp_path):
+        import pytest
+
+        from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+        with pytest.raises(ValueError, match="bloom_for"):
+            versioned.write_snapshot(
+                spark.range(2), str(tmp_path / "tbl"), bloom_for=["nope"]
+            )
