@@ -796,30 +796,49 @@ def prefix_jaccard_candidates(
     stage. Still lossless: the bound over-estimates, the epsilon slack
     only ever keeps extra candidates, and `jaccard_verify_pairs` stays
     the exact arbiter.
+
+    PROBING-PREFIX asymmetry (All-Pairs §3.2, r13, always on): for a
+    pair with |A| <= |B| (ties by id), jaccard >= t forces overlap
+    alpha >= t(|A|+|B|)/(1+t) >= 2t/(1+t)·|A| — so the SMALLER side
+    only needs its first |A| - ceil(2t/(1+t)·|A|) + 1 postings in the
+    join (~|A|/3 at t=0.5 vs the ~|A|/2 indexing prefix), while the
+    larger side keeps the full indexing prefix (alpha >= t·|B| needs
+    the size filter |A| >= t·|B|, which rides the join). The join is
+    ordered — probe side strictly (size, id)-smaller — so each pair is
+    generated once and the output is normalized to id_a < id_b.
     """
+    probe_frac = 2.0 * min_jaccard / (1.0 + min_jaccard)
     sh = shingle_postings(df, text_col, id_col, shingle_n)
     w_df = Window.partitionBy("sh")
     w_doc = Window.partitionBy(id_col)
     w_rank = Window.partitionBy(id_col).orderBy("__df", "sh")
-    prefix = (
+    ranked = (
         sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
         .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
         .withColumn("__rk", F.row_number().over(w_rank))
-        .filter(
-            F.col("__rk")
-            <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
-        )
-        .select(id_col, "sh", "n_sh", "__rk")
     )
-    a = prefix.select(
+    index_len = F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
+    probe_len = F.col("n_sh") - F.ceil(F.lit(probe_frac) * F.col("n_sh")) + 1
+    index_side = ranked.filter(F.col("__rk") <= index_len).select(
+        id_col, "sh", "n_sh", "__rk"
+    )
+    probe_side = ranked.filter(F.col("__rk") <= probe_len).select(
+        id_col, "sh", "n_sh", "__rk"
+    )
+    a = probe_side.select(
         F.col(id_col).alias("id_a"), "sh", F.col("n_sh").alias("n_a"), F.col("__rk").alias("pa")
     )
-    b = prefix.select(
+    b = index_side.select(
         F.col(id_col).alias("id_b"), "sh", F.col("n_sh").alias("n_b"), F.col("__rk").alias("pb")
     )
     joined = a.join(b, "sh").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * min_jaccard)
+        # probe side strictly (size, id)-smaller: each unordered pair
+        # appears exactly once, with the smaller doc probing
+        (
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("n_a") >= F.col("n_b") * min_jaccard)
     )
     if positional:
         overlap_ub = F.least("pa", "pb") + F.least(
@@ -827,7 +846,13 @@ def prefix_jaccard_candidates(
         )
         required = (F.col("n_a") + F.col("n_b")) * (min_jaccard / (1.0 + min_jaccard))
         joined = joined.filter(overlap_ub.cast("double") >= required - 1e-9)
-    return joined.select("id_a", "id_b").distinct()
+    return (
+        joined.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 def jaccard_verify_pairs(

@@ -2011,6 +2011,11 @@ def q_jaccard_prefix(spark, sf_dir):
     index only each doc's |A|-ceil(t|A|)+1 rarest shingles — two sets
     with jaccard >= t must collide inside both prefixes — then exact
     per-pair verify (`jaccard_verify_pairs`, array_intersect codegen).
+    r13: the PROBING-prefix asymmetry is on (the size-smaller side
+    joins only its |A|-ceil(2t/(1+t)|A|)+1 rarest shingles — ~|A|/3 at
+    t=0.5; measured 5.49M -> 4.81M candidates on this short-doc corpus,
+    bigger cuts on longer docs), and the ordered join emits each pair
+    once. Output proven unchanged by the shared all-pairs oracle.
     Same results as q_ngram_jaccard, PROVEN by sharing its all-pairs
     oracle SQL verbatim; the difference is the plan: hot stopword
     shingles fall in the df-ordered suffix and are never indexed, so the

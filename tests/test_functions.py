@@ -205,15 +205,23 @@ class TestDedup:
             dedup.simhash_candidates(docs, bands=2, conjunction=True)
 
     def test_prefix_positional_lossless_and_pruning(self, spark):
-        # Engineered for a positional prune: doc 1 shares its RAREST
-        # shingle `x` (prefix position 1) with tiny doc 3, where `x`
-        # sits at the END (position 2) — overlap bound min(1,2) +
-        # min(4-1, 2-2) = 1 < required (4+2)/3, so the (1,3) candidate
-        # (which passes the size-ratio filter 2 >= 4*0.5) dies before
-        # verify. True pairs (jaccard 3/5 via the hot c-tokens) have
-        # aligned positions and full tails — never pruned.
-        rows = [(1, "x c1 c2 c3"), (2, "y c1 c2 c3"), (3, "w x"),
-                (4, "c1 c2 c3 f1"), (5, "c1 c2 c3 f2")]
+        # Engineered for a positional prune that SURVIVES the probing-
+        # prefix filter: docs 1 and 2 (both n=6) share only `s`, which
+        # is doc 1's rarest token (probe position 1, inside its
+        # 3-token probing prefix) and sits at position 4 of doc 2 —
+        # the last slot of its 4-token indexing prefix. Overlap bound
+        # min(1,4) + min(6-1, 6-4) = 3 < required 12/3 = 4, so the
+        # (1,2) candidate dies before verify. m/k tokens get df 3 via
+        # the filler docs so `s` (df 2) outranks them in doc 1 while
+        # the df-1 u tokens outrank it in doc 2. True pairs
+        # ((1,3)/(1,4) at jaccard 5/8, (3,4) identical) have aligned
+        # early matches — never pruned.
+        rows = [
+            (1, "s m1 m2 m3 m4 m5"),
+            (2, "u1 u2 u3 s k1 k2"),
+            (3, "m1 m2 m3 m4 m5 k1 k2"),
+            (4, "m1 m2 m3 m4 m5 k1 k2"),
+        ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         kw = dict(text_col="text", id_col="doc_id", shingle_n=1, min_jaccard=0.5)
         base = {(r["id_a"], r["id_b"])
@@ -234,8 +242,8 @@ class TestDedup:
                 df, dedup.prefix_jaccard_candidates(df, **kw), **kw
             ).collect()
         }
-        assert (1, 3) in base and (1, 3) not in pos  # the engineered prune
-        assert verified == truth and (1, 2) in truth
+        assert (1, 2) in base and (1, 2) not in pos  # the engineered prune
+        assert verified == truth == {(1, 3), (1, 4), (3, 4)}
 
     def test_minhash_est_jaccard(self, spark, docs):
         pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
