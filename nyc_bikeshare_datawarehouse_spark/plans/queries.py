@@ -7056,59 +7056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
-    # --- new this round (no driver rows)
-    "q_partition_evolution": q_partition_evolution,
-    "q_zone_map_skipping": q_zone_map_skipping,
-    "q_incremental_read": q_incremental_read,
-    "q_bloom_skipping": q_bloom_skipping,
-    "q_multimodal_dedup": q_multimodal_dedup,
-    "q_multimodal_dedup_engine": q_multimodal_dedup_engine,
-    # --- newest driver row: r07
-    "q_tumbling_hour": q_tumbling_hour,
-    "q_window_range_frame": q_window_range_frame,
-    "q_window_rank": q_window_rank,
     # --- newest driver row: r08
-    "q_attribution": q_attribution,
-    "q_bag_set_ops": q_bag_set_ops,
-    "q_basket_rules": q_basket_rules,
-    "q_bfs_hops": q_bfs_hops,
-    "q_bigram_logprob": q_bigram_logprob,
-    "q_boilerplate_removal": q_boilerplate_removal,
-    "q_bpe_merge_step": q_bpe_merge_step,
-    "q_bucketed_join": q_bucketed_join,
-    "q_cohort_retention": q_cohort_retention,
-    "q_concurrent_sessions": q_concurrent_sessions,
-    "q_containment_pruned": q_containment_pruned,
-    "q_contamination": q_contamination,
-    "q_dataset_card": q_dataset_card,
-    "q_decontaminate": q_decontaminate,
-    "q_dq_report": q_dq_report,
-    "q_dsir_select": q_dsir_select,
-    "q_entity_resolution": q_entity_resolution,
-    "q_ewma_trend": q_ewma_trend,
-    "q_fuzzy_join": q_fuzzy_join,
-    "q_hard_negatives": q_hard_negatives,
-    "q_hilbert_layout": q_hilbert_layout,
-    "q_histogram_quantiles": q_histogram_quantiles,
-    "q_hybrid_search_rrf": q_hybrid_search_rrf,
-    "q_ks_drift": q_ks_drift,
-    "q_markov_transitions": q_markov_transitions,
-    "q_nb_quality": q_nb_quality,
-    "q_ngram_containment": q_ngram_containment,
-    "q_ols_trend": q_ols_trend,
-    "q_period_over_period": q_period_over_period,
-    "q_perplexity_buckets": q_perplexity_buckets,
-    "q_phash_neardup": q_phash_neardup,
-    "q_pii_scrub": q_pii_scrub,
-    "q_psi_drift": q_psi_drift,
-    "q_psi_histogram": q_psi_histogram,
-    "q_repetition_stats": q_repetition_stats,
-    "q_semdedup": q_semdedup,
-    "q_sequence_pack": q_sequence_pack,
-    "q_session_window_batch": q_session_window_batch,
-    "q_skyline": q_skyline,
-    "q_sliding_distinct": q_sliding_distinct,
-    "q_spatial_join": q_spatial_join,  # <- driver window cut (50)
     "q_stream_dedup_batch": q_stream_dedup_batch,
     "q_textrank": q_textrank,
     "q_tfidf_cosine": q_tfidf_cosine,
@@ -7159,7 +7107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_text_tokens": q_text_tokens,
     "q_token_budget": q_token_budget,
-    "q_top_ngrams": q_top_ngrams,
+    "q_top_ngrams": q_top_ngrams,  # <- driver window cut (50)
     "q_tpch_q11": q_tpch_q11,
     "q_tpch_q16": q_tpch_q16,
     "q_tpch_q2": q_tpch_q2,
@@ -7322,6 +7270,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q7": q_tpch_q7,
     "q_tpch_q8": q_tpch_q8,
     "q_wau_sketch": q_wau_sketch,
+    # --- newest driver row: r13
+    "q_attribution": q_attribution,
+    "q_bag_set_ops": q_bag_set_ops,
+    "q_basket_rules": q_basket_rules,
+    "q_bfs_hops": q_bfs_hops,
+    "q_bigram_logprob": q_bigram_logprob,
+    "q_bloom_skipping": q_bloom_skipping,
+    "q_boilerplate_removal": q_boilerplate_removal,
+    "q_bpe_merge_step": q_bpe_merge_step,
+    "q_bucketed_join": q_bucketed_join,
+    "q_cohort_retention": q_cohort_retention,
+    "q_concurrent_sessions": q_concurrent_sessions,
+    "q_containment_pruned": q_containment_pruned,
+    "q_contamination": q_contamination,
+    "q_dataset_card": q_dataset_card,
+    "q_decontaminate": q_decontaminate,
+    "q_dq_report": q_dq_report,
+    "q_dsir_select": q_dsir_select,
+    "q_entity_resolution": q_entity_resolution,
+    "q_ewma_trend": q_ewma_trend,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_hard_negatives": q_hard_negatives,
+    "q_hilbert_layout": q_hilbert_layout,
+    "q_histogram_quantiles": q_histogram_quantiles,
+    "q_hybrid_search_rrf": q_hybrid_search_rrf,
+    "q_incremental_read": q_incremental_read,
+    "q_ks_drift": q_ks_drift,
+    "q_markov_transitions": q_markov_transitions,
+    "q_multimodal_dedup": q_multimodal_dedup,
+    "q_multimodal_dedup_engine": q_multimodal_dedup_engine,
+    "q_nb_quality": q_nb_quality,
+    "q_ngram_containment": q_ngram_containment,
+    "q_ols_trend": q_ols_trend,
+    "q_partition_evolution": q_partition_evolution,
+    "q_period_over_period": q_period_over_period,
+    "q_perplexity_buckets": q_perplexity_buckets,
+    "q_phash_neardup": q_phash_neardup,
+    "q_pii_scrub": q_pii_scrub,
+    "q_psi_drift": q_psi_drift,
+    "q_psi_histogram": q_psi_histogram,
+    "q_repetition_stats": q_repetition_stats,
+    "q_semdedup": q_semdedup,
+    "q_sequence_pack": q_sequence_pack,
+    "q_session_window_batch": q_session_window_batch,
+    "q_skyline": q_skyline,
+    "q_sliding_distinct": q_sliding_distinct,
+    "q_spatial_join": q_spatial_join,
+    "q_tumbling_hour": q_tumbling_hour,
+    "q_window_range_frame": q_window_range_frame,
+    "q_window_rank": q_window_rank,
+    "q_zone_map_skipping": q_zone_map_skipping,
 }
 
 
