@@ -277,6 +277,14 @@ EXTENDED = [
     "q_dau_mau",
     "q_ann_ivfpq",
     "q_wau_sketch",
+    # round 14 members. q_delete_where / q_snapshot_rollback stay
+    # unbenched (write-side lifecycle I/O). q_embed_near_dup_scaled is
+    # the declared production SRP form (scaled planes, SCALING-probed);
+    # at sf0.1 (5000 rows ≤ base 5000) it plans identically to
+    # q_embed_near_dup, so its bench row doubles as a same-plan control.
+    "q_embed_near_dup_scaled",
+    "q_tokenizer_apply",
+    "q_domain_quota",
 ]
 
 

@@ -104,10 +104,15 @@ def srp_planes_for(n_rows: int, bands: int = 4, base_planes: int = 16,
     planes = base + B·max(0, ceil(log2(n/base)))  — expected occupancy
     stays constant. The recall trade is the standard LSH bits/bands one:
     stricter bands only make CANDIDATES rarer; verified pairs stay exact.
-    Not wired into the declared q_embed_near_dup: its generated-
-    hyperplane oracle embeds the plane count STRUCTURALLY (one SQL
-    expression per plane), so a data-dependent count has no static SQL
-    form — production callers pass this helper's result explicitly.
+    Declared as q_embed_near_dup_scaled since r14: the oracle generates
+    the hyperplanes IN SQL (same xorshift integer mix) so the plane
+    count can ride COUNT(*) — see oracles._embed_near_dup_scaled_sql.
+
+    ceil(log2(n/base)) is computed in INTEGER arithmetic — smallest k
+    with base·2^k ≥ n, via bit_length(ceil_div(n, base) − 1) — because
+    the oracle mirrors this rule in SQL and float log2 is in the
+    not-correctly-rounded class (CLAUDE.md cross-engine contract);
+    integer form is bit-stable in both engines.
 
     Capped at 62 planes: srp_signature packs one bit per plane into a
     64-bit signed long (bit 63 is the sign; bit 62 is the last safe
@@ -116,9 +121,8 @@ def srp_planes_for(n_rows: int, bands: int = 4, base_planes: int = 16,
     widening one (the standard LSH amplification trade)."""
     if n_rows <= base_rows:
         return base_planes
-    import math as _math
-
-    return min(62, base_planes + bands * _math.ceil(_math.log2(n_rows / base_rows)))
+    k = (((n_rows + base_rows - 1) // base_rows) - 1).bit_length()
+    return min(62, base_planes + bands * k)
 
 
 def srp_signature(vec_col, dim: int, n_planes: int = 16) -> Column:
@@ -938,26 +942,30 @@ def ivfpq_probe(
     (vec_id, exact_d). The ADC scan's plan touches only (id, codes,
     cell) — pinned in tests — so the serving read is nibbles, not
     vectors, until the bounded re-rank."""
-    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     m = len(books)
     sub = len(books[0][0])
     cells = nearest_cells_py(probe_vec, centers, nprobe)
+
     # driver-side tables: python floats ARE IEEE doubles and the fold
-    # order matches _pq_dist6's left-to-right chain. Quantization must be
-    # HALF-UP to match F.round/_pq_dist6 (python round() is half-EVEN and
-    # can differ at exact .xxxxxx5 boundaries); distances are >= 0 so
-    # floor(x*1e6 + 0.5) is exactly half-up.
+    # order matches _pq_dist6's left-to-right chain. Quantization must
+    # mirror F.round's exact semantics: Spark rounds HALF_UP on
+    # BigDecimal.valueOf(x) — the double's SHORTEST decimal repr — not on
+    # the binary value. floor(x*1e6+0.5) rounds the binary product, which
+    # disagrees when the shortest repr ends in ...5 at the 7th decimal but
+    # the binary value sits just below the boundary. repr() gives the same
+    # shortest round-trip decimal BigDecimal.valueOf uses.
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
     tables = [
         [
-            math.floor(
-                sum(
-                    (probe_vec[j * sub + t] - code[t]) ** 2 for t in range(sub)
-                )
-                * 1e6
-                + 0.5
+            _round6(
+                sum((probe_vec[j * sub + t] - code[t]) ** 2 for t in range(sub))
             )
-            / 1e6
             for code in books[j]
         ]
         for j in range(m)

@@ -87,18 +87,27 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to (shard, seq_id, offset) under a greedy
     no-split pack with a `seq_len`-token budget. Returns one row per
     document: (shard, doc_id, n_tokens, seq_id, offset); seq_id is
     1-based per shard, offset is the document's token offset within its
-    sequence."""
+    sequence.
+
+    Token counts come from whitespace `token_count(text_col)` by
+    default; pass `tokens_col` to pack under a PRECOMPUTED count
+    instead — the tokenizer-apply path (q_tokenizer_apply), where the
+    budget is measured in learned BPE tokens, not whitespace words."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    n_tokens = (
+        F.col(tokens_col) if tokens_col is not None else token_count(text_col)
+    )
     base = df.select(
         _portable_shard(id_col, n_shards).alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
-        token_count(text_col).cast("int").alias("n_tokens"),
+        n_tokens.cast("int").alias("n_tokens"),
         F.lit(seq_len).alias("__seq_len"),
     )
     return base.groupBy("shard").applyInPandas(_pack_one_shard, schema=PACK_SCHEMA)

@@ -2249,6 +2249,241 @@ ORACLES["q_embed_dedup_pipeline"] = _embed_dedup_pipeline_sql()
 ORACLES["q_embed_near_dup"] = _embed_near_dup_sql()
 
 
+def _embed_near_dup_scaled_sql(dim: int = 64, bands: int = 4,
+                               base_planes: int = 16, base_rows: int = 5000,
+                               min_cosine: float = 0.35) -> str:
+    """Oracle for q_embed_near_dup_scaled — the DYNAMIC-plane-count SRP
+    lattice. Unlike _srp_candidate_ctes (which inlines one plane literal
+    per SQL expression, freezing the count), this oracle GENERATES the
+    hyperplanes in SQL from the same xorshift integer mix as
+    similarity._deterministic_hyperplanes, over a plane count derived
+    from COUNT(*) with the same integer bit_length rule as
+    similarity.srp_planes_for (smallest k with base·2^k ≥ n, via
+    length(bin(ceil_div(n, base) − 1)) ≡ Python int.bit_length).
+
+    Cross-engine float parity, term by term:
+    - plane values: (h/4294967295.0)·2.0−1.0 — BIGINT/DOUBLE division is
+      correctly rounded IEEE in both engines, ·2.0 is exact, −1.0 is one
+      correctly-rounded op; identical doubles without literal inlining.
+    - the integer mix (&, xor, >>, ·1274126177) never exceeds 2^63
+      (max h·multiplier ≈ 5.5e18), so BIGINT arithmetic is exact.
+    - signature: SUM of distinct power-of-two BIGINTs ≡ Spark's
+      bitwiseOR fold (bits are disjoint); cast back from HUGEINT.
+    - dot/cosine/ROUND(,6): same list_dot_product / list_cosine_similarity
+      forms the gate already proves against the Spark fold
+      (_srp_candidate_ctes notes).
+    Band width is np//bands on BOTH sides, so if the 62-plane cap makes
+    np indivisible by bands the same top bits are ignored in banding."""
+    mask32 = 0xFFFFFFFF
+    return f"""
+        WITH params AS (
+            SELECT CASE WHEN n <= {base_rows} THEN {base_planes}
+                        ELSE LEAST(62, {base_planes} + {bands} *
+                             length(bin(((n + {base_rows - 1}) // {base_rows}) - 1)))
+                   END AS np
+            FROM (SELECT COUNT(*) AS n FROM embeddings)
+        ), pv AS (
+            SELECT p, d,
+                   ((xor(h3, h3 >> 16)) / 4294967295.0) * 2.0 - 1.0 AS val
+            FROM (
+                SELECT p, d, ((xor(h1, h1 >> 13) * 1274126177) & {mask32}) AS h3
+                FROM (
+                    SELECT pp.p, dd.d,
+                           ((pp.p * 2654435761 + dd.d * 40503 + 12345) & {mask32}) AS h1
+                    FROM (SELECT unnest(range((SELECT np FROM params))) AS p) pp,
+                         (SELECT unnest(range({dim})) AS d) dd
+                )
+            )
+        ), planes AS (
+            SELECT p, list(val ORDER BY d) AS plane FROM pv GROUP BY p
+        ), v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), sig AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(e, plane) > 0
+                                 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+            FROM v CROSS JOIN planes
+            GROUP BY vec_id
+        ), chunks AS (
+            SELECT vec_id, band,
+                   (sig >> CAST(band * ((SELECT np FROM params) // {bands}) AS INTEGER))
+                   & ((CAST(1 AS BIGINT) << ((SELECT np FROM params) // {bands})) - 1)
+                       AS chunk
+            FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band)
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM chunks a
+            JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                          AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS cosine_sim
+        FROM cand c
+        JOIN v va ON va.vec_id = c.id_a
+        JOIN v vb ON vb.vec_id = c.id_b
+        WHERE ROUND(list_cosine_similarity(va.e, vb.e), 6) >= {min_cosine}
+    """
+
+
+ORACLES["q_embed_near_dup_scaled"] = _embed_near_dup_scaled_sql()
+
+
+# URL/domain-keyed curation (r14): same synthesized URLs, then parse +
+# within-domain content dedup + md5-uniform quota as plain SQL windows —
+# re-proving the salted two-phase skew_topk ≡ sequential ROW_NUMBER on a
+# third ordering (q_group_quota, q_sequence_pack are the others).
+ORACLES["q_domain_quota"] = """
+    WITH u AS (
+        SELECT doc_id, text,
+               'https://' || ['www.', 'cdn.', ''][CAST(doc_id % 3 + 1 AS INTEGER)]
+                          || source || '.'
+                          || ['com', 'org'][CAST(doc_id % 2 + 1 AS INTEGER)]
+                          || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id,
+               regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                              '([^.]+\\.[^.]+)$', 1) AS domain,
+               md5(lower(trim(text))) AS th
+        FROM u
+    ), kept AS (
+        SELECT domain, doc_id
+        FROM (
+            SELECT domain, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY domain, th ORDER BY doc_id) AS rn
+            FROM parsed
+        )
+        WHERE rn = 1
+    )
+    SELECT domain, doc_id, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT domain, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rank
+        FROM kept
+    )
+    WHERE rank <= 8
+    ORDER BY domain, rank
+"""
+
+
+def _tokenizer_apply_sql(n_merges: int = 6, min_count: int = 2,
+                         seq_len: int = 512, n_shards: int = 8) -> str:
+    """Oracle for q_tokenizer_apply — TRAIN, ENCODE, PACK replayed end
+    to end. Training is `n_merges` CHAINED CTE stages over the vocab
+    (pc_k pair counts → ch_k argmax under the (cnt DESC, a, b) total
+    order → v_k conditional merge). The merge fold is a seeded
+    list_reduce over single-element lists: the seed is the first
+    element [s1], which equals Spark's empty-seeded fold after one
+    step, and the accumulator is a LIST (the positional-accumulator
+    rule — no struct shadowing). The early-stop rule (best cnt <
+    min_count, or no pairs) is the CASE guard on ch_k — once it stops
+    firing, pair counts are unchanged so every later stage is a no-op,
+    exactly bpe_train's break. ENCODE needs no extra folds: the
+    training fold applied to the vocab IS the encoding of every word
+    (the same property the Spark side exploits by joining the trained
+    symbol frame), so docs join v_n by word and regroup ordered. PACK
+    is the q_sequence_pack recursive fold under the BPE token counts.
+    Empty-text docs would be absent here but present (md5('')) on the
+    Spark side — the corpus has none (10-99 tokens/doc)."""
+    stages = []
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        stages.append(f"""pc{k} AS (
+            SELECT p[1] AS a, p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq,
+                       unnest(list_transform(range(1, len(syms)),
+                                             i -> [syms[i], syms[i + 1]])) AS p
+                FROM {prev} WHERE len(syms) >= 2
+            )
+            GROUP BY 1, 2
+        ), ch{k} AS (
+            SELECT a, b, cnt FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1
+        ), v{k} AS (
+            SELECT v.word, v.freq,
+                   CASE WHEN c.cnt IS NOT NULL AND c.cnt >= {min_count}
+                             AND len(v.syms) >= 2
+                        THEN list_reduce(
+                                 list_transform(v.syms, s -> [s]),
+                                 (acc, x) -> CASE
+                                     WHEN acc[len(acc)] = c.a AND x[1] = c.b
+                                     THEN list_append(
+                                              list_slice(acc, 1, len(acc) - 1),
+                                              c.a || c.b)
+                                     ELSE list_append(acc, x[1]) END)
+                        ELSE v.syms END AS syms
+            FROM {prev} v LEFT JOIN ch{k} c ON TRUE
+        )""")
+    chain = ", ".join(stages)
+    return f"""
+        WITH RECURSIVE words AS (
+            SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                           AS token
+                FROM documents
+            )
+            GROUP BY 1
+        ), v0 AS (
+            SELECT word, freq,
+                   list_append(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substring(word, i, 1)),
+                       '</w>') AS syms
+            FROM words
+        ), {chain}, toks AS (
+            SELECT doc_id, i AS pos, lw[i] AS word
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS lw
+                FROM documents
+            ), UNNEST(range(1, len(lw) + 1)) AS t(i)
+        ), docs_enc AS (
+            SELECT t.doc_id,
+                   CAST(SUM(len(v.syms)) AS INTEGER) AS n_tokens,
+                   md5(array_to_string(flatten(list(v.syms ORDER BY t.pos)),
+                                       chr(31))) AS tokens_md5
+            FROM toks t JOIN v{n_merges} v USING (word)
+            GROUP BY t.doc_id
+        ), ordered AS (
+            SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % {n_shards} AS INTEGER) AS shard,
+                   doc_id, n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                         AS BIGINT) % {n_shards}
+                       ORDER BY doc_id) AS rn
+            FROM docs_enc
+        ), pack AS (
+            SELECT shard, doc_id, n_tokens, rn,
+                   CAST(1 AS BIGINT) AS seq_id,
+                   CAST(0 AS BIGINT) AS "offset",
+                   CAST(n_tokens AS BIGINT) AS cum
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+                   CASE WHEN p.cum + o.n_tokens > {seq_len}
+                        THEN p.seq_id + 1 ELSE p.seq_id END,
+                   CASE WHEN p.cum + o.n_tokens > {seq_len}
+                        THEN 0 ELSE p.cum END,
+                   CASE WHEN p.cum + o.n_tokens > {seq_len}
+                        THEN o.n_tokens ELSE p.cum + o.n_tokens END
+            FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT p.shard, p.doc_id, p.n_tokens, p.seq_id, p."offset" AS offset,
+               de.tokens_md5
+        FROM pack p JOIN docs_enc de USING (doc_id)
+        ORDER BY p.shard, p.doc_id
+    """
+
+
+ORACLES["q_tokenizer_apply"] = _tokenizer_apply_sql()
+
+
 def _zvalue_sql(cols: list[str], bits: int) -> str:
     """Bit-interleave expression mirroring operators/layout.zvalue:
     column j contributes its bit i to output bit i*len(cols)+j."""
@@ -2426,6 +2661,40 @@ ORACLES["q_bloom_skipping"] = """
     WHERE o_orderkey IN (1, 7, 1000)
     GROUP BY o_orderkey
     ORDER BY o_orderkey
+"""
+
+# Row-level DELETE (r14): the CoW mechanics (pruned rewrite set, path-
+# identity carry-over, no surviving predicated row) are runtime-guarded
+# in the query; the DATA contract the oracle replays is that the
+# post-delete table equals the corpus under NOT(predicate).
+ORACLES["q_delete_where"] = """
+    WITH o AS (
+        SELECT o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM o
+    WHERE NOT (o_orderstatus = 'F' AND cents <= 10000000)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+# Snapshot rollback (r14): the manifest mechanics (exact file-list
+# re-point, zero data I/O, undone snapshot intact) are runtime-guarded;
+# the DATA contract is that the rolled-back read equals the pre-delete
+# state — v1's 'F' rows plus v2's 'O' rows.
+ORACLES["q_snapshot_rollback"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
 """
 
 # Zone-map data skipping (r13): the layout (range clustering, per-file

@@ -1692,3 +1692,71 @@ class TestImageChecksum:
         with pytest.raises(Exception, match="BMP|magic"):
             multimodal.image_checksum(bad).collect()
         assert multimodal.image_checksum(bad, strict=False).count() == 0
+
+
+class TestSrpScaledPlanes:
+    """q_embed_near_dup_scaled's DYNAMIC regime (n > 5000 → more planes).
+
+    The driver gate only ever sees n ≤ 5000 (both gate SFs resolve to the
+    16-plane base), so the data-dependent half of the contract — plane
+    count from COUNT(*), SQL-generated hyperplanes matching the Python
+    xorshift mix bit-for-bit, band width np//bands — is pinned here on a
+    synthetic 6000-row corpus (np = 20) against the SAME oracle SQL the
+    gate runs."""
+
+    def test_integer_rule_matches_float_form(self):
+        import math
+
+        for n in list(range(1, 50_000, 7)) + [5000, 5001, 10_000, 10_001, 640_000]:
+            want = (
+                16
+                if n <= 5000
+                else min(62, 16 + 4 * math.ceil(math.log2(n / 5000)))
+            )
+            assert similarity.srp_planes_for(n) == want, n
+
+    def test_dynamic_regime_matches_oracle(self, spark, tmp_path):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from nyc_bikeshare_datawarehouse_spark.plans.oracles import (
+            _embed_near_dup_scaled_sql,
+        )
+        from nyc_bikeshare_datawarehouse_spark.plans.queries import (
+            q_embed_near_dup_scaled,
+        )
+
+        n, dim = 6000, 64
+        rng = np.random.RandomState(7)
+        # centered gaussians: realistic cosine spread (~N(0, 1/8)) so the
+        # verified pair list is the sparse top tail, not all ~18M pairs
+        # (positive-orthant vectors all sit at cosine ≈ 0.75 and the
+        # collect would pull the entire candidate set)
+        emb = rng.randn(n, dim).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [row for row in emb.tolist()], pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+        assert similarity.srp_planes_for(n) == 20  # the dynamic regime
+
+        got = sorted(
+            (r["id_a"], r["id_b"], r["cosine_sim"])
+            for r in q_embed_near_dup_scaled(spark, str(tmp_path)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet('"
+            + str(tmp_path / "embeddings.parquet")
+            + "')"
+        )
+        want = sorted(map(tuple, con.execute(_embed_near_dup_scaled_sql()).fetchall()))
+        assert len(got) > 0
+        assert got == want

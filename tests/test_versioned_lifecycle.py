@@ -1,0 +1,226 @@
+"""Row-level DELETE + snapshot ROLLBACK pins (sources/versioned.py, r14).
+
+Engine-level contracts the oracle-checked queries (q_delete_where,
+q_snapshot_rollback) cannot see: NULL-predicate SQL semantics, the
+replay-guard atomicity rules, retention interplay, and refusal modes.
+Reference analog: stage_redshift.py:38-48's truncate-and-load DELETE
+contract, generalized to predicates + time travel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+
+def _manifest(base: str, v: int) -> dict:
+    with open(versioned._manifest_path(base, v)) as fh:
+        return json.load(fh)
+
+
+def _ids(df) -> list[int]:
+    return sorted(r["id"] for r in df.collect())
+
+
+class TestDeleteWhere:
+    def test_cow_rewrites_only_pruned_files(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, "a" if i < 50 else "b", i) for i in range(100)],
+            "id INT, grp STRING, val INT",
+        )
+        versioned.write_snapshot(df, base, partition_by=["grp"])
+        v, n_rw, n_kept = versioned.delete_where(
+            spark, base, where={"grp": "a"}, where_range={"val": (None, 10)}
+        )
+        assert v == 2 and n_rw >= 1 and n_kept >= 1
+        m1, m2 = _manifest(base, 1), _manifest(base, 2)
+        # untouched files carry over by PATH IDENTITY, and they are
+        # exactly the files partition pruning excluded (grp=b)
+        kept = set(m1["files"]) & set(m2["files"])
+        assert kept and all("__pt_grp=b" in f for f in kept)
+        # deleted: grp=a AND val<=10 → ids 0..10; everything else survives
+        assert _ids(versioned.read_snapshot(spark, base)) == list(range(11, 100))
+        # time travel: v1 still reads the pre-delete table
+        assert _ids(versioned.read_snapshot(spark, base, 1)) == list(range(100))
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        # SQL DELETE semantics: rows where the predicate is NULL (not
+        # TRUE) survive — the ~coalesce(pred, FALSE) guard, not ~pred
+        # (which would DELETE null-valued rows under three-valued logic)
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 50)], "id INT, val INT"
+        )
+        versioned.write_snapshot(df, base)
+        versioned.delete_where(spark, base, where_range={"val": (None, 10)})
+        assert _ids(versioned.read_snapshot(spark, base)) == [2, 3]
+
+    def test_equality_delete_native_type(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 7), (2, 8), (3, 7)], "id INT, k INT")
+        versioned.write_snapshot(df, base)
+        versioned.delete_where(spark, base, where={"k": 7})
+        assert _ids(versioned.read_snapshot(spark, base)) == [2]
+
+    def test_increment_refuses_across_delete(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 1), (2, 2)], "id INT, v INT")
+        versioned.write_snapshot(df, base)
+        versioned.write_snapshot(
+            spark.createDataFrame([(3, 3)], "id INT, v INT"), base
+        )
+        versioned.delete_where(spark, base, where={"id": 1})
+        with pytest.raises(ValueError, match="non-append"):
+            versioned.read_increment(spark, base, 1)
+
+    def test_replay_guard_batch_id_carried(self, spark, tmp_path):
+        # the delete rewrites exactly the state the stream batches
+        # produced, so the guard must ride the delete manifest ATOMICALLY
+        # (the compact_snapshot/merge rule — never a separate write)
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 1), (2, 2)], "id INT, v INT")
+        versioned.write_snapshot(df, base, metadata={"batch_id": 7})
+        versioned.delete_where(spark, base, where={"id": 1})
+        assert versioned.last_metadata_value(base, "batch_id") == 7
+        assert _manifest(base, 2)["metadata"]["batch_id"] == 7
+
+    def test_refusals(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        with pytest.raises(ValueError, match="no snapshot"):
+            versioned.delete_where(spark, base, where={"id": 1})
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 1)], "id INT, v INT"), base
+        )
+        with pytest.raises(ValueError, match="needs a predicate"):
+            versioned.delete_where(spark, base)
+        with pytest.raises(ValueError, match="not in table schema"):
+            versioned.delete_where(spark, base, where={"nope": 1})
+
+    def test_delete_compact_expire_interplay(self, spark, tmp_path):
+        # v1 write → v2 delete → v3 compact → expire below v3: content
+        # stable throughout, and the sweep reclaims every file only the
+        # expired manifests referenced
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id INT, k INT"
+        )
+        versioned.write_snapshot(df, base)
+        versioned.delete_where(spark, base, where={"k": 0})
+        survivors = [i for i in range(30) if i % 3 != 0]
+        assert _ids(versioned.read_snapshot(spark, base)) == survivors
+        versioned.compact_snapshot(spark, base, target_files=1)
+        assert _ids(versioned.read_snapshot(spark, base)) == survivors
+        dead = [
+            f
+            for f in _manifest(base, 1)["files"]
+            if f not in set(_manifest(base, 3)["files"])
+        ]
+        assert versioned.expire_snapshots(base, keep_from=3) == [1, 2]
+        assert _ids(versioned.read_snapshot(spark, base)) == survivors
+        assert dead and not any(os.path.exists(f) for f in dead)
+
+
+class TestRollback:
+    def _three_versions(self, spark, base):
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, "x")], "id INT, v STRING"), base
+        )
+        versioned.write_snapshot(
+            spark.createDataFrame([(2, "y")], "id INT, v STRING"), base
+        )
+        versioned.delete_where(spark, base, where={"id": 1})
+
+    def test_repoint_is_exact_and_manifest_only(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._three_versions(spark, base)
+        v4 = versioned.rollback_to(base, 2)
+        assert v4 == 4
+        m2, m3, m4 = (_manifest(base, v) for v in (2, 3, 4))
+        assert m4["files"] == m2["files"]
+        assert m4["schema"] == m2["schema"]
+        assert m4["metadata"]["rollback_of"] == 2
+        # nothing deleted: the undone v3 stays fully time-travelable
+        assert all(os.path.exists(f) for f in m3["files"])
+        assert _ids(versioned.read_snapshot(spark, base)) == [1, 2]
+        assert _ids(versioned.read_snapshot(spark, base, 3)) == [2]
+
+    def test_replay_guard_rolls_back_with_the_data(self, spark, tmp_path):
+        # rollback restores the batch id AS OF the target version in the
+        # SAME manifest: batches after it re-apply onto the rolled-back
+        # state instead of being skipped as already-seen
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 1)], "id INT, v INT"),
+            base,
+            metadata={"batch_id": 3},
+        )
+        versioned.write_snapshot(
+            spark.createDataFrame([(2, 2)], "id INT, v INT"),
+            base,
+            metadata={"batch_id": 4},
+        )
+        versioned.rollback_to(base, 1)
+        assert versioned.last_metadata_value(base, "batch_id") == 3
+
+    def test_expire_keeps_rolled_back_files_live(self, spark, tmp_path):
+        # the rollback commit REFERENCES the old files, so a retention
+        # sweep that drops the original manifest keeps them live via the
+        # live-set union — rollback never races retention
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, "x")], "id INT, v STRING"), base
+        )
+        versioned.write_snapshot(
+            spark.createDataFrame([(2, "y")], "id INT, v STRING"),
+            base,
+            mode="overwrite",
+        )
+        v3 = versioned.rollback_to(base, 1)
+        old_files = _manifest(base, 1)["files"]
+        gone = [
+            f
+            for f in _manifest(base, 2)["files"]
+            if f not in set(old_files)
+        ]
+        assert versioned.expire_snapshots(base, keep_from=v3) == [1, 2]
+        assert all(os.path.exists(f) for f in old_files)
+        assert gone and not any(os.path.exists(f) for f in gone)
+        assert _ids(versioned.read_snapshot(spark, base)) == [1]
+
+    def test_rollback_of_rollback_and_refusal(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._three_versions(spark, base)
+        versioned.rollback_to(base, 2)  # v4 = v2 state
+        v5 = versioned.rollback_to(base, 3)  # undo the undo
+        assert _manifest(base, v5)["files"] == _manifest(base, 3)["files"]
+        assert _ids(versioned.read_snapshot(spark, base)) == [2]
+        with pytest.raises(ValueError, match="no snapshot"):
+            versioned.rollback_to(base, 99)
+        with pytest.raises(ValueError, match="no snapshot"):
+            versioned.rollback_to(base, 0)
+
+
+class TestWherePushdown:
+    def test_native_filter_reaches_parquet_scan(self, spark, tmp_path):
+        # ADVICE r13: a type-matched `where` value must filter as a bare
+        # col = lit so the predicate reaches the parquet reader
+        # (PushedFilters / row-group stats) on the kept files — the
+        # string-cast fallback wraps the column and defeats pushdown
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame([(i, i % 5) for i in range(50)], "id INT, k INT")
+        versioned.write_snapshot(df, base)
+        got = versioned.read_snapshot(spark, base, where={"k": 3})
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
+        assert sorted(r["id"] for r in got.collect()) == list(range(3, 50, 5))
+        # cross-type probe keeps the string-form fallback (and its rows)
+        got2 = versioned.read_snapshot(spark, base, where={"k": "3"})
+        plan2 = got2._jdf.queryExecution().executedPlan().toString()
+        assert "EqualTo(k,3)" not in plan2
+        assert sorted(r["id"] for r in got2.collect()) == list(range(3, 50, 5))

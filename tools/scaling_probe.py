@@ -79,6 +79,17 @@ SCALE_PATH = [
     "q_textrank",
     "q_tfidf_cosine",
     "q_boilerplate_removal",
+    # round 14: the DECLARED scaled-planes SRP form — plane count rides
+    # srp_planes_for(COUNT(*)), so this probe measures the production
+    # plan (16 planes at sf0.1, 32 at 10x; claim ~0.5, the
+    # embed_lsh_scaled_planes lever reading, vs 1.27 fixed); the
+    # tokenizer capstone's training rounds are vocab-sized (vocab grows
+    # 10x suffixed — hostile regime), encode is one broadcast join +
+    # per-doc regroup, pack is per-shard linear (claim ~1); domain
+    # quota is regexp parse + two windows (claim ~1)
+    "q_embed_near_dup_scaled",
+    "q_tokenizer_apply",
+    "q_domain_quota",
 ]
 #: oracle-exact quadratic verifiers: measured at the sf0.01 -> sf0.1 step
 EXACT = ["q_ngram_jaccard", "q_dedup_clusters", "q_ngram_containment"]
