@@ -347,6 +347,17 @@ def main() -> None:
             spark = get_spark("bench")
     # warm-up: JVM JIT + codegen + parquet footer caches
     run_query(spark, "q_star_join", sf_dir, repeats=1)
+    # Arrow python-worker warm-up: the session's FIRST Pandas-UDF stage
+    # pays ~6 s of worker spawn (32 interpreters importing
+    # pandas/pyarrow), which lands on whichever Arrow query runs first
+    # in a tier and masquerades as a plan cost (q_audio_features read
+    # 5-10 s across r10-r13 vs 0.8 s steady-state — profiled r14:
+    # image-first 7.2 s / audio-then 0.9 s, order-independent). One
+    # trivial mapInPandas here moves that one-time cost into the
+    # untimed warm-up, like the JIT warm-up above.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # best-of-3: headline queries are sub-second, so per-run scheduling
     # noise dominates them (observed 15.6s vs 27.6s back-to-back totals);
