@@ -208,6 +208,12 @@ def cosine_near_dup_lsh(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        # explicit width before the CPU-bound verify: AQE size-coalesces
+        # the deduped pair list (two longs/row looks tiny) to a few
+        # partitions, then the per-pair zip_with dot runs on 2 of 32
+        # cores — the q_jaccard_prefix misprice (CLAUDE.md). Ids only,
+        # so the exchange stays slim.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     # Per-VECTOR norms computed once here (explode(array) barrier stops
     # CollapseProject from re-inlining the aggregate into every pair) —
@@ -217,13 +223,23 @@ def cosine_near_dup_lsh(
     vecs = df.select(id_col, _vec(vec_col).alias("__v")).select(
         id_col, "__v", F.explode(F.array(l2_norm("__v"))).alias("__n")
     )
+    # BROADCAST vector re-attach (the jaccard_verify_pairs
+    # broadcast_sets convention): keeps the verify stage on cand's
+    # explicit round-robin partitioning — an SMJ here would reshuffle
+    # by id and hand the partition count back to the AQE coalescer.
+    # Sound to ~10M vectors x 64 dims (low-GB broadcast); past that,
+    # drop the hint and size spark.sql.shuffle.partitions instead.
     pairs = (
         cand.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")),
+            F.broadcast(
+                vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")),
+            F.broadcast(
+                vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+            ),
             "id_b",
         )
     )

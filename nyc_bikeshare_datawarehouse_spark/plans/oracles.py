@@ -2483,6 +2483,51 @@ def _tokenizer_apply_sql(n_merges: int = 6, min_count: int = 2,
 
 ORACLES["q_tokenizer_apply"] = _tokenizer_apply_sql()
 
+# Packing-efficiency report (r14): the q_sequence_pack recursive fold
+# plus the same two-level aggregation — certifies pack_stats.
+ORACLES["q_pack_efficiency"] = """
+    WITH RECURSIVE ordered AS (
+        SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 8 AS INTEGER) AS shard,
+               doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS INTEGER) AS n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                     AS BIGINT) % 8
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ), pack AS (
+        SELECT shard, doc_id, n_tokens, rn,
+               CAST(1 AS BIGINT) AS seq_id,
+               CAST(n_tokens AS BIGINT) AS cum
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+               CASE WHEN p.cum + o.n_tokens > 64
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.cum + o.n_tokens > 64
+                    THEN o.n_tokens ELSE p.cum + o.n_tokens END
+        FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    ), per_seq AS (
+        SELECT shard, seq_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS fill
+        FROM pack GROUP BY shard, seq_id
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS fill_tokens,
+           CAST(SUM(CASE WHEN 64 - fill < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow,
+           CAST(SUM(CASE WHEN 64 - fill > 0 THEN 64 - fill ELSE 0 END) AS BIGINT)
+               AS waste_tokens
+    FROM per_seq
+    GROUP BY shard
+    ORDER BY shard
+"""
+
 
 def _zvalue_sql(cols: list[str], bits: int) -> str:
     """Bit-interleave expression mirroring operators/layout.zvalue:

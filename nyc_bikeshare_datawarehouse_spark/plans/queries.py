@@ -1628,6 +1628,44 @@ def q_sequence_pack(spark, sf_dir):
     )
 
 
+def q_pack_efficiency(spark, sf_dir):
+    """Padding-waste report over the greedy pack
+    (operators/packing.pack_stats — library-only until r14): per shard,
+    sequence count, packed docs, filled tokens, overflow-singleton
+    count (docs longer than the 64-token budget → negative waste) and
+    positive padding waste. This is the number a pretraining-export
+    owner actually watches (waste = wasted accelerator time); one
+    O(#sequences) groupBy on top of the pack. Oracle replays the
+    recursive pack fold (q_sequence_pack) plus the same two-level
+    aggregation."""
+    from nyc_bikeshare_datawarehouse_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    st = pack_stats(pack_sequences(d, seq_len=64, n_shards=8), seq_len=64)
+    return (
+        st.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("fill_tokens").cast("long").alias("fill_tokens"),
+            F.sum((F.col("waste_tokens") < 0).cast("int"))
+            .cast("long")
+            .alias("n_overflow"),
+            F.sum(
+                F.when(F.col("waste_tokens") > 0, F.col("waste_tokens")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("waste_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic consistent-hash sampling (operators/sampling.py):
     ~20% of lineitem selected by md5-bucket — same rows every run, every
@@ -7365,6 +7403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_snapshot_rollback": q_snapshot_rollback,
     "q_tokenizer_apply": q_tokenizer_apply,
     "q_domain_quota": q_domain_quota,
+    "q_pack_efficiency": q_pack_efficiency,
     # --- newest driver row: r08
     "q_stream_dedup_batch": q_stream_dedup_batch,
     "q_textrank": q_textrank,
@@ -7410,8 +7449,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_history": q_scd2_history,
     "q_semdedup_hier": q_semdedup_hier,
-    "q_sql_surrogate_keys": q_sql_surrogate_keys,
-    "q_stratified_sample": q_stratified_sample,  # <- driver window cut (50)
+    "q_sql_surrogate_keys": q_sql_surrogate_keys,  # <- driver window cut (50)
+    "q_stratified_sample": q_stratified_sample,
     "q_temperature_mix": q_temperature_mix,
     "q_text_stats": q_text_stats,
     "q_text_tokens": q_text_tokens,

@@ -109,8 +109,14 @@ def test_embed_near_dup_shuffles_ids_not_vectors(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_embed_near_dup")
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1)
-    # vectors re-attach via broadcast at this scale (no vector shuffle at all)
+    # vectors re-attach via EXPLICIT broadcast (r14): an SMJ would
+    # reshuffle the pairs by id and hand the verify stage's width back
+    # to the AQE size-coalescer (the q_jaccard_prefix misprice)
     assert plan.count("BroadcastHashJoin") >= 2
+    # the deduped candidate list fans back out to cluster width before
+    # the CPU-bound per-pair verify — ids only, so the exchange is slim
+    rr = re.search(r"Exchange roundrobinpartitioning\(\d+\)[^\n]*", plan, re.I)
+    assert rr is not None and "embedding" not in rr.group(0)
 
 
 def test_tpch_q9_broadcasts_dimensions(spark, sf_dir):
