@@ -2727,6 +2727,27 @@ ORACLES["q_delete_where"] = """
     ORDER BY o_orderstatus
 """
 
+# Merge-on-read DELETE (r14): the zero-I/O mechanics (no data dir,
+# identical file list, pre-read invisibility) are runtime-guarded; the
+# DATA contract the oracle replays is the filter SCOPING — the 'P' rows
+# appended AFTER the delete match its predicate but must survive, so
+# the three-way state is corpus-recomputable.
+ORACLES["q_delete_mor"] = """
+    WITH o AS (
+        SELECT o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM o
+    WHERE o_orderstatus IN ('F', 'O')
+       OR (o_orderstatus = 'P' AND cents > 20000000)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
 # Snapshot rollback (r14): the manifest mechanics (exact file-list
 # re-point, zero data I/O, undone snapshot intact) are runtime-guarded;
 # the DATA contract is that the rolled-back read equals the pre-delete

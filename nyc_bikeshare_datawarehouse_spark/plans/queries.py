@@ -6732,6 +6732,76 @@ def q_delete_where(spark, sf_dir):
     )
 
 
+def q_delete_mor(spark, sf_dir):
+    """MERGE-ON-READ row-level DELETE
+    (sources/versioned.delete_where(strategy="merge-on-read"), r14) —
+    the Iceberg-v2 equality-delete sibling of q_delete_where's
+    copy-on-write: the delete commit is O(manifest) with ZERO data I/O
+    (runtime-guarded: no v2 data directory exists, the file list is
+    byte-identical to v1's), and reads apply NOT(pred) to exactly the
+    files that existed at the delete (the sequence-number scoping rule
+    flattened to explicit file lists). The commit sequence makes the
+    scoping itself the checked artifact: v1 = all orders, v2 = MoR
+    DELETE of every 'P' row, v3 = APPEND of the high-value 'P' slice
+    (cents > 20M) — rows that MATCH the v2 predicate but were appended
+    AFTER it, so they must survive. If filters applied globally the 'P'
+    group would vanish; the oracle recomputes the exact three-way state
+    from the corpus. A later compaction materializes the filters and
+    clears them (pinned with stacking/rollback/CoW interplay in
+    tests/test_versioned_lifecycle.py). Table path SF+pid-tagged,
+    rebuilt per run."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_delete_mor/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(o, base)
+    v2, n_rw, n_kept = versioned.delete_where(
+        spark, base, where={"o_orderstatus": "P"}, strategy="merge-on-read"
+    )
+    if n_rw != 0 or _os.path.isdir(_os.path.join(base, f"v{v2}")):
+        raise RuntimeError("merge-on-read delete performed data I/O")
+    with open(versioned._manifest_path(base, 1)) as fh:
+        m1 = _json.load(fh)
+    with open(versioned._manifest_path(base, v2)) as fh:
+        m2 = _json.load(fh)
+    if m1["files"] != m2["files"] or n_kept != len(m1["files"]):
+        raise RuntimeError("merge-on-read delete changed the file list")
+    if versioned.read_snapshot(spark, base, v2).filter(
+        F.col("o_orderstatus") == "P"
+    ).count() != 0:
+        raise RuntimeError("a deleted row is still visible at v2")
+    versioned.write_snapshot(
+        o.filter((F.col("o_orderstatus") == "P") & (F.col("cents") > 20_000_000)),
+        base,
+    )
+    return (
+        versioned.read_snapshot(spark, base)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_snapshot_rollback(spark, sf_dir):
     """Snapshot ROLLBACK through the manifest format
     (sources/versioned.rollback_to, r14): v1 commits 'F' orders, v2
@@ -7400,6 +7470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (no driver rows)
     "q_embed_near_dup_scaled": q_embed_near_dup_scaled,
     "q_delete_where": q_delete_where,
+    "q_delete_mor": q_delete_mor,
     "q_snapshot_rollback": q_snapshot_rollback,
     "q_tokenizer_apply": q_tokenizer_apply,
     "q_domain_quota": q_domain_quota,
@@ -7448,8 +7519,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_robust_outliers": q_robust_outliers,
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_history": q_scd2_history,
-    "q_semdedup_hier": q_semdedup_hier,
-    "q_sql_surrogate_keys": q_sql_surrogate_keys,  # <- driver window cut (50)
+    "q_semdedup_hier": q_semdedup_hier,  # <- driver window cut (50)
+    "q_sql_surrogate_keys": q_sql_surrogate_keys,
     "q_stratified_sample": q_stratified_sample,
     "q_temperature_mix": q_temperature_mix,
     "q_text_stats": q_text_stats,

@@ -224,3 +224,123 @@ class TestWherePushdown:
         plan2 = got2._jdf.queryExecution().executedPlan().toString()
         assert "EqualTo(k,3)" not in plan2
         assert sorted(r["id"] for r in got2.collect()) == list(range(3, 50, 5))
+
+
+class TestMergeOnRead:
+    def test_zero_io_and_scoped_filtering(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(i, i % 4) for i in range(40)], "id INT, k INT"),
+            base,
+        )
+        v2, n_rw, n_kept = versioned.delete_where(
+            spark, base, where={"k": 0}, strategy="merge-on-read"
+        )
+        assert n_rw == 0 and not os.path.isdir(os.path.join(base, f"v{v2}"))
+        assert _manifest(base, v2)["files"] == _manifest(base, 1)["files"]
+        survivors = [i for i in range(40) if i % 4 != 0]
+        assert _ids(versioned.read_snapshot(spark, base)) == survivors
+        # v1 time travel still shows the pre-delete table
+        assert _ids(versioned.read_snapshot(spark, base, 1)) == list(range(40))
+        # the SCOPING rule: rows appended after the delete match the
+        # predicate but are never filtered by it
+        versioned.write_snapshot(
+            spark.createDataFrame([(100, 0), (101, 1)], "id INT, k INT"), base
+        )
+        assert _ids(versioned.read_snapshot(spark, base)) == survivors + [100, 101]
+
+    def test_stacked_filters_and_null_rows_survive(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame(
+                [(1, 5), (2, None), (3, 50), (4, 7)], "id INT, val INT"
+            ),
+            base,
+        )
+        versioned.delete_where(
+            spark, base, where_range={"val": (None, 6)}, strategy="merge-on-read"
+        )
+        versioned.delete_where(
+            spark, base, where={"val": 7}, strategy="merge-on-read"
+        )
+        assert len(_manifest(base, 3)["row_filters"]) == 2
+        # id=1 (<=6) and id=4 (=7) deleted; NULL row survives both
+        assert _ids(versioned.read_snapshot(spark, base)) == [2, 3]
+
+    def test_compaction_materializes_and_clears(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(i, i % 2) for i in range(20)], "id INT, k INT"),
+            base,
+        )
+        versioned.delete_where(spark, base, where={"k": 1}, strategy="merge-on-read")
+        v3 = versioned.compact_snapshot(spark, base, target_files=1)
+        m3 = _manifest(base, v3)
+        assert m3.get("row_filters", []) == []
+        evens = list(range(0, 20, 2))
+        assert _ids(versioned.read_snapshot(spark, base)) == evens
+        # the compacted files contain the filtered content physically
+        assert _ids(
+            spark.read.schema(
+                versioned.read_snapshot(spark, base).schema
+            ).parquet(*m3["files"])
+        ) == evens
+
+    def test_cow_after_mor_does_not_resurrect(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(i, i % 3) for i in range(30)], "id INT, k INT"),
+            base,
+        )
+        versioned.delete_where(spark, base, where={"k": 0}, strategy="merge-on-read")
+        # CoW delete rewrites every file (unpartitioned => all candidates);
+        # the rewrite must read THROUGH the MoR filter
+        v3, n_rw, _ = versioned.delete_where(spark, base, where={"k": 1})
+        assert n_rw >= 1
+        assert _ids(versioned.read_snapshot(spark, base)) == [
+            i for i in range(30) if i % 3 == 2
+        ]
+        # fully-rewritten table carries no stale filter entries
+        assert _manifest(base, v3)["row_filters"] == []
+
+    def test_rollback_restores_filters(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 0), (2, 1)], "id INT, k INT"), base
+        )
+        versioned.delete_where(spark, base, where={"k": 0}, strategy="merge-on-read")
+        versioned.compact_snapshot(spark, base, target_files=1)  # v3: cleared
+        v4 = versioned.rollback_to(base, 2)
+        assert len(_manifest(base, v4)["row_filters"]) == 1
+        assert _ids(versioned.read_snapshot(spark, base)) == [2]
+
+    def test_increment_refuses_across_mor_delete(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 0)], "id INT, k INT"), base
+        )
+        versioned.delete_where(spark, base, where={"k": 0}, strategy="merge-on-read")
+        versioned.write_snapshot(
+            spark.createDataFrame([(2, 1)], "id INT, k INT"), base
+        )
+        with pytest.raises(ValueError, match="merge-on-read"):
+            versioned.read_increment(spark, base, 1)
+        # spans that start AFTER the delete are fine
+        assert _ids(versioned.read_increment(spark, base, 2)) == [2]
+
+    def test_mor_rejects_non_json_values(self, spark, tmp_path):
+        import datetime
+
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, datetime.date(2024, 1, 1))], "id INT, d DATE"),
+            base,
+        )
+        with pytest.raises(ValueError, match="JSON-native"):
+            versioned.delete_where(
+                spark, base,
+                where={"d": datetime.date(2024, 1, 1)},
+                strategy="merge-on-read",
+            )
+        with pytest.raises(ValueError, match="unknown delete strategy"):
+            versioned.delete_where(spark, base, where={"id": 1}, strategy="nope")
