@@ -2727,6 +2727,26 @@ ORACLES["q_delete_where"] = """
     ORDER BY o_orderstatus
 """
 
+# Row-level UPDATE (r14): CoW mechanics runtime-guarded (bounded
+# rewrite, path identity, row count invariant); the DATA contract is
+# the CASE WHEN mirror of UPDATE ... SET.
+ORACLES["q_update_where"] = """
+    WITH o AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderstatus = 'F'
+                         AND CAST(FLOOR(o_totalprice * 100) AS BIGINT) <= 10000000
+                    THEN 0
+                    ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM o
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
 # Merge-on-read DELETE (r14): the zero-I/O mechanics (no data dir,
 # identical file list, pre-read invisibility) are runtime-guarded; the
 # DATA contract the oracle replays is the filter SCOPING — the 'P' rows

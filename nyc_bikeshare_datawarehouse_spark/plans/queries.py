@@ -6732,6 +6732,73 @@ def q_delete_where(spark, sf_dir):
     )
 
 
+def q_update_where(spark, sf_dir):
+    """Row-level UPDATE ... SET through the manifest format
+    (sources/versioned.update_where, r14) — the DML member completing
+    INSERT/MERGE/DELETE/ROLLBACK: low-value 'F' orders (cents ≤ 10M)
+    have cents zeroed, as CoW of the AFFECTED FILES ONLY (manifest
+    partition pruning bounds the rewrite to the 'F' partition; every
+    other file carries by path identity). Runtime guards pin the engine
+    facts: the rewrite set is a strict non-empty subset, untouched
+    files carry over verbatim, and the TOTAL row count is unchanged (an
+    UPDATE must never delete or duplicate). Output — per-status counts
+    and integer-cent totals of the post-update table — is recomputed by
+    the oracle with the same CASE WHEN mirror, so a green row proves
+    exactly the predicated rows changed and only the SET column.
+    Table path SF+pid-tagged, rebuilt per run."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_update/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(o, base, partition_by=["o_orderstatus"])
+    _v2, n_rw, n_kept = versioned.update_where(
+        spark,
+        base,
+        set_values={"cents": 0},
+        where={"o_orderstatus": "F"},
+        where_range={"cents": (None, 10_000_000)},
+    )
+    if not (n_rw >= 1 and n_kept >= 1):
+        raise RuntimeError(
+            "partition pruning did not bound the update rewrite "
+            f"(rewrote {n_rw}, kept {n_kept})"
+        )
+    with open(versioned._manifest_path(base, 1)) as fh:
+        m1 = _json.load(fh)
+    with open(versioned._manifest_path(base, 2)) as fh:
+        m2 = _json.load(fh)
+    if len(set(m1["files"]) & set(m2["files"])) != n_kept:
+        raise RuntimeError("untouched files did not carry over by path identity")
+    latest = versioned.read_snapshot(spark, base)
+    if latest.count() != versioned.read_snapshot(spark, base, 1).count():
+        raise RuntimeError("UPDATE changed the row count")
+    return (
+        latest.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_delete_mor(spark, sf_dir):
     """MERGE-ON-READ row-level DELETE
     (sources/versioned.delete_where(strategy="merge-on-read"), r14) —
@@ -7471,6 +7538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_near_dup_scaled": q_embed_near_dup_scaled,
     "q_delete_where": q_delete_where,
     "q_delete_mor": q_delete_mor,
+    "q_update_where": q_update_where,
     "q_snapshot_rollback": q_snapshot_rollback,
     "q_tokenizer_apply": q_tokenizer_apply,
     "q_domain_quota": q_domain_quota,
@@ -7518,8 +7586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rendezvous_shards": q_rendezvous_shards,
     "q_robust_outliers": q_robust_outliers,
     "q_scd1_merge": q_scd1_merge,
-    "q_scd2_history": q_scd2_history,
-    "q_semdedup_hier": q_semdedup_hier,  # <- driver window cut (50)
+    "q_scd2_history": q_scd2_history,  # <- driver window cut (50)
+    "q_semdedup_hier": q_semdedup_hier,
     "q_sql_surrogate_keys": q_sql_surrogate_keys,
     "q_stratified_sample": q_stratified_sample,
     "q_temperature_mix": q_temperature_mix,

@@ -963,6 +963,141 @@ def delete_where(
     return version, len(candidates), len(kept)
 
 
+def update_where(
+    spark: SparkSession,
+    base_dir: str,
+    set_values: dict,
+    where: dict | None = None,
+    where_range: dict | None = None,
+    stats_for: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Row-level UPDATE ... SET for the manifest table format — the
+    remaining DML member (append = INSERT, merge_into_snapshot = MERGE,
+    delete_where = DELETE CoW/MoR, rollback_to = rollback). Semantics:
+    rows where the (where, where_range) predicate is TRUE take every
+    `set_values` literal; NULL/FALSE rows keep their values — the SQL
+    UPDATE rule, same NULL treatment as delete_where.
+
+    Copy-on-write bounded exactly like delete_where: `prune_files`
+    selects the files that might hold matching rows, only those are
+    re-read (THROUGH any merge-on-read filters) and rewritten with
+    CASE WHEN pred THEN literal ELSE col END per SET column; every
+    other file carries into the new manifest verbatim. Kept files'
+    skipping metadata stays valid (their rows are untouched); rewritten
+    files drop theirs unless `stats_for` re-records zone maps — and a
+    SET column's old stats would be wrong anyway, so conservative
+    inclusion is the only sound default. Schema is unchanged by
+    construction (a SET value must cast to the existing column type;
+    new columns are schema evolution, not UPDATE).
+
+    Returns (version, n_files_rewritten, n_files_kept)."""
+    base_dir = os.path.abspath(base_dir)
+    prev = latest_version(base_dir)
+    if prev == 0:
+        raise ValueError(f"no snapshot under {base_dir}")
+    with open(_manifest_path(base_dir, prev)) as fh:
+        manifest = json.load(fh)
+    schema = StructType.fromJson(manifest["schema"])
+    if not set_values:
+        raise ValueError("update_where needs at least one SET column")
+    if not where and not where_range:
+        raise ValueError("update_where needs a predicate (where/where_range)")
+    for k in (
+        list(where or {}) + list(where_range or {}) + list(set_values)
+    ):
+        if k not in schema.fieldNames():
+            raise ValueError(f"column {k!r} not in table schema")
+    candidates = prune_files(manifest, where, where_range)
+    kept = [f for f in manifest["files"] if f not in set(candidates)]
+    version = prev + 1
+    new_files: list[str] = []
+    col_stats: dict[str, dict] = {}
+    if candidates:
+        df = _read_files(spark, manifest, candidates)
+        pred = F.coalesce(
+            _delete_pred(schema, where, where_range), F.lit(False)
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        updated = df.select(
+            *[
+                F.when(pred, F.lit(set_values[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_values
+                else F.col(c)
+                for c in schema.fieldNames()
+            ]
+        )
+        data_dir = os.path.join(base_dir, f"v{version}")
+        if os.path.isdir(data_dir):  # torn uncommitted write from a dead run
+            shutil.rmtree(data_dir)
+        updated.write.mode("overwrite").parquet(data_dir)
+        new_files = _leaf_files(data_dir)
+        if stats_for and new_files:
+            aggs = []
+            for c in stats_for:
+                aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+            rows = (
+                spark.read.schema(schema).parquet(data_dir)
+                .groupBy(F.input_file_name().alias("__f"))
+                .agg(*aggs)
+                .collect()
+            )
+            for r in rows:
+                p = os.path.abspath(
+                    urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+                )
+                col_stats[p] = {
+                    c: [_stat_value(r[f"__mn_{c}"]), _stat_value(r[f"__mx_{c}"])]
+                    for c in stats_for
+                }
+    spec_id = manifest.get("current_spec", 1)
+    prev_meta = manifest.get("file_meta", {})
+    file_meta = {f: prev_meta[f] for f in kept if f in prev_meta}
+    for f in new_files:
+        file_meta[f] = {
+            "pt": {},
+            "spec_id": spec_id,
+            **({"stats": col_stats[f]} if f in col_stats else {}),
+        }
+    kept_set = set(kept)
+    row_filters = [
+        flt
+        for flt in manifest.get("row_filters", [])
+        if kept_set & set(flt["files"])
+    ]
+    last_bid = last_metadata_value(base_dir, "batch_id")
+    mp = _manifest_path(base_dir, version)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "files": kept + new_files,
+                "schema": manifest["schema"],
+                "metadata": {
+                    "update_where": {
+                        "set": {k: _stat_value(v) for k, v in set_values.items()},
+                        "where": {k: str(v) for k, v in (where or {}).items()},
+                        "where_range": {
+                            k: [_stat_value(lo), _stat_value(hi)]
+                            for k, (lo, hi) in (where_range or {}).items()
+                        },
+                        "files_rewritten": len(candidates),
+                        "files_kept": len(kept),
+                    },
+                    **({"batch_id": last_bid} if last_bid is not None else {}),
+                },
+                "partition_specs": manifest.get("partition_specs", []),
+                "current_spec": spec_id,
+                "file_meta": file_meta,
+                "row_filters": row_filters,
+            },
+            fh,
+        )
+    os.replace(mp + ".tmp", mp)
+    return version, len(candidates), len(kept)
+
+
 def rollback_to(base_dir: str, version: int) -> int:
     """Roll the table back to snapshot `version` by committing a NEW
     manifest that re-points at the old manifest's exact file list — the

@@ -344,3 +344,70 @@ class TestMergeOnRead:
             )
         with pytest.raises(ValueError, match="unknown delete strategy"):
             versioned.delete_where(spark, base, where={"id": 1}, strategy="nope")
+
+
+class TestUpdateWhere:
+    def test_cow_updates_only_predicated_rows(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame(
+                [(i, "a" if i < 5 else "b", i * 10) for i in range(10)],
+                "id INT, grp STRING, val INT",
+            ),
+            base,
+            partition_by=["grp"],
+        )
+        v, n_rw, n_kept = versioned.update_where(
+            spark, base, set_values={"val": -1}, where={"grp": "a"},
+            where_range={"id": (2, 3)},
+        )
+        assert n_rw >= 1 and n_kept >= 1
+        got = {
+            r["id"]: r["val"]
+            for r in versioned.read_snapshot(spark, base).collect()
+        }
+        want = {i: (-1 if i in (2, 3) else i * 10) for i in range(10)}
+        assert got == want
+        # time travel intact, row count invariant
+        assert _ids(versioned.read_snapshot(spark, base, 1)) == list(range(10))
+
+    def test_null_predicate_rows_keep_values(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 5), (2, None)], "id INT, val INT"), base
+        )
+        versioned.update_where(
+            spark, base, set_values={"val": 99}, where_range={"val": (None, 10)}
+        )
+        got = {
+            r["id"]: r["val"]
+            for r in versioned.read_snapshot(spark, base).collect()
+        }
+        assert got == {1: 99, 2: None}
+
+    def test_update_reads_through_mor_filter(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 0, 10), (2, 1, 20), (3, 2, 30)],
+                                  "id INT, k INT, val INT"),
+            base,
+        )
+        versioned.delete_where(spark, base, where={"k": 0}, strategy="merge-on-read")
+        versioned.update_where(spark, base, set_values={"val": 7}, where={"k": 1})
+        got = {
+            r["id"]: r["val"]
+            for r in versioned.read_snapshot(spark, base).collect()
+        }
+        assert got == {2: 7, 3: 30}  # id=1 stays deleted, not resurrected
+
+    def test_refusals(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 1)], "id INT, v INT"), base
+        )
+        with pytest.raises(ValueError, match="at least one SET"):
+            versioned.update_where(spark, base, set_values={}, where={"id": 1})
+        with pytest.raises(ValueError, match="needs a predicate"):
+            versioned.update_where(spark, base, set_values={"v": 2})
+        with pytest.raises(ValueError, match="not in table schema"):
+            versioned.update_where(spark, base, set_values={"nope": 2}, where={"id": 1})
