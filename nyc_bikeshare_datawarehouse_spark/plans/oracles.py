@@ -2747,6 +2747,12 @@ ORACLES["q_update_where"] = """
     ORDER BY o_orderstatus
 """
 
+# Merge-on-read UPDATE (r14): delete-plus-insert mechanics are
+# runtime-guarded (zero rewrites, file superset, new files hold exactly
+# the matching rows); the DATA contract is the SAME CASE WHEN mirror as
+# the CoW twin — a green row proves the two strategies agree.
+ORACLES["q_update_mor"] = ORACLES["q_update_where"]
+
 # Merge-on-read DELETE (r14): the zero-I/O mechanics (no data dir,
 # identical file list, pre-read invisibility) are runtime-guarded; the
 # DATA contract the oracle replays is the filter SCOPING — the 'P' rows

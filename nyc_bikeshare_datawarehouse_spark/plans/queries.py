@@ -6799,6 +6799,80 @@ def q_update_where(spark, sf_dir):
     )
 
 
+def q_update_mor(spark, sf_dir):
+    """MERGE-ON-READ UPDATE
+    (versioned.update_where(strategy="merge-on-read"), r14) — UPDATE as
+    Iceberg-v2 delete-plus-insert in ONE commit: the manifest gains a
+    row filter hiding the matching rows in the pre-commit files AND new
+    data files holding only those rows with SET applied, so commit I/O
+    is O(matching rows) — strictly cheaper than the CoW twin
+    (q_update_where) when matches are sparse inside big files, which is
+    the 100 TB norm. Runtime guards pin the mechanics: zero files
+    rewritten, the old file list carries verbatim (superset), and the
+    commit's new files hold exactly the matching-row count. Output —
+    identical semantics to the CoW twin, same CASE WHEN oracle — so a
+    green row proves the two strategies agree on the same corpus
+    predicate. Table path SF+pid-tagged, rebuilt per run."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_update_mor/"
+        f"orders_{tag}_{_os.getpid()}"
+    )
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(o, base)
+    v2, n_rw, _ = versioned.update_where(
+        spark,
+        base,
+        set_values={"cents": 0},
+        where={"o_orderstatus": "F"},
+        where_range={"cents": (None, 10_000_000)},
+        strategy="merge-on-read",
+    )
+    if n_rw != 0:
+        raise RuntimeError("merge-on-read update rewrote files")
+    with open(versioned._manifest_path(base, 1)) as fh:
+        m1 = _json.load(fh)
+    with open(versioned._manifest_path(base, v2)) as fh:
+        m2 = _json.load(fh)
+    if not set(m1["files"]) <= set(m2["files"]):
+        raise RuntimeError("merge-on-read update dropped pre-commit files")
+    new_files = [f for f in m2["files"] if f not in set(m1["files"])]
+    n_match = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("cents") <= 10_000_000)
+    ).count()
+    n_new = (
+        spark.read.schema(o.schema).parquet(*new_files).count() if new_files else 0
+    )
+    if n_new != n_match:
+        raise RuntimeError(
+            f"update wrote {n_new} rows, expected the {n_match} matching rows"
+        )
+    return (
+        versioned.read_snapshot(spark, base)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_delete_mor(spark, sf_dir):
     """MERGE-ON-READ row-level DELETE
     (sources/versioned.delete_where(strategy="merge-on-read"), r14) —
@@ -7539,6 +7613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_delete_where": q_delete_where,
     "q_delete_mor": q_delete_mor,
     "q_update_where": q_update_where,
+    "q_update_mor": q_update_mor,
     "q_snapshot_rollback": q_snapshot_rollback,
     "q_tokenizer_apply": q_tokenizer_apply,
     "q_domain_quota": q_domain_quota,
@@ -7585,8 +7660,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_regexp_funcs": q_regexp_funcs,
     "q_rendezvous_shards": q_rendezvous_shards,
     "q_robust_outliers": q_robust_outliers,
-    "q_scd1_merge": q_scd1_merge,
-    "q_scd2_history": q_scd2_history,  # <- driver window cut (50)
+    "q_scd1_merge": q_scd1_merge,  # <- driver window cut (50)
+    "q_scd2_history": q_scd2_history,
     "q_semdedup_hier": q_semdedup_hier,
     "q_sql_surrogate_keys": q_sql_surrogate_keys,
     "q_stratified_sample": q_stratified_sample,

@@ -970,6 +970,7 @@ def update_where(
     where: dict | None = None,
     where_range: dict | None = None,
     stats_for: list[str] | None = None,
+    strategy: str = "copy-on-write",
 ) -> tuple[int, int, int]:
     """Row-level UPDATE ... SET for the manifest table format — the
     remaining DML member (append = INSERT, merge_into_snapshot = MERGE,
@@ -990,7 +991,21 @@ def update_where(
     construction (a SET value must cast to the existing column type;
     new columns are schema evolution, not UPDATE).
 
-    Returns (version, n_files_rewritten, n_files_kept)."""
+    strategy="merge-on-read" (r14) is UPDATE as the Iceberg-v2
+    delete-plus-insert: ONE commit whose manifest (a) adds the delete
+    row filter scoped to the pre-commit files and (b) appends new data
+    files holding ONLY the matching rows with SET applied — data I/O is
+    O(matching rows), not O(affected files), strictly cheaper than CoW
+    when matches are sparse inside big files. The updated copies live
+    in files outside the filter's scope, so reads see exactly the
+    post-update multiset; compaction materializes as usual. MoR
+    predicate values must be JSON-native (the delete-filter rule).
+
+    Returns (version, n_files_rewritten, n_files_kept) —
+    merge-on-read returns (version, 0, n_files_prev) and its I/O is
+    the matching rows only."""
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown update strategy: {strategy!r}")
     base_dir = os.path.abspath(base_dir)
     prev = latest_version(base_dir)
     if prev == 0:
@@ -1007,6 +1022,85 @@ def update_where(
     ):
         if k not in schema.fieldNames():
             raise ValueError(f"column {k!r} not in table schema")
+
+    if strategy == "merge-on-read":
+        bad = [
+            v
+            for v in list((where or {}).values())
+            + [b for bounds in (where_range or {}).values() for b in bounds]
+            if v is not None and not isinstance(v, (int, float, str, bool))
+        ]
+        if bad:
+            raise ValueError(
+                "merge-on-read predicate values must be JSON-native "
+                f"(int/float/str/bool), got {bad!r}"
+            )
+        version = prev + 1
+        pred = F.coalesce(
+            _delete_pred(schema, where, where_range), F.lit(False)
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        candidates = prune_files(manifest, where, where_range)
+        matching = _read_files(spark, manifest, candidates).filter(pred)
+        updated = matching.select(
+            *[
+                F.lit(set_values[c]).cast(types[c]).alias(c)
+                if c in set_values
+                else F.col(c)
+                for c in schema.fieldNames()
+            ]
+        )
+        data_dir = os.path.join(base_dir, f"v{version}")
+        if os.path.isdir(data_dir):  # torn uncommitted write from a dead run
+            shutil.rmtree(data_dir)
+        updated.write.mode("overwrite").parquet(data_dir)
+        new_files = _leaf_files(data_dir)
+        spec_id = manifest.get("current_spec", 1)
+        file_meta = dict(manifest.get("file_meta", {}))
+        for f in new_files:
+            file_meta[f] = {"pt": {}, "spec_id": spec_id}
+        filters = list(manifest.get("row_filters", []))
+        filters.append(
+            {
+                "where": dict(where or {}),
+                "where_range": {
+                    k: [lo, hi] for k, (lo, hi) in (where_range or {}).items()
+                },
+                "files": manifest["files"],
+            }
+        )
+        last_bid = last_metadata_value(base_dir, "batch_id")
+        mp = _manifest_path(base_dir, version)
+        with open(mp + ".tmp", "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "files": manifest["files"] + new_files,
+                    "schema": manifest["schema"],
+                    "metadata": {
+                        "update_where": {
+                            "strategy": "merge-on-read",
+                            "set": {
+                                k: _stat_value(v) for k, v in set_values.items()
+                            },
+                            "where": {k: str(v) for k, v in (where or {}).items()},
+                            "where_range": {
+                                k: [_stat_value(lo), _stat_value(hi)]
+                                for k, (lo, hi) in (where_range or {}).items()
+                            },
+                        },
+                        **({"batch_id": last_bid} if last_bid is not None else {}),
+                    },
+                    "partition_specs": manifest.get("partition_specs", []),
+                    "current_spec": spec_id,
+                    "file_meta": file_meta,
+                    "row_filters": filters,
+                },
+                fh,
+            )
+        os.replace(mp + ".tmp", mp)
+        return version, 0, len(manifest["files"])
+
     candidates = prune_files(manifest, where, where_range)
     kept = [f for f in manifest["files"] if f not in set(candidates)]
     version = prev + 1

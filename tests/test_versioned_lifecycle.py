@@ -411,3 +411,80 @@ class TestUpdateWhere:
             versioned.update_where(spark, base, set_values={"v": 2})
         with pytest.raises(ValueError, match="not in table schema"):
             versioned.update_where(spark, base, set_values={"nope": 2}, where={"id": 1})
+
+
+class TestUpdateMergeOnRead:
+    def test_delete_plus_insert_in_one_commit(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame(
+                [(i, i % 4, i * 10) for i in range(20)], "id INT, k INT, val INT"
+            ),
+            base,
+        )
+        v2, n_rw, _ = versioned.update_where(
+            spark, base, set_values={"val": -5}, where={"k": 2},
+            strategy="merge-on-read",
+        )
+        assert n_rw == 0
+        m1, m2 = _manifest(base, 1), _manifest(base, 2)
+        # old files all still listed; new files hold ONLY the matching rows
+        assert set(m1["files"]) <= set(m2["files"])
+        new = [f for f in m2["files"] if f not in set(m1["files"])]
+        n_match = sum(1 for i in range(20) if i % 4 == 2)
+        got_new = spark.read.schema(
+            versioned.read_snapshot(spark, base).schema
+        ).parquet(*new)
+        assert got_new.count() == n_match
+        got = {
+            r["id"]: r["val"]
+            for r in versioned.read_snapshot(spark, base).collect()
+        }
+        assert got == {i: (-5 if i % 4 == 2 else i * 10) for i in range(20)}
+        assert len(got) == 20  # row-count invariant
+
+    def test_stacked_with_mor_delete_and_compaction(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame(
+                [(1, 0, 10), (2, 1, 20), (3, 2, 30)], "id INT, k INT, val INT"
+            ),
+            base,
+        )
+        versioned.delete_where(spark, base, where={"k": 0}, strategy="merge-on-read")
+        versioned.update_where(
+            spark, base, set_values={"val": 7}, where={"k": 1},
+            strategy="merge-on-read",
+        )
+        got = {
+            r["id"]: r["val"]
+            for r in versioned.read_snapshot(spark, base).collect()
+        }
+        assert got == {2: 7, 3: 30}  # deleted row NOT resurrected as updated
+        v = versioned.compact_snapshot(spark, base, target_files=1)
+        assert _manifest(base, v)["row_filters"] == []
+        got2 = {
+            r["id"]: r["val"]
+            for r in versioned.read_snapshot(spark, base).collect()
+        }
+        assert got2 == got
+
+    def test_mor_update_refusals(self, spark, tmp_path):
+        import datetime
+
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, datetime.date(2024, 1, 1), 5)],
+                                  "id INT, d DATE, v INT"),
+            base,
+        )
+        with pytest.raises(ValueError, match="JSON-native"):
+            versioned.update_where(
+                spark, base, set_values={"v": 9},
+                where={"d": datetime.date(2024, 1, 1)},
+                strategy="merge-on-read",
+            )
+        with pytest.raises(ValueError, match="unknown update strategy"):
+            versioned.update_where(
+                spark, base, set_values={"v": 9}, where={"id": 1}, strategy="x"
+            )
