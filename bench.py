@@ -284,6 +284,7 @@ EXTENDED = [
     # q_embed_near_dup, so its bench row doubles as a same-plan control.
     "q_embed_near_dup_scaled",
     "q_tokenizer_apply",
+    "q_tokenizer_fertility",
     "q_domain_quota",
 ]
 

@@ -2370,25 +2370,13 @@ ORACLES["q_domain_quota"] = """
 """
 
 
-def _tokenizer_apply_sql(n_merges: int = 6, min_count: int = 2,
-                         seq_len: int = 512, n_shards: int = 8) -> str:
-    """Oracle for q_tokenizer_apply — TRAIN, ENCODE, PACK replayed end
-    to end. Training is `n_merges` CHAINED CTE stages over the vocab
-    (pc_k pair counts → ch_k argmax under the (cnt DESC, a, b) total
-    order → v_k conditional merge). The merge fold is a seeded
-    list_reduce over single-element lists: the seed is the first
-    element [s1], which equals Spark's empty-seeded fold after one
-    step, and the accumulator is a LIST (the positional-accumulator
-    rule — no struct shadowing). The early-stop rule (best cnt <
-    min_count, or no pairs) is the CASE guard on ch_k — once it stops
-    firing, pair counts are unchanged so every later stage is a no-op,
-    exactly bpe_train's break. ENCODE needs no extra folds: the
-    training fold applied to the vocab IS the encoding of every word
-    (the same property the Spark side exploits by joining the trained
-    symbol frame), so docs join v_n by word and regroup ordered. PACK
-    is the q_sequence_pack recursive fold under the BPE token counts.
-    Empty-text docs would be absent here but present (md5('')) on the
-    Spark side — the corpus has none (10-99 tokens/doc)."""
+def _bpe_train_ctes(n_merges: int = 6, min_count: int = 2) -> str:
+    """Shared CTE prefix replaying bpe.bpe_train: words → v0 (chars +
+    EOW) → n_merges chained (pc_k pair counts, ch_k argmax, v_k
+    conditional list-fold merge) stages. See _tokenizer_apply_sql for
+    the engine-parity notes (seeded list_reduce, early-stop CASE
+    guard). Ends with v{n_merges} = (word, freq, syms) — which is ALSO
+    every word's ENCODING under the learned merges."""
     stages = []
     for k in range(1, n_merges + 1):
         prev = f"v{k - 1}"
@@ -2419,8 +2407,7 @@ def _tokenizer_apply_sql(n_merges: int = 6, min_count: int = 2,
             FROM {prev} v LEFT JOIN ch{k} c ON TRUE
         )""")
     chain = ", ".join(stages)
-    return f"""
-        WITH RECURSIVE words AS (
+    return f"""words AS (
             SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq
             FROM (
                 SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -2435,7 +2422,30 @@ def _tokenizer_apply_sql(n_merges: int = 6, min_count: int = 2,
                                       i -> substring(word, i, 1)),
                        '</w>') AS syms
             FROM words
-        ), {chain}, toks AS (
+        ), {chain}"""
+
+
+def _tokenizer_apply_sql(n_merges: int = 6, min_count: int = 2,
+                         seq_len: int = 512, n_shards: int = 8) -> str:
+    """Oracle for q_tokenizer_apply — TRAIN, ENCODE, PACK replayed end
+    to end. Training is `n_merges` CHAINED CTE stages over the vocab
+    (pc_k pair counts → ch_k argmax under the (cnt DESC, a, b) total
+    order → v_k conditional merge). The merge fold is a seeded
+    list_reduce over single-element lists: the seed is the first
+    element [s1], which equals Spark's empty-seeded fold after one
+    step, and the accumulator is a LIST (the positional-accumulator
+    rule — no struct shadowing). The early-stop rule (best cnt <
+    min_count, or no pairs) is the CASE guard on ch_k — once it stops
+    firing, pair counts are unchanged so every later stage is a no-op,
+    exactly bpe_train's break. ENCODE needs no extra folds: the
+    training fold applied to the vocab IS the encoding of every word
+    (the same property the Spark side exploits by joining the trained
+    symbol frame), so docs join v_n by word and regroup ordered. PACK
+    is the q_sequence_pack recursive fold under the BPE token counts.
+    Empty-text docs would be absent here but present (md5('')) on the
+    Spark side — the corpus has none (10-99 tokens/doc)."""
+    return f"""
+        WITH RECURSIVE {_bpe_train_ctes(n_merges, min_count)}, toks AS (
             SELECT doc_id, i AS pos, lw[i] AS word
             FROM (
                 SELECT doc_id,
@@ -2482,6 +2492,40 @@ def _tokenizer_apply_sql(n_merges: int = 6, min_count: int = 2,
 
 
 ORACLES["q_tokenizer_apply"] = _tokenizer_apply_sql()
+
+
+def _tokenizer_fertility_sql(n_merges: int = 6, min_count: int = 2) -> str:
+    """Oracle for q_tokenizer_fertility: the same training replay
+    (_bpe_train_ctes), then per-LANGUAGE aggregates over the word-level
+    encoding join. Ratios are integer fixed point (×10000, floor
+    division on exact BIGINT sums — `div`/`//` on both engines), never
+    float division, per the cross-engine float contract."""
+    return f"""
+        WITH RECURSIVE {_bpe_train_ctes(n_merges, min_count)}, toks AS (
+            SELECT d.doc_id, d.lang, lw[i] AS word
+            FROM (
+                SELECT doc_id, lang,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS lw
+                FROM documents
+            ) d, UNNEST(range(1, len(lw) + 1)) AS t(i)
+        )
+        SELECT t.lang,
+               CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
+               CAST(CAST(SUM(len(v.syms)) AS BIGINT) * 10000
+                    // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS fertility_1e4,
+               CAST(CAST(SUM(length(t.word)) AS BIGINT) * 10000
+                    // CAST(SUM(len(v.syms)) AS BIGINT) AS BIGINT)
+                   AS compression_1e4
+        FROM toks t JOIN v{n_merges} v USING (word)
+        GROUP BY t.lang
+        ORDER BY t.lang
+    """
+
+
+ORACLES["q_tokenizer_fertility"] = _tokenizer_fertility_sql()
 
 # Packing-efficiency report (r14): the q_sequence_pack recursive fold
 # plus the same two-level aggregation — certifies pack_stats.

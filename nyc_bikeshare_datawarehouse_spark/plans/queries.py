@@ -2907,6 +2907,48 @@ def q_tokenizer_apply(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-LANGUAGE tokenizer quality report over the learned BPE —
+    fertility (BPE tokens per whitespace word) and compression (chars
+    per BPE token), the two numbers a tokenizer owner actually compares
+    across languages before committing a vocab (high fertility on a
+    language = its text costs more sequence budget per word). Same
+    train-then-vocab-join shape as q_tokenizer_apply (the trained
+    symbol frame IS each word's encoding); the per-lang aggregates ride
+    one groupBy. Ratios are ×10000 integer FLOOR DIVISION on exact
+    BIGINT sums (`div` — never float division, whose correctly-rounded
+    quotient can still straddle a floor boundary cross-engine); the
+    oracle replays training via the shared chained-CTE builder and
+    mirrors `//`."""
+    from nyc_bikeshare_datawarehouse_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    _merges, symdf = bpe.bpe_train(d, n_merges=6, min_count=2)
+    toks = d.select(
+        "doc_id", "lang", F.explode(text.tokens("text")).alias("word")
+    )
+    enc = toks.join(F.broadcast(symdf.select("word", "syms")), "word")
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.expr("n_bpe_tokens * 10000 div n_words").alias("fertility_1e4"),
+            F.expr("n_chars * 10000 div n_bpe_tokens").alias("compression_1e4"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Portable mergeable QUANTILE sketch (functions/sketches.py
     `histogram_sketch` + `histogram_quantiles`) — the distribution
@@ -7616,6 +7658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_update_mor": q_update_mor,
     "q_snapshot_rollback": q_snapshot_rollback,
     "q_tokenizer_apply": q_tokenizer_apply,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_domain_quota": q_domain_quota,
     "q_pack_efficiency": q_pack_efficiency,
     # --- newest driver row: r08
@@ -7659,8 +7702,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_profile": q_quality_profile,
     "q_regexp_funcs": q_regexp_funcs,
     "q_rendezvous_shards": q_rendezvous_shards,
-    "q_robust_outliers": q_robust_outliers,
-    "q_scd1_merge": q_scd1_merge,  # <- driver window cut (50)
+    "q_robust_outliers": q_robust_outliers,  # <- driver window cut (50)
+    "q_scd1_merge": q_scd1_merge,
     "q_scd2_history": q_scd2_history,
     "q_semdedup_hier": q_semdedup_hier,
     "q_sql_surrogate_keys": q_sql_surrogate_keys,
