@@ -488,3 +488,79 @@ class TestUpdateMergeOnRead:
             versioned.update_where(
                 spark, base, set_values={"v": 9}, where={"id": 1}, strategy="x"
             )
+
+
+# ---------------------------------------------------------------- model-based
+# Randomized DML sequences vs a pure-Python reference model: every
+# interplay the hand-written pins above cover pairwise (CoW/MoR delete,
+# CoW/MoR update, append, compaction, rollback) is exercised here in
+# arbitrary order, with the model tracking full version history so
+# rollback targets are exact. Few examples — each op is a Spark write.
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("delete_cow"), st.integers(0, 3)),
+        st.tuples(st.just("delete_mor"), st.integers(0, 3)),
+        st.tuples(st.just("update_cow"), st.integers(0, 3)),
+        st.tuples(st.just("update_mor"), st.integers(0, 3)),
+        st.tuples(st.just("compact"), st.integers(0, 0)),
+        st.tuples(st.just("rollback"), st.integers(0, 100)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=_OPS)
+def test_random_dml_sequences_match_reference_model(spark, tmp_path_factory, ops):
+    base = str(tmp_path_factory.mktemp("dml") / "t")
+    rows0 = [(i, i % 4, i * 10) for i in range(12)]
+    versioned.write_snapshot(
+        spark.createDataFrame(rows0, "id INT, k INT, val INT"), base
+    )
+    # model: state = {id: (k, val)}; history[v] = state AS OF version v
+    state = {i: (k, v) for i, k, v in rows0}
+    history = {1: dict(state)}
+    next_id = 1000
+    version = 1
+    for op, arg in ops:
+        if op == "append":
+            new = [(next_id + j, arg, (next_id + j) * 10) for j in range(3)]
+            next_id += 3
+            versioned.write_snapshot(
+                spark.createDataFrame(new, "id INT, k INT, val INT"), base
+            )
+            for i, k, v in new:
+                state[i] = (k, v)
+        elif op in ("delete_cow", "delete_mor"):
+            versioned.delete_where(
+                spark, base, where={"k": arg},
+                strategy="merge-on-read" if op == "delete_mor" else "copy-on-write",
+            )
+            state = {i: kv for i, kv in state.items() if kv[0] != arg}
+        elif op in ("update_cow", "update_mor"):
+            versioned.update_where(
+                spark, base, set_values={"val": -7}, where={"k": arg},
+                strategy="merge-on-read" if op == "update_mor" else "copy-on-write",
+            )
+            state = {
+                i: (k, -7 if k == arg else v) for i, (k, v) in state.items()
+            }
+        elif op == "compact":
+            versioned.compact_snapshot(spark, base, target_files=2)
+        elif op == "rollback":
+            target = (arg % version) + 1
+            versioned.rollback_to(base, target)
+            state = dict(history[target])
+        version = versioned.latest_version(base)
+        history[version] = dict(state)
+        got = {
+            r["id"]: (r["k"], r["val"])
+            for r in versioned.read_snapshot(spark, base).collect()
+        }
+        assert got == state, (op, arg, version)
