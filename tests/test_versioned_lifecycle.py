@@ -508,6 +508,7 @@ _OPS = st.lists(
         st.tuples(st.just("update_mor"), st.integers(0, 3)),
         st.tuples(st.just("compact"), st.integers(0, 0)),
         st.tuples(st.just("rollback"), st.integers(0, 100)),
+        st.tuples(st.just("expire"), st.integers(0, 100)),
     ),
     min_size=1,
     max_size=6,
@@ -526,6 +527,7 @@ def test_random_dml_sequences_match_reference_model(spark, tmp_path_factory, ops
     # model: state = {id: (k, val)}; history[v] = state AS OF version v
     state = {i: (k, v) for i, k, v in rows0}
     history = {1: dict(state)}
+    expired: set[int] = set()
     next_id = 1000
     version = 1
     for op, arg in ops:
@@ -555,8 +557,22 @@ def test_random_dml_sequences_match_reference_model(spark, tmp_path_factory, ops
             versioned.compact_snapshot(spark, base, target_files=2)
         elif op == "rollback":
             target = (arg % version) + 1
-            versioned.rollback_to(base, target)
-            state = dict(history[target])
+            if target in expired:
+                # retention interplay: an expired snapshot is not a
+                # valid rollback target — must refuse, state unchanged
+                with pytest.raises(ValueError, match="no snapshot"):
+                    versioned.rollback_to(base, target)
+            else:
+                versioned.rollback_to(base, target)
+                state = dict(history[target])
+        elif op == "expire":
+            keep_from = (arg % version) + 1
+            gone = versioned.expire_snapshots(base, keep_from)
+            assert gone == [v for v in sorted(history) if v < keep_from
+                            and v not in expired]
+            expired.update(gone)
+            # the CURRENT state must survive any retention sweep
+            # (live-set union over surviving manifests)
         version = versioned.latest_version(base)
         history[version] = dict(state)
         got = {
