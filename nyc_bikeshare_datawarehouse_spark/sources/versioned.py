@@ -98,7 +98,10 @@ def _bloom_might_contain(bitmap_b64: str, value, m: int, k: int) -> bool:
 
     bits = base64.b64decode(bitmap_b64)
     for seed in range(k):
-        b = _bloom_bit_py(str(value), seed, m)
+        # _spark_str, not str(): the write side hashed the Spark string
+        # cast ('true', not 'True') — a form mismatch here is a FALSE
+        # NEGATIVE, the one bloom failure mode that loses rows
+        b = _bloom_bit_py(_spark_str(value), seed, m)
         if not (bits[b // 8] >> (b % 8)) & 1:
             return False
     return True
@@ -413,14 +416,36 @@ def write_snapshot(
     return version
 
 
+def _spark_str(v) -> str:
+    """`v` in the string form Spark's cast/partition-directory encoding
+    produces — NOT Python str(): Spark renders booleans lowercase
+    ('true'/'false' vs Python's 'True'). This is the form the bloom
+    hash input (_bloom_bit_col casts to string), the __pt_ directory
+    values, and the string-compare predicate fallback must all share —
+    a mismatch turns manifest PRUNING into silent row loss for the DML
+    paths (r14 review finding). Floats are deliberately NOT handled
+    (Java Double.toString switches to scientific notation at 1e7,
+    Python at 1e16 — no portable string form); float predicates get a
+    native comparison branch and are excluded from string-form pruning
+    instead."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _delete_pred(schema: StructType, where: dict | None,
                  where_range: dict | None) -> F.Column:
-    """The conjunctive delete predicate (TRUE on rows to delete) shared
-    by delete_where's copy-on-write rewrite and the merge-on-read read
-    path. Equality terms compare natively when the python type matches
-    the column type (parquet pushdown survives), string-cast otherwise;
-    range terms are plain bounds. Callers must wrap the result in
-    ~coalesce(pred, FALSE): SQL DELETE keeps NULL-predicate rows."""
+    """The conjunctive predicate (TRUE on matching rows) shared by
+    delete/update copy-on-write rewrites, the merge-on-read read path,
+    AND read_snapshot's row filters (one construction — the three
+    sites diverging is exactly the bug class the r14 review caught).
+    Equality terms compare natively when the python type matches the
+    column type (parquet pushdown survives, and float equality avoids
+    the unportable Java-vs-Python double string forms); the string-cast
+    fallback uses the Spark string form (_spark_str). Range terms are
+    plain bounds. DML callers must wrap the result in
+    ~coalesce(pred, FALSE): SQL DELETE/UPDATE keeps NULL-predicate
+    rows."""
     ftypes = {f.name: f.dataType.typeName() for f in schema.fields}
     pred = F.lit(True)
     for k, v in (where or {}).items():
@@ -428,10 +453,12 @@ def _delete_pred(schema: StructType, where: dict | None,
             isinstance(v, int)
             and not isinstance(v, bool)
             and ftypes[k] in ("byte", "short", "integer", "long")
-        ) or (isinstance(v, str) and ftypes[k] == "string"):
+        ) or (isinstance(v, str) and ftypes[k] == "string") or (
+            isinstance(v, float) and ftypes[k] in ("double", "float")
+        ):
             pred = pred & (F.col(k) == F.lit(v))
         else:
-            pred = pred & (F.col(k).cast("string") == str(v))
+            pred = pred & (F.col(k).cast("string") == _spark_str(v))
     for k, bounds in (where_range or {}).items():
         lo, hi = bounds
         if lo is not None:
@@ -439,6 +466,23 @@ def _delete_pred(schema: StructType, where: dict | None,
         if hi is not None:
             pred = pred & (F.col(k) <= F.lit(hi))
     return pred
+
+
+def _validate_mor_values(where: dict | None, where_range: dict | None) -> None:
+    """Merge-on-read predicates commit INTO the manifest and replay at
+    read time — values must be JSON-native (shared by the MoR delete
+    and MoR update paths)."""
+    bad = [
+        v
+        for v in list((where or {}).values())
+        + [b for bounds in (where_range or {}).values() for b in bounds]
+        if v is not None and not isinstance(v, (int, float, str, bool))
+    ]
+    if bad:
+        raise ValueError(
+            "merge-on-read predicate values must be JSON-native "
+            f"(int/float/str/bool), got {bad!r}"
+        )
 
 
 def _read_files(spark: SparkSession, manifest: dict, files: list[str]) -> DataFrame:
@@ -533,33 +577,15 @@ def read_snapshot(
     # the recorded schema; merge-on-read row filters (if any) apply to
     # exactly the files they were committed against (_read_files)
     df = _read_files(spark, manifest, files)
-    if where:
-        for k, v in where.items():
-            # native comparison when the predicate's python type matches
-            # the column type: a bare `col = lit` reaches the parquet
-            # reader as a pushed filter + row-group stat prune, which the
-            # string-cast form defeats (the cast wraps the column) —
-            # manifest pruning bounds the FILE set, pushdown then bounds
-            # the row groups INSIDE each kept file (ADVICE r13). The
-            # string compare stays as the fallback for cross-type probes
-            # (it is the directory-encoding / bloom-hash-input form).
-            ftype = dict(
-                (f.name, f.dataType.typeName()) for f in schema.fields
-            ).get(k)
-            if (isinstance(v, bool) and ftype == "boolean") or (
-                isinstance(v, int)
-                and not isinstance(v, bool)
-                and ftype in ("byte", "short", "integer", "long")
-            ) or (isinstance(v, str) and ftype == "string"):
-                df = df.filter(F.col(k) == F.lit(v))
-            else:
-                df = df.filter(F.col(k).cast("string") == str(v))
-    if where_range:
-        for k, (lo, hi) in where_range.items():
-            if lo is not None:
-                df = df.filter(F.col(k) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(k) <= F.lit(hi))
+    if where or where_range:
+        # the ONE predicate construction shared with the DML paths
+        # (_delete_pred): native comparisons reach the parquet reader as
+        # pushed filters + row-group stat prunes (manifest pruning bounds
+        # the FILE set, pushdown then bounds the row groups INSIDE each
+        # kept file — ADVICE r13); the string fallback uses the Spark
+        # string form. Three inline copies of this dispatch diverging is
+        # the bug class the r14 review caught.
+        df = df.filter(_delete_pred(schema, where, where_range))
     return df
 
 
@@ -578,7 +604,17 @@ def prune_files(
         pt = meta.get("pt", {})
         blooms = meta.get("bloom", {})
         for k, v in (where or {}).items():
-            if k in pt and pt[k] != str(v):
+            # string-form pruning must use the SPARK string form
+            # (_spark_str): the pt directory values and the bloom hash
+            # input are Spark casts, and Python str(True) = 'True' would
+            # wrongly prune every boolean match — which the DML paths
+            # then turn into silent row loss (r14 review finding).
+            # Floats have NO portable string form (Java vs Python sci
+            # notation) — conservatively unprunable; their row filters
+            # compare natively instead.
+            if isinstance(v, float):
+                continue
+            if k in pt and pt[k] != _spark_str(v):
                 return False
             bl = blooms.get(k)
             if bl is not None and not _bloom_might_contain(
@@ -653,10 +689,11 @@ def read_increment(
                 f"increment spans a merge-on-read delete at v{v} — "
                 "re-baseline from it"
             )
+    base_files = set(manifests[from_version]["files"])
     new_files = [
         f
         for f in manifests[to_version]["files"]
-        if f not in set(manifests[from_version]["files"])
+        if f not in base_files
     ]
     schema = StructType.fromJson(manifests[to_version]["schema"])
     if not new_files:
@@ -830,17 +867,7 @@ def delete_where(
     last_bid = last_metadata_value(base_dir, "batch_id")
 
     if strategy == "merge-on-read":
-        bad = [
-            v
-            for v in list((where or {}).values())
-            + [b for bounds in (where_range or {}).values() for b in bounds]
-            if v is not None and not isinstance(v, (int, float, str, bool))
-        ]
-        if bad:
-            raise ValueError(
-                "merge-on-read predicate values must be JSON-native "
-                f"(int/float/str/bool), got {bad!r}"
-            )
+        _validate_mor_values(where, where_range)
         filters = list(manifest.get("row_filters", []))
         filters.append(
             {
@@ -880,7 +907,8 @@ def delete_where(
         return version, 0, len(manifest["files"])
 
     candidates = prune_files(manifest, where, where_range)
-    kept = [f for f in manifest["files"] if f not in set(candidates)]
+    cand_set = set(candidates)
+    kept = [f for f in manifest["files"] if f not in cand_set]
     new_files: list[str] = []
     col_stats: dict[str, dict] = {}
     if candidates:
@@ -1024,17 +1052,7 @@ def update_where(
             raise ValueError(f"column {k!r} not in table schema")
 
     if strategy == "merge-on-read":
-        bad = [
-            v
-            for v in list((where or {}).values())
-            + [b for bounds in (where_range or {}).values() for b in bounds]
-            if v is not None and not isinstance(v, (int, float, str, bool))
-        ]
-        if bad:
-            raise ValueError(
-                "merge-on-read predicate values must be JSON-native "
-                f"(int/float/str/bool), got {bad!r}"
-            )
+        _validate_mor_values(where, where_range)
         version = prev + 1
         pred = F.coalesce(
             _delete_pred(schema, where, where_range), F.lit(False)
@@ -1102,7 +1120,8 @@ def update_where(
         return version, 0, len(manifest["files"])
 
     candidates = prune_files(manifest, where, where_range)
-    kept = [f for f in manifest["files"] if f not in set(candidates)]
+    cand_set = set(candidates)
+    kept = [f for f in manifest["files"] if f not in cand_set]
     version = prev + 1
     new_files: list[str] = []
     col_stats: dict[str, dict] = {}

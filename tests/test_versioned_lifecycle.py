@@ -580,3 +580,64 @@ def test_random_dml_sequences_match_reference_model(spark, tmp_path_factory, ops
             for r in versioned.read_snapshot(spark, base).collect()
         }
         assert got == state, (op, arg, version)
+
+
+class TestSparkStringFormPredicates:
+    """r14 review findings: prune_files/bloom used Python str() while
+    Spark's casts render booleans lowercase — boolean predicates were
+    wrongly PRUNED, which the DML paths turn into silent row loss; and
+    float equality fell to the string form, where Java and Python double
+    rendering diverge (sci notation at 1e7 vs 1e16)."""
+
+    def test_boolean_partition_predicates_prune_and_match(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2 == 0, i) for i in range(10)], "id INT, active BOOLEAN, v INT"
+        )
+        versioned.write_snapshot(df, base, partition_by=["active"])
+        m1 = _manifest(base, 1)
+        # pruning keeps exactly the matching partition (not zero files)
+        kept = versioned.prune_files(m1, where={"active": True})
+        assert kept and all("__pt_active=true" in f for f in kept)
+        assert _ids(versioned.read_snapshot(spark, base, where={"active": True})) \
+            == [0, 2, 4, 6, 8]
+        # MoR update on the boolean predicate: rows must be UPDATED,
+        # never silently deleted (the data-loss mode of the bug)
+        versioned.update_where(
+            spark, base, set_values={"v": -1}, where={"active": True},
+            strategy="merge-on-read",
+        )
+        got = {r["id"]: r["v"] for r in versioned.read_snapshot(spark, base).collect()}
+        assert got == {i: (-1 if i % 2 == 0 else i) for i in range(10)}
+
+    def test_boolean_bloom_has_no_false_negative(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, True), (2, True)], "id INT, flag BOOLEAN"
+        )
+        versioned.write_snapshot(df, base, bloom_for=["flag"])
+        m1 = _manifest(base, 1)
+        assert versioned.prune_files(m1, where={"flag": True}) == m1["files"]
+        assert _ids(versioned.read_snapshot(spark, base, where={"flag": True})) \
+            == [1, 2]
+
+    def test_float_equality_delete_is_native(self, spark, tmp_path):
+        # 1e7 is the Java sci-notation threshold: the old string-cast
+        # compare ('10000000.0' vs Spark's '1.0E7') matched nothing
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 10000000.0), (2, 2.5)], "id INT, price DOUBLE"
+        )
+        versioned.write_snapshot(df, base)
+        versioned.delete_where(
+            spark, base, where={"price": 10000000.0}, strategy="merge-on-read"
+        )
+        assert _ids(versioned.read_snapshot(spark, base)) == [2]
+
+    def test_float_predicates_never_prune(self, spark, tmp_path):
+        # no portable string form -> conservatively unprunable
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 2.5)], "id INT, price DOUBLE")
+        versioned.write_snapshot(df, base, bloom_for=["price"])
+        m1 = _manifest(base, 1)
+        assert versioned.prune_files(m1, where={"price": 99.0}) == m1["files"]
