@@ -90,6 +90,12 @@ SCALE_PATH = [
     "q_embed_near_dup_scaled",
     "q_tokenizer_apply",
     "q_domain_quota",
+    # r14 close: fertility shares the tokenizer shape (vocab-sized
+    # rounds + one encode join, claim ~1 with round-overhead floor);
+    # pack efficiency is the recursive pack + O(#sequences) aggregate
+    # (claim ~1, applyInPandas per shard)
+    "q_tokenizer_fertility",
+    "q_pack_efficiency",
 ]
 #: oracle-exact quadratic verifiers: measured at the sf0.01 -> sf0.1 step
 EXACT = ["q_ngram_jaccard", "q_dedup_clusters", "q_ngram_containment"]
