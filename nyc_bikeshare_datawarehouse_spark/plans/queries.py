@@ -7642,59 +7642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
-    # --- new this round (no driver rows)
-    "q_embed_near_dup_scaled": q_embed_near_dup_scaled,
-    "q_delete_where": q_delete_where,
-    "q_delete_mor": q_delete_mor,
-    "q_update_where": q_update_where,
-    "q_update_mor": q_update_mor,
-    "q_snapshot_rollback": q_snapshot_rollback,
-    "q_tokenizer_apply": q_tokenizer_apply,
-    "q_tokenizer_fertility": q_tokenizer_fertility,
-    "q_domain_quota": q_domain_quota,
-    "q_pack_efficiency": q_pack_efficiency,
-    # --- newest driver row: r08
-    "q_stream_dedup_batch": q_stream_dedup_batch,
-    "q_textrank": q_textrank,
-    "q_tfidf_cosine": q_tfidf_cosine,
-    "q_token_entropy": q_token_entropy,
-    "q_token_pmi": q_token_pmi,
-    "q_udaf_geomean": q_udaf_geomean,
-    "q_udtf_chunks": q_udtf_chunks,
-    "q_variant_extract": q_variant_extract,
-    "q_window_navigation": q_window_navigation,
     # --- newest driver row: r09
-    "q_bm25_search": q_bm25_search,
-    "q_cdc_changed_rows": q_cdc_changed_rows,
-    "q_chunk_spans": q_chunk_spans,
-    "q_collect_agg": q_collect_agg,
-    "q_cosine_topk": q_cosine_topk,
-    "q_curation_pipeline": q_curation_pipeline,
-    "q_dedup_apply": q_dedup_apply,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
-    "q_dedup_exact": q_dedup_exact,
-    "q_dedup_keep_best": q_dedup_keep_best,
-    "q_dedup_pipeline": q_dedup_pipeline,
-    "q_embed_centroids": q_embed_centroids,
-    "q_embed_quantize": q_embed_quantize,
-    "q_entity_resolution_distinct": q_entity_resolution_distinct,
-    "q_epoch_arith": q_epoch_arith,
-    "q_exact_quantiles": q_exact_quantiles,
-    "q_fingerprint_dedup": q_fingerprint_dedup,
-    "q_grouped_median": q_grouped_median,
-    "q_hash_sample": q_hash_sample,
-    "q_lang_stats": q_lang_stats,
-    "q_late_data": q_late_data,
-    "q_leakage_safe_split": q_leakage_safe_split,
-    "q_length_histogram": q_length_histogram,
-    "q_minhash_portable": q_minhash_portable,
-    "q_multimodal_features": q_multimodal_features,
-    "q_posexplode": q_posexplode,
-    "q_quality_profile": q_quality_profile,
-    "q_regexp_funcs": q_regexp_funcs,
-    "q_rendezvous_shards": q_rendezvous_shards,
-    "q_robust_outliers": q_robust_outliers,  # <- driver window cut (50)
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_history": q_scd2_history,
     "q_semdedup_hier": q_semdedup_hier,
@@ -7745,7 +7693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_left_join_multikey": q_left_join_multikey,
     "q_literal_lookup": q_literal_lookup,
     "q_mixture_epochs": q_mixture_epochs,
-    "q_pca_variance": q_pca_variance,
+    "q_pca_variance": q_pca_variance,  # <- driver window cut (50)
     "q_pretraining_export": q_pretraining_export,
     "q_project_cast_alias": q_project_cast_alias,
     "q_rolling_time_window": q_rolling_time_window,
@@ -7918,6 +7866,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_range_frame": q_window_range_frame,
     "q_window_rank": q_window_rank,
     "q_zone_map_skipping": q_zone_map_skipping,
+    # --- newest driver row: r14
+    "q_bm25_search": q_bm25_search,
+    "q_cdc_changed_rows": q_cdc_changed_rows,
+    "q_chunk_spans": q_chunk_spans,
+    "q_collect_agg": q_collect_agg,
+    "q_cosine_topk": q_cosine_topk,
+    "q_curation_pipeline": q_curation_pipeline,
+    "q_dedup_apply": q_dedup_apply,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_clusters_pruned": q_dedup_clusters_pruned,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_dedup_pipeline": q_dedup_pipeline,
+    "q_delete_mor": q_delete_mor,
+    "q_delete_where": q_delete_where,
+    "q_domain_quota": q_domain_quota,
+    "q_embed_centroids": q_embed_centroids,
+    "q_embed_near_dup_scaled": q_embed_near_dup_scaled,
+    "q_embed_quantize": q_embed_quantize,
+    "q_entity_resolution_distinct": q_entity_resolution_distinct,
+    "q_epoch_arith": q_epoch_arith,
+    "q_exact_quantiles": q_exact_quantiles,
+    "q_fingerprint_dedup": q_fingerprint_dedup,
+    "q_grouped_median": q_grouped_median,
+    "q_hash_sample": q_hash_sample,
+    "q_lang_stats": q_lang_stats,
+    "q_late_data": q_late_data,
+    "q_leakage_safe_split": q_leakage_safe_split,
+    "q_length_histogram": q_length_histogram,
+    "q_minhash_portable": q_minhash_portable,
+    "q_multimodal_features": q_multimodal_features,
+    "q_pack_efficiency": q_pack_efficiency,
+    "q_posexplode": q_posexplode,
+    "q_quality_profile": q_quality_profile,
+    "q_regexp_funcs": q_regexp_funcs,
+    "q_rendezvous_shards": q_rendezvous_shards,
+    "q_robust_outliers": q_robust_outliers,
+    "q_snapshot_rollback": q_snapshot_rollback,
+    "q_stream_dedup_batch": q_stream_dedup_batch,
+    "q_textrank": q_textrank,
+    "q_tfidf_cosine": q_tfidf_cosine,
+    "q_token_entropy": q_token_entropy,
+    "q_token_pmi": q_token_pmi,
+    "q_tokenizer_apply": q_tokenizer_apply,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
+    "q_udaf_geomean": q_udaf_geomean,
+    "q_udtf_chunks": q_udtf_chunks,
+    "q_update_mor": q_update_mor,
+    "q_update_where": q_update_where,
+    "q_variant_extract": q_variant_extract,
+    "q_window_navigation": q_window_navigation,
 }
 
 
