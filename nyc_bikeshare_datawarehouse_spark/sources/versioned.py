@@ -182,7 +182,11 @@ def last_metadata_value(base_dir: str, key: str, default=None):
         with open(mp) as fh:
             md = json.load(fh).get("metadata", {})
         if key in md:
-            return md[key]
+            # an explicit null (rollback_to's "no batches seen as of the
+            # target" marker) STOPS the scan-back — continuing past it
+            # would resurrect a rolled-back value — and resolves to the
+            # caller's default, same as a key never written.
+            return md[key] if md[key] is not None else default
     return default
 
 
@@ -447,6 +451,9 @@ def _delete_pred(schema: StructType, where: dict | None,
     ~coalesce(pred, FALSE): SQL DELETE/UPDATE keeps NULL-predicate
     rows."""
     ftypes = {f.name: f.dataType.typeName() for f in schema.fields}
+    for k in list(where or {}) + list(where_range or {}):
+        if k not in ftypes:
+            raise ValueError(f"predicate column {k!r} not in table schema")
     pred = F.lit(True)
     for k, v in (where or {}).items():
         if (isinstance(v, bool) and ftypes[k] == "boolean") or (
@@ -1078,13 +1085,19 @@ def update_where(
         for f in new_files:
             file_meta[f] = {"pt": {}, "spec_id": spec_id}
         filters = list(manifest.get("row_filters", []))
+        # Scope the row filter to the SAME file set the re-inserted
+        # updated rows were built from (candidates), not the whole
+        # manifest: equivalent under correct pruning, and a pruning
+        # false-negative then degrades to a missed update instead of
+        # silent row LOSS (row hidden by a wider filter but never
+        # re-inserted).
         filters.append(
             {
                 "where": dict(where or {}),
                 "where_range": {
                     k: [lo, hi] for k, (lo, hi) in (where_range or {}).items()
                 },
-                "files": manifest["files"],
+                "files": candidates,
             }
         )
         last_bid = last_metadata_value(base_dir, "batch_id")
@@ -1258,7 +1271,14 @@ def rollback_to(base_dir: str, version: int) -> int:
                 "schema": target["schema"],
                 "metadata": {
                     "rollback_of": version,
-                    **({"batch_id": bid} if bid is not None else {}),
+                    # always present, explicitly null when no manifest at
+                    # or below the target carried one: last_metadata_value
+                    # scans back past manifests WITHOUT the key, so
+                    # omitting it here would let the scan reach the UNDONE
+                    # commits and return a rolled-back batch id — a
+                    # replaying source would then skip those batches,
+                    # silently losing their rows on recovery.
+                    "batch_id": bid,
                 },
                 "partition_specs": target.get("partition_specs", []),
                 "current_spec": target.get("current_spec", 1),

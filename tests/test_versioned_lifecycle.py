@@ -641,3 +641,67 @@ class TestSparkStringFormPredicates:
         versioned.write_snapshot(df, base, bloom_for=["price"])
         m1 = _manifest(base, 1)
         assert versioned.prune_files(m1, where={"price": 99.0}) == m1["files"]
+
+
+class TestAdviceR15Hardening:
+    """r15 advisor findings: rollback replay-guard scan-back leak, MoR
+    update filter scope vs re-insert scope, and predicate-column
+    validation consistency across all three predicate entry points."""
+
+    def test_rollback_to_pre_streaming_resets_replay_guard(self, spark, tmp_path):
+        # v1 carries no batch_id; v2 is a stream commit (batch_id 7).
+        # Rolling back to v1 must NOT let the guard scan past the
+        # rollback manifest into the undone v2 — a source replaying
+        # batch 7 would be skipped and its rows silently lost.
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 1)], "id INT, v INT"), base
+        )
+        versioned.write_snapshot(
+            spark.createDataFrame([(2, 2)], "id INT, v INT"),
+            base,
+            metadata={"batch_id": 7},
+        )
+        versioned.rollback_to(base, 1)
+        # explicit null marker committed atomically with the rollback
+        m3 = _manifest(base, 3)
+        assert "batch_id" in m3["metadata"] and m3["metadata"]["batch_id"] is None
+        # guard resolves to the caller's default — batch 7 replays
+        assert versioned.last_metadata_value(base, "batch_id", -1) == -1
+
+    def test_mor_update_filter_scoped_to_candidates(self, spark, tmp_path):
+        # The MoR row filter hides rows from exactly the files the
+        # re-inserted updated rows were built from (prune candidates):
+        # a pruning false-negative then degrades to a missed update,
+        # never silent row loss.
+        base = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, "a" if i < 5 else "b", i) for i in range(10)],
+            "id INT, grp STRING, v INT",
+        )
+        versioned.write_snapshot(df, base, partition_by=["grp"])
+        m1 = _manifest(base, 1)
+        versioned.update_where(
+            spark, base, set_values={"v": -1}, where={"grp": "a"},
+            strategy="merge-on-read",
+        )
+        m2 = _manifest(base, 2)
+        flt = m2["row_filters"][-1]
+        # scope == the pruned candidate set, a strict subset (grp=b out)
+        assert set(flt["files"]) == set(
+            versioned.prune_files(m1, where={"grp": "a"})
+        )
+        assert all("__pt_grp=a" in f for f in flt["files"])
+        assert set(flt["files"]) < set(m1["files"])
+        got = {r["id"]: r["v"] for r in versioned.read_snapshot(spark, base).collect()}
+        assert got == {i: (-1 if i < 5 else i) for i in range(10)}
+
+    def test_read_snapshot_unknown_predicate_column_raises(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        versioned.write_snapshot(
+            spark.createDataFrame([(1, 1)], "id INT, v INT"), base
+        )
+        with pytest.raises(ValueError, match="not in table schema"):
+            versioned.read_snapshot(spark, base, where={"nope": 1})
+        with pytest.raises(ValueError, match="not in table schema"):
+            versioned.read_snapshot(spark, base, where_range={"nope": (0, 1)})
