@@ -2791,6 +2791,61 @@ ORACLES["q_update_where"] = """
     ORDER BY o_orderstatus
 """
 
+# Typed-predicate DELETE (r15 gate-coverage fix): boolean partition
+# predicate + ISO-string date bound (CoW), then float equality above
+# Java's 1e7 sci-notation threshold (MoR, value = post-CoW max so the
+# mirror is a scalar subquery). The file mechanics are runtime-guarded;
+# the DATA contract is NOT(pred1) AND <> max over the corpus.
+ORACLES["q_delete_typed"] = """
+    WITH o AS (
+        SELECT (o_orderpriority = '1-URGENT') AS urgent,
+               o_orderdate,
+               o_totalprice * 100 AS pricex100,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    survivors AS (
+        SELECT * FROM o
+        WHERE NOT (urgent AND o_orderdate <= DATE '1998-01-01')
+    )
+    SELECT urgent,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM survivors
+    WHERE pricex100 <> (SELECT MAX(pricex100) FROM survivors)
+    GROUP BY urgent
+    ORDER BY urgent
+"""
+
+# Typed-predicate UPDATE (r15): boolean-equality MoR set FIRST (the
+# exact r14 silent-row-loss site — it must hit the still-partitioned
+# v1 files for pruning to engage), then date-range CoW zeroing. The
+# CoW leg applies AFTER, hence the ordered CASE: the date leg wins,
+# then urgent, then the original cents.
+ORACLES["q_update_typed"] = """
+    WITH o AS (
+        SELECT (o_orderpriority = '1-URGENT') AS urgent,
+               o_orderdate,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents0
+        FROM orders
+    ),
+    upd AS (
+        SELECT urgent,
+               CASE WHEN o_orderdate >= DATE '1997-01-01' THEN 0
+                    WHEN urgent THEN 777
+                    ELSE cents0 END AS cents
+        FROM o
+    )
+    SELECT urgent,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+    FROM upd
+    GROUP BY urgent
+    ORDER BY urgent
+"""
+
 # Merge-on-read UPDATE (r14): delete-plus-insert mechanics are
 # runtime-guarded (zero rewrites, file superset, new files hold exactly
 # the matching rows); the DATA contract is the SAME CASE WHEN mirror as

@@ -7044,6 +7044,175 @@ def q_snapshot_rollback(spark, sf_dir):
     )
 
 
+def q_delete_typed(spark, sf_dir):
+    """Typed-predicate DELETE through the manifest format — the gate
+    coverage the r14 review demanded (sources/versioned.py:419
+    _spark_str): every earlier DML query predicates on string/long
+    only, which is exactly why the boolean str()-casing bug (pruning
+    'True' vs Spark's 'true' directory value → silent row loss) and
+    the float string-equality bug (Java sci-notation at 1e7 → DELETE
+    matching nothing) were invisible to a 0/269-green gate. This query
+    drives BOTH non-string/long type classes `_delete_pred` accepts
+    through both strategies: (1) copy-on-write DELETE on a BOOLEAN
+    partition column conjoined with a TEMPORAL upper bound (the
+    corpus o_orderdate is a timestamp; ISO-string range, the
+    zone-map-comparable form) — runtime-guarded that
+    boolean partition pruning actually bounded the rewrite set, which
+    is the guard that trips if boolean string forms ever diverge
+    again; (2) merge-on-read DELETE by FLOAT equality on a derived
+    price (×100 puts the corpus max above Java's 1e7 sci-notation
+    threshold, the regime the r14 bug died in), the equality value
+    taken as the post-(1) maximum so the oracle can mirror it with a
+    scalar subquery. Output — per-flag counts and integer-cent totals
+    of the twice-deleted table — is recomputed by the oracle from the
+    corpus with NOT(pred1) AND <> max mirrors, so a green row proves
+    both typed predicates deleted exactly their rows. Reference
+    analog: stage_redshift.py's typed-key DELETE-then-load. Table
+    path SF+pid-tagged, rebuilt per run (q_time_travel rule)."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        "o_orderdate",
+        (F.col("o_totalprice") * 100).alias("pricex100"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = _scratch_dir("delete_typed", tag)
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(
+        o, base, partition_by=["urgent"], stats_for=["o_orderdate"]
+    )
+    _v2, n_rw, n_kept = versioned.delete_where(
+        spark,
+        base,
+        where={"urgent": True},
+        where_range={"o_orderdate": (None, "1998-01-01")},
+    )
+    if not (n_rw >= 1 and n_kept >= 1):
+        raise RuntimeError(
+            "boolean partition pruning did not bound the rewrite set "
+            f"(rewrote {n_rw}, kept {n_kept}) — string-form regression?"
+        )
+    after1 = versioned.read_snapshot(spark, base)
+    maxv = after1.agg(F.max("pricex100")).collect()[0][0]
+    if not (isinstance(maxv, float) and maxv >= 1e7):
+        raise RuntimeError(
+            f"float probe {maxv!r} below Java's 1e7 sci-notation "
+            "threshold — the regression regime is untested"
+        )
+    n_before = after1.count()
+    versioned.delete_where(
+        spark, base, where={"pricex100": maxv}, strategy="merge-on-read"
+    )
+    latest = versioned.read_snapshot(spark, base)
+    if latest.filter(F.col("pricex100") == maxv).count() != 0:
+        raise RuntimeError("a surviving row matches the float-equality delete")
+    if not latest.count() < n_before:
+        raise RuntimeError("float-equality MoR delete removed no rows")
+    return (
+        latest.groupBy("urgent")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        .orderBy("urgent")
+    )
+
+
+def q_update_typed(spark, sf_dir):
+    """Typed-predicate UPDATE through the manifest format — the
+    UPDATE half of the r14 gate-coverage fix (q_delete_typed's
+    docstring has the bug history). The merge-on-read leg drives a
+    BOOLEAN equality predicate, which is the EXACT site of the r14
+    silent-row-loss bug (versioned.py:419): before the fix, pruning
+    compared Python str(True)='True' against Spark's partition value
+    'true', emptied the candidate set, and a MoR UPDATE committed a
+    row filter that hid the urgent rows while re-inserting nothing.
+    Legs — MoR FIRST, deliberately: a CoW rewrite strips the rewritten
+    files' pt metadata, so only the v1-adjacent leg exercises boolean
+    partition pruning at all. (1) merge-on-read UPDATE setting
+    cents=777 WHERE urgent against the freshly partitioned v1 files;
+    (2) copy-on-write UPDATE zeroing cents on a TEMPORAL range
+    (ISO-string lower bound, >= 1997-01-01, reading THROUGH the MoR
+    filter — the no-resurrection contract). Applied in that order, the
+    oracle mirror is an ordered CASE: the date leg wins, then urgent,
+    then the original cents. Runtime guards: total row count invariant
+    across all three versions (an UPDATE never deletes or duplicates —
+    the bug's failure mode), the MoR commit actually recorded a row
+    filter, and every urgent row reads back 777 at v2 (the guard that
+    trips under the pruning regression). Output — per-flag counts,
+    integer-cent totals, and zeroed-row counts — is recomputed by the
+    oracle with the same CASE mirror. Table path SF+pid-tagged,
+    rebuilt per run."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = _scratch_dir("update_typed", tag)
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(o, base, partition_by=["urgent"])
+    n1 = versioned.read_snapshot(spark, base).count()
+    v2, _, _ = versioned.update_where(
+        spark,
+        base,
+        set_values={"cents": 777},
+        where={"urgent": True},
+        strategy="merge-on-read",
+    )
+    with open(versioned._manifest_path(base, v2)) as fh:
+        m2 = _json.load(fh)
+    if not m2.get("row_filters"):
+        raise RuntimeError("MoR update committed no row filter")
+    at_v2 = versioned.read_snapshot(spark, base, v2)
+    urgent = at_v2.filter(F.col("urgent"))
+    if at_v2.count() != n1:
+        raise RuntimeError(
+            "MoR UPDATE changed the row count — the r14 silent-loss mode"
+        )
+    if urgent.count() == 0 or urgent.filter(F.col("cents") != 777).count() != 0:
+        raise RuntimeError("boolean-predicate MoR update missed rows")
+    versioned.update_where(
+        spark,
+        base,
+        set_values={"cents": 0},
+        where_range={"o_orderdate": ("1997-01-01", None)},
+    )
+    latest = versioned.read_snapshot(spark, base)
+    if latest.count() != n1:
+        raise RuntimeError("UPDATE changed the row count")
+    return (
+        latest.groupBy("urgent")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_total"),
+            F.sum(
+                F.when(F.col("cents") == 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_zero"),
+        )
+        .orderBy("urgent")
+    )
+
+
 def q_bloom_skipping(spark, sf_dir):
     """Per-file BLOOM-FILTER skipping through the manifest format
     (sources/versioned.py bloom_for, r13) — the equality member of the
@@ -7642,6 +7811,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
+    # --- new this round (no driver rows)
+    "q_delete_typed": q_delete_typed,
+    "q_update_typed": q_update_typed,
     # --- newest driver row: r09
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_history": q_scd2_history,
@@ -7691,9 +7863,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_leakage_split_precomputed": q_leakage_split_precomputed,
     "q_left_join_multikey": q_left_join_multikey,
-    "q_literal_lookup": q_literal_lookup,
+    "q_literal_lookup": q_literal_lookup,  # <- driver window cut (50)
     "q_mixture_epochs": q_mixture_epochs,
-    "q_pca_variance": q_pca_variance,  # <- driver window cut (50)
+    "q_pca_variance": q_pca_variance,
     "q_pretraining_export": q_pretraining_export,
     "q_project_cast_alias": q_project_cast_alias,
     "q_rolling_time_window": q_rolling_time_window,
