@@ -383,20 +383,23 @@ def main() -> None:
     n_legacy_heavy = 16
     legacy_heavy = round(sum(heavy[n] for n in HEAVY[:n_legacy_heavy]), 3)
 
-    # single-run since round 9: the extended tier grew past the point
-    # where best-of-2 fits the bench window (r08 wall was already ~550s;
-    # +6 round-9 members pushed best-of-2 past 600s). Headline and heavy
-    # — the cross-round comparables — keep their best-of; extended
-    # per-query values carry ~15% more run-to-run noise from here on.
+    # r15: the FROZEN legacy_extended prefix runs best-of-2 again — the
+    # r14 driver read 109.1 s on it while the heavy tier simultaneously
+    # hit an all-rounds best (a mid-run steal wave; builder quiet band
+    # was 86.5-91.5), making the single-run subtotal the noisiest
+    # cross-round comparable. The +~90 s fits today's wall (~335 s of
+    # the 550 s budget). Members AFTER the marker stay single-run.
+    # Cross-round note: r09-r14 legacy_extended readings were
+    # single-run (~15% noise-inflated); compare r15+ to r15+, or to r08
+    # (which was best-of-2 with smaller membership).
+    n_legacy = EXTENDED.index("q_entity_resolution_distinct")
     extended: dict[str, float] = {}
-    for name in EXTENDED:
-        extended[name] = round(run_query(spark, name, sf_dir, repeats=1), 3)
+    for i, name in enumerate(EXTENDED):
+        reps = 2 if i < n_legacy else 1
+        extended[name] = round(run_query(spark, name, sf_dir, repeats=reps), 3)
     extended_total = round(sum(extended.values()), 3)
     # cross-round comparable: subtotal over the FROZEN r08 membership
-    # (prefix up to the round-9 marker). Methodology note: r08 itself was
-    # best-of-2, rounds 9+ are single-run, so expect ~15% noise inflation
-    # vs the r08 absolute — track round-over-round from r09 on.
-    n_legacy = EXTENDED.index("q_entity_resolution_distinct")
+    # (prefix up to the round-9 marker).
     legacy_extended = round(sum(extended[n] for n in EXTENDED[:n_legacy]), 3)
 
     # The driver captures only a ~2000-char tail of stdout and parses the

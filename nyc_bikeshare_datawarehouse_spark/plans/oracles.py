@@ -2846,6 +2846,50 @@ ORACLES["q_update_typed"] = """
     ORDER BY urgent
 """
 
+# Versioned-incremental-dedup composition (r15): the versioned feed is
+# runtime-guarded (append file-set, O(delta files) increment); the
+# admission DATA contract is exactly q_incremental_dedup's.
+ORACLES["q_versioned_incremental_dedup"] = ORACLES["q_incremental_dedup"]
+
+# ORC + JSONL round-trip (r15): both format legs must reproduce the
+# parquet corpus exactly, so the mirror is the corpus aggregate crossed
+# with the two format tags.
+ORACLES["q_lakehouse_formats"] = """
+    WITH p AS (
+        SELECT p_partkey, p_brand,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT f.fmt, p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(MIN(p_partkey) AS BIGINT) AS min_key,
+           CAST(MAX(p_partkey) AS BIGINT) AS max_key
+    FROM p CROSS JOIN (VALUES ('jsonl'), ('orc')) AS f(fmt)
+    GROUP BY f.fmt, p_brand
+    ORDER BY f.fmt, p_brand
+"""
+
+# Field-id schema evolution (r15): rename + widen are metadata-only
+# (runtime-guarded); the DATA contract is that totals over BOTH evolved
+# columns, across files written under both schemas, equal the corpus.
+ORACLES["q_schema_evolution_versioned"] = """
+    WITH o AS (
+        SELECT o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               LENGTH(o_orderpriority) AS plen
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS amount_total,
+           CAST(SUM(plen) AS BIGINT) AS prio_total
+    FROM o
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
 # Merge-on-read UPDATE (r14): delete-plus-insert mechanics are
 # runtime-guarded (zero rewrites, file superset, new files hold exactly
 # the matching rows); the DATA contract is the SAME CASE WHEN mirror as

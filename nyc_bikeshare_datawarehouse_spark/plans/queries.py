@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nyc_bikeshare_datawarehouse_spark.functions import (
     contamination,
@@ -3730,6 +3731,60 @@ def q_incremental_dedup_pruned(spark, sf_dir):
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q_versioned_incremental_dedup(spark, sf_dir):
+    """The nightly-ingestion COMPOSITION (r14 verdict #8): the
+    versioned table format's incremental scan feeds the delta-vs-corpus
+    dedup screen as ONE pipeline. The deduped corpus lives as snapshot
+    v1 of a manifest table; the nightly crawl commits as an APPEND (v2);
+    `versioned.read_increment(1)` then yields EXACTLY the appended
+    files — O(delta files) I/O with no content diff and no corpus
+    re-read (runtime-guarded: the increment's file set is precisely
+    m2−m1 and its row count is the delta's) — and
+    `dedup.incremental_dedup` screens those rows against the v1 corpus
+    (exact hash anti-join + cross-pairs-only inverted-index Jaccard,
+    O(delta) by construction — its docstring has the cost argument).
+    At 100 TB this is the shape that makes ingestion O(day) instead of
+    O(history): the table format bounds the READ side, the cross-pair
+    index bounds the SCREEN side, and admitted rows would commit back
+    as the next append. Same audit-tier sample and admission semantics
+    as q_incremental_dedup, so the oracle is shared verbatim — a green
+    row proves the versioned feed is lossless vs. filtering the frame
+    directly. Table path SF+pid-tagged, rebuilt per run."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    d = _audit_sample(_t(spark, sf_dir, "documents"))
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = _scratch_dir("vinc_dedup", tag)
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(d.filter(F.col("doc_id") % 5 != 0), base)
+    delta_df = d.filter(F.col("doc_id") % 5 == 0)
+    versioned.write_snapshot(delta_df, base)
+    with open(versioned._manifest_path(base, 1)) as fh:
+        m1 = _json.load(fh)
+    with open(versioned._manifest_path(base, 2)) as fh:
+        m2 = _json.load(fh)
+    new_files = set(m2["files"]) - set(m1["files"])
+    if not new_files or not set(m1["files"]) <= set(m2["files"]):
+        raise RuntimeError("nightly commit was not an append")
+    delta = versioned.read_increment(spark, base, 1)
+    if delta.count() != delta_df.count():
+        raise RuntimeError(
+            "incremental scan row count != appended delta row count"
+        )
+    corpus = versioned.read_snapshot(spark, base, 1)
+    out = dedup.incremental_dedup(
+        delta, corpus, "text", "doc_id", shingle_n=2, min_jaccard=0.5
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def q_vocab_build(spark, sf_dir):
     """Frequency-ranked vocabulary with cumulative coverage — the
     tokenizer-training precursor: every corpus token gets a stable id
@@ -7213,6 +7268,143 @@ def q_update_typed(spark, sf_dir):
     )
 
 
+def q_lakehouse_formats(spark, sf_dir):
+    """ORC + JSONL sources under the DRIVER GATE (r14 verdict "what's
+    missing" #3: both readers were library-only, scan-node-pinned in
+    tests/test_readers.py but never oracle-checked). The part table
+    round-trips through BOTH interchange formats — written once to
+    scratch, read back via `sources.readers.read_orc` / `read_jsonl`
+    with PINNED contract schemas (the at-scale rule: schema inference
+    is a full extra pass) — and the two reads aggregate side by side,
+    tagged by format. Integer cents are computed BEFORE the write so
+    the JSON leg round-trips longs, not doubles. Runtime guards: both
+    reads return exactly the corpus row count. The oracle mirrors with
+    a VALUES cross join over the parquet corpus: a green row proves
+    both format pipelines are content-lossless, since any divergence
+    in either leg breaks its group's totals."""
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from nyc_bikeshare_datawarehouse_spark.sources import readers
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    n_corpus = p.count()
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = _scratch_dir("lakehouse_fmt", tag)
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    orc_dir = _os.path.join(base, "part_orc")
+    jsonl_dir = _os.path.join(base, "part_jsonl")
+    p.write.orc(orc_dir)
+    p.write.json(jsonl_dir)
+    ddl = "p_partkey LONG, p_brand STRING, cents LONG"
+    o = readers.read_orc(spark, orc_dir, T.StructType.fromDDL(ddl))
+    j = readers.read_jsonl(spark, jsonl_dir, ddl)
+    if o.count() != n_corpus or j.count() != n_corpus:
+        raise RuntimeError("format round-trip changed the row count")
+    tagged = o.withColumn("fmt", F.lit("orc")).unionByName(
+        j.withColumn("fmt", F.lit("jsonl"))
+    )
+    return (
+        tagged.groupBy("fmt", "p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("cents_total"),
+            F.min("p_partkey").cast("long").alias("min_key"),
+            F.max("p_partkey").cast("long").alias("max_key"),
+        )
+        .orderBy("fmt", "p_brand")
+    )
+
+
+def q_schema_evolution_versioned(spark, sf_dir):
+    """FIELD-ID schema evolution through the manifest format
+    (sources/versioned.rename_column / alter_column_type, r15 — the
+    r14 verdict's "add-only" gap; reference analog: the
+    create_tables.sql DDL lifecycle). Lifecycle: v1 commits 'F' orders
+    (cents long, prio_len int); v2 RENAMES cents→amount_cents as a
+    metadata-only commit (field keeps its id — runtime-guarded zero
+    data I/O: v2's file list is v1's by path identity); v3 appends 'O'
+    orders under the NEW name (the table now mixes files written under
+    both schemas); v4 WIDENS prio_len int→long (metadata-only again).
+    The read then projects every file onto the current schema BY FIELD
+    ID: pre-rename files feed amount_cents from their written 'cents'
+    column and cast prio_len up — the failure mode this design
+    prevents is Spark's name-based parquet matching silently NULLing
+    the renamed column for every old file, which the runtime guard
+    (zero NULLs in amount_cents) plus the oracle totals would both
+    expose. Old snapshots stay readable under their own schema
+    (guarded: v1 still has 'cents'); time-travel-across-rename and
+    drop/no-resurrection pins live in tests/test_versioned_lifecycle
+    .py::TestSchemaEvolution. Output — per-status counts and exact
+    integer totals of BOTH evolved columns across both file
+    generations — is recomputed by the oracle from the corpus. Table
+    path SF+pid-tagged, rebuilt per run (q_time_travel rule)."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from nyc_bikeshare_datawarehouse_spark.sources import versioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+    )
+    full = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = _scratch_dir("schema_evo", tag)
+    if _os.path.isdir(base):
+        _shutil.rmtree(base)
+    versioned.write_snapshot(o.filter(F.col("o_orderstatus") == "F"), base)
+    v2 = versioned.rename_column(base, "cents", "amount_cents")
+    with open(versioned._manifest_path(base, 1)) as fh:
+        m1 = _json.load(fh)
+    with open(versioned._manifest_path(base, v2)) as fh:
+        m2 = _json.load(fh)
+    if m2["files"] != m1["files"]:
+        raise RuntimeError("rename was not metadata-only")
+    v3 = versioned.write_snapshot(
+        o.filter(F.col("o_orderstatus") == "O").withColumnRenamed(
+            "cents", "amount_cents"
+        ),
+        base,
+    )
+    v4 = versioned.alter_column_type(base, "prio_len", "long")
+    with open(versioned._manifest_path(base, v3)) as fh:
+        m3 = _json.load(fh)
+    with open(versioned._manifest_path(base, v4)) as fh:
+        m4 = _json.load(fh)
+    if m4["files"] != m3["files"]:
+        raise RuntimeError("widen was not metadata-only")
+    if "cents" not in versioned.read_snapshot(spark, base, 1).columns:
+        raise RuntimeError("v1 no longer reads under its own schema")
+    latest = versioned.read_snapshot(spark, base)
+    if dict(latest.dtypes)["prio_len"] != "bigint":
+        raise RuntimeError("widened column did not read as long")
+    if latest.filter(F.col("amount_cents").isNull()).count() != 0:
+        raise RuntimeError(
+            "renamed column read NULL — name-based matching regression"
+        )
+    return (
+        latest.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("amount_cents").cast("long").alias("amount_total"),
+            F.sum("prio_len").cast("long").alias("prio_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_bloom_skipping(spark, sf_dir):
     """Per-file BLOOM-FILTER skipping through the manifest format
     (sources/versioned.py bloom_for, r13) — the equality member of the
@@ -7813,7 +8005,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows) first, then ascending by newest driver row.
     # --- new this round (no driver rows)
     "q_delete_typed": q_delete_typed,
+    "q_lakehouse_formats": q_lakehouse_formats,
+    "q_schema_evolution_versioned": q_schema_evolution_versioned,
     "q_update_typed": q_update_typed,
+    "q_versioned_incremental_dedup": q_versioned_incremental_dedup,
     # --- newest driver row: r09
     "q_scd1_merge": q_scd1_merge,
     "q_scd2_history": q_scd2_history,
@@ -7860,10 +8055,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_intersect": q_intersect,
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_kmv_sketch": q_kmv_sketch,
-    "q_lang_id": q_lang_id,
+    "q_lang_id": q_lang_id,  # <- driver window cut (50)
     "q_leakage_split_precomputed": q_leakage_split_precomputed,
     "q_left_join_multikey": q_left_join_multikey,
-    "q_literal_lookup": q_literal_lookup,  # <- driver window cut (50)
+    "q_literal_lookup": q_literal_lookup,
     "q_mixture_epochs": q_mixture_epochs,
     "q_pca_variance": q_pca_variance,
     "q_pretraining_export": q_pretraining_export,

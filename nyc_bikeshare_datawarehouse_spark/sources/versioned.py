@@ -372,8 +372,16 @@ def write_snapshot(
         files = prev_manifest["files"] + files
         # prior files keep their own recorded partition values/spec;
         # legacy manifests without file_meta contribute nothing (their
-        # files are then never prunable — conservative)
-        file_meta = {**prev_manifest.get("file_meta", {}), **file_meta}
+        # files are then never prunable — conservative). Entries that
+        # predate the field-id history are tagged with the schema that
+        # was current when they were written (= the previous current —
+        # sound because pre-history commits can only be add-only).
+        _, prev_cur0 = _schemas_of(prev_manifest)
+        carried = {
+            f: {**meta, "sid": _file_sid(meta, prev_cur0)}
+            for f, meta in prev_manifest.get("file_meta", {}).items()
+        }
+        file_meta = {**carried, **file_meta}
         # merge-on-read delete filters ride appends (their recorded file
         # lists never include this commit's new files, so appended rows
         # are not filtered); an overwrite rewrites content post-filter,
@@ -394,9 +402,48 @@ def write_snapshot(
                 raise ValueError(
                     f"append changes column '{f.name}' from "
                     f"{by_name[f.name].dataType} to {f.dataType} — "
-                    "type evolution is not supported (add-only)"
+                    "type evolution is not supported (add-only; use "
+                    "alter_column_type for widenings)"
                 )
         schema = StructType(merged)
+    # field-id schema history (r15 evolution support): every name is
+    # assigned an id ONCE and ids are never reused — matching by id is
+    # what makes rename/widen/drop (rename_column/alter_column_type/
+    # drop_column) metadata-only and resurrection-proof. A commit whose
+    # fields match the previous current schema reuses its entry.
+    if prev_manifest is not None:
+        prev_schemas, prev_cur = _schemas_of(prev_manifest)
+        prev_fields = _schema_fields(prev_schemas, prev_cur)
+        by_fid = {f["name"]: f for f in prev_fields}
+        next_id = max(f["id"] for s in prev_schemas for f in s["fields"]) + 1
+        fields = []
+        for f in schema.fields:
+            p = by_fid.get(f.name)
+            if p is not None:
+                # append mode validated type equality above; overwrite
+                # (REPLACE TABLE) keeps the id under the replaced type
+                t = f.dataType.jsonValue() if mode == "overwrite" else p["type"]
+                fields.append({"id": p["id"], "name": f.name, "type": t})
+            else:
+                fields.append(
+                    {"id": next_id, "name": f.name, "type": f.dataType.jsonValue()}
+                )
+                next_id += 1
+        schemas = list(prev_schemas)
+        if fields == prev_fields:
+            cur_sid = prev_cur
+        else:
+            cur_sid = max(s["schema_id"] for s in schemas) + 1
+            schemas.append({"schema_id": cur_sid, "fields": fields})
+    else:
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue()}
+            for i, f in enumerate(schema.fields)
+        ]
+        schemas = [{"schema_id": 1, "fields": fields}]
+        cur_sid = 1
+    for f in new_files:
+        file_meta[f]["sid"] = cur_sid
     # last: the manifest IS the commit point — written to a temp name
     # and renamed, so a crash mid-write leaves no half-manifest that
     # latest_version() would count as committed (os.replace is atomic
@@ -413,6 +460,8 @@ def write_snapshot(
                 "current_spec": spec_id,
                 "file_meta": file_meta,
                 "row_filters": row_filters,
+                "schemas": schemas,
+                "current_schema": cur_sid,
             },
             fh,
         )
@@ -475,6 +524,131 @@ def _delete_pred(schema: StructType, where: dict | None,
     return pred
 
 
+def _schemas_of(manifest: dict) -> tuple[list[dict], int]:
+    """The manifest's field-id schema history as
+    ([{"schema_id", "fields": [{"id", "name", "type"}]}], current_id) —
+    synthesized positionally (ids 1..n, schema_id 1) for manifests
+    written before r15's evolution support, so every reader/writer can
+    assume ids exist. The synthesis is stable because a legacy
+    manifest's column ORDER is fixed in its recorded schema."""
+    if "schemas" in manifest:
+        return manifest["schemas"], manifest["current_schema"]
+    fields = [
+        {"id": i + 1, "name": f["name"], "type": f["type"]}
+        for i, f in enumerate(manifest["schema"]["fields"])
+    ]
+    return [{"schema_id": 1, "fields": fields}], 1
+
+
+def _schema_fields(schemas: list[dict], sid: int) -> list[dict]:
+    for s in schemas:
+        if s["schema_id"] == sid:
+            return s["fields"]
+    raise ValueError(f"manifest references unknown schema_id {sid}")
+
+
+def _fields_struct(fields: list[dict]) -> StructType:
+    """Spark StructType for a field-id schema entry (all nullable — the
+    table format's columns are nullable by construction: evolution
+    backfills NULLs)."""
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f["name"],
+                    "type": f["type"],
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for f in fields
+            ],
+        }
+    )
+
+
+def _schema_keys(manifest: dict) -> dict:
+    """The evolution keys a derived manifest (DML/rollback/MoR commit)
+    must carry forward verbatim — empty for legacy manifests, which
+    stay legacy until an evolution op or a new write_snapshot commit
+    upgrades them."""
+    if "schemas" not in manifest:
+        return {}
+    return {
+        "schemas": manifest["schemas"],
+        "current_schema": manifest["current_schema"],
+    }
+
+
+def _file_sid(meta_entry: dict | None, default_sid: int) -> int:
+    if meta_entry is None:
+        return default_sid
+    return meta_entry.get("sid", default_sid)
+
+
+def _written_name(
+    schemas: list[dict], sid: int, current_fields: list[dict], col: str
+) -> str | None:
+    """The name column `col` (a CURRENT-schema name) had when a file
+    tagged `sid` was written — None when that file's schema never had
+    the field (added later / re-added after a drop: different id, so
+    the file contributes NULLs and pruning may skip it for non-null
+    predicates)."""
+    fid = next((f["id"] for f in current_fields if f["name"] == col), None)
+    if fid is None:
+        return None
+    return next(
+        (f["name"] for f in _schema_fields(schemas, sid) if f["id"] == fid),
+        None,
+    )
+
+
+def _map_to_fields(
+    df: DataFrame, written: list[dict], current: list[dict]
+) -> DataFrame:
+    """Project a frame read under its WRITTEN schema onto the CURRENT
+    schema by FIELD ID — the Iceberg name-mapping rule: renames follow
+    the id (never the name, which is what makes rename safe instead of
+    silently NULLing the column), widened types cast up, fields the
+    written schema lacks backfill NULL, and dropped-then-re-added names
+    do NOT resurrect old data (the re-add got a fresh id)."""
+    by_id = {f["id"]: f for f in written}
+    cols = []
+    for f in current:
+        w = by_id.get(f["id"])
+        tgt = _fields_struct([f])[0].dataType
+        if w is None:
+            cols.append(F.lit(None).cast(tgt).alias(f["name"]))
+        elif w["name"] == f["name"] and w["type"] == f["type"]:
+            cols.append(F.col(f["name"]))
+        else:
+            cols.append(F.col(w["name"]).cast(tgt).alias(f["name"]))
+    return df.select(*cols)
+
+
+#: widenings the ALTER COLUMN TYPE path accepts — value-preserving
+#: casts only (the Iceberg/parquet promotion lattice; float→double is
+#: exact because every float IS a double)
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"), ("integer", "double"),
+    ("long", "double"),
+    ("float", "double"),
+}
+
+
+def _filter_columns(manifest: dict) -> set[str]:
+    """Column names referenced by LIVE merge-on-read row filters —
+    evolution on these is refused (the recorded predicates replay by
+    name at read time; compact first to materialize them)."""
+    out: set[str] = set()
+    for flt in manifest.get("row_filters", []):
+        out |= set(flt.get("where", {}))
+        out |= set(flt.get("where_range", {}))
+    return out
+
+
 def _validate_mor_values(where: dict | None, where_range: dict | None) -> None:
     """Merge-on-read predicates commit INTO the manifest and replay at
     read time — values must be JSON-native (shared by the MoR delete
@@ -508,17 +682,35 @@ def _read_files(spark: SparkSession, manifest: dict, files: list[str]) -> DataFr
     if not files:
         return spark.createDataFrame([], schema)
     filters = manifest.get("row_filters", [])
-    if not filters:
-        return spark.read.schema(schema).parquet(*files)
+    schemas, cur = _schemas_of(manifest)
+    cur_fields = _schema_fields(schemas, cur)
+    fm = manifest.get("file_meta", {})
     fsets = [set(flt["files"]) for flt in filters]
-    groups: dict[tuple[int, ...], list[str]] = {}
+    # group by (written schema, applicable-filter subset): files written
+    # under an older schema read under THAT schema and project onto the
+    # current one by FIELD ID (rename/widen/drop evolution —
+    # _map_to_fields), then the filters (current names) apply. Group
+    # count ≤ #schemas × (#filters + 1), each one pushed-down scan.
+    groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
     for f in files:
-        key = tuple(i for i, s in enumerate(fsets) if f in s)
-        groups.setdefault(key, []).append(f)
+        fkey = tuple(i for i, s in enumerate(fsets) if f in s)
+        groups.setdefault((_file_sid(fm.get(f), cur), fkey), []).append(f)
+    if list(groups) == [(cur, ())]:
+        return spark.read.schema(schema).parquet(*files)
     parts = []
-    for key in sorted(groups):
-        part = spark.read.schema(schema).parquet(*groups[key])
-        for i in key:
+    for sid, fkey in sorted(groups):
+        if sid == cur:
+            part = spark.read.schema(schema).parquet(*groups[(sid, fkey)])
+        else:
+            written = _schema_fields(schemas, sid)
+            part = _map_to_fields(
+                spark.read.schema(_fields_struct(written)).parquet(
+                    *groups[(sid, fkey)]
+                ),
+                written,
+                cur_fields,
+            )
+        for i in fkey:
             pred = _delete_pred(
                 schema, filters[i].get("where"), filters[i].get("where_range")
             )
@@ -603,6 +795,9 @@ def prune_files(
     `where_range` zone-map pruning — exposed separately so tests and
     planners can count skipped files without reading anything."""
     fm = manifest.get("file_meta", {})
+    schemas, cur = _schemas_of(manifest)
+    cur_fields = _schema_fields(schemas, cur)
+    multi = len(schemas) > 1
 
     def keep(f: str) -> bool:
         meta = fm.get(f)
@@ -610,7 +805,22 @@ def prune_files(
             return True
         pt = meta.get("pt", {})
         blooms = meta.get("bloom", {})
+        sid = _file_sid(meta, cur)
         for k, v in (where or {}).items():
+            if multi:
+                # schema evolution: the file's pt/bloom/stats metadata is
+                # keyed by the name the column had WHEN WRITTEN — map the
+                # current predicate name through the field id
+                k = _written_name(schemas, sid, cur_fields, k)
+                if k is None:
+                    # the file's schema never had this field: every row
+                    # reads NULL there, so a non-null equality matches
+                    # nothing — skip the file (sound for read AND for the
+                    # DML paths: a file with no matching rows carries
+                    # over verbatim)
+                    if v is not None:
+                        return False
+                    continue
             # string-form pruning must use the SPARK string form
             # (_spark_str): the pt directory values and the bloom hash
             # input are Spark casts, and Python str(True) = 'True' would
@@ -630,6 +840,14 @@ def prune_files(
                 return False
         st = meta.get("stats", {})
         for k, (lo, hi) in (where_range or {}).items():
+            if multi:
+                k = _written_name(schemas, sid, cur_fields, k)
+                if k is None:
+                    # field absent from the file's schema → all NULL,
+                    # and NULL is never inside a bounded range
+                    if lo is not None or hi is not None:
+                        return False
+                    continue
             if k not in st:
                 continue  # no zone map for this column — conservative
             mn, mx = st[k]
@@ -907,6 +1125,7 @@ def delete_where(
                     "current_spec": manifest.get("current_spec", 1),
                     "file_meta": manifest.get("file_meta", {}),
                     "row_filters": filters,
+                    **_schema_keys(manifest),
                 },
                 fh,
             )
@@ -950,12 +1169,16 @@ def delete_where(
                     for c in stats_for
                 }
     spec_id = manifest.get("current_spec", 1)
+    _, _cur_sid = _schemas_of(manifest)
     prev_meta = manifest.get("file_meta", {})
     file_meta = {f: prev_meta[f] for f in kept if f in prev_meta}
     for f in new_files:
+        # rewrites read through _read_files (current names), so the new
+        # files carry the CURRENT schema id
         file_meta[f] = {
             "pt": {},
             "spec_id": spec_id,
+            "sid": _cur_sid,
             **({"stats": col_stats[f]} if f in col_stats else {}),
         }
     # existing MoR filters survive for the files they still cover; the
@@ -991,6 +1214,7 @@ def delete_where(
                 "current_spec": spec_id,
                 "file_meta": file_meta,
                 "row_filters": row_filters,
+                **_schema_keys(manifest),
             },
             fh,
         )
@@ -1081,9 +1305,10 @@ def update_where(
         updated.write.mode("overwrite").parquet(data_dir)
         new_files = _leaf_files(data_dir)
         spec_id = manifest.get("current_spec", 1)
+        _, _cur_sid = _schemas_of(manifest)
         file_meta = dict(manifest.get("file_meta", {}))
         for f in new_files:
-            file_meta[f] = {"pt": {}, "spec_id": spec_id}
+            file_meta[f] = {"pt": {}, "spec_id": spec_id, "sid": _cur_sid}
         filters = list(manifest.get("row_filters", []))
         # Scope the row filter to the SAME file set the re-inserted
         # updated rows were built from (candidates), not the whole
@@ -1126,6 +1351,7 @@ def update_where(
                     "current_spec": spec_id,
                     "file_meta": file_meta,
                     "row_filters": filters,
+                    **_schema_keys(manifest),
                 },
                 fh,
             )
@@ -1178,12 +1404,14 @@ def update_where(
                     for c in stats_for
                 }
     spec_id = manifest.get("current_spec", 1)
+    _, _cur_sid = _schemas_of(manifest)
     prev_meta = manifest.get("file_meta", {})
     file_meta = {f: prev_meta[f] for f in kept if f in prev_meta}
     for f in new_files:
         file_meta[f] = {
             "pt": {},
             "spec_id": spec_id,
+            "sid": _cur_sid,
             **({"stats": col_stats[f]} if f in col_stats else {}),
         }
     kept_set = set(kept)
@@ -1217,6 +1445,7 @@ def update_where(
                 "current_spec": spec_id,
                 "file_meta": file_meta,
                 "row_filters": row_filters,
+                **_schema_keys(manifest),
             },
             fh,
         )
@@ -1287,11 +1516,179 @@ def rollback_to(base_dir: str, version: int) -> int:
                 # state: restoring v without them would resurrect rows
                 # a MoR delete before v had hidden
                 "row_filters": target.get("row_filters", []),
+                **_schema_keys(target),
             },
             fh,
         )
     os.replace(nmp + ".tmp", nmp)
     return new_version
+
+
+def _evolve_schema(base_dir: str, new_fields: list[dict], metadata: dict) -> int:
+    """Commit a METADATA-ONLY schema change: a new manifest with the
+    same file list and a new current schema entry appended to the
+    field-id history. Pure manifest arithmetic — zero data I/O, which
+    is the whole point of field-id evolution at 100 TB (a rename must
+    never rewrite a table). Shared by rename/widen/drop."""
+    base_dir = os.path.abspath(base_dir)
+    prev = latest_version(base_dir)
+    if prev == 0:
+        raise ValueError(f"no snapshot under {base_dir}")
+    with open(_manifest_path(base_dir, prev)) as fh:
+        manifest = json.load(fh)
+    schemas, cur = _schemas_of(manifest)
+    schemas = list(schemas)
+    new_sid = max(s["schema_id"] for s in schemas) + 1
+    schemas.append({"schema_id": new_sid, "fields": new_fields})
+    # legacy upgrade rides the same commit: files written before the
+    # history existed are tagged with the schema that was current
+    # (= the synthesized schema 1 for a legacy manifest)
+    file_meta = {
+        f: {**meta, "sid": _file_sid(meta, cur)}
+        for f, meta in manifest.get("file_meta", {}).items()
+    }
+    version = prev + 1
+    mp = _manifest_path(base_dir, version)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "files": manifest["files"],
+                "schema": _fields_struct(new_fields).jsonValue(),
+                "metadata": metadata,
+                "partition_specs": manifest.get("partition_specs", []),
+                "current_spec": manifest.get("current_spec", 1),
+                "file_meta": file_meta,
+                "row_filters": manifest.get("row_filters", []),
+                "schemas": schemas,
+                "current_schema": new_sid,
+            },
+            fh,
+        )
+    os.replace(mp + ".tmp", mp)
+    return version
+
+
+def _evolution_guard(manifest: dict, col: str, op: str) -> None:
+    """Shared refusals for rename/widen/drop of `col`.
+
+    Live MoR row filters replay their predicates BY NAME at read time,
+    so evolving a referenced column would silently decouple the filter
+    from the data — compact first (materializes and clears filters).
+    The CURRENT partition spec's columns name the layout future writes
+    must produce; evolving one would dangle the spec (historical specs
+    are fine — per-file pt values map through written names)."""
+    if col in _filter_columns(manifest):
+        raise ValueError(
+            f"cannot {op} column {col!r}: referenced by a live "
+            "merge-on-read row filter — compact_snapshot first"
+        )
+    specs = manifest.get("partition_specs", [])
+    cur_spec = manifest.get("current_spec", 1)
+    for s in specs:
+        if s["spec_id"] == cur_spec and col in s.get("columns", []):
+            raise ValueError(
+                f"cannot {op} column {col!r}: it is a current "
+                "partition-spec column — evolve the spec first "
+                "(commit with a different partition_by)"
+            )
+
+
+def rename_column(base_dir: str, old: str, new: str) -> int:
+    """RENAME COLUMN for the manifest table format — field-id mapped,
+    the Iceberg rule (reference analog: the create_tables.sql DDL
+    lifecycle): a metadata-only commit appends a schema entry where the
+    field keeps its ID under the new name. Files written before the
+    rename are read under their own written schema and projected onto
+    the current one BY ID (_map_to_fields), so the renamed column's
+    historical data stays fully populated — the failure mode this
+    design exists to prevent is Spark's name-based parquet matching
+    silently returning NULL for every pre-rename file. Old snapshots
+    time-travel under their own names; appends after the rename write
+    the new name. Zero data I/O."""
+    base_dir = os.path.abspath(base_dir)
+    prev = latest_version(base_dir)
+    if prev == 0:
+        raise ValueError(f"no snapshot under {base_dir}")
+    with open(_manifest_path(base_dir, prev)) as fh:
+        manifest = json.load(fh)
+    schemas, cur = _schemas_of(manifest)
+    fields = _schema_fields(schemas, cur)
+    names = [f["name"] for f in fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in table schema")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    _evolution_guard(manifest, old, "rename")
+    new_fields = [
+        {**f, "name": new} if f["name"] == old else f for f in fields
+    ]
+    return _evolve_schema(
+        base_dir, new_fields, {"rename_column": {"from": old, "to": new}}
+    )
+
+
+def alter_column_type(base_dir: str, col: str, new_type: str) -> int:
+    """ALTER COLUMN TYPE (widening only) for the manifest table format:
+    a metadata-only commit recording the new type under the same field
+    id. Only value-preserving promotions are accepted (_WIDENINGS —
+    int→long, long→double, float→double, …): reads cast old files UP,
+    which is lossless, while a narrowing would corrupt silently.
+    Old snapshots keep their own type; zero data I/O."""
+    base_dir = os.path.abspath(base_dir)
+    prev = latest_version(base_dir)
+    if prev == 0:
+        raise ValueError(f"no snapshot under {base_dir}")
+    with open(_manifest_path(base_dir, prev)) as fh:
+        manifest = json.load(fh)
+    schemas, cur = _schemas_of(manifest)
+    fields = _schema_fields(schemas, cur)
+    f = next((f for f in fields if f["name"] == col), None)
+    if f is None:
+        raise ValueError(f"column {col!r} not in table schema")
+    old_type = f["type"] if isinstance(f["type"], str) else None
+    if (old_type, new_type) not in _WIDENINGS:
+        raise ValueError(
+            f"cannot alter column {col!r} from {f['type']} to "
+            f"{new_type!r}: only value-preserving widenings are "
+            f"supported ({sorted(_WIDENINGS)})"
+        )
+    _evolution_guard(manifest, col, "widen")
+    new_fields = [
+        {**g, "type": new_type} if g["name"] == col else g for g in fields
+    ]
+    return _evolve_schema(
+        base_dir,
+        new_fields,
+        {"alter_column_type": {"column": col, "from": old_type, "to": new_type}},
+    )
+
+
+def drop_column(base_dir: str, col: str) -> int:
+    """DROP COLUMN for the manifest table format: a metadata-only
+    commit whose schema entry omits the field. The data stays in the
+    files (old snapshots read it; retention governs physical life), and
+    re-adding the same NAME later allocates a FRESH field id, so the
+    dropped column's historical values are never resurrected into the
+    new column — the field-id guarantee name-based formats can't make.
+    Zero data I/O."""
+    base_dir = os.path.abspath(base_dir)
+    prev = latest_version(base_dir)
+    if prev == 0:
+        raise ValueError(f"no snapshot under {base_dir}")
+    with open(_manifest_path(base_dir, prev)) as fh:
+        manifest = json.load(fh)
+    schemas, cur = _schemas_of(manifest)
+    fields = _schema_fields(schemas, cur)
+    if col not in [f["name"] for f in fields]:
+        raise ValueError(f"column {col!r} not in table schema")
+    if len(fields) == 1:
+        raise ValueError("cannot drop the only column")
+    _evolution_guard(manifest, col, "drop")
+    new_fields = [f for f in fields if f["name"] != col]
+    return _evolve_schema(
+        base_dir, new_fields, {"drop_column": {"column": col}}
+    )
 
 
 def expire_snapshots(base_dir: str, keep_from: int) -> list[int]:

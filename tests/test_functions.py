@@ -715,6 +715,21 @@ class TestSimilarity:
         )
         assert s1 == s2
 
+    def test_srp_arrow_twin_bit_equal(self, spark, sf_dir):
+        # the serving-path matmul twin must produce BIT-IDENTICAL
+        # signatures to the HOF fold on the whole gate corpus — a sign
+        # flip needs |dot| within float64 summation-order error
+        from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        hof = rows_set(
+            emb.select("vec_id", similarity.srp_signature("embedding", 64, 24).alias("sig"))
+        )
+        arrow = rows_set(
+            similarity.srp_signatures_arrow(emb, 64, "vec_id", "embedding", 24)
+        )
+        assert hof == arrow and len(hof) > 0
+
     def test_ivf_kmeans_fit(self, spark, sf_dir):
         pytest.importorskip("pyspark.ml")
         from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table

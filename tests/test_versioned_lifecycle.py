@@ -705,3 +705,145 @@ class TestAdviceR15Hardening:
             versioned.read_snapshot(spark, base, where={"nope": 1})
         with pytest.raises(ValueError, match="not in table schema"):
             versioned.read_snapshot(spark, base, where_range={"nope": (0, 1)})
+
+
+class TestSchemaEvolution:
+    """Field-id schema evolution (r15): rename/widen/drop are
+    metadata-only commits; reads map files by FIELD ID, never name."""
+
+    def _write(self, spark, base, rows, ddl, **kw):
+        versioned.write_snapshot(spark.createDataFrame(rows, ddl), base, **kw)
+
+    def test_rename_is_metadata_only_and_time_travels(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._write(spark, base, [(1, 10), (2, 20)], "id INT, cents INT")
+        m1 = _manifest(base, 1)
+        v = versioned.rename_column(base, "cents", "amount")
+        m2 = _manifest(base, v)
+        # metadata-only: same file list, zero data I/O
+        assert m2["files"] == m1["files"]
+        # current read: new name, FULL historical data (the silent-NULL
+        # failure mode of name-based parquet matching is the bug class
+        # field ids exist to prevent)
+        cur = versioned.read_snapshot(spark, base)
+        assert cur.columns == ["id", "amount"]
+        assert sorted((r["id"], r["amount"]) for r in cur.collect()) == \
+            [(1, 10), (2, 20)]
+        # time travel: v1 reads under its own name
+        old = versioned.read_snapshot(spark, base, 1)
+        assert old.columns == ["id", "cents"]
+
+    def test_append_after_rename_mixes_schemas(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._write(spark, base, [(1, 10)], "id INT, cents INT")
+        versioned.rename_column(base, "cents", "amount")
+        self._write(spark, base, [(2, 20)], "id INT, amount INT")
+        got = sorted(
+            (r["id"], r["amount"])
+            for r in versioned.read_snapshot(spark, base).collect()
+        )
+        assert got == [(1, 10), (2, 20)]
+
+    def test_widen_casts_old_files_up(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._write(spark, base, [(1, 10)], "id INT, v INT")
+        versioned.alter_column_type(base, "v", "long")
+        df = versioned.read_snapshot(spark, base)
+        assert dict(df.dtypes)["v"] == "bigint"
+        assert df.collect()[0]["v"] == 10
+        # old snapshot keeps its own type
+        assert dict(versioned.read_snapshot(spark, base, 1).dtypes)["v"] == "int"
+        # narrowing refused
+        with pytest.raises(ValueError, match="widening"):
+            versioned.alter_column_type(base, "v", "integer")
+
+    def test_drop_then_readd_does_not_resurrect(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._write(spark, base, [(1, "secret")], "id INT, note STRING")
+        versioned.drop_column(base, "note")
+        assert versioned.read_snapshot(spark, base).columns == ["id"]
+        # re-adding the NAME allocates a fresh field id: the old file's
+        # values must NOT come back under the new column
+        self._write(spark, base, [(2, "fresh")], "id INT, note STRING")
+        got = {r["id"]: r["note"]
+               for r in versioned.read_snapshot(spark, base).collect()}
+        assert got == {1: None, 2: "fresh"}
+        # but time travel still shows the dropped data
+        assert versioned.read_snapshot(spark, base, 1).collect()[0]["note"] \
+            == "secret"
+
+    def test_prune_and_dml_map_through_rename(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._write(
+            spark, base,
+            [(i, "a" if i < 5 else "b", i) for i in range(10)],
+            "id INT, g STRING, v INT",
+            partition_by=["g"],
+        )
+        # move the spec off g so the rename is legal, then rename
+        self._write(spark, base, [(99, "c", 99)], "id INT, g STRING, v INT")
+        versioned.rename_column(base, "g", "grp")
+        m = _manifest(base, versioned.latest_version(base))
+        # pruning maps grp -> the written name g for old files: the b
+        # partition is skipped, a kept
+        pruned = versioned.prune_files(m, where={"grp": "a"})
+        assert pruned and set(pruned) < set(m["files"])
+        assert any("__pt_g=a" in f for f in pruned)
+        assert not any("__pt_g=b" in f for f in pruned)
+        assert _ids(
+            versioned.read_snapshot(spark, base, where={"grp": "a"})
+        ) == [0, 1, 2, 3, 4]
+        # DML through the renamed column
+        versioned.delete_where(spark, base, where={"grp": "b"})
+        assert _ids(versioned.read_snapshot(spark, base)) == [0, 1, 2, 3, 4, 99]
+
+    def test_refusals(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._write(spark, base, [(1, "a", 5)], "id INT, g STRING, v INT",
+                    partition_by=["g"])
+        with pytest.raises(ValueError, match="partition-spec"):
+            versioned.rename_column(base, "g", "h")
+        with pytest.raises(ValueError, match="already exists"):
+            versioned.rename_column(base, "v", "id")
+        with pytest.raises(ValueError, match="not in table schema"):
+            versioned.rename_column(base, "nope", "x")
+        # live MoR filter blocks evolution of the referenced column
+        versioned.delete_where(
+            spark, base, where={"v": 5}, strategy="merge-on-read"
+        )
+        with pytest.raises(ValueError, match="row filter"):
+            versioned.rename_column(base, "v", "w")
+        with pytest.raises(ValueError, match="row filter"):
+            versioned.drop_column(base, "v")
+        # compaction materializes the filter and unblocks it
+        versioned.compact_snapshot(spark, base)
+        versioned.rename_column(base, "v", "w")
+        assert "w" in versioned.read_snapshot(spark, base).columns
+
+    def test_increment_reads_across_rename(self, spark, tmp_path):
+        base = str(tmp_path / "t")
+        self._write(spark, base, [(1, 10)], "id INT, cents INT")
+        versioned.rename_column(base, "cents", "amount")
+        self._write(spark, base, [(2, 20)], "id INT, amount INT")
+        inc = versioned.read_increment(spark, base, 2)
+        assert inc.columns == ["id", "amount"]
+        assert [(r["id"], r["amount"]) for r in inc.collect()] == [(2, 20)]
+
+    def test_legacy_manifest_upgrade(self, spark, tmp_path):
+        # a manifest written WITHOUT the schemas key (pre-r15) must
+        # synthesize positional ids and evolve correctly
+        import json as _json
+        base = str(tmp_path / "t")
+        self._write(spark, base, [(1, 10)], "id INT, cents INT")
+        mp = versioned._manifest_path(base, 1)
+        with open(mp) as fh:
+            m = _json.load(fh)
+        m.pop("schemas"); m.pop("current_schema")
+        for meta in m["file_meta"].values():
+            meta.pop("sid", None)
+        with open(mp, "w") as fh:
+            _json.dump(m, fh)
+        versioned.rename_column(base, "cents", "amount")
+        cur = versioned.read_snapshot(spark, base)
+        assert cur.columns == ["id", "amount"]
+        assert cur.collect()[0]["amount"] == 10
