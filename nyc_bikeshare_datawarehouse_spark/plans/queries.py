@@ -2098,16 +2098,23 @@ def q_jaccard_prefix(spark, sf_dir):
     hot), so the prefix only halves the pair universe (5.5M of 10.3M)
     and the query runs ~1.3× the full inverted index instead of beating
     it; the unit suite demonstrates the Zipf regime where candidates
-    collapse by orders of magnitude. The explicit repartition before
-    verify matters: AQE size-coalesces the 5.5M-pair distinct to ~2
-    partitions (~80 MB looks "small"), then the CPU-bound
-    array_intersect stage runs on 2 of 32 cores — size heuristics
-    misprice compute-heavy rows (145.7s → 47.9s same-load)."""
+    collapse by orders of magnitude. Spreading the pairs before verify
+    matters: AQE size-coalesces the ~5M-pair distinct to ~2 partitions
+    (~80 MB looks "small"), then the CPU-bound array_intersect stage
+    runs on 2 of 32 cores — size heuristics misprice compute-heavy rows
+    (145.7s → 47.9s same-load, r-series). Since r15 the spread is FUSED
+    with the pair dedup inside prefix_jaccard_candidates (one exchange
+    doing repartition + complete-mode dropDuplicates instead of
+    distinct-then-repartition's two full pair shuffles)."""
     d = _t(spark, sf_dir, "documents")
     d2 = d.filter(F.size(text.tokens("text")) >= 2)
+    # r15: the explicit pre-verify repartition moved INSIDE
+    # prefix_jaccard_candidates, fused with the pair dedup into one
+    # exchange (distinct + repartition was two full pair shuffles;
+    # 17.7s -> 7.3s end-to-end, plans/r15/q_jaccard_prefix_*.txt)
     cand = dedup.prefix_jaccard_candidates(
         d2, "text", "doc_id", shingle_n=2, min_jaccard=0.5
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
     return dedup.jaccard_verify_pairs(
         d2, cand, "text", "doc_id", shingle_n=2, min_jaccard=0.5, broadcast_sets=True
     )
