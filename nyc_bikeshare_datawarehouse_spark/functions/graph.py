@@ -410,10 +410,12 @@ def two_star_components(
     SoCC'14 — public literature): every node gets `cluster_id` = the
     min id in its component, the SAME contract as
     dedup.cluster_duplicates — but convergence is O(log²) rounds in the
-    component SIZE (O(log) observed) instead of O(diameter) rounds of
-    min-label propagation. At 100 TB that difference is the job: a
-    crawl-graph chain of diameter 10⁴ is 10⁴ propagation rounds but
-    ~15 two-star rounds (pinned on a 200-node path in tests).
+    component SIZE (O(log) observed). Since r15 cluster_duplicates'
+    propagation also pointer-jumps (O(log diameter) rounds), so the
+    remaining difference is the per-round working set: two-star rewrites
+    the EDGE list toward star graphs (rounds shrink it), propagation
+    keeps the full label+edge frames live every round. ~15 two-star
+    rounds on a 200-node path (pinned in tests).
 
     Each round is two grouped-min aggregates + joins over the EDGE list
     only (two longs per row — never the corpus); edges are checkpointed

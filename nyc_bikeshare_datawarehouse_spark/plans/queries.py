@@ -5503,11 +5503,13 @@ def q_cc_twostar(spark, sf_dir):
     the SAME calibrated df-pruned jaccard edge set as
     q_dedup_clusters_pruned — and the SAME recursive-CTE oracle, reused
     verbatim: the hash gate therefore proves the two CC algorithms
-    (O(log n)-round two-star vs O(diameter)-round min-label
-    propagation) compute identical components on real pair data, not
-    just on unit-test graphs. Two-star is the plan for long-chain
-    graphs at 100 TB: a crawl-chain of diameter 10⁴ is 10⁴ propagation
-    rounds but ~15 two-star rounds (path pinned in tests)."""
+    (O(log n)-round edge-rewriting two-star vs pointer-jumping min-label
+    propagation, O(log diameter) rounds since r15) compute identical
+    components on real pair data, not just on unit-test graphs.
+    Two-star remains the plan for edge-heavy graphs at 100 TB: its
+    rounds REWRITE the edge list toward star graphs (the working set
+    shrinks), where propagation keeps full label+edge frames live every
+    round (path pinned in tests)."""
     from nyc_bikeshare_datawarehouse_spark.functions.graph import (
         two_star_components,
     )

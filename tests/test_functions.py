@@ -268,25 +268,44 @@ class TestDedup:
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
     def test_cluster_duplicates_converges_on_final_round(self, spark):
-        # path 0-1-2-3: min-label needs 3 update rounds (label 0 moves one
-        # hop per round). max_iters=3 means the LAST update lands exactly on
-        # round max_iters — the changed==0 probe runs in round 4 and must
-        # confirm convergence, not raise.
-        pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
-        ids = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
-        got = {
-            r["doc_id"]: r["cluster_id"]
-            for r in dedup.cluster_duplicates(pairs, ids, "doc_id", max_iters=3).collect()
-        }
-        assert got == {0: 0, 1: 0, 2: 0, 3: 0}
-
-    def test_cluster_duplicates_nonconvergence_still_raises(self, spark):
-        # diameter 4 > max_iters 2: labels are still moving after the
-        # allowed update rounds — must fail loudly, not return wrong ids
+        # path 0-1-2-3-4 under propagation + path halving: label 0 needs
+        # exactly 2 update rounds (r15 pointer-jumping moves a min two
+        # hops per round). max_iters=2 means the LAST update lands exactly
+        # on round max_iters — the changed==0 probe runs in round 3 and
+        # must confirm convergence, not raise.
         pairs = spark.createDataFrame(
             [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
         )
         ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.cluster_duplicates(pairs, ids, "doc_id", max_iters=2).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+    def test_cluster_duplicates_long_path_log_rounds(self, spark):
+        # r15 pointer-jumping pin: a 200-node path converges in
+        # O(log diameter) update rounds (~9), far under max_iters=12 —
+        # plain one-hop propagation would need 199 rounds and raise.
+        # Guards the path-halving step against silent removal.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.cluster_duplicates(pairs, ids, "doc_id", max_iters=12).collect()
+        }
+        assert got == {i: 0 for i in range(200)}
+
+    def test_cluster_duplicates_nonconvergence_still_raises(self, spark):
+        # a 20-node path needs ~log2(19)+1 ≈ 5 update rounds even with
+        # path halving > max_iters 2: labels are still moving after the
+        # allowed update rounds — must fail loudly, not return wrong ids
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup.cluster_duplicates(pairs, ids, "doc_id", max_iters=2).collect()
 
