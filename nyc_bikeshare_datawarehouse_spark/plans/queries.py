@@ -2680,8 +2680,11 @@ def q_multimodal_dedup(spark, sf_dir):
     (portable SimHash, Hamming <= 1, conjunction-banded candidates) —
     the "same document, any modality" dedup a multimodal 100 TB
     pipeline runs before training. Identity modalities contribute
-    linear STAR edges (see _modality_star_edges); only the near-dup
-    modality pays a banded join; components are two_star_components
+    linear STAR edges (see _modality_star_edges); the near-dup modality
+    pays one banded join over the DISTINCT-SIGNATURE universe and
+    contributes connectivity-equivalent thinned edges (r15 — see the
+    inline note; the full Hamming<=1 pair set and the thinned set have
+    identical components); components are two_star_components
     (O(log n) rounds, checkpointed). Every edge family here is
     engine-portable, so the DuckDB oracle replays the full composition
     — star groups, the bit-exact simhash lattice, recursive-CTE CC —
@@ -2702,16 +2705,41 @@ def q_multimodal_dedup(spark, sf_dir):
     image_star = _modality_star_edges(
         d.select("doc_id", text.token_set_fingerprint("text").alias("h"))
     )
-    near = (
-        dedup.simhash_candidates(
-            d, "text", "doc_id", bands=4,
-            sig=dedup.simhash_portable("text", 32), sig_bits=32,
-            conjunction=True,
-        )
-        .filter(F.col("hamming") <= 1)
-        .select("id_a", "id_b")
+    # r15: the near-dup modality feeds CC, and CC needs CONNECTIVITY, not
+    # the full Hamming<=1 pair set — so the signature frame contributes
+    # star edges within each identical-signature group (the same
+    # clique->star equivalence the identity modalities ride) plus ONE
+    # representative edge per distinct signature pair at Hamming<=1
+    # (banded over the distinct-signature universe, simhash_sig_pairs).
+    # Components are provably identical to the full pair set's — every
+    # full edge is a path through its group stars + the rep edge — while
+    # the edge stream drops from ~500k clique pairs to ~n_docs + |sig
+    # pairs| (measured 10.4s -> ~5s end-to-end at sf0.1). The signature
+    # frame is checkpointed: stars, banding, and reps all read it.
+    sigx = d.select(
+        "doc_id", dedup.simhash_portable("text", 32).alias("sig")
+    ).localCheckpoint(eager=True)
+    near_star = _modality_star_edges(
+        sigx.select("doc_id", F.col("sig").alias("h"))
     )
-    edges = audio_star.unionByName(image_star).unionByName(near)
+    sig_pairs = dedup.simhash_sig_pairs(
+        sigx.select("sig").distinct(), bands=4, sig_bits=32, conjunction=True
+    ).filter(F.col("hamming") <= 1)
+    reps = sigx.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    near_cross = (
+        sig_pairs
+        .join(reps.select(F.col("sig").alias("sig_a"), F.col("rep").alias("__ra")), "sig_a")
+        .join(reps.select(F.col("sig").alias("sig_b"), F.col("rep").alias("__rb")), "sig_b")
+        .select(
+            F.least("__ra", "__rb").alias("id_a"),
+            F.greatest("__ra", "__rb").alias("id_b"),
+        )
+    )
+    edges = (
+        audio_star.unionByName(image_star)
+        .unionByName(near_star.select(F.col("id_a"), F.col("id_b")))
+        .unionByName(near_cross)
+    )
     comp = graph.two_star_components(edges, ids, "doc_id")
     return (
         comp.groupBy("cluster_id")
