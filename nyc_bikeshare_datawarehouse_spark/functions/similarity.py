@@ -258,13 +258,20 @@ def cosine_near_dup_lsh(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        # explicit width before the CPU-bound verify: AQE size-coalesces
-        # the deduped pair list (two longs/row looks tiny) to a few
-        # partitions, then the per-pair zip_with dot runs on 2 of 32
-        # cores — the q_jaccard_prefix misprice (CLAUDE.md). Ids only,
-        # so the exchange stays slim.
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # ONE exchange dedups AND spreads (r15, the prefix_jaccard_
+        # candidates fusion): hash-repartition on the pair satisfies the
+        # dedup aggregation's distribution requirement, so Catalyst plans
+        # a single complete HashAggregate — replacing dropDuplicates'
+        # partial-agg+exchange followed by a second full repartition
+        # exchange. The explicit width still matters: AQE would size-
+        # coalesce the two-longs-per-row pair list to a few partitions
+        # and run the CPU-bound zip_with dot on 2 of 32 cores (the
+        # q_jaccard_prefix misprice, CLAUDE.md). Measured 1.08s -> 0.64s
+        # on the sf0.1 candidate stage, output identical.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
+        .dropDuplicates()
     )
     # Per-VECTOR norms computed once here (explode(array) barrier stops
     # CollapseProject from re-inlining the aggregate into every pair) —

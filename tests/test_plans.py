@@ -113,10 +113,15 @@ def test_embed_near_dup_shuffles_ids_not_vectors(spark, sf_dir):
     # reshuffle the pairs by id and hand the verify stage's width back
     # to the AQE size-coalescer (the q_jaccard_prefix misprice)
     assert plan.count("BroadcastHashJoin") >= 2
-    # the deduped candidate list fans back out to cluster width before
-    # the CPU-bound per-pair verify — ids only, so the exchange is slim
-    rr = re.search(r"Exchange roundrobinpartitioning\(\d+\)[^\n]*", plan, re.I)
-    assert rr is not None and "embedding" not in rr.group(0)
+    # r15 fused dedup+spread: ONE hash exchange on the pair both dedups
+    # and spreads to cluster width before the CPU-bound per-pair verify
+    # (was dropDuplicates' exchange + a second roundrobin repartition) —
+    # ids only, so the exchange is slim
+    pair_ex = re.search(
+        r"Exchange hashpartitioning\(id_a[^)]*id_b[^)]*\)", plan
+    )
+    assert pair_ex is not None
+    assert "roundrobinpartitioning" not in plan
 
 
 def test_tpch_q9_broadcasts_dimensions(spark, sf_dir):
