@@ -160,7 +160,20 @@ def fuzzy_pairs_exhaustive(
         ).alias("__key"),
     )
     cand_short = short_l.join(short_r, "__key").select(left_id, right_id)
-    cand = cand_gram.unionByName(cand_short).distinct()
+    # ONE exchange dedups AND spreads the candidate stream for the
+    # levenshtein verify (r15, the prefix_jaccard_candidates fusion):
+    # hash-repartition on the pair satisfies the dedup aggregation's
+    # distribution requirement — single complete HashAggregate instead
+    # of distinct's partial agg + exchange + AQE size-coalesce.
+    cand = (
+        cand_gram.unionByName(cand_short)
+        .repartition(
+            left.sparkSession.sparkContext.defaultParallelism,
+            left_id,
+            right_id,
+        )
+        .dropDuplicates()
+    )
     ln = left.select(F.col(left_id), F.col(str_col).alias("__sl"))
     rn = right.select(F.col(right_id), F.col(str_col).alias("__sr"))
     return (
