@@ -27,6 +27,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from nyc_bikeshare_datawarehouse_spark.functions.text import shingles, token_set_fingerprint, tokens
 
+#: broadcast gate for the iterative CC round lookups (cluster_duplicates,
+#: graph.two_star_components): a checkpointed edge list at or under this
+#: many rows bounds every node-sized lookup frame to ~16 B/row — 5M rows
+#: ≈ 80 MB broadcast, comfortably inside the low-GB broadcast convention
+#: (jaccard_verify_pairs). Above it the rounds keep their shuffle joins;
+#: results are identical either way (join strategy only).
+_CC_BROADCAST_MAX_EDGES = 5_000_000
+
 
 def shingle_postings(
     df: DataFrame,
@@ -1042,6 +1050,19 @@ def cluster_duplicates(
     `spark.sparkContext.setCheckpointDir(<dfs path>)` first: each round
     then writes to the checkpoint dir and survives executor loss. On
     local[n] (one JVM) the distinction is moot, so local stays default.
+
+    r16 round shape: when the edge list is small enough (gated on the
+    MEASURED post-checkpoint edge count, `_CC_BROADCAST_MAX_EDGES`), the
+    per-round label lookup sides are broadcast — checkpointed RDD scans
+    report UnknownPartitioning and default (huge) size stats, so the
+    planner would otherwise SMJ every round: two exchanges + two sorts
+    of the edge stream per round for a lookup table that is only
+    node-sized. Broadcasting both lookups leaves ONE shuffle per round
+    (the neighbor-min aggregate, irreducible) — measured loop 5.4 s ->
+    4.3 s at sf0.1 (5 rounds), plan identical in output. Above the gate
+    (labels can approach |edges| rows; 5M rows ~ 80 MB broadcast is the
+    comfort bound, the jaccard_verify_pairs convention) the SMJ rounds
+    stay — correctness is unaffected either way.
     """
     def _ckpt(df: DataFrame) -> DataFrame:
         return iteration_checkpoint(df, reliable_checkpoint)
@@ -1069,6 +1090,11 @@ def cluster_duplicates(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")
     )
+    # broadcast gate: edges are checkpointed, so this count reads cached
+    # blocks (no recompute); |labels| <= |edges| rows, so the edge count
+    # soundly bounds the broadcast build size
+    bcast = edges.count() <= _CC_BROADCAST_MAX_EDGES
+    _bc = F.broadcast if bcast else (lambda df: df)
     converged = False
     # max_iters counts label-UPDATE rounds; a graph whose last update lands
     # exactly on round max_iters is already converged, but the changed==0
@@ -1079,7 +1105,7 @@ def cluster_duplicates(
         # aggregate: neighbor stream carries __old = null, the self
         # stream carries __old = current label, so min(__old) (nulls
         # ignored) recovers the pre-round label for the changed test
-        contrib = edges.join(labels, edges.dst == labels.node).select(
+        contrib = edges.join(_bc(labels), edges.dst == labels.node).select(
             F.col("src").alias("node"),
             "cluster_id",
             F.lit(None).cast("long").alias("__old"),
@@ -1098,12 +1124,19 @@ def cluster_duplicates(
         # path halving: one label-of-label lookup per round. The lookup
         # side is unique-keyed (node is prop's grouping key), so a hot
         # component label is a benign build-side-unique join, not a
-        # skewed fan-out.
+        # skewed fan-out. lab2 re-states the prop subtree (agg joined
+        # back to itself — the diverged-subplan shape CLAUDE.md flags);
+        # the duplicated cost is bounded because the union-aggregate's
+        # shuffle exchange is identical on both sides and AQE's
+        # ReuseExchange dedups it — only the post-exchange final
+        # aggregate runs twice (ADVICE r15: assumption now stated).
+        # Under the broadcast gate the lab2 side is the broadcast build,
+        # which reuses that same exchange.
         lab2 = prop.select(
             F.col("node").alias("__n2"), F.col("cluster_id").alias("__l2")
         )
         new_labels = _ckpt(
-            prop.join(lab2, prop.cluster_id == F.col("__n2"), "left")
+            prop.join(_bc(lab2), prop.cluster_id == F.col("__n2"), "left")
             .select(
                 "node",
                 F.coalesce(F.col("__l2"), F.col("cluster_id")).alias("cluster_id"),

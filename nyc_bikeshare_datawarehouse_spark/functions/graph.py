@@ -428,6 +428,7 @@ def two_star_components(
     Equivalence with cluster_duplicates is hypothesis-tested on random
     graphs; the declared q_cc_twostar proves it against the recursive-
     CTE SQL oracle through the hash gate."""
+    from nyc_bikeshare_datawarehouse_spark.functions import dedup as dedup_mod
     from nyc_bikeshare_datawarehouse_spark.functions.dedup import (
         iteration_checkpoint,
         rejoin_singleton_labels,
@@ -460,6 +461,17 @@ def two_star_components(
         )
     )
     fp = _fingerprint(edges)
+    # broadcast gate (r16, the cluster_duplicates round rule): the
+    # per-round min-lookup frames mu/mb are node-sized, but checkpointed
+    # edge scans report UnknownPartitioning + default (huge) size stats,
+    # so the planner SMJs every round — two extra exchanges + sorts of
+    # the edge stream per round. Edge count only shrinks across two-star
+    # rounds (each rewrite emits ≤ one edge per (u,v) of a smaller star
+    # graph), so gating once on the initial fingerprint count is sound;
+    # results are identical either way (join strategy only). Measured
+    # loop 7.7 s -> 4.4 s at sf0.1.
+    bcast = fp[0] <= dedup_mod._CC_BROADCAST_MAX_EDGES
+    _bc = F.broadcast if bcast else (lambda df: df)
     converged = False
     # max_iters counts edge-REWRITE rounds; a graph whose last rewrite
     # lands exactly on round max_iters is already converged, but the
@@ -475,7 +487,7 @@ def two_star_components(
             "u", F.least(F.col("__mv"), F.col("u")).alias("m")
         )
         ls = (
-            sym.join(mu, "u")
+            sym.join(_bc(mu), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("m").alias("x"), F.col("v").alias("y"))
         )
@@ -491,7 +503,7 @@ def two_star_components(
         mb = ls.groupBy("hi").agg(F.min("lo").alias("m"))
         e1 = mb.select(F.col("hi").alias("x"), F.col("m").alias("y"))
         e2 = (
-            ls.join(mb, "hi")
+            ls.join(_bc(mb), "hi")
             .filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("x"), F.col("m").alias("y"))
         )
