@@ -229,10 +229,20 @@ def simhash_candidates(
     candidate output (measured 2.59s -> 1.34s on the q_simhash_portable
     shape at sf0.1, output proven identical). Every doc pair arises from
     exactly one unordered signature pair, so no doc-level dropDuplicates
-    is needed."""
+    is needed.
+
+    The signature frame is localCheckpointed (r16, ADVICE r15): it is
+    referenced FIVE times below (distinct universe, both sig-keyed
+    expansion sides, both within-group sides), and per the diverged-
+    subplan rule each reference would re-run the corpus scan and the
+    signature compute — ~5x the per-row bit-vote work, and far worse
+    when `sig` rides an expensive upstream (q_multimodal_dedup
+    checkpoints its own sig frame for exactly this reason). The frame
+    is (id, sig) — two longs per doc — so the checkpoint is cheap at
+    any corpus size."""
     sig_df = _materialized(
         df, sig if sig is not None else simhash64(text_col), "sig", [id_col]
-    )
+    ).localCheckpoint(eager=True)
     sig_pairs = simhash_sig_pairs(
         sig_df.select("sig").distinct(), bands, sig_bits, conjunction
     )
