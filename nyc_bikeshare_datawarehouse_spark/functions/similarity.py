@@ -1490,6 +1490,15 @@ def semdedup_two_level(
             "c1",
             _argmax_rounded(vec_col, F.col("__cents2")).alias("c2"),
         )
+        # localCheckpoint (r16): `assigned` is read three times (both
+        # prune-join sides and the final tag join) and its subtree has
+        # NO shuffle exchange — only broadcasts — so exchange reuse
+        # dedups nothing: each reference re-runs BOTH argmax passes,
+        # N·2s HOF dot products apiece (s ~ sqrt(N/64), so the waste is
+        # superlinear; the q_phash_neardup re-execution rule). Neutral
+        # at sf0.1 (the 3x is ~240k dots); the checkpoint bytes equal
+        # what the prune exchange already shuffles per row.
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         "c1", "c2", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")

@@ -232,14 +232,34 @@ def test_temperature_mix_weights_broadcast_one_corpus_exchange(spark, sf_dir):
 
 
 def test_semdedup_hier_codebooks_broadcast_vectors_shuffle_once(spark, sf_dir):
-    # both quantizer levels attach as broadcasts (1-row coarse codebook,
-    # s-row fine codebooks, s^2-row seed-id semi); the ONLY exchange that
-    # carries the vector column is the within-(c1,c2) prune join
+    # the two-argmax assignment pipeline is localCheckpointed (r16: it is
+    # read three times and its subtree has no shuffle exchange, so each
+    # reference would re-run both argmax passes) — the final plan reads
+    # the checkpointed RDD, and the ONLY exchange that carries the
+    # vector column is the within-(c1,c2) prune join
     plan = plan_of(spark, sf_dir, "q_semdedup_hier")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "ExistingRDD" in plan  # assignment behind the checkpoint
     assert plan.count("embedding") > 0
     vec_exchanges = len(re.findall(r"Exchange hashpartitioning\([^\n]*embedding", plan))
     assert vec_exchanges <= 2  # the prune's two sides, nothing upstream
+    # the checkpointed assignment's own plan keeps the broadcast-only
+    # shape: both codebook attach joins broadcast, zero shuffle exchanges
+    from pyspark.sql import functions as F
+
+    from nyc_bikeshare_datawarehouse_spark.functions import similarity
+    from nyc_bikeshare_datawarehouse_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = similarity.two_level_cell_counts(e.count(), 64)
+    cents1 = similarity._centroids_frame(e, s, "vec_id", "embedding")
+    pre = (
+        e.crossJoin(F.broadcast(cents1)).select(
+            "vec_id",
+            similarity._argmax_rounded("embedding", F.col("__cents")).alias("c1"),
+        )
+    )
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in pre_plan
 
 
 def test_layout_queries_window_is_partitioned(spark, sf_dir):
