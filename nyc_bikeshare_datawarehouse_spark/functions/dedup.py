@@ -374,6 +374,12 @@ def minhash_lsh_candidates(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
+        # fused dedup+spread (r16): one pair-keyed exchange feeds the
+        # per-pair zip_with match fraction at cluster width (see
+        # portable_band_candidates for the full rationale)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     match_frac = (
@@ -448,6 +454,17 @@ def portable_band_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+        )
+        # ONE exchange dedups AND spreads (r16, the prefix_jaccard/SRP
+        # fusion): hash-repartitioning on the pair satisfies the dedup
+        # aggregation's distribution requirement — a single complete
+        # HashAggregate, already spread over defaultParallelism for the
+        # CPU-bound verify stage every caller feeds (jaccard_verify_
+        # pairs' array_intersect), instead of dropDuplicates' partial
+        # agg + exchange that AQE size-coalesces to a few partitions
+        # (the documented misprice).
+        .repartition(
+            sig.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
         )
         .dropDuplicates()
     )
