@@ -8045,59 +8045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stalest-first rotation (tools/rotate_queries.py): the driver
     # --- checks the FIRST 50 keys each round. New queries (no driver
     # --- rows) first, then ascending by newest driver row.
-    # --- new this round (no driver rows)
-    "q_delete_typed": q_delete_typed,
-    "q_lakehouse_formats": q_lakehouse_formats,
-    "q_schema_evolution_versioned": q_schema_evolution_versioned,
-    "q_update_typed": q_update_typed,
-    "q_versioned_incremental_dedup": q_versioned_incremental_dedup,
-    # --- newest driver row: r09
-    "q_scd1_merge": q_scd1_merge,
-    "q_scd2_history": q_scd2_history,
-    "q_semdedup_hier": q_semdedup_hier,
-    "q_sql_surrogate_keys": q_sql_surrogate_keys,
-    "q_stratified_sample": q_stratified_sample,
-    "q_temperature_mix": q_temperature_mix,
-    "q_text_stats": q_text_stats,
-    "q_text_tokens": q_text_tokens,
-    "q_token_budget": q_token_budget,
-    "q_top_ngrams": q_top_ngrams,
-    "q_tpch_q11": q_tpch_q11,
-    "q_tpch_q16": q_tpch_q16,
-    "q_tpch_q2": q_tpch_q2,
-    "q_tpch_q20": q_tpch_q20,
-    "q_tpch_q9": q_tpch_q9,
-    "q_train_split": q_train_split,
-    "q_unigram_logprob": q_unigram_logprob,
-    "q_winnow_fingerprints": q_winnow_fingerprints,
-    "q_winsorize": q_winsorize,
     # --- newest driver row: r10
-    "q_agg_monthly": q_agg_monthly,
-    "q_ann_ivf_partitioned": q_ann_ivf_partitioned,
-    "q_anti_orphans": q_anti_orphans,
-    "q_audio_features": q_audio_features,
-    "q_audio_neardup": q_audio_neardup,
-    "q_bloom_join": q_bloom_join,
-    "q_countmin_topk": q_countmin_topk,
-    "q_date_parts": q_date_parts,
-    "q_dedup_report": q_dedup_report,
-    "q_distinct_dim": q_distinct_dim,
-    "q_doc_features": q_doc_features,
-    "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
-    "q_filter_conj": q_filter_conj,
-    "q_filter_notnull": q_filter_notnull,
-    "q_gap_fill": q_gap_fill,
-    "q_generate_series": q_generate_series,
-    "q_group_quota": q_group_quota,
-    "q_grouped_quartiles": q_grouped_quartiles,
-    "q_histogram2d": q_histogram2d,
-    "q_hll_registers": q_hll_registers,
-    "q_incremental_dedup": q_incremental_dedup,
-    "q_incremental_mart": q_incremental_mart,
-    "q_intersect": q_intersect,
-    "q_jaccard_prefix": q_jaccard_prefix,
-    "q_kmv_sketch": q_kmv_sketch,
-    "q_lang_id": q_lang_id,  # <- driver window cut (50)
     "q_leakage_split_precomputed": q_leakage_split_precomputed,
     "q_left_join_multikey": q_left_join_multikey,
     "q_literal_lookup": q_literal_lookup,
@@ -8148,7 +8096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kaplan_meier": q_kaplan_meier,
     "q_lsh_recall": q_lsh_recall,
     "q_markov_attribution": q_markov_attribution,
-    "q_minhash_est_error": q_minhash_est_error,
+    "q_minhash_est_error": q_minhash_est_error,  # <- driver window cut (50)
     "q_mmr_diverse": q_mmr_diverse,
     "q_new_vs_returning": q_new_vs_returning,
     "q_purchase_cadence": q_purchase_cadence,
@@ -8326,6 +8274,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_update_where": q_update_where,
     "q_variant_extract": q_variant_extract,
     "q_window_navigation": q_window_navigation,
+    # --- newest driver row: r15
+    "q_agg_monthly": q_agg_monthly,
+    "q_ann_ivf_partitioned": q_ann_ivf_partitioned,
+    "q_anti_orphans": q_anti_orphans,
+    "q_audio_features": q_audio_features,
+    "q_audio_neardup": q_audio_neardup,
+    "q_bloom_join": q_bloom_join,
+    "q_countmin_topk": q_countmin_topk,
+    "q_date_parts": q_date_parts,
+    "q_dedup_report": q_dedup_report,
+    "q_delete_typed": q_delete_typed,
+    "q_distinct_dim": q_distinct_dim,
+    "q_doc_features": q_doc_features,
+    "q_embed_dedup_pipeline": q_embed_dedup_pipeline,
+    "q_filter_conj": q_filter_conj,
+    "q_filter_notnull": q_filter_notnull,
+    "q_gap_fill": q_gap_fill,
+    "q_generate_series": q_generate_series,
+    "q_group_quota": q_group_quota,
+    "q_grouped_quartiles": q_grouped_quartiles,
+    "q_histogram2d": q_histogram2d,
+    "q_hll_registers": q_hll_registers,
+    "q_incremental_dedup": q_incremental_dedup,
+    "q_incremental_mart": q_incremental_mart,
+    "q_intersect": q_intersect,
+    "q_jaccard_prefix": q_jaccard_prefix,
+    "q_kmv_sketch": q_kmv_sketch,
+    "q_lakehouse_formats": q_lakehouse_formats,
+    "q_lang_id": q_lang_id,
+    "q_scd1_merge": q_scd1_merge,
+    "q_scd2_history": q_scd2_history,
+    "q_schema_evolution_versioned": q_schema_evolution_versioned,
+    "q_semdedup_hier": q_semdedup_hier,
+    "q_sql_surrogate_keys": q_sql_surrogate_keys,
+    "q_stratified_sample": q_stratified_sample,
+    "q_temperature_mix": q_temperature_mix,
+    "q_text_stats": q_text_stats,
+    "q_text_tokens": q_text_tokens,
+    "q_token_budget": q_token_budget,
+    "q_top_ngrams": q_top_ngrams,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q9": q_tpch_q9,
+    "q_train_split": q_train_split,
+    "q_unigram_logprob": q_unigram_logprob,
+    "q_update_typed": q_update_typed,
+    "q_versioned_incremental_dedup": q_versioned_incremental_dedup,
+    "q_winnow_fingerprints": q_winnow_fingerprints,
+    "q_winsorize": q_winsorize,
 }
 
 
