@@ -403,11 +403,19 @@ def portable_minhash_parts(
     and `minhash_est_error` / `lsh_recall_report` (accuracy
     measurement), so the three queries replay ONE lattice definition.
 
-    The expensive md5s happen map-side in one projection (posexplode of
-    a k-hash transform); shuffles carry (id, i, h) only."""
+    The expensive md5s are computed over the DISTINCT-SHINGLE universe
+    (r16, the fuzzy_pairs distinct-universe lever applied to hashing):
+    h_i(s) depends only on the shingle, so hashing per POSTING row paid
+    k md5+base-conv evaluations per (doc, shingle) occurrence — ~3M at
+    sf0.1 — where the vocabulary needs only |vocab|·k (~11k here; text
+    vocabularies grow sublinearly in the corpus). The per-shingle hash
+    frame joins back to the postings by shingle (AQE broadcasts the
+    vocab-sized side at runtime), and the min-hash aggregate is
+    unchanged — signatures are bit-identical because the h values per
+    shingle are identical."""
     sh = shingle_postings(df, text_col, id_col, shingle_n, hashed=False)
-    hashed = sh.select(
-        id_col,
+    uni_hashed = sh.select("s").distinct().select(
+        "s",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_hashes - 1)),
@@ -421,6 +429,7 @@ def portable_minhash_parts(
             )
         ).alias("i", "h"),
     )
+    hashed = sh.join(uni_hashed, "s").select(id_col, "i", "h")
     sig = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
     return sh, sig
 
