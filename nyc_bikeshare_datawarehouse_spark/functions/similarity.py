@@ -563,6 +563,54 @@ def _cell_cosine_scores(vec_col, cents: Column, round_to: int = 6) -> Column:
     )
 
 
+def _cents_with_norms(cents: DataFrame) -> DataFrame:
+    """Pre-normed twin of `_centroids_frame`'s output: zip each centroid
+    with its L2 norm ONCE (`__cn: array<struct<v,n>>`). The projection
+    sits below the BroadcastExchange, so the norms are folded once per
+    QUERY instead of once per row per cell — the scoring lambda divides
+    by a carried double (`_cell_cosine_scores_pre`). Same doubles (IEEE
+    sqrt is correctly rounded; the fold is unchanged), so every rounded
+    cosine downstream is bit-identical to the `_cell_cosine_scores`
+    form."""
+    return cents.select(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                c.alias("v"),
+                F.sqrt(
+                    F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+                ).alias("n"),
+            ),
+        ).alias("__cn")
+    )
+
+
+def _cell_cosine_scores_pre(v: Column, vnorm: Column, cn: Column, round_to: int = 6) -> Column:
+    """`_cell_cosine_scores` with both norms HOISTED: `vnorm` is the
+    row's L2 norm computed once per row (not once per cell), `cn` is the
+    `_cents_with_norms` array carrying each centroid's norm. Per cell
+    only the dot fold remains — 1/3 of the original fold work. The
+    division `dot / (vnorm * s.n)` multiplies/divides the exact same
+    doubles in the same order as the inline form, so ROUND(·, 6) and
+    every rank derived from it are bit-identical (oracle-safe)."""
+    return F.zip_with(
+        cn,
+        F.sequence(F.lit(0), F.size(cn) - 1),
+        lambda s, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["v"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (vnorm * s["n"]),
+                round_to,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+
+
 def ivf_recall_report(
     df: DataFrame,
     probes: DataFrame,
@@ -598,14 +646,43 @@ def ivf_recall_report(
     (`ivf_probe_partitioned`); this measures what that pruning costs in
     recall."""
     max_np = max(nprobes)
-    cents = _centroids_frame(df, n_cells, id_col, vec_col)
+    cents = _cents_with_norms(_centroids_frame(df, n_cells, id_col, vec_col))
+    # Row L2 norms behind an explode(array()) barrier (CollapseProject
+    # would otherwise re-inline the fold into every reference: the cell
+    # lambda AND the per-pair sim). One fold per row; the pair stage —
+    # probes × corpus rows — then folds ONLY the dot product (was dot +
+    # both norms per pair, 3× the element work).
     corpus = (
         df.crossJoin(F.broadcast(cents))
         .select(
             F.col(id_col).alias("cid"),
             _vec(vec_col).alias("cvec"),
+            F.col("__cn"),
+        )
+        .select(
+            "cid",
+            "cvec",
+            "__cn",
+            F.explode(
+                F.array(
+                    F.sqrt(
+                        F.aggregate(
+                            F.col("cvec"),
+                            F.lit(0.0),
+                            lambda a, x: a + x * x,
+                        )
+                    )
+                )
+            ).alias("cnorm"),
+        )
+        .select(
+            "cid",
+            "cvec",
+            "cnorm",
             F.aggregate(
-                _cell_cosine_scores(vec_col, F.col("__cents")),
+                _cell_cosine_scores_pre(
+                    F.col("cvec"), F.col("cnorm"), F.col("__cn")
+                ),
                 F.struct(
                     F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")
                 ),
@@ -618,11 +695,35 @@ def ivf_recall_report(
         .select(
             F.col(id_col).alias("pid"),
             _vec(vec_col).alias("pvec"),
+            F.col("__cn"),
+        )
+        .select(
+            "pid",
+            "pvec",
+            "__cn",
+            F.explode(
+                F.array(
+                    F.sqrt(
+                        F.aggregate(
+                            F.col("pvec"),
+                            F.lit(0.0),
+                            lambda a, x: a + x * x,
+                        )
+                    )
+                )
+            ).alias("pnorm"),
+        )
+        .select(
+            "pid",
+            "pvec",
+            "pnorm",
             F.transform(
                 F.slice(
                     F.array_sort(
                         F.transform(
-                            _cell_cosine_scores(vec_col, F.col("__cents")),
+                            _cell_cosine_scores_pre(
+                                F.col("pvec"), F.col("pnorm"), F.col("__cn")
+                            ),
                             lambda s: F.struct(
                                 (-s["d"]).alias("nd"), s["i"].alias("i")
                             ),
@@ -648,18 +749,7 @@ def ivf_recall_report(
                     F.lit(0.0),
                     lambda a, x: a + x,
                 )
-                / (
-                    F.sqrt(
-                        F.aggregate(
-                            F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x
-                        )
-                    )
-                    * F.sqrt(
-                        F.aggregate(
-                            F.col("pvec"), F.lit(0.0), lambda a, x: a + x * x
-                        )
-                    )
-                ),
+                / (F.col("cnorm") * F.col("pnorm")),
                 6,
             ).alias("sim"),
             F.array_position(F.col("pcells"), F.col("cell")).alias(
@@ -687,14 +777,18 @@ def ivf_recall_report(
         .select("pid", "cid", "nprobe")
     )
     n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
-    hits = approx.join(exact, ["pid", "cid"]).groupBy("nprobe").agg(
-        F.count(F.lit(1)).cast("long").alias("hits")
-    )
+    # exact is ≤ probes·k rows and hits ≤ len(nprobes) rows at ANY scale
+    # (audit-bounded frames), but they descend from the checkpoint scan
+    # (UnknownPartitioning, no stats) so Catalyst would SMJ them — the
+    # CC-round broadcast-gate precedent. Broadcast explicitly.
+    hits = approx.join(F.broadcast(exact), ["pid", "cid"]).groupBy(
+        "nprobe"
+    ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
     all_levels = pairs.sparkSession.createDataFrame(
         [(int(n),) for n in nprobes], "nprobe int"
     )
     return (
-        all_levels.join(hits, "nprobe", "left")
+        all_levels.join(F.broadcast(hits), "nprobe", "left")
         .crossJoin(F.broadcast(n_probes))
         .select(
             "nprobe",
@@ -770,20 +864,14 @@ def pq_codebooks_frame(
     return cents.select(books.alias("__books"))
 
 
-def pq_encode(
-    df: DataFrame,
-    books: DataFrame,
-    m: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode each vector as `codes` (array<int>, length m): per
-    subspace, the argmin-distance codebook entry (quantized distances,
-    lowest index on ties — the `nearest_cell` fold with < instead of
-    >). Pure per-row expression after a 1-row broadcast crossJoin — no
-    shuffle; at ingest this runs once and the codes persist."""
-    with_books = df.crossJoin(F.broadcast(books))
-    v = _vec(vec_col)
+def _pq_codes_expr(v: Column, m: int) -> Column:
+    """`codes` (array<int>, length m) for one vector column, against the
+    broadcast `__books` column: per subspace, the argmin-distance
+    codebook entry (quantized distances, lowest index on ties — the
+    `nearest_cell` fold with < instead of >). Exposed so corpus-scale
+    consumers can compute codes INLINE in the same projection as the
+    vector (no corpus×corpus id re-attach join) — `pq_encode` and the
+    inline form produce identical values by construction."""
     dim_expr = F.size(v)
 
     def code_for(j: int) -> Column:
@@ -800,9 +888,50 @@ def pq_encode(
             lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
         )["i"]
 
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def _pq_adc_table(pvec: Column, m: int) -> Column:
+    """The per-probe ADC distance TABLE (`array<array<double>>`, m×k):
+    entry [j][c] = `_pq_dist6(probe_sub_j, books[j][c])`. Computed ONCE
+    per probe row (the projection sits below the probe frame's
+    BroadcastExchange); candidates then sum m table LOOKUPS instead of
+    re-folding the m subspace distances per pair — the O(m·k)-per-probe
+    table the PQ literature (and `pq_recall_report`'s contract) calls
+    for. transform preserves codebook order, so `table[j][code_j]` is
+    the exact double the inline fold produced."""
+
+    def tab_for(j: int) -> Column:
+        return F.transform(
+            F.col("__books")[j],
+            lambda c: _pq_dist6(
+                F.slice(
+                    pvec,
+                    j * (F.size(pvec) / m).cast("int") + 1,
+                    (F.size(pvec) / m).cast("int"),
+                ),
+                c,
+            ),
+        )
+
+    return F.array(*[tab_for(j) for j in range(m)])
+
+
+def pq_encode(
+    df: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as `codes` (array<int>, length m) — see
+    `_pq_codes_expr`. Pure per-row expression after a 1-row broadcast
+    crossJoin — no shuffle; at ingest this runs once and the codes
+    persist."""
+    with_books = df.crossJoin(F.broadcast(books))
     return with_books.select(
         F.col(id_col),
-        F.array(*[code_for(j) for j in range(m)]).alias("codes"),
+        _pq_codes_expr(_vec(vec_col), m).alias("codes"),
     )
 
 
@@ -848,31 +977,42 @@ def pq_recall_report(
     books = pq_codebooks_frame(
         df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col)
-    corpus = df.select(
-        F.col(id_col).alias("cid"), _vec(vec_col).alias("cvec")
-    ).join(codes.select(F.col(id_col).alias("cid"), "codes"), "cid")
-    p = probes.select(F.col(id_col).alias("pid"), _vec(vec_col).alias("pvec"))
+    # codes INLINE in the corpus projection (no corpus×corpus id
+    # re-attach join — was an SMJ + 2 exchanges at scale), and the
+    # per-probe ADC table computed once per probe below its broadcast:
+    # each pair then pays one exact-d fold plus m table lookups, not
+    # m additional subspace folds (the distances depend only on
+    # (probe, subspace, code) — k_codes distinct values per subspace,
+    # recomputed ~N/k_codes times each in the inline form).
+    corpus = (
+        df.crossJoin(F.broadcast(books))
+        .select(
+            F.col(id_col).alias("cid"),
+            _vec(vec_col).alias("cvec"),
+            _pq_codes_expr(_vec(vec_col), m).alias("codes"),
+        )
+    )
+    p = (
+        probes.crossJoin(F.broadcast(books))
+        .select(
+            F.col(id_col).alias("pid"),
+            _vec(vec_col).alias("pvec"),
+            _pq_adc_table(_vec(vec_col), m).alias("__tab"),
+        )
+    )
     pairs = (
         corpus.join(F.broadcast(p), F.col("cid") != F.col("pid"))
-        .crossJoin(F.broadcast(books))
         .select(
             "pid",
             "cid",
             _pq_dist6(F.col("cvec"), F.col("pvec")).alias("exact_d"),
             # ADC: Σ_j round6(L2²(probe_sub_j, books[j][codes[j]])) as a
-            # fixed-order chain — table lookup inlined per subspace
+            # fixed-order chain — table lookups, values identical to the
+            # inline per-pair folds (`_pq_adc_table`)
             sum(
                 [
-                    _pq_dist6(
-                        F.slice(
-                            F.col("pvec"),
-                            j * (F.size(F.col("pvec")) / m).cast("int") + 1,
-                            (F.size(F.col("pvec")) / m).cast("int"),
-                        ),
-                        F.element_at(
-                            F.col("__books")[j], F.col("codes")[j] + 1
-                        ),
+                    F.element_at(
+                        F.col("__tab")[j], F.col("codes")[j] + 1
                     )
                     for j in range(m)
                 ],
@@ -899,10 +1039,13 @@ def pq_recall_report(
         .select("pid", "cid")
     )
     n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
-    h_adc = adc_topk.join(exact, ["pid", "cid"]).agg(
+    # exact is ≤ probes·k rows at ANY scale but descends from the
+    # checkpoint scan (no stats) — broadcast it or Catalyst SMJs
+    # (ivf_recall_report precedent).
+    h_adc = adc_topk.join(F.broadcast(exact), ["pid", "cid"]).agg(
         F.count(F.lit(1)).cast("long").alias("hits_adc")
     )
-    h_rr = reranked.join(exact, ["pid", "cid"]).agg(
+    h_rr = reranked.join(F.broadcast(exact), ["pid", "cid"]).agg(
         F.count(F.lit(1)).cast("long").alias("hits_rerank")
     )
     bp = lambda c: F.floor(  # noqa: E731
@@ -1093,36 +1236,94 @@ def ivfpq_search_portable(
     recall separately; this proves the composition computes exactly
     what it claims. In-memory form: the only joins are 1-row/O(cells)
     broadcasts plus the final O(rerank_r) id semi-join."""
-    cents = _centroids_frame(df, n_cells, id_col, vec_col)
+    cents = _cents_with_norms(_centroids_frame(df, n_cells, id_col, vec_col))
     books = pq_codebooks_frame(
         df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col)
+    # Codes INLINE in the corpus projection (the pq_encode id re-attach
+    # was a corpus-scale shuffle join), row norm behind the explode
+    # barrier, hoisted-norm cell scoring, and the per-probe ADC table —
+    # the ivf_recall_report / pq_recall_report levers composed; every
+    # double is produced by the same expression shapes, so the output is
+    # bit-identical (hash-gated).
     corpus = (
         df.crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(books))
         .select(
             F.col(id_col).alias("cid"),
             _vec(vec_col).alias("cvec"),
+            F.col("__cn"),
+            _pq_codes_expr(_vec(vec_col), m).alias("codes"),
+        )
+        .select(
+            "cid",
+            "cvec",
+            "__cn",
+            "codes",
+            F.explode(
+                F.array(
+                    F.sqrt(
+                        F.aggregate(
+                            F.col("cvec"),
+                            F.lit(0.0),
+                            lambda a, x: a + x * x,
+                        )
+                    )
+                )
+            ).alias("cnorm"),
+        )
+        .select(
+            "cid",
+            "cvec",
+            "codes",
             F.aggregate(
-                _cell_cosine_scores(vec_col, F.col("__cents")),
+                _cell_cosine_scores_pre(
+                    F.col("cvec"), F.col("cnorm"), F.col("__cn")
+                ),
                 F.struct(
                     F.lit(float("-inf")).alias("d"), F.lit(-1).alias("i")
                 ),
                 lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
             )["i"].alias("cell"),
         )
-        .join(codes.select(F.col(id_col).alias("cid"), "codes"), "cid")
     )
     p = (
         probe.crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(books))
         .select(
             F.col(id_col).alias("pid"),
             _vec(vec_col).alias("pvec"),
+            F.col("__cn"),
+            _pq_adc_table(_vec(vec_col), m).alias("__tab"),
+        )
+        .select(
+            "pid",
+            "pvec",
+            "__cn",
+            "__tab",
+            F.explode(
+                F.array(
+                    F.sqrt(
+                        F.aggregate(
+                            F.col("pvec"),
+                            F.lit(0.0),
+                            lambda a, x: a + x * x,
+                        )
+                    )
+                )
+            ).alias("pnorm"),
+        )
+        .select(
+            "pid",
+            "pvec",
+            "__tab",
             F.transform(
                 F.slice(
                     F.array_sort(
                         F.transform(
-                            _cell_cosine_scores(vec_col, F.col("__cents")),
+                            _cell_cosine_scores_pre(
+                                F.col("pvec"), F.col("pnorm"), F.col("__cn")
+                            ),
                             lambda s: F.struct(
                                 (-s["d"]).alias("nd"), s["i"].alias("i")
                             ),
@@ -1141,23 +1342,13 @@ def ivfpq_search_portable(
             F.array_contains(F.col("pcells"), F.col("cell"))
             & (F.col("cid") != F.col("pid"))
         )
-        .crossJoin(F.broadcast(books))
         .select(
             "cid",
             "cvec",
             "pvec",
             sum(
                 [
-                    _pq_dist6(
-                        F.slice(
-                            F.col("pvec"),
-                            j * (F.size(F.col("pvec")) / m).cast("int") + 1,
-                            (F.size(F.col("pvec")) / m).cast("int"),
-                        ),
-                        F.element_at(
-                            F.col("__books")[j], F.col("codes")[j] + 1
-                        ),
-                    )
+                    F.element_at(F.col("__tab")[j], F.col("codes")[j] + 1)
                     for j in range(m)
                 ],
                 F.lit(0.0),
